@@ -1,0 +1,31 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Settings chosen for correctness parity with the DuckDB oracle (UTC,
+  * nanos-as-long) and for scale (AQE on, skew-join handling, shuffle
+  * partition count sized to cores locally — on a real cluster AQE
+  * coalescing makes the initial number a ceiling, not a constant).
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Apply engine confs to an existing session (e.g. one the driver built). */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    spark
+  }
+}

@@ -1,0 +1,352 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Relational / analytics query surface (SURVEY.md §2.B).
+  *
+  * These are the pipeline-level query capabilities a user of the reference
+  * composes around per-record transforms. Shapes follow TPC-H (adapted to
+  * the 1995-2001 date range of the synthetic data); every query is
+  * declarative DataFrame API so Catalyst handles pushdown, join strategy
+  * (dims broadcast automatically at TPC-H size ratios), and AQE re-planning
+  * at scale.
+  *
+  * Determinism contract with the DuckDB oracle:
+  *   - doubles are never summed directly: every SUM aggregates a
+  *     DECIMAL(24,6)-cast value (order-independent, exact), and the final
+  *     aggregate is cast back to DOUBLE so both engines round the same
+  *     exact decimal to the same IEEE value;
+  *   - every query ends in a total-order sort (unique key suffix).
+  */
+object Relational {
+
+  private val Dec = DecimalType(24, 6)
+  /** Order-independent, cross-engine-exact sum of a double column. */
+  private def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+
+  private def ts(s: String): Column = lit(s).cast(TimestampType)
+
+  /** TPC-H Q1 shape: pricing summary report. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= ts("2001-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: shipping-priority top-k. customer and the date
+    * filters prune before the joins; customer side broadcasts. */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < ts("1997-03-15"))
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > ts("1997-03-15"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinAggSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-03-15'
+      |  AND l_shipdate > TIMESTAMP '1997-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: 6-way star join. region/nation/supplier broadcast. */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5MultiJoinSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q6 shape: tight-range filter + agg; everything pushes to the scan. */
+  def q6Filter(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(
+        col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+           count(lit(1)).as("n"))
+  }
+
+  val q6FilterSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Window functions: per-customer order sequence with rank and deltas. */
+  def qWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    ord.select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("order_seq"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+        sum(col("o_totalprice").cast(Dec))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(DoubleType).as("running_spend"))
+      .filter(col("order_seq") <= 3)
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
+  val qWindowSql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER w AS order_seq,
+      |    lag(o_orderkey, 1) OVER w AS prev_orderkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(24,6)))
+      |      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |) WHERE order_seq <= 3 ORDER BY o_custkey, order_seq""".stripMargin
+
+  /** ROLLUP aggregation over return flag / line status. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Left-semi join: customers that have at least one open order. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Left-anti join: customers with no large order (NOT EXISTS). */
+  def qExists(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000.0)
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qExistsSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Pivot: quantity by line status (rows) x return flag (columns). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_quantity")))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val qPivotSql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(24,6)) END) AS DOUBLE) AS "A",
+      |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(24,6)) END) AS DOUBLE) AS "N",
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(24,6)) END) AS DOUBLE) AS "R"
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** UNION + DISTINCT: all nations that have either a customer or a supplier. */
+  def qUnionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val sup = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    val nation = Tables.nation(spark, dir)
+    cust.union(sup).distinct()
+      .join(broadcast(nation), col("nationkey") === col("n_nationkey"))
+      .select(col("nationkey"), col("n_name"))
+      .orderBy(col("nationkey"))
+  }
+
+  val qUnionDistinctSql: String =
+    """SELECT nationkey, n_name FROM (
+      |  SELECT DISTINCT nationkey FROM (
+      |    SELECT c_nationkey AS nationkey FROM customer
+      |    UNION ALL SELECT s_nationkey AS nationkey FROM supplier))
+      |JOIN nation ON nationkey = n_nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** Top-k per group: 3 most expensive orders per market segment. */
+  def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("c_mktsegment"), col("rk"))
+  }
+
+  val qTopkPerGroupSql: String =
+    """SELECT * FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |) WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin
+
+  /** Session windows over the events stream table (batch form; the
+    * streaming twin lives in graft.streaming.EventStreams). A session
+    * groups a user's events with < 10 min gaps; end = last event + gap. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast(Dec)).cast(DoubleType).as("total_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val qSessionizeSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+      |  FROM main.events),
+      |marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= INTERVAL 10 MINUTE OR
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM ev),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked)
+      |SELECT user_id,
+      |  min(ts) AS session_start,
+      |  max(ts) + INTERVAL 10 MINUTE AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS total_value
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Tumbling-window event counts (batch form of the streaming agg). */
+  def stWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(Dec)).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val stWindowAggSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+      |  FROM main.events)
+      |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS total_value
+      |FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_join_agg" -> (q3JoinAgg _),
+    "q5_multijoin" -> (q5MultiJoin _),
+    "q6_filter" -> (q6Filter _),
+    "q_window" -> (qWindow _),
+    "q_rollup" -> (qRollup _),
+    "q_semijoin" -> (qSemiJoin _),
+    "q_exists" -> (qExists _),
+    "q_pivot" -> (qPivot _),
+    "q_union_distinct" -> (qUnionDistinct _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_sessionize" -> (qSessionize _),
+    "st_window_agg" -> (stWindowAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_join_agg" -> q3JoinAggSql,
+    "q5_multijoin" -> q5MultiJoinSql,
+    "q6_filter" -> q6FilterSql,
+    "q_window" -> qWindowSql,
+    "q_rollup" -> qRollupSql,
+    "q_semijoin" -> qSemiJoinSql,
+    "q_exists" -> qExistsSql,
+    "q_pivot" -> qPivotSql,
+    "q_union_distinct" -> qUnionDistinctSql,
+    "q_topk_per_group" -> qTopkPerGroupSql,
+    "q_sessionize" -> qSessionizeSql,
+    "st_window_agg" -> stWindowAggSql)
+}
