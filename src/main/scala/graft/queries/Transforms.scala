@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.transform.{Dsl, Metrics, ScriptTransform}
+import graft.transform.Dsl._
+
+/** Record-transform surface (SURVEY.md §2.A) — reference parity.
+  *
+  * Each query exercises one capability of the reference transform plugin
+  * (per-record mutation, flat-map emit, error channel, schema override,
+  * filter, runtime arguments, nested codec, imperative scripts) through
+  * either the declarative [[Dsl]] path or the imperative [[ScriptTransform]]
+  * path, with a DuckDB oracle for each.
+  */
+object Transforms {
+
+  /** Per-record field mutation — ref testSimple scales a field by 1024. */
+  def xfScale(spark: SparkSession, dir: String): DataFrame =
+    TransformSpec(
+      SetField("l_quantity", col("l_quantity") * 1024),
+      Project("l_orderkey" -> col("l_orderkey"),
+              "l_linenumber" -> col("l_linenumber"),
+              "l_quantity" -> col("l_quantity")))
+      .apply(Tables.lineitem(spark, dir))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val xfScaleSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity * 1024 AS l_quantity
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** 0..N emits per record — ref testSimple emits each record twice. */
+  def xfFlatmap(spark: SparkSession, dir: String): DataFrame =
+    TransformSpec(
+      ExplodeField("copy", array(lit(0), lit(1))),
+      Project("l_orderkey" -> col("l_orderkey"),
+              "l_linenumber" -> col("l_linenumber"),
+              "copy" -> col("copy")))
+      .apply(Tables.lineitem(spark, dir))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("copy"))
+
+  val xfFlatmapSql: String =
+    """SELECT l_orderkey, l_linenumber, copy
+      |FROM lineitem CROSS JOIN (SELECT 0 AS copy UNION ALL SELECT 1)
+      |ORDER BY l_orderkey, l_linenumber, copy""".stripMargin
+
+  /** emitError channel: invalid records routed to an error table carrying
+    * (errorCode, errorMsg, full invalid record). */
+  def xfErrors(spark: SparkSession, dir: String): DataFrame = {
+    val (_, errors) = Dsl.splitErrors(
+      Tables.lineitem(spark, dir),
+      invalidWhen = col("l_discount") > 0.06,
+      errorCode = 42,
+      errorMsg = lit("discount above policy threshold"))
+    errors.orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val xfErrorsSql: String =
+    """SELECT 42 AS errorCode, 'discount above policy threshold' AS errorMsg, *
+      |FROM lineitem WHERE l_discount > 0.06
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Output-schema override: project + rename + computed field (ref
+    * testNewOutputEmit). */
+  def xfProject(spark: SparkSession, dir: String): DataFrame =
+    TransformSpec(
+      Project("key" -> col("o_orderkey"),
+              "order_year" -> year(col("o_orderdate")),
+              "total" -> col("o_totalprice")))
+      .apply(Tables.orders(spark, dir))
+      .orderBy(col("key"))
+
+  val xfProjectSql: String =
+    """SELECT o_orderkey AS key, EXTRACT(year FROM o_orderdate) AS order_year,
+      |  o_totalprice AS total
+      |FROM orders ORDER BY key""".stripMargin
+
+  /** Predicate filter: script that emits only some records. */
+  def xfFilter(spark: SparkSession, dir: String): DataFrame =
+    TransformSpec(
+      FilterRows(col("l_quantity") < 10),
+      Project("l_orderkey" -> col("l_orderkey"),
+              "l_linenumber" -> col("l_linenumber"),
+              "l_quantity" -> col("l_quantity")))
+      .apply(Tables.lineitem(spark, dir))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val xfFilterSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem WHERE l_quantity < 10
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Runtime-arguments-parameterized transform (ref testArguments:
+    * multiplier=5 arrives via context.getArguments). Imperative path so the
+    * argument genuinely crosses the script boundary. */
+  def xfArgs(spark: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("scaled", DoubleType)))
+    ScriptTransform(Tables.orders(spark, dir), out,
+        arguments = Map("multiplier" -> "5")) { (r, em, ctx) =>
+      val m = ctx.arguments("multiplier").toInt
+      em.emit(Map("o_orderkey" -> r("o_orderkey"),
+                  "scaled" -> r("o_totalprice").asInstanceOf[Double] * m))
+    }.out.orderBy(col("o_orderkey"))
+  }
+
+  val xfArgsSql: String =
+    """SELECT o_orderkey, o_totalprice * 5 AS scaled
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Nested struct/array/map codec round-trip (ref PythonObjectsEncoder):
+    * build nested values, cross the script boundary, read them back in the
+    * closure, emit flattened results. */
+  def xfNested(spark: SparkSession, dir: String): DataFrame = {
+    val nested = Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      struct(col("o_custkey"), col("o_totalprice")).as("info"),
+      array(col("o_totalprice"), col("o_totalprice") * 2).as("arr"),
+      map(lit("p"), col("o_totalprice")).as("m"))
+    val out = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("custkey", LongType),
+      StructField("arr_sum", DoubleType),
+      StructField("p", DoubleType)))
+    ScriptTransform(nested, out) { (r, em, _) =>
+      val info = r("info").asInstanceOf[Map[String, Any]]
+      val arr = r("arr").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double])
+      val m = r("m").asInstanceOf[Map[String, Any]]
+      em.emit(Map(
+        "o_orderkey" -> r("o_orderkey"),
+        "custkey" -> info("o_custkey"),
+        "arr_sum" -> arr.sum,
+        "p" -> m("p")))
+    }.out.orderBy(col("o_orderkey"))
+  }
+
+  val xfNestedSql: String =
+    """SELECT o_orderkey, o_custkey AS custkey,
+      |  o_totalprice + o_totalprice * 2 AS arr_sum, o_totalprice AS p
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Fully-imperative script: per-record conditional filter + computed
+    * field + stage metrics, distributed via mapPartitions (the reference's
+    * Native-mode equivalent). */
+  def xfScript(spark: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("charge", DoubleType)))
+    val metrics = Metrics(spark, "processed", "emitted")
+    ScriptTransform(Tables.lineitem(spark, dir), out, metrics = metrics) {
+      (r, em, ctx) =>
+        ctx.metrics.count("processed")
+        if (r("l_returnflag") != "R") {
+          ctx.metrics.count("emitted")
+          em.emit(Map(
+            "l_orderkey" -> r("l_orderkey"),
+            "l_linenumber" -> r("l_linenumber"),
+            "charge" -> r("l_extendedprice").asInstanceOf[Double] *
+              (1.0 - r("l_discount").asInstanceOf[Double])))
+        }
+    }.out.orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val xfScriptSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1.0 - l_discount) AS charge
+      |FROM lineitem WHERE l_returnflag <> 'R'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "xf_scale" -> (xfScale _),
+    "xf_flatmap" -> (xfFlatmap _),
+    "xf_errors" -> (xfErrors _),
+    "xf_project" -> (xfProject _),
+    "xf_filter" -> (xfFilter _),
+    "xf_args" -> (xfArgs _),
+    "xf_nested" -> (xfNested _),
+    "xf_script" -> (xfScript _))
+
+  val oracles: Map[String, String] = Map(
+    "xf_scale" -> xfScaleSql,
+    "xf_flatmap" -> xfFlatmapSql,
+    "xf_errors" -> xfErrorsSql,
+    "xf_project" -> xfProjectSql,
+    "xf_filter" -> xfFilterSql,
+    "xf_args" -> xfArgsSql,
+    "xf_nested" -> xfNestedSql,
+    "xf_script" -> xfScriptSql)
+}

@@ -1,0 +1,57 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative transform spec — the engine's fast path, equivalent in
+  * capability to the reference's Interpreted mode (in-JVM script, ref:
+  * JythonPythonExecutor.java) but expressed as Catalyst column expressions:
+  * every step compiles into the same whole-stage-codegen'd projection, so a
+  * "per-record script" costs nothing per record and all of Catalyst's
+  * pushdown/pruning applies through it.
+  *
+  * Steps mirror what reference transform scripts do to records: set/compute
+  * fields, rename, drop, project to an output schema override (ref:
+  * PythonEvaluator.java:99-103), filter (emit-or-not), and flat-map (0..N
+  * emits, ref testSimple's double emit) via explode.
+  */
+object Dsl {
+
+  sealed trait Step
+  /** Add or overwrite a field with a computed expression. */
+  final case class SetField(name: String, expr: Column) extends Step
+  final case class RenameField(from: String, to: String) extends Step
+  final case class DropFields(names: String*) extends Step
+  /** Output-schema override: keep exactly these (possibly computed) columns. */
+  final case class Project(cols: (String, Column)*) extends Step
+  /** Emit the record only when the predicate holds. */
+  final case class FilterRows(cond: Column) extends Step
+  /** 0..N emits per record: one output row per element of `arr`. */
+  final case class ExplodeField(name: String, arr: Column) extends Step
+
+  final case class TransformSpec(steps: Step*) {
+    def apply(df: DataFrame): DataFrame = steps.foldLeft(df) {
+      case (d, SetField(n, e))    => d.withColumn(n, e)
+      case (d, RenameField(f, t)) => d.withColumnRenamed(f, t)
+      case (d, DropFields(ns @ _*)) => d.drop(ns: _*)
+      case (d, Project(cs @ _*))  => d.select(cs.map { case (n, c) => c.as(n) }: _*)
+      case (d, FilterRows(c))     => d.filter(c)
+      case (d, ExplodeField(n, a)) => d.withColumn(n, explode(a))
+    }
+  }
+
+  /** Declarative error channel: one pass is split into (valid, errors)
+    * where errors carry (errorCode, errorMsg, full invalid record) — the
+    * reference's emitError semantics (ref: PythonEvaluator.java:186-204)
+    * as two filters over the same scan; Catalyst pushes both predicates
+    * down, no driver round-trip.
+    */
+  def splitErrors(df: DataFrame, invalidWhen: Column, errorCode: Int,
+                  errorMsg: Column): (DataFrame, DataFrame) = {
+    val valid = df.filter(!invalidWhen)
+    val errors = df.filter(invalidWhen).select(
+      lit(errorCode).as("errorCode") +: errorMsg.as("errorMsg") +:
+        df.columns.toSeq.map(col): _*)
+    (valid, errors)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.transform
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.LongAccumulator
+
+/** Per-stage named counters, the equivalent of the reference's
+  * `context.getMetrics().count(name, n)` (ref: ScriptContext /
+  * PythonEvaluator.java:268-287). Spark `LongAccumulator`s: registered on
+  * the driver up front, incremented inside executor closures, readable on
+  * the driver after an action.
+  */
+class Metrics private (private val accs: Map[String, LongAccumulator])
+    extends Serializable {
+  def count(name: String, n: Long = 1L): Unit = accs.get(name).foreach(_.add(n))
+  def value(name: String): Long = accs.get(name).fold(0L)(_.value.longValue())
+}
+
+object Metrics {
+  def apply(spark: SparkSession, names: String*): Metrics =
+    new Metrics(names.map(n => n -> spark.sparkContext.longAccumulator(s"graft.metric.$n")).toMap)
+  val none: Metrics = new Metrics(Map.empty)
+}
+
+/** What user script code sees besides the record: runtime arguments and
+  * metrics (ref: PythonEvaluator's ScriptContext — logger, metrics,
+  * arguments, lookup). */
+final case class ScriptContext(arguments: Map[String, String], metrics: Metrics)
+    extends Serializable
+
+/** The reference's emitter surface (ref: PythonEvaluator.java:186-204):
+  * 0..N output records per input, plus dedicated error and alert channels.
+  */
+trait Emitter {
+  def emit(record: Map[String, Any]): Unit
+  def emitError(errorCode: Int, errorMsg: String, invalidRecord: Map[String, Any]): Unit
+  def emitAlert(payload: Map[String, String]): Unit
+}
+
+/** The three output channels of one transform pass. `errors` carries
+  * (errorCode, errorMsg) plus the full invalid input record; `alerts`
+  * carries one map payload per row. All three derive from a single tagged
+  * Dataset — call `cached()` before consuming more than one channel so the
+  * pass runs once.
+  */
+final case class TransformResult(tagged: DataFrame, outSchema: StructType,
+                                 errSchema: StructType) {
+  def out: DataFrame =
+    tagged.filter(col("_tag") === "out").select(col("_out.*"))
+  def errors: DataFrame =
+    tagged.filter(col("_tag") === "err").select(col("_err.*"))
+  def alerts: DataFrame =
+    tagged.filter(col("_tag") === "alert").select(col("_alert").as("payload"))
+  def cached(): TransformResult = { tagged.persist(); this }
+}
+
+/** Imperative record-at-a-time transform — the engine's fully-general path,
+  * equivalent to the reference's Native execution mode (out-of-process
+  * script, ref: Py4jPythonExecutor.java) re-expressed as a distributed
+  * `mapPartitions`: the user closure runs once per record on executors, no
+  * driver round-trip, linear scale-out. Prefer the declarative
+  * [[Dsl]] path (whole-stage codegen) when the transform is expressible as
+  * column expressions; this path costs one serialization boundary.
+  */
+object ScriptTransform {
+
+  def apply(df: DataFrame, outSchema: StructType,
+            arguments: Map[String, String] = Map.empty,
+            metrics: Metrics = Metrics.none)
+           (fn: (Map[String, Any], Emitter, ScriptContext) => Unit): TransformResult = {
+    val inSchema = df.schema
+    val errSchema = StructType(
+      StructField("errorCode", IntegerType) ::
+      StructField("errorMsg", StringType) :: inSchema.fields.toList)
+    val taggedSchema = StructType(Seq(
+      StructField("_tag", StringType, nullable = false),
+      StructField("_out", outSchema),
+      StructField("_err", errSchema),
+      StructField("_alert", MapType(StringType, StringType))))
+    val ctx = ScriptContext(arguments, metrics)
+
+    val tagged = df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val buf = new ListBuffer[Row]
+        val record = SchemaCodec.rowToMap(row, inSchema)
+        val emitter = new Emitter {
+          def emit(r: Map[String, Any]): Unit =
+            buf += Row("out", SchemaCodec.mapToRow(r, outSchema), null, null)
+          def emitError(code: Int, msg: String, bad: Map[String, Any]): Unit =
+            buf += Row("err", null,
+              Row.fromSeq(code +: msg +: inSchema.fields.toSeq.map(f =>
+                SchemaCodec.encode(bad.getOrElse(f.name, null), f.dataType))),
+              null)
+          def emitAlert(payload: Map[String, String]): Unit =
+            buf += Row("alert", null, null, payload)
+        }
+        fn(record, emitter, ctx)
+        buf.result()
+      }
+    }(Encoders.row(taggedSchema))
+
+    TransformResult(tagged.toDF(), outSchema, errSchema)
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.transform.{Dsl, Metrics, SchemaCodec, ScriptTransform}
+import graft.transform.Dsl._
+
+class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).appName("transform-spec").getOrCreate()
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("ScriptTransform: multi-emit, error and alert channels in one pass") {
+    val df = Seq((1, "ok"), (2, "bad"), (3, "ok")).toDF("id", "status")
+    val out = StructType(Seq(StructField("id", IntegerType),
+                             StructField("copy", IntegerType)))
+    val result = ScriptTransform(df, out) { (r, em, _) =>
+      if (r("status") == "bad") {
+        em.emitError(7, "bad status", r)
+        em.emitAlert(Map("severity" -> "high", "id" -> r("id").toString))
+      } else {
+        em.emit(Map("id" -> r("id"), "copy" -> 0))
+        em.emit(Map("id" -> r("id"), "copy" -> 1)) // 0..N emits per input
+      }
+    }.cached()
+    assert(result.out.count() === 4)
+    val errs = result.errors.collect()
+    assert(errs.length === 1)
+    assert(errs(0).getAs[Int]("errorCode") === 7)
+    assert(errs(0).getAs[Int]("id") === 2) // full invalid record preserved
+    val alerts = result.alerts.collect()
+    assert(alerts.length === 1)
+    assert(alerts(0).getAs[Map[String, String]]("payload")("severity") === "high")
+  }
+
+  test("ScriptTransform: metrics accumulate across executors") {
+    val df = (1 to 100).toDF("n").repartition(8)
+    val out = StructType(Seq(StructField("n", IntegerType)))
+    val metrics = Metrics(spark, "seen", "kept")
+    val result = ScriptTransform(df, out, metrics = metrics) { (r, em, ctx) =>
+      ctx.metrics.count("seen")
+      if (r("n").asInstanceOf[Int] % 2 == 0) {
+        ctx.metrics.count("kept")
+        em.emit(r)
+      }
+    }
+    assert(result.out.count() === 50)
+    assert(metrics.value("seen") === 100)
+    assert(metrics.value("kept") === 50)
+  }
+
+  test("ScriptTransform: runtime arguments reach the closure") {
+    val df = Seq(10, 20).toDF("v")
+    val out = StructType(Seq(StructField("v", IntegerType)))
+    val result = ScriptTransform(df, out, arguments = Map("mult" -> "3")) {
+      (r, em, ctx) =>
+        em.emit(Map("v" -> r("v").asInstanceOf[Int] * ctx.arguments("mult").toInt))
+    }
+    assert(result.out.as[Int].collect().sorted === Array(30, 60))
+  }
+
+  test("SchemaCodec round-trips nested struct/array/map and coerces numerics") {
+    val schema = StructType(Seq(
+      StructField("s", StructType(Seq(
+        StructField("a", LongType), StructField("b", StringType)))),
+      StructField("arr", ArrayType(DoubleType)),
+      StructField("m", MapType(StringType, IntegerType)),
+      StructField("nul", StringType)))
+    val m = Map(
+      "s" -> Map("a" -> 5, "b" -> 42), // Int→Long and Int→String coercions
+      "arr" -> Seq(1, 2.5),            // Int→Double coercion
+      "m" -> Map("k" -> 9L),           // Long→Int coercion
+      "nul" -> null)
+    val row = SchemaCodec.mapToRow(m, schema)
+    assert(row.getStruct(0).getLong(0) === 5L)
+    assert(row.getStruct(0).getString(1) === "42")
+    assert(row.getSeq[Double](1) === Seq(1.0, 2.5))
+    assert(row.getMap[String, Int](2)("k") === 9)
+    assert(row.isNullAt(3))
+    val back = SchemaCodec.rowToMap(row, schema)
+    assert(back("s").asInstanceOf[Map[String, Any]]("a") === 5L)
+    assert(back("arr").asInstanceOf[Seq[Any]] === Seq(1.0, 2.5))
+  }
+
+  test("Dsl: spec steps compose and stay declarative") {
+    val df = Seq((1, 4.0), (2, 9.0), (3, 1.0)).toDF("id", "v")
+    val result = TransformSpec(
+      SetField("v2", col("v") * 2),
+      RenameField("id", "key"),
+      FilterRows(col("v2") > 3),
+      Project("key" -> col("key"), "v2" -> col("v2")))
+      .apply(df)
+    assert(result.columns.toSeq === Seq("key", "v2"))
+    assert(result.orderBy("key").as[(Int, Double)].collect() ===
+      Array((1, 8.0), (2, 18.0)))
+    // declarative end-to-end: no serialization boundary in the plan
+    assert(!result.queryExecution.executedPlan.toString.contains("Deserialize"))
+  }
+
+  test("Dsl.splitErrors: both channels from one scan, record preserved") {
+    val df = Seq((1, 0.01), (2, 0.99)).toDF("id", "discount")
+    val (valid, errors) =
+      Dsl.splitErrors(df, col("discount") > 0.5, 42, lit("too big"))
+    assert(valid.select("id").as[Int].collect() === Array(1))
+    val e = errors.collect()(0)
+    assert(e.getAs[Int]("errorCode") === 42)
+    assert(e.getAs[Double]("discount") === 0.99)
+  }
+}
