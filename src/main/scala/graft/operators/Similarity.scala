@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (SURVEY.md §2.D).
+  *
+  * Brute force is the exact baseline: O(N·Q) dot products, correct when
+  * the query set is small enough to broadcast (the common case — probe
+  * vectors vs a 100 TB corpus scans the corpus once, embarrassingly
+  * parallel, no shuffle). The scale path is random-hyperplane LSH: bucket
+  * id is a projection on both sides, so probing touches only one bucket's
+  * partition — a co-partitioned equi-join instead of a cross product.
+  */
+object Similarity {
+
+  /** Sequential left-fold dot product over array<double> — same operation
+    * order as DuckDB's list_dot_product, so oracles match bit-for-bit.
+    * Stays inside codegen (functions.aggregate/zip_with, no UDF). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def normed(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+
+  /** Exact top-k neighbors for each query vector (queries broadcast). */
+  def bruteTopK(emb: DataFrame, isQuery: Column, k: Int = 5): DataFrame = {
+    val all = normed(emb)
+    val queries = all.filter(isQuery)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2")))
+      .join(all, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
+  }
+
+  def annBruteTopK(spark: SparkSession, dir: String): DataFrame =
+    bruteTopK(Tables.embeddings(spark, dir), col("vec_id") < 10)
+      .orderBy("q_id", "rk")
+
+  val annBruteTopKSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM v),
+      |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q_id, vec_id,
+      |    list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) AS cos
+      |  FROM q JOIN n ON q_id <> vec_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id AS neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT q_id, neighbor_id, rk, cos FROM ranked WHERE rk <= 5
+      |ORDER BY q_id, rk""".stripMargin
+
+  /** Deterministic ±1 hyperplane weights derived from md5 — no RNG, so
+    * every engine (and every test run) builds the same planes. */
+  private[operators] def planeWeights(plane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { d =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$plane,$d".getBytes("UTF-8"))
+      if ((digest(0) & 1) == 0) 1.0 else -1.0
+    }
+
+  /** Random-hyperplane LSH bucket id: sign bit per plane, packed to int.
+    * A pure projection — computing it shuffles nothing. */
+  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map { p =>
+      val plane = array(planeWeights(p, dim).map(lit): _*)
+      when(dot(v, plane) > 0, 1 << p).otherwise(0)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates come only from the query's bucket, so
+    * the scan-vs-probe cross product becomes a bucket equi-join. Recall
+    * is tested against [[bruteTopK]] in SimilaritySpec; semantics are not
+    * portably SQL-expressible (rows-only oracle). */
+  def lshTopK(emb: DataFrame, isQuery: Column, k: Int = 5,
+              nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val all = normed(emb).withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
+    val queries = all.filter(isQuery)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("bucket")))
+      .join(all, Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
+  }
+
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame =
+    lshTopK(Tables.embeddings(spark, dir), col("vec_id") < 10)
+      .orderBy("q_id", "rk")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute_topk" -> (annBruteTopK _),
+    "ann_lsh_topk" -> (annLshTopK _))
+
+  /** ann_lsh_topk intentionally omitted: approximate result, rows-only check. */
+  val oracles: Map[String, String] = Map(
+    "ann_brute_topk" -> annBruteTopKSql)
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2.E).
+  *
+  * All four are pure per-row projections — shuffle-free, whole-stage
+  * codegen'd, linear scale-out: at 100 TB each is a single map stage over
+  * the scan with column pruning (only doc_id+text read). Hashes are md5 so
+  * the DuckDB oracle reproduces them bit-for-bit; arithmetic is written
+  * with the exact same operation order as the oracle SQL so doubles match
+  * to the last bit.
+  */
+object TextAnalysis {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter/digit runs vs single punctuation marks). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9 ]")).as("n_bpe"))
+
+  def txTokens(spark: SparkSession, dir: String): DataFrame =
+    tokenCounts(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val txTokensSql: String =
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |  len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS n_bpe
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length/alpha/punctuation/stopword signals combined
+    * into one [0,1] score — the standard pre-training corpus filter shape. */
+  def quality(docs: DataFrame): DataFrame = {
+    val n = length(col("text")).cast(DoubleType)
+    val nTok = size(toks).cast(DoubleType)
+    val alphaRatio =
+      (length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType) / n)
+    val punctRatio =
+      (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast(DoubleType) / n)
+    val stopRatio =
+      (size(filter(toks, t => t.isin("the", "a", "and", "of", "to")))
+        .cast(DoubleType) / nTok)
+    docs.select(
+      col("doc_id"),
+      nTok.cast(LongType).as("n_tokens"),
+      alphaRatio.as("alpha_ratio"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stop_ratio"),
+      (least(nTok / 50.0, lit(1.0)) * 0.25 + alphaRatio * 0.25 +
+        (lit(1.0) - punctRatio) * 0.25 +
+        least(stopRatio * 4.0, lit(1.0)) * 0.25).as("quality_score"))
+  }
+
+  def txQuality(spark: SparkSession, dir: String): DataFrame =
+    quality(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val txQualitySql: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id,
+      |  CAST(length(text) AS DOUBLE) AS n,
+      |  CAST(len(w) AS DOUBLE) AS n_tok,
+      |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+      |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct,
+      |  CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to'))) AS DOUBLE) AS n_stop
+      |  FROM t)
+      |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+      |  n_alpha / n AS alpha_ratio,
+      |  n_punct / n AS punct_ratio,
+      |  n_stop / n_tok AS stop_ratio,
+      |  least(n_tok / 50.0, 1.0) * 0.25 + (n_alpha / n) * 0.25 +
+      |    (1.0 - n_punct / n) * 0.25 + least(n_stop / n_tok * 4.0, 1.0) * 0.25
+      |    AS quality_score
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** n-gram-heuristic language ID: per-language stopword-hit vote with a
+    * deterministic precedence order on ties. */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en"),
+    "fr" -> Seq("le", "les", "et", "des", "un", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val hits = stopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*))).as(s"h_$lang")
+    }
+    val Seq(en, es, fr, de) = hits.map { case (l, _) => col(s"h_$l") }
+    docs.select(col("doc_id") +: hits.map(_._2): _*)
+      .withColumn("lang_pred",
+        when(en + es + fr + de === 0, "und")
+          .when(en >= es && en >= fr && en >= de, "en")
+          .when(es >= fr && es >= de, "es")
+          .when(fr >= de, "fr")
+          .otherwise("de"))
+  }
+
+  def txLangid(spark: SparkSession, dir: String): DataFrame =
+    langId(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val txLangidSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |h AS (SELECT doc_id,
+      |  len(list_filter(w, x -> x IN ('the','a','and','of','to','is'))) AS h_en,
+      |  len(list_filter(w, x -> x IN ('el','la','de','y','que','en'))) AS h_es,
+      |  len(list_filter(w, x -> x IN ('le','les','et','des','un','une'))) AS h_fr,
+      |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein'))) AS h_de
+      |  FROM t)
+      |SELECT doc_id, h_en, h_es, h_fr, h_de,
+      |  CASE WHEN h_en + h_es + h_fr + h_de = 0 THEN 'und'
+      |       WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+      |       WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+      |       WHEN h_fr >= h_de THEN 'fr'
+      |       ELSE 'de' END AS lang_pred
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: full-content md5 plus a 60-bit integer
+    * fingerprint (md5-derived so the oracle matches; hot paths with no
+    * oracle requirement would use xxhash64, also codegen'd). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(col("text"), "\\s+", " ")
+    docs.select(
+      col("doc_id"),
+      md5(norm).as("fp"),
+      conv(substring(md5(norm), 1, 15), 16, 10).cast(LongType).as("fp60"))
+  }
+
+  def txFingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprint(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val txFingerprintSql: String =
+    """SELECT doc_id, md5(regexp_replace(text, '\s+', ' ', 'g')) AS fp,
+      |  ('0x'||substr(md5(regexp_replace(text, '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp60
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_tokens" -> (txTokens _),
+    "tx_quality" -> (txQuality _),
+    "tx_langid" -> (txLangid _),
+    "tx_fingerprint" -> (txFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "tx_tokens" -> txTokensSql,
+    "tx_quality" -> txQualitySql,
+    "tx_langid" -> txLangidSql,
+    "tx_fingerprint" -> txFingerprintSql)
+}

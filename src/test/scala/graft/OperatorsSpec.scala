@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Properties of the dedup/similarity/text operators that the DuckDB
+  * oracle can't express: LSH recall vs the exact baseline, planted
+  * near-duplicate detection, cross-operator agreement. */
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).appName("operators-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("minhash LSH finds every planted near-duplicate pair (J >= 0.9)") {
+    // ground truth: the generator plants ~25 high-Jaccard pairs; the exact
+    // ngram-Jaccard operator at threshold 0.9 defines the truth set
+    val truth = Dedup.ngramJaccard(Tables.documents(spark, dir), 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhashLsh(Tables.documents(spark, dir))
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "expected planted near-dup pairs in the corpus")
+    assert(truth.subsetOf(found),
+      s"LSH missed planted pairs: ${truth.diff(found)}")
+  }
+
+  test("simhash pairs at hamming<=3 are high-Jaccard documents") {
+    val sim = Dedup.simhashPairs(Tables.documents(spark, dir))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Dedup.ngramJaccard(Tables.documents(spark, dir), 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty)
+    // every simhash candidate should be a genuinely similar pair
+    val precision = sim.count(truth.contains).toDouble / sim.size
+    assert(precision >= 0.9, s"simhash precision $precision")
+  }
+
+  test("LSH ANN recall vs brute-force top-5 is usable and cheaper") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.bruteTopK(emb, col("vec_id") < 10)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, col("vec_id") < 10)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    // random vectors + 4 hyperplanes: same-bucket ≈ similar direction.
+    // Exact recall isn't the point at this corpus size; the property is
+    // "finds a meaningful fraction while probing 1/16th of the space".
+    assert(recall >= 0.2, s"LSH recall $recall")
+    assert(lsh.size <= brute.size)
+  }
+
+  test("exact dedup keeps one representative per distinct text") {
+    val docs = Tables.documents(spark, dir)
+    val deduped = Dedup.exact(docs)
+    assert(deduped.count() === docs.select("text").distinct().count())
+  }
+
+  test("quality scores are bounded and langid votes are consistent") {
+    val q = TextAnalysis.quality(Tables.documents(spark, dir))
+    assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() === 0)
+    val l = TextAnalysis.langId(Tables.documents(spark, dir))
+    // a doc with zero stopword hits must be 'und'
+    assert(l.filter(col("h_en") + col("h_es") + col("h_fr") + col("h_de") === 0 &&
+      col("lang_pred") =!= "und").count() === 0)
+  }
+}
