@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Multimodal (image/audio/video) column handling (SURVEY.md §2.F).
+  *
+  * Media payloads are opaque `binary` columns with typed metadata beside
+  * them — the layout a 100 TB multimodal corpus uses (payload bytes in
+  * parquet, metadata columns prunable without touching bytes). Real codec
+  * libraries aren't in this container, so the *decode* step is a
+  * deterministic fake, but every piece of Spark plumbing is real:
+  * binary schema, batched partition-wise processing (the Scala equivalent
+  * of `mapInPandas` — one buffer per batch, not per row), magic-byte
+  * container sniffing, fixed-offset header parsing, and payload checksums
+  * computed from the actual bytes.
+  *
+  * The driver oracle cannot see the bytes, so it re-derives the expected
+  * metadata analytically from the same deterministic generator — the
+  * query passes only if synth → sniff → parse → checksum round-trips.
+  */
+object Multimodal {
+
+  val PngMagic: Array[Byte] = Array(0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+  val JpegMagic: Array[Byte] = Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
+  val WavMagic: Array[Byte] = Array('R', 'I', 'F', 'F', 'W', 'A', 'V', 'E')
+  private val DataLen = 64
+
+  /** Deterministic payload for row `id`: magic (by id%3) + big-endian
+    * width/height + DataLen data bytes ((id+i)%256). Stands in for real
+    * media bytes; layout is what the extractor genuinely parses. */
+  private def makePayload(id: Long): Array[Byte] = {
+    val magic = (id % 3) match {
+      case 0 => PngMagic
+      case 1 => JpegMagic
+      case _ => WavMagic
+    }
+    val width = (id % 1024 + 1).toInt
+    val height = (id % 768 + 1).toInt
+    val header = Array(
+      (width >> 24).toByte, (width >> 16).toByte, (width >> 8).toByte, width.toByte,
+      (height >> 24).toByte, (height >> 16).toByte, (height >> 8).toByte, height.toByte)
+    val data = Array.tabulate(DataLen)(i => ((id + i) % 256).toByte)
+    magic ++ header ++ data
+  }
+
+  /** Attach a synthesized binary payload column to the documents table. */
+  def synthesize(docs: DataFrame): DataFrame = {
+    val schema = StructType(docs.schema.fields :+ StructField("payload", BinaryType))
+    docs.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ makePayload(r.getAs[Long]("doc_id"))))
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** Sniff container type from magic bytes and parse header metadata —
+    * batched per partition (no per-row task overhead), reading only the
+    * payload prefix. At scale this is a map-only stage: no shuffle, and
+    * column pruning means sibling metadata-only queries never load bytes. */
+  def extractMeta(withPayload: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media_type", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_bytes", IntegerType),
+      StructField("data_checksum", LongType)))
+    withPayload.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val p = r.getAs[Array[Byte]](1)
+        val mediaType =
+          if (p.length >= 8 && p.take(8).sameElements(PngMagic)) "image/png"
+          else if (p.length >= 4 && p.take(4).sameElements(JpegMagic)) "image/jpeg"
+          else if (p.length >= 8 && p.take(8).sameElements(WavMagic)) "audio/wav"
+          else "application/octet-stream"
+        val headerOff = mediaType match {
+          case "image/jpeg" => 4
+          case _            => 8
+        }
+        def be32(off: Int): Int =
+          ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+            ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+        val width = be32(headerOff)
+        val height = be32(headerOff + 4)
+        val checksum = p.drop(headerOff + 8).foldLeft(0L)((acc, b) => acc + (b & 0xff))
+        Row(id, mediaType, width, height, p.length, checksum)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** Deterministic fake of the decode→resize step (a real deployment swaps
+    * in an image library here; the batching/schema contract is identical):
+    * target box 32x32, aspect-preserving. */
+  def resizeMeta(meta: DataFrame, box: Int = 32): DataFrame =
+    meta.withColumn("scale",
+        least(lit(box).cast(DoubleType) / col("width"),
+          lit(box).cast(DoubleType) / col("height")))
+      .withColumn("out_w", greatest(floor(col("width") * col("scale")).cast(IntegerType), lit(1)))
+      .withColumn("out_h", greatest(floor(col("height") * col("scale")).cast(IntegerType), lit(1)))
+      .drop("scale")
+
+  def mmMeta(spark: SparkSession, dir: String): DataFrame =
+    extractMeta(synthesize(Tables.documents(spark, dir))).orderBy("doc_id")
+
+  /** Oracle re-derives metadata analytically from the generator law —
+    * matches only if the byte-level synth/sniff/parse round-trip is right. */
+  val mmMetaSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+      |    ELSE 'audio/wav' END AS media_type,
+      |  CAST(doc_id % 1024 + 1 AS INTEGER) AS width,
+      |  CAST(doc_id % 768 + 1 AS INTEGER) AS height,
+      |  CAST(CASE doc_id % 3 WHEN 1 THEN 4 ELSE 8 END + 8 + 64 AS INTEGER) AS n_bytes,
+      |  CAST(list_sum(list_transform(range(0, 64), i -> (doc_id + i) % 256)) AS BIGINT)
+      |    AS data_checksum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta" -> (mmMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "mm_meta" -> mmMetaSql)
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface over the events stream (SURVEY.md §5).
+  *
+  * The same declarative transforms as the batch queries, lifted onto
+  * `readStream`: tumbling-window counts and session windows with event-time
+  * watermarks (partial aggregation + state-store backed, so 100 TB/day of
+  * events shards by key across executors), plus a
+  * `mapGroupsWithState` operator for custom per-key state the built-in
+  * windows can't express. Batch twins of the window aggregations live in
+  * [[graft.queries.Relational]] (q_sessionize, st_window_agg) so the DuckDB
+  * oracle can check the arithmetic; StreamingSpec checks stream==batch.
+  */
+object EventStreams {
+
+  /** Raw events schema as the parquet reader sees it with
+    * nanosAsLong=true (ts arrives as epoch-nanos LONG). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet files (the
+    * file-stream source requires a directory — new files appearing in it
+    * become new micro-batches), ts truncated to micros exactly like the
+    * batch loader (Tables.events). */
+  def readEvents(spark: SparkSession, eventsDir: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Tumbling 1-hour counts per event type — streaming twin of
+    * Relational.stWindowAgg. */
+  def windowedCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(24, 6))).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Session windows (10-minute gap) per user — streaming twin of
+    * Relational.qSessionize. */
+  def sessionWindows(events: DataFrame, watermark: String = "10 seconds"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(24, 6))).cast(DoubleType).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * count and value total — the shape (arbitrary state + arbitrary update
+    * logic) that windowed aggregation can't express. State lives in the
+    * state store, sharded by key: constant memory per key, any number of
+    * keys across a cluster. */
+  def runningUserTotals(events: DataFrame): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals] {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+          val updated = batch.foldLeft(prev) { (acc, e) =>
+            UserTotals(user, acc.n_events + 1, acc.total_value + e.value)
+          }
+          state.update(updated)
+          updated
+      }
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.queries.Relational
+import graft.streaming.EventStreams
+
+/** Streaming == batch equivalence on the events table: the same windowed
+  * aggregations computed via readStream + availableNow must match the
+  * batch queries the DuckDB oracle already checks. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).appName("streaming-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def checkpoint(): String =
+    Files.createTempDirectory("graft-ckpt").toString
+
+  /** The file-stream source needs a directory; stage the single test
+    * parquet file into one. */
+  private lazy val eventsDir: String = {
+    val d = Files.createTempDirectory("graft-events")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming tumbling-window counts equal the batch aggregation") {
+    val q = EventStreams.windowedCounts(EventStreams.readEvents(spark, eventsDir))
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stream = spark.table("wc").orderBy("window_start", "event_type").collect()
+    val batch = Relational.stWindowAgg(spark, dir).collect()
+    assert(stream.length === batch.length)
+    assert(stream.map(_.toSeq) === batch.map(_.toSeq))
+  }
+
+  test("streaming session windows (append + watermark) match batch sessions") {
+    val q = EventStreams.sessionWindows(EventStreams.readEvents(spark, eventsDir))
+      .writeStream.format("memory").queryName("sw")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("sw").collect().map(_.toSeq).toSet
+    val batch = Relational.qSessionize(spark, dir).collect().map(_.toSeq).toSet
+    // append mode only finalizes sessions ending before the terminal
+    // watermark; everything emitted must be a real session, and nearly all
+    // sessions (all but those near max ts) must be emitted
+    assert(emitted.subsetOf(batch))
+    assert(emitted.size >= (batch.size * 9) / 10,
+      s"only ${emitted.size}/${batch.size} sessions finalized")
+  }
+
+  test("mapGroupsWithState running totals converge to batch per-user totals") {
+    val q = EventStreams.runningUserTotals(EventStreams.readEvents(spark, eventsDir))
+      .writeStream.format("memory").queryName("ut")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // last update per user wins
+    val finalRows = spark.table("ut")
+      .withColumn("rn", monotonically_increasing_id())
+      .groupBy("user_id").agg(max_by(struct(col("n_events"), col("total_value")), col("rn")).as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.total_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = Tables.events(spark, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(finalRows === batch)
+  }
+}
