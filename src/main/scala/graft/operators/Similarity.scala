@@ -21,9 +21,12 @@ object Similarity {
 
   /** Sequential left-fold dot product over array<double> — same operation
     * order as DuckDB's list_dot_product, so oracles match bit-for-bit.
-    * Stays inside codegen (functions.aggregate/zip_with, no UDF). */
+    * Backed by a native codegen'd Catalyst expression
+    * ([[graft.functions.VectorExprs]]); the equivalent
+    * `aggregate(zip_with(...))` higher-order formulation is
+    * CodegenFallback and ~100x slower on all-pairs sweeps. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.VectorExprs.dotp(a, b)
 
   private def normed(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
