@@ -44,8 +44,12 @@ object TextAnalysis {
       (length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType) / n)
     val punctRatio =
       (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast(DoubleType) / n)
+    // regexp_count, not size(filter(tokens, ...)): the HOF filter is an
+    // interpreted lambda (CodegenFallback) and knocks the whole projection
+    // out of whole-stage codegen (asserted in PlanSpec). Longest-first
+    // alternation so both regex engines match whole words identically.
     val stopRatio =
-      (size(filter(toks, t => t.isin("the", "a", "and", "of", "to")))
+      (regexp_count(col("text"), lit("\\b(and|the|of|to|a)\\b"))
         .cast(DoubleType) / nTok)
     docs.select(
       col("doc_id"),
@@ -68,7 +72,7 @@ object TextAnalysis {
       |  CAST(len(w) AS DOUBLE) AS n_tok,
       |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
       |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct,
-      |  CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to'))) AS DOUBLE) AS n_stop
+      |  CAST(len(regexp_extract_all(text, '\b(and|the|of|to|a)\b')) AS DOUBLE) AS n_stop
       |  FROM t)
       |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
       |  n_alpha / n AS alpha_ratio,
@@ -87,9 +91,12 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et", "des", "un", "une"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein"))
 
+  private def wordAlt(words: Seq[String]): String =
+    "\\b(" + words.sortBy(w => (-w.length, w)).mkString("|") + ")\\b"
+
   def langId(docs: DataFrame): DataFrame = {
     val hits = stopwords.map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isin(words: _*))).as(s"h_$lang")
+      lang -> regexp_count(col("text"), lit(wordAlt(words))).as(s"h_$lang")
     }
     val Seq(en, es, fr, de) = hits.map { case (l, _) => col(s"h_$l") }
     docs.select(col("doc_id") +: hits.map(_._2): _*)
@@ -105,13 +112,12 @@ object TextAnalysis {
     langId(Tables.documents(spark, dir)).orderBy("doc_id")
 
   val txLangidSql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |h AS (SELECT doc_id,
-      |  len(list_filter(w, x -> x IN ('the','a','and','of','to','is'))) AS h_en,
-      |  len(list_filter(w, x -> x IN ('el','la','de','y','que','en'))) AS h_es,
-      |  len(list_filter(w, x -> x IN ('le','les','et','des','un','une'))) AS h_fr,
-      |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein'))) AS h_de
-      |  FROM t)
+    """WITH h AS (SELECT doc_id,
+      |  len(regexp_extract_all(text, '\b(and|the|is|of|to|a)\b')) AS h_en,
+      |  len(regexp_extract_all(text, '\b(que|de|el|en|la|y)\b')) AS h_es,
+      |  len(regexp_extract_all(text, '\b(des|les|une|et|le|un)\b')) AS h_fr,
+      |  len(regexp_extract_all(text, '\b(das|der|die|ein|ist|und)\b')) AS h_de
+      |  FROM documents)
       |SELECT doc_id, h_en, h_es, h_fr, h_de,
       |  CASE WHEN h_en + h_es + h_fr + h_de = 0 THEN 'und'
       |       WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.operators.{Dedup, Similarity}
+import graft.queries.Relational
+
+/** Physical-plan assertions: the properties that make these operators hold
+  * up at 100 TB — filters reaching the scan, column pruning, dimension
+  * broadcasts, codegen'd hot paths — checked on the actual executed plans
+  * so a regression (e.g. an optimizer barrier creeping in) fails loudly. */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).appName("plan-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("q6: range filters push down to the parquet scan") {
+    val p = plan(Relational.q6Filter(spark, dir))
+    assert(p.contains("PushedFilters:"))
+    // the shipdate range must reach the scan, not sit in a post-scan filter only
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+      p.contains("GreaterThanOrEqual(`l_shipdate`"), s"no pushed shipdate filter in:\n$p")
+  }
+
+  test("q1: scan reads only the columns the query needs") {
+    val p = plan(Relational.q1Agg(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    // 7 needed columns, and specifically not l_orderkey/l_partkey
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("q3/q5: dimension sides broadcast, no shuffle of small tables") {
+    assert(plan(Relational.q3JoinAgg(spark, dir)).contains("BroadcastHashJoin"))
+    val p5 = plan(Relational.q5MultiJoin(spark, dir))
+    assert(p5.contains("BroadcastHashJoin"))
+    // region/nation/supplier/customer are all broadcast: the only
+    // sort-merge-join-free shape for a star schema
+    assert(!p5.contains("SortMergeJoin"), "star-schema dims fell out of broadcast")
+  }
+
+  test("text analysis is shuffle-free whole-stage codegen") {
+    val df = graft.operators.TextAnalysis.quality(Tables.documents(spark, dir))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"per-row projection introduced a shuffle:\n$p")
+    // executedPlan stars mark whole-stage codegen; the scoring Project
+    // must carry one (an interpreted HOF in the projection would drop it).
+    // Execute first: with AQE the plan only finalizes (and gets codegen
+    // wrapping) on run.
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    assert(ex.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"projection fell out of codegen:\n$ex")
+  }
+
+  test("native dot product stays inside whole-stage codegen") {
+    val df = Similarity.bruteTopK(Tables.embeddings(spark, dir),
+      org.apache.spark.sql.functions.col("vec_id") < 3, 2)
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    assert(ex.contains("graft_dot"), s"custom expression missing:\n$ex")
+    val scoreLine = ex.linesIterator.find(l => l.contains("graft_dot") && l.contains("Project"))
+    assert(scoreLine.exists(_.contains("*(")),
+      s"scoring projection fell out of codegen:\n$ex")
+  }
+
+  test("exact dedup shuffles hashes, not text") {
+    val df = Dedup.exact(Tables.documents(spark, dir))
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    // partial aggregation before the exchange: the shuffle carries
+    // (hash, min_id, count), never the text column
+    assert(ex.contains("partial_min"),
+      s"no map-side combine before dedup shuffle:\n$ex")
+    // the shuffle is keyed on the md5 grouping expression, and the partial
+    // aggregate's output row (what actually shuffles) carries no text
+    val partialLine = ex.linesIterator.find(_.contains("partial_min")).get
+    assert(!partialLine.substring(partialLine.indexOf("output=")).contains("text#"),
+      s"shuffle carries raw text: $partialLine")
+  }
+
+  test("minhash signature aggregation is partial (map-side combine)") {
+    val p = Dedup.minhashLsh(Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString
+    // two HashAggregates per groupBy (partial + final) — the signature
+    // shuffle carries 16 hashes per doc, not one row per shingle
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"no partial aggregation in minhash plan")
+  }
+}
