@@ -172,7 +172,33 @@ object Transforms {
       |FROM lineitem WHERE l_returnflag <> 'R'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Lookup-provider transform (ref declares context.getLookup but throws
+    * Unsupported — Graft implements it): enrich each customer with its
+    * nation name from a broadcast lookup dataset. The imperative
+    * equivalent of a broadcast join, for script code that needs point
+    * lookups mid-logic. */
+  def xfLookup(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(spark, dir).collect()
+      .map(r => r.getAs[Int]("n_nationkey").toString -> (r.getAs[String]("n_name"): Any))
+      .toMap
+    val out = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("nation_name", StringType)))
+    ScriptTransform(Tables.customer(spark, dir), out,
+        lookups = Map("nations" -> nations)) { (r, em, ctx) =>
+      em.emit(Map(
+        "c_custkey" -> r("c_custkey"),
+        "nation_name" -> ctx.lookup("nations", r("c_nationkey"))))
+    }.out.orderBy(col("c_custkey"))
+  }
+
+  val xfLookupSql: String =
+    """SELECT c_custkey, n_name AS nation_name
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "xf_lookup" -> (xfLookup _),
     "xf_scale" -> (xfScale _),
     "xf_flatmap" -> (xfFlatmap _),
     "xf_errors" -> (xfErrors _),
@@ -183,6 +209,7 @@ object Transforms {
     "xf_script" -> (xfScript _))
 
   val oracles: Map[String, String] = Map(
+    "xf_lookup" -> xfLookupSql,
     "xf_scale" -> xfScaleSql,
     "xf_flatmap" -> xfFlatmapSql,
     "xf_errors" -> xfErrorsSql,

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.transform.TransformResult
+
+/** Source/sink surface (the pipeline endpoints the reference plugin sits
+  * between in CDAP pipelines).
+  *
+  * Readers always take an explicit schema: at 100 TB, schema inference is
+  * a full extra pass over the data, and silent type drift between files is
+  * how corrupt partitions slip in. Writers default to partitioned parquet —
+  * the layout downstream scans can prune by partition value — and the sink
+  * for transform results materializes all three channels off one pass.
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .csv(path)
+
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeParquet(df: DataFrame, path: String,
+                   partitionBy: Seq[String] = Nil,
+                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", header.toString)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String,
+                     mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** Materialize a transform's three channels side by side — the pipeline
+    * sink shape of the reference (output port + error port + alerts). One
+    * cached pass feeds all three writes. */
+  def writeChannels(result: TransformResult, basePath: String): Unit = {
+    result.cached()
+    try {
+      writeParquet(result.out, s"$basePath/out")
+      writeParquet(result.errors, s"$basePath/errors")
+      writeParquet(result.alerts, s"$basePath/alerts")
+    } finally result.tagged.unpersist()
+  }
+}

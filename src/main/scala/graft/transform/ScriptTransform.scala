@@ -25,11 +25,20 @@ object Metrics {
   val none: Metrics = new Metrics(Map.empty)
 }
 
-/** What user script code sees besides the record: runtime arguments and
-  * metrics (ref: PythonEvaluator's ScriptContext — logger, metrics,
-  * arguments, lookup). */
-final case class ScriptContext(arguments: Map[String, String], metrics: Metrics)
-    extends Serializable
+/** What user script code sees besides the record: runtime arguments,
+  * metrics, and lookup tables (ref: PythonEvaluator's ScriptContext —
+  * logger, metrics, arguments, lookup; the reference *declares* lookup but
+  * throws UnsupportedOperation — Graft supports it). Lookup datasets are
+  * torrent-broadcast once per job, not serialized into every task. */
+final class ScriptContext(
+    val arguments: Map[String, String],
+    val metrics: Metrics,
+    lookups: org.apache.spark.broadcast.Broadcast[Map[String, Map[String, Any]]])
+    extends Serializable {
+  /** Value for `key` in the named lookup dataset, or null. */
+  def lookup(dataset: String, key: Any): Any =
+    lookups.value.get(dataset).flatMap(_.get(String.valueOf(key))).orNull
+}
 
 /** The reference's emitter surface (ref: PythonEvaluator.java:186-204):
   * 0..N output records per input, plus dedicated error and alert channels.
@@ -69,7 +78,8 @@ object ScriptTransform {
 
   def apply(df: DataFrame, outSchema: StructType,
             arguments: Map[String, String] = Map.empty,
-            metrics: Metrics = Metrics.none)
+            metrics: Metrics = Metrics.none,
+            lookups: Map[String, Map[String, Any]] = Map.empty)
            (fn: (Map[String, Any], Emitter, ScriptContext) => Unit): TransformResult = {
     val inSchema = df.schema
     val errSchema = StructType(
@@ -80,7 +90,8 @@ object ScriptTransform {
       StructField("_out", outSchema),
       StructField("_err", errSchema),
       StructField("_alert", MapType(StringType, StringType))))
-    val ctx = ScriptContext(arguments, metrics)
+    val ctx = new ScriptContext(arguments, metrics,
+      df.sparkSession.sparkContext.broadcast(lookups))
 
     val tagged = df.mapPartitions { rows =>
       rows.flatMap { row =>

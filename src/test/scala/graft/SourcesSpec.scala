@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.sources.Sources
+import graft.transform.ScriptTransform
+
+/** Round-trip correctness of every source/sink format, on the real test
+  * tables (doubles and timestamps must survive bit-for-bit). */
+class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).appName("sources-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(): String = Files.createTempDirectory("graft-src").toString
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Array[String] =
+    df.orderBy("l_orderkey", "l_linenumber").collect().map(_.toString)
+
+  test("csv round-trip preserves doubles and timestamps exactly") {
+    val li = Tables.lineitem(spark, dir)
+    val path = tmp() + "/li-csv"
+    Sources.writeCsv(li, path)
+    val back = Sources.csv(spark, path, li.schema)
+    assert(sortedRows(back) === sortedRows(li))
+  }
+
+  test("json-lines round-trip preserves the full schema") {
+    val li = Tables.lineitem(spark, dir)
+    val path = tmp() + "/li-json"
+    Sources.writeJsonLines(li, path)
+    val back = Sources.jsonLines(spark, path, li.schema)
+    assert(sortedRows(back) === sortedRows(li))
+  }
+
+  test("partitioned parquet sink prunes by partition value") {
+    val li = Tables.lineitem(spark, dir)
+    val path = tmp() + "/li-part"
+    Sources.writeParquet(li, path, partitionBy = Seq("l_returnflag"))
+    val back = Sources.parquet(spark, path).filter(col("l_returnflag") === "R")
+    // partition pruning: only the R directory is listed
+    val scanned = back.queryExecution.executedPlan.toString
+    assert(scanned.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"no partition filter in:\n$scanned")
+    assert(back.count() === li.filter(col("l_returnflag") === "R").count())
+  }
+
+  test("writeChannels materializes out/errors/alerts from one pass") {
+    val df = spark.range(10).toDF("id")
+    val out = StructType(Seq(StructField("id", LongType)))
+    val result = ScriptTransform(df, out) { (r, em, _) =>
+      val id = r("id").asInstanceOf[Long]
+      if (id % 3 == 0) em.emitError(1, "div3", r)
+      else em.emit(r)
+      if (id == 9) em.emitAlert(Map("last" -> "true"))
+    }
+    val base = tmp() + "/channels"
+    Sources.writeChannels(result, base)
+    assert(spark.read.parquet(s"$base/out").count() === 6)
+    assert(spark.read.parquet(s"$base/errors").count() === 4)
+    assert(spark.read.parquet(s"$base/alerts").count() === 1)
+  }
+}

@@ -66,6 +66,21 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(result.out.as[Int].collect().sorted === Array(30, 60))
   }
 
+  test("ScriptTransform: broadcast lookup datasets resolve in the closure") {
+    val df = Seq((1, "US"), (2, "FR"), (3, "XX")).toDF("id", "cc")
+    val out = StructType(Seq(StructField("id", IntegerType),
+                             StructField("country", StringType)))
+    val result = ScriptTransform(df, out,
+        lookups = Map("countries" -> Map("US" -> "United States", "FR" -> "France"))) {
+      (r, em, ctx) =>
+        em.emit(Map("id" -> r("id"),
+          "country" -> ctx.lookup("countries", r("cc"))))
+    }
+    val got = result.out.orderBy("id").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)).getOrElse("null")))
+    assert(got === Array((1, "United States"), (2, "France"), (3, "null")))
+  }
+
   test("SchemaCodec round-trips nested struct/array/map and coerces numerics") {
     val schema = StructType(Seq(
       StructField("s", StructType(Seq(
