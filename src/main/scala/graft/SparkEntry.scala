@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{Relational, Transforms}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -13,11 +13,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Transforms.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      AsOfJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Transforms.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      AsOfJoin.oracles
 }

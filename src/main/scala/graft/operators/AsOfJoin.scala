@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** As-of (point-in-time) join — an operator Spark has no built-in for.
+  *
+  * For each left row, attach the most recent right row of the same key
+  * with rightTime <= leftTime (inclusive), or nulls if none — the shape
+  * every feature-extraction / point-in-time-correctness pipeline needs.
+  *
+  * Implementation is the scale-safe sort-based formulation, composed from
+  * built-in operators (SURVEY.md §3 preference (a)): tag both sides, union,
+  * one hash shuffle on the key, one sort by (time, side), and a running
+  * `last(right, ignoreNulls)` window. No range-condition join (which Spark
+  * would execute as a broadcast-nested-loop or an exploding theta join):
+  * cost is one shuffle of |L|+|R| rows regardless of time-range density,
+  * and skewed keys are handled by AQE like any other shuffle.
+  *
+  * Ties: a right row at exactly leftTime matches (sorted before the left
+  * row via the side bit). Multiple right rows at the same (key, time) are
+  * ordered by `rightTiebreak` — the last one wins, deterministically.
+  */
+object AsOfJoin {
+
+  def asOf(left: DataFrame, right: DataFrame,
+           leftKey: Column, rightKey: Column,
+           leftTime: Column, rightTime: Column,
+           rightPayload: Seq[(String, Column)],
+           rightTiebreak: Column = lit(0)): DataFrame = {
+    val lStruct = struct(left.columns.map(col).toSeq: _*)
+    val rStruct = struct(rightPayload.map { case (n, c) => c.as(n) }: _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+    val tbType = right.select(rightTiebreak).schema.head.dataType
+
+    val lTagged = left.select(
+      leftKey.as("_k"), leftTime.as("_t"), lit(1).as("_side"),
+      lit(null).cast(tbType).as("_tb"), lStruct.as("_l"),
+      lit(null).cast(rType).as("_r"))
+    val rTagged = right.select(
+      rightKey.as("_k"), rightTime.as("_t"), lit(0).as("_side"),
+      rightTiebreak.as("_tb"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side"), col("_tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lTagged.unionByName(rTagged)
+      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col("_l.*") +:
+        rightPayload.map { case (n, _) => col(s"_match.$n").as(n) }: _*)
+  }
+
+  /** q_asof: for every click event, the user's most recent purchase at or
+    * before the click — nulls for users who hadn't purchased yet. */
+  def qAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+    asOf(clicks, purchases,
+      leftKey = col("user_id"), rightKey = col("user_id"),
+      leftTime = col("ts"), rightTime = col("ts"),
+      rightPayload = Seq(
+        "purchase_ts" -> col("ts"),
+        "purchase_value" -> col("value")),
+      rightTiebreak = col("event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** DuckDB has a native ASOF JOIN — the perfect independent oracle for
+    * the sort-based reformulation. */
+  val qAsofSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |    value, event_type
+      |  FROM main.events),
+      |c AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts AS purchase_ts, value AS purchase_value
+      |      FROM ev WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, c.ts, c.value, p.purchase_ts, p.purchase_value
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+      |ORDER BY c.event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof" -> (qAsof _))
+
+  val oracles: Map[String, String] = Map(
+    "q_asof" -> qAsofSql)
+}

@@ -172,6 +172,39 @@ object Relational {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** CUBE aggregation: all grouping-set combinations of flag x status. */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** INTERSECT / EXCEPT set operations over nation membership. */
+  def qSetops(spark: SparkSession, dir: String): DataFrame = {
+    val custN = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val supN = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    custN.intersect(supN).withColumn("which", lit("both"))
+      .unionByName(custN.except(supN).withColumn("which", lit("cust_only")))
+      .orderBy(col("which"), col("nationkey"))
+  }
+
+  val qSetopsSql: String =
+    """SELECT nationkey, 'both' AS which FROM
+      |  (SELECT c_nationkey AS nationkey FROM customer
+      |   INTERSECT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT nationkey, 'cust_only' AS which FROM
+      |  (SELECT c_nationkey AS nationkey FROM customer
+      |   EXCEPT SELECT s_nationkey FROM supplier)
+      |ORDER BY which, nationkey""".stripMargin
+
   /** Left-semi join: customers that have at least one open order. */
   def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
@@ -327,6 +360,8 @@ object Relational {
     "q6_filter" -> (q6Filter _),
     "q_window" -> (qWindow _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_setops" -> (qSetops _),
     "q_semijoin" -> (qSemiJoin _),
     "q_exists" -> (qExists _),
     "q_pivot" -> (qPivot _),
@@ -342,6 +377,8 @@ object Relational {
     "q6_filter" -> q6FilterSql,
     "q_window" -> qWindowSql,
     "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
+    "q_setops" -> qSetopsSql,
     "q_semijoin" -> qSemiJoinSql,
     "q_exists" -> qExistsSql,
     "q_pivot" -> qPivotSql,
