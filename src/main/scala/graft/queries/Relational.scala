@@ -172,6 +172,30 @@ object Relational {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** Distinct-count + exact interpolated percentiles per group — the
+    * "stats profile" aggregation shape. percentile() sorts within each
+    * group: exact, deterministic, identical to DuckDB's quantile_cont. */
+  def qStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qStatsSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** CUBE aggregation: all grouping-set combinations of flag x status. */
   def qCube(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -361,6 +385,7 @@ object Relational {
     "q_window" -> (qWindow _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_stats" -> (qStats _),
     "q_setops" -> (qSetops _),
     "q_semijoin" -> (qSemiJoin _),
     "q_exists" -> (qExists _),
@@ -378,6 +403,7 @@ object Relational {
     "q_window" -> qWindowSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
+    "q_stats" -> qStatsSql,
     "q_setops" -> qSetopsSql,
     "q_semijoin" -> qSemiJoinSql,
     "q_exists" -> qExistsSql,

@@ -58,6 +58,26 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream inner join with event-time bounds: purchases attributed
+    * to a click by the same user within the preceding 10 minutes. Both
+    * sides are watermarked and the join condition bounds event-time skew,
+    * so the state store retains only a sliding window of each side —
+    * bounded memory at any throughput. */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame,
+                          watermark: String = "10 seconds"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .drop("p_user")
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 

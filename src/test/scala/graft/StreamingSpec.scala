@@ -64,6 +64,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"only ${emitted.size}/${batch.size} sessions finalized")
   }
 
+  test("stream-stream join (purchase attribution) equals the batch join") {
+    val src = EventStreams.readEvents(spark, eventsDir)
+    val q = EventStreams.purchaseAttribution(
+        src.filter(col("event_type") === "click"),
+        src.filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName("pa")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stream = spark.table("pa").collect().map(_.toSeq).toSet
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val batch = EventStreams.purchaseAttribution(clicks, purchases)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(stream === batch)
+  }
+
   test("mapGroupsWithState running totals converge to batch per-user totals") {
     val q = EventStreams.runningUserTotals(EventStreams.readEvents(spark, eventsDir))
       .writeStream.format("memory").queryName("ut")
