@@ -102,6 +102,30 @@ object Multimodal {
       .withColumn("out_h", greatest(floor(col("height") * col("scale")).cast(IntegerType), lit(1)))
       .drop("scale")
 
+  /** Frame-sampling stub for video-like payloads: treat the data section
+    * as fixed-size frames and keep every k-th (a real deployment decodes
+    * with a codec here; batching, schema, and output shape are the real
+    * contract). One output row per kept frame — flat, partition-parallel. */
+  def frameSample(withPayload: DataFrame, frameBytes: Int = 8,
+                  every: Int = 4): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType)))
+    withPayload.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val p = r.getAs[Array[Byte]](1)
+        val headerOff = if (id % 3 == 1) 12 else 16 // magic + dims
+        val data = p.drop(headerOff)
+        data.grouped(frameBytes).zipWithIndex.collect {
+          case (frame, i) if i % every == 0 && frame.length == frameBytes =>
+            Row(id, i, frame)
+        }
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
   def mmMeta(spark: SparkSession, dir: String): DataFrame =
     extractMeta(synthesize(Tables.documents(spark, dir))).orderBy("doc_id")
 

@@ -109,11 +109,44 @@ object Similarity {
     lshTopK(Tables.embeddings(spark, dir), col("vec_id") < 10)
       .orderBy("q_id", "rk")
 
+  /** Per-label centroids — the coarse-quantizer building block of IVF
+    * ANN. posexplode makes the aggregation a flat (label, dim) shape:
+    * the shuffle carries n_labels x dim groups, partition-parallel.
+    * The double sum is made order-deterministic by accumulating in
+    * vec_id order (running window sum, final value via max_by) — the
+    * exact sequential fold DuckDB's `sum(v ORDER BY vec_id)` computes,
+    * so the oracle matches to the last bit. (A DECIMAL-cast sum is
+    * order-free but the double→decimal conversion itself rounds
+    * differently across engines at the last ulp.) */
+  def centroids(emb: DataFrame): DataFrame = {
+    val tall = emb.select(col("label"), col("vec_id"),
+        posexplode(col("embedding").cast(ArrayType(DoubleType))))
+      .toDF("label", "vec_id", "dim", "v")
+    val w = Window.partitionBy(col("label"), col("dim")).orderBy(col("vec_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tall.withColumn("cum", sum(col("v")).over(w))
+      .groupBy(col("label"), col("dim"))
+      .agg(max_by(col("cum"), col("vec_id")).as("sum_v"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), (col("sum_v") / col("n")).as("mean_v"))
+  }
+
+  def annCentroids(spark: SparkSession, dir: String): DataFrame =
+    centroids(Tables.embeddings(spark, dir)).orderBy("label", "dim")
+
+  val annCentroidsSql: String =
+    """WITH tall AS (
+      |  SELECT label, vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i))
+      |SELECT label, dim, sum(v ORDER BY vec_id) / count(*) AS mean_v
+      |FROM tall GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> (annBruteTopK _),
-    "ann_lsh_topk" -> (annLshTopK _))
+    "ann_lsh_topk" -> (annLshTopK _),
+    "ann_centroids" -> (annCentroids _))
 
   /** ann_lsh_topk intentionally omitted: approximate result, rows-only check. */
   val oracles: Map[String, String] = Map(
-    "ann_brute_topk" -> annBruteTopKSql)
+    "ann_brute_topk" -> annBruteTopKSql,
+    "ann_centroids" -> annCentroidsSql)
 }

@@ -145,13 +145,33 @@ object TextAnalysis {
       |  ('0x'||substr(md5(regexp_replace(text, '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp60
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Corpus-level term frequencies: explode tokens, aggregate, top-k.
+    * The shuffle carries (token, partial count) thanks to map-side
+    * combine — vocabulary-sized, not corpus-sized. */
+  def topTerms(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+
+  def txTopterms(spark: SparkSession, dir: String): DataFrame =
+    topTerms(Tables.documents(spark, dir))
+
+  val txToptermsSql: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |SELECT term, count(*) AS n FROM t
+      |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_topterms" -> (txTopterms _),
     "tx_tokens" -> (txTokens _),
     "tx_quality" -> (txQuality _),
     "tx_langid" -> (txLangid _),
     "tx_fingerprint" -> (txFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "tx_topterms" -> txToptermsSql,
     "tx_tokens" -> txTokensSql,
     "tx_quality" -> txQualitySql,
     "tx_langid" -> txLangidSql,

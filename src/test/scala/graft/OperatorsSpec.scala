@@ -64,6 +64,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deduped.count() === docs.select("text").distinct().count())
   }
 
+  test("multimodal frame sampling is deterministic with the right shape") {
+    import graft.operators.Multimodal
+    val withPayload = Multimodal.synthesize(Tables.documents(spark, dir))
+    val frames = Multimodal.frameSample(withPayload)
+    val byDoc = frames.groupBy("doc_id").count()
+    // data section is 64 bytes = 8 frames of 8; every 4th kept → 2 frames
+    assert(byDoc.filter(col("count") =!= 2).count() === 0)
+    val f0 = frames.filter(col("doc_id") === 0 && col("frame_idx") === 0)
+      .collect()(0).getAs[Array[Byte]]("frame")
+    // doc 0 data bytes are (0+i)%256 → first frame is 0..7
+    assert(f0.toSeq === (0 until 8).map(_.toByte))
+  }
+
   test("quality scores are bounded and langid votes are consistent") {
     val q = TextAnalysis.quality(Tables.documents(spark, dir))
     assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() === 0)
