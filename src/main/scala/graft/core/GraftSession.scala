@@ -1,6 +1,9 @@
 package graft.core
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.graft.DotProduct
 
 /** Session factory with the engine's standard configuration.
   *
@@ -13,6 +16,12 @@ object GraftSession {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      // engine extensions: native expressions available from SQL too
+      .withExtensions(_.injectFunction((
+        FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          DotProduct(children.head, children(1)))))
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -140,9 +140,50 @@ object Similarity {
       |SELECT label, dim, sum(v ORDER BY vec_id) / count(*) AS mean_v
       |FROM tall GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  /** Centroids pivoted back to one ordered vector per label. Tiny (nlist
+    * rows) — the HOF here is off the hot path by construction. */
+  def centroidVectors(emb: DataFrame): DataFrame =
+    centroids(emb).groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean_v")))),
+        s => s.getField("mean_v")).as("cvec"))
+
+  /** IVF ANN: assign every vector to its nearest centroid cell (nlist
+    * distance computations per vector, map-side min_by — no window, no
+    * extra shuffle), then probe only the query's own cell. The
+    * complement of [[lshTopK]]: data-adaptive cells instead of fixed
+    * hyperplanes. Approximate → rows-only oracle; recall vs brute is
+    * spec-tested. */
+  def ivfTopK(emb: DataFrame, isQuery: Column => Column, k: Int = 5): DataFrame = {
+    val all = normed(emb)
+    val cells = all
+      .join(broadcast(centroidVectors(emb)))
+      .select(col("vec_id"), col("v"), col("n2"), col("label"),
+        (col("n2") - lit(2.0) * dot(col("v"), col("cvec")) +
+          dot(col("cvec"), col("cvec"))).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("label"), col("d2")).as("cell"),
+        first(col("v")).as("v"), first(col("n2")).as("n2"))
+    val queries = cells.filter(isQuery(col("vec_id")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cell")))
+      .join(cells, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
+  }
+
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(Tables.embeddings(spark, dir), v => v < 10).orderBy("q_id", "rk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> (annBruteTopK _),
     "ann_lsh_topk" -> (annLshTopK _),
+    "ann_ivf_topk" -> (annIvfTopK _),
     "ann_centroids" -> (annCentroids _))
 
   /** ann_lsh_topk intentionally omitted: approximate result, rows-only check. */

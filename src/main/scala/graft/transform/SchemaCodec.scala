@@ -58,6 +58,15 @@ object SchemaCodec {
     case (v, _) => v
   }
 
-  def mapToRow(m: scala.collection.Map[String, Any], schema: StructType): Row =
-    Row.fromSeq(schema.fields.toSeq.map(f => encode(m.getOrElse(f.name, null), f.dataType)))
+  def mapToRow(m: scala.collection.Map[String, Any], schema: StructType): Row = {
+    // hot path (once per emitted record): index loop, no per-row Seq allocs
+    val fields = schema.fields
+    val values = new Array[Any](fields.length)
+    var i = 0
+    while (i < fields.length) {
+      values(i) = encode(m.getOrElse(fields(i).name, null), fields(i).dataType)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericRow(values)
+  }
 }

@@ -93,6 +93,7 @@ object ScriptTransform {
     val ctx = new ScriptContext(arguments, metrics,
       df.sparkSession.sparkContext.broadcast(lookups))
 
+    val inFields = inSchema.fields
     val tagged = df.mapPartitions { rows =>
       rows.flatMap { row =>
         val buf = new ListBuffer[Row]
@@ -100,11 +101,19 @@ object ScriptTransform {
         val emitter = new Emitter {
           def emit(r: Map[String, Any]): Unit =
             buf += Row("out", SchemaCodec.mapToRow(r, outSchema), null, null)
-          def emitError(code: Int, msg: String, bad: Map[String, Any]): Unit =
+          def emitError(code: Int, msg: String, bad: Map[String, Any]): Unit = {
+            val values = new Array[Any](inFields.length + 2)
+            values(0) = code
+            values(1) = msg
+            var i = 0
+            while (i < inFields.length) {
+              values(i + 2) = SchemaCodec.encode(
+                bad.getOrElse(inFields(i).name, null), inFields(i).dataType)
+              i += 1
+            }
             buf += Row("err", null,
-              Row.fromSeq(code +: msg +: inSchema.fields.toSeq.map(f =>
-                SchemaCodec.encode(bad.getOrElse(f.name, null), f.dataType))),
-              null)
+              new org.apache.spark.sql.catalyst.expressions.GenericRow(values), null)
+          }
           def emitAlert(payload: Map[String, String]): Unit =
             buf += Row("alert", null, null, payload)
         }

@@ -58,6 +58,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.size <= brute.size)
   }
 
+  test("IVF ANN probes one cell and keeps usable recall") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.bruteTopK(emb, col("vec_id") < 10)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, v => v < 10)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall $recall")
+    assert(ivf.size <= brute.size)
+  }
+
+  test("graft_dot is callable from SQL via session extensions") {
+    val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r === 11.0)
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val docs = Tables.documents(spark, dir)
     val deduped = Dedup.exact(docs)
