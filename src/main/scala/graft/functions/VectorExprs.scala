@@ -30,6 +30,10 @@ object VectorExprs {
   def dotp(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Bridge to the private[sql] Column↔Expression conversion, for engine
+    * code outside the sql package (e.g. lineage analysis over Columns). */
+  def expressionOf(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
 case class DotProduct(left: Expression, right: Expression)

@@ -40,6 +40,57 @@ object Dsl {
     }
   }
 
+  /** Field-level lineage record, what the reference registers at
+    * prepareRun (ref: PythonEvaluator.java:224-256): for each output
+    * field, which input fields it derives from and how. */
+  sealed trait FieldLineage { def output: String }
+  final case class Identity(output: String) extends FieldLineage
+  final case class Renamed(output: String, from: String) extends FieldLineage
+  final case class Computed(output: String, from: Seq[String]) extends FieldLineage
+  final case class Dropped(output: String) extends FieldLineage
+
+  /** Walk a spec against an input schema using Spark's own analyzer —
+    * per-field lineage plus configure-time errors (references to columns
+    * that don't exist at that step), the equivalent of the reference's
+    * compile-at-configure check (ref: PythonEvaluator.java:99-103) and
+    * prepareRun lineage registration. No data is touched: analysis runs
+    * over an empty frame with the declared schema. */
+  def analyze(spec: TransformSpec, input: org.apache.spark.sql.types.StructType,
+              spark: org.apache.spark.sql.SparkSession)
+      : (Seq[FieldLineage], Seq[String]) = {
+    var df = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), input)
+    val lineage = Vector.newBuilder[FieldLineage]
+    val errors = Vector.newBuilder[String]
+    def refsOf(e: Column): Seq[String] =
+      df.select(e).queryExecution.analyzed.expressions
+        .flatMap(_.references.toSeq.map(_.name)).distinct.sorted
+    spec.steps.foreach { step =>
+      try {
+        step match {
+          case SetField(n, e)     => lineage += Computed(n, refsOf(e))
+          case RenameField(f, t)  => lineage += Renamed(t, f)
+          case DropFields(ns @ _*) => ns.foreach(lineage += Dropped(_))
+          case Project(cs @ _*) =>
+            cs.foreach { case (n, e) =>
+              refsOf(e) match {
+                case Seq(one) if one == n => lineage += Identity(n)
+                case Seq(one)             => lineage += Renamed(n, one)
+                case many                 => lineage += Computed(n, many)
+              }
+            }
+          case FilterRows(_)      => () // row-level op, no field lineage
+          case ExplodeField(n, e) => lineage += Computed(n, refsOf(e))
+        }
+        df = TransformSpec(step).apply(df) // analyzer throws on bad refs
+      } catch {
+        case a: org.apache.spark.sql.AnalysisException =>
+          errors += s"$step: ${a.getMessage.linesIterator.next()}"
+      }
+    }
+    (lineage.result(), errors.result())
+  }
+
   /** Declarative error channel: one pass is split into (valid, errors)
     * where errors carry (errorCode, errorMsg, full invalid record) — the
     * reference's emitError semantics (ref: PythonEvaluator.java:186-204)

@@ -119,6 +119,47 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!result.queryExecution.executedPlan.toString.contains("Deserialize"))
   }
 
+  test("Dsl.analyze: field lineage and configure-time validation") {
+    val spec = TransformSpec(
+      SetField("charge", col("price") * (lit(1.0) - col("discount"))),
+      RenameField("id", "key"),
+      Project("key" -> col("key"), "charge" -> col("charge")))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("price", DoubleType), StructField("discount", DoubleType)))
+    val (lineage, errors) = Dsl.analyze(spec, schema, spark)
+    assert(errors.isEmpty)
+    assert(lineage.contains(Dsl.Computed("charge", Seq("discount", "price"))))
+    assert(lineage.contains(Dsl.Renamed("key", "id")))
+    assert(lineage.contains(Dsl.Identity("key")))
+
+    // configure-time failure: the reference compiles the script at
+    // configure; Graft validates column references before any execution
+    val bad = TransformSpec(SetField("x", col("nope") + 1))
+    val (_, badErrors) = Dsl.analyze(bad,
+      StructType(Seq(StructField("id", LongType))), spark)
+    assert(badErrors.nonEmpty && badErrors.head.contains("nope"))
+  }
+
+  test("declarative and imperative paths agree on the same transform") {
+    val df = Seq((1L, 10.0, 0.1), (2L, 20.0, 0.5), (3L, 5.0, 0.0))
+      .toDF("id", "price", "discount")
+    val declarative = TransformSpec(
+      SetField("charge", col("price") * (lit(1.0) - col("discount"))),
+      FilterRows(col("charge") > 4.0),
+      Project("id" -> col("id"), "charge" -> col("charge")))
+      .apply(df)
+    val out = StructType(Seq(StructField("id", LongType),
+                             StructField("charge", DoubleType)))
+    val imperative = ScriptTransform(df, out) { (r, em, _) =>
+      val charge = r("price").asInstanceOf[Double] *
+        (1.0 - r("discount").asInstanceOf[Double])
+      if (charge > 4.0)
+        em.emit(Map("id" -> r("id"), "charge" -> charge))
+    }.out
+    assert(declarative.orderBy("id").collect().map(_.toSeq) ===
+      imperative.orderBy("id").collect().map(_.toSeq))
+  }
+
   test("Dsl.splitErrors: both channels from one scan, record preserved") {
     val df = Seq((1, 0.01), (2, 0.99)).toDF("id", "discount")
     val (valid, errors) =
