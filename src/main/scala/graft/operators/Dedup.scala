@@ -75,10 +75,13 @@ object Dedup {
       min(md5(concat(lit("0|"), col("s")))).as("mh0"),
       (1 until k).map(j =>
         min(md5(concat(lit(s"$j|"), col("s")))).as(s"mh$j")): _*)
+    // banded feeds both sides of the candidate self-join — materialize
+    // (tiny: docs x bands rows) so the signature aggregation runs once
     val banded = sig.select(col("doc_id"), posexplode(array(
       (0 until bands).map(b => md5(concat_ws("|",
         (0 until rows).map(r => col(s"mh${rows * b + r}")): _*))): _*)))
       .toDF("doc_id", "b", "bk")
+      .localCheckpoint()
     val pairs = banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -147,7 +150,9 @@ object Dedup {
   }
 
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sim = simhash(docs)
+    // materialize: the band self-join would otherwise run the whole
+    // tokenize + 60-bit-sum pipeline once per side
+    val sim = simhash(docs).localCheckpoint()
     val banded = sim.select(col("doc_id"), col("sh"), posexplode(array(
       (0 until 4).map(b => shiftright(col("sh"), 15 * b).bitwiseAND(32767)): _*)))
       .toDF("doc_id", "sh", "b", "bk")

@@ -163,6 +163,8 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(min_by(col("label"), col("d2")).as("cell"),
         first(col("v")).as("v"), first(col("n2")).as("n2"))
+      // probe side and candidate side both read cells — assign once
+      .localCheckpoint()
     val queries = cells.filter(isQuery(col("vec_id")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))

@@ -357,6 +357,28 @@ object Relational {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Semi-structured extraction: parse the JSON props column with a
+    * declared schema (from_json — typed, codegen'd, no per-row JSON
+    * library round trip) and aggregate on the extracted field. */
+  def qJson(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(col("event_type"),
+        from_json(col("props"),
+          StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val qJsonSql: String =
+    """WITH t AS (
+      |  SELECT event_type, CAST(props->>'$.k' AS INTEGER) AS k FROM events)
+      |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+      |  min(k) AS min_k, max(k) AS max_k
+      |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Tumbling-window event counts (batch form of the streaming agg). */
   def stWindowAgg(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -393,6 +415,7 @@ object Relational {
     "q_union_distinct" -> (qUnionDistinct _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_sessionize" -> (qSessionize _),
+    "q_json" -> (qJson _),
     "st_window_agg" -> (stWindowAgg _))
 
   val oracles: Map[String, String] = Map(
@@ -411,5 +434,6 @@ object Relational {
     "q_union_distinct" -> qUnionDistinctSql,
     "q_topk_per_group" -> qTopkPerGroupSql,
     "q_sessionize" -> qSessionizeSql,
+    "q_json" -> qJsonSql,
     "st_window_agg" -> stWindowAggSql)
 }
