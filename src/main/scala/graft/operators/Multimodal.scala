@@ -126,6 +126,29 @@ object Multimodal {
     }(Encoders.row(schema)).toDF()
   }
 
+  /** Feature-extraction stub: a deterministic 16-dim embedding from the
+    * payload's data section (normalized byte histogram over 16 bins). A
+    * real deployment swaps the histogram for a vision/audio model; the
+    * output contract (float vector column, partition-parallel, feeds
+    * [[Similarity]] ANN directly) is the real thing. */
+  def extractFeatures(withPayload: DataFrame, bins: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    withPayload.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val p = r.getAs[Array[Byte]](1)
+        val headerOff = if (id % 3 == 1) 12 else 16
+        val data = p.drop(headerOff)
+        val hist = new Array[Float](bins)
+        data.foreach(b => hist((b & 0xff) * bins / 256) += 1f)
+        val n = math.max(data.length, 1).toFloat
+        Row(id, hist.map(_ / n).toSeq)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
   def mmMeta(spark: SparkSession, dir: String): DataFrame =
     extractMeta(synthesize(Tables.documents(spark, dir))).orderBy("doc_id")
 

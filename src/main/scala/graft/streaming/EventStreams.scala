@@ -32,9 +32,13 @@ object EventStreams {
     * file-stream source requires a directory — new files appearing in it
     * become new micro-batches), ts truncated to micros exactly like the
     * batch loader (Tables.events). */
-  def readEvents(spark: SparkSession, eventsDir: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(eventsDir)
+  def readEvents(spark: SparkSession, eventsDir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(eventsDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   /** Tumbling 1-hour counts per event type — streaming twin of
     * Relational.stWindowAgg. */

@@ -76,10 +76,21 @@ final case class TransformResult(tagged: DataFrame, outSchema: StructType,
   */
 object ScriptTransform {
 
+  /** What to do when the user closure throws on a record. */
+  sealed trait ErrorPolicy
+  /** Fail the job (the reference's default: script exception → stage
+    * failure). */
+  case object FailFast extends ErrorPolicy
+  /** Route the failing record to the error channel with the exception
+    * message — the pipeline keeps running, bad records are quarantined
+    * with full context instead of poisoning a 100 TB job. */
+  final case class RouteToErrors(errorCode: Int = 500) extends ErrorPolicy
+
   def apply(df: DataFrame, outSchema: StructType,
             arguments: Map[String, String] = Map.empty,
             metrics: Metrics = Metrics.none,
-            lookups: Map[String, Map[String, Any]] = Map.empty)
+            lookups: Map[String, Map[String, Any]] = Map.empty,
+            onError: ErrorPolicy = FailFast)
            (fn: (Map[String, Any], Emitter, ScriptContext) => Unit): TransformResult = {
     val inSchema = df.schema
     val errSchema = StructType(
@@ -117,7 +128,14 @@ object ScriptTransform {
           def emitAlert(payload: Map[String, String]): Unit =
             buf += Row("alert", null, null, payload)
         }
-        fn(record, emitter, ctx)
+        try fn(record, emitter, ctx)
+        catch {
+          case e: Exception => onError match {
+            case FailFast => throw e
+            case RouteToErrors(code) =>
+              emitter.emitError(code, s"${e.getClass.getSimpleName}: ${e.getMessage}", record)
+          }
+        }
         buf.result()
       }
     }(Encoders.row(taggedSchema))

@@ -96,6 +96,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f0.toSeq === (0 until 8).map(_.toByte))
   }
 
+  test("multimodal features flow end-to-end into ANN search") {
+    import graft.operators.Multimodal
+    val features = Multimodal.extractFeatures(
+      Multimodal.synthesize(Tables.documents(spark, dir)))
+      .withColumnRenamed("doc_id", "vec_id")
+      .withColumn("label", lit(0))
+    // byte-histogram embeddings of synthesized payloads, searched with the
+    // same ANN operator used for the embeddings table
+    val topk = Similarity.bruteTopK(features, col("vec_id") < 3, 3)
+    val rows = topk.collect()
+    assert(rows.length === 9) // 3 queries x 3 neighbors
+    assert(rows.forall(r => r.getAs[Double]("cos") >= -1.0001 &&
+      r.getAs[Double]("cos") <= 1.0001))
+  }
+
   test("quality scores are bounded and langid votes are consistent") {
     val q = TextAnalysis.quality(Tables.documents(spark, dir))
     assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() === 0)

@@ -64,6 +64,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"only ${emitted.size}/${batch.size} sessions finalized")
   }
 
+  test("state carries across micro-batches (maxFilesPerTrigger=1)") {
+    // split events into 4 files → 4 micro-batches; the windowed counts
+    // must still equal the batch aggregation, proving incremental state
+    val d = Files.createTempDirectory("graft-events-multi")
+    Tables.events(spark, dir)
+      .withColumn("ts", unix_micros(col("ts")) * 1000) // back to raw long nanos
+      .repartition(4)
+      .write.parquet(d.toString + "/files")
+    val q = EventStreams.windowedCounts(
+        EventStreams.readEvents(spark, d.toString + "/files", Some(1)))
+      .writeStream.format("memory").queryName("wcm")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+      .lastProgress != null)
+    val stream = spark.table("wcm").orderBy("window_start", "event_type").collect()
+    val batch = Relational.stWindowAgg(spark, dir).collect()
+    assert(stream.map(_.toSeq) === batch.map(_.toSeq))
+  }
+
   test("stream-stream join (purchase attribution) equals the batch join") {
     val src = EventStreams.readEvents(spark, eventsDir)
     val q = EventStreams.purchaseAttribution(

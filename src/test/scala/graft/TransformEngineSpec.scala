@@ -119,6 +119,23 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!result.queryExecution.executedPlan.toString.contains("Deserialize"))
   }
 
+  test("ScriptTransform: RouteToErrors quarantines throwing records") {
+    val df = Seq((1, "5"), (2, "boom"), (3, "7")).toDF("id", "payload")
+    val out = StructType(Seq(StructField("id", IntegerType),
+                             StructField("parsed", IntegerType)))
+    val result = ScriptTransform(df, out,
+        onError = ScriptTransform.RouteToErrors(599)) { (r, em, _) =>
+      em.emit(Map("id" -> r("id"),
+        "parsed" -> r("payload").asInstanceOf[String].toInt)) // throws on "boom"
+    }.cached()
+    assert(result.out.count() === 2)
+    val errs = result.errors.collect()
+    assert(errs.length === 1)
+    assert(errs(0).getAs[Int]("errorCode") === 599)
+    assert(errs(0).getAs[Int]("id") === 2)
+    assert(errs(0).getAs[String]("errorMsg").contains("NumberFormatException"))
+  }
+
   test("Dsl.analyze: field lineage and configure-time validation") {
     val spec = TransformSpec(
       SetField("charge", col("price") * (lit(1.0) - col("discount"))),
