@@ -145,6 +145,27 @@ object TextAnalysis {
       |  ('0x'||substr(md5(regexp_replace(text, '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp60
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Training-corpus hygiene: mask common PII shapes (emails, phone
+    * numbers, IPv4, long digit runs) and normalize whitespace — all
+    * codegen'd regexp_replace chains, shuffle-free. Patterns are
+    * intentionally conservative (favor recall on obvious shapes over
+    * NLP-grade detection, which belongs in a model pass). */
+  def scrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // order matters: IP before phone (dotted quads parse as digit groups),
+    // phone requires >=3 separator-delimited digit groups so plain digit
+    // runs fall through to <NUM>
+    val masked = Seq(
+      ("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+      ("""\b(?:\d{1,3}\.){3}\d{1,3}\b""", "<IP>"),
+      ("""\+?\d+(?:[\s().-]+\d+){2,}""", "<PHONE>"),
+      ("""\b\d{6,}\b""", "<NUM>"))
+      .foldLeft(col(textCol)) { case (c, (pat, repl)) =>
+        regexp_replace(c, pat, repl)
+      }
+    docs.withColumn(textCol,
+      trim(regexp_replace(masked, """\s+""", " ")))
+  }
+
   /** Corpus-level term frequencies: explode tokens, aggregate, top-k.
     * The shuffle carries (token, partial count) thanks to map-side
     * combine — vocabulary-sized, not corpus-sized. */

@@ -96,6 +96,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f0.toSeq === (0 until 8).map(_.toByte))
   }
 
+  test("scrub masks PII shapes and normalizes whitespace") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob@example.com  or +1 (555) 123-4567 now"),
+      (2L, "server at 192.168.0.1 logged id 1234567890"),
+      (3L, "clean text stays   untouched")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scrub(docs).orderBy("doc_id")
+      .select("text").as[String].collect()
+    assert(got(0) === "contact <EMAIL> or <PHONE> now")
+    assert(got(1) === "server at <IP> logged id <NUM>")
+    assert(got(2) === "clean text stays untouched")
+  }
+
   test("multimodal features flow end-to-end into ANN search") {
     import graft.operators.Multimodal
     val features = Multimodal.extractFeatures(
