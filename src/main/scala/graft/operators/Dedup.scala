@@ -264,7 +264,50 @@ object Dedup {
       |WHERE list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Edit-distance verification over LSH candidates: the precision pass a
+    * title/short-text dedup pipeline runs after banding. Quadratic-cost
+    * levenshtein touches only the candidate pairs LSH surfaced — never
+    * the corpus cross product. */
+  def editDistancePairs(docs: DataFrame): DataFrame = {
+    val pairs = minhashLsh(docs).select(col("doc_a"), col("doc_b"))
+    val texts = docs.select(col("doc_id"), col("text"))
+    broadcast(pairs)
+      .join(texts.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(texts.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta.text"), col("tb.text")).as("edit_dist"),
+        length(col("ta.text")).as("len_a"), length(col("tb.text")).as("len_b"))
+  }
+
+  def ddEditdist(spark: SparkSession, dir: String): DataFrame =
+    editDistancePairs(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
+
+  val ddEditdistSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS shingles
+      |  FROM toks WHERE len(w) >= 3),
+      |sig AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(['0','1','2','3','4','5','6','7','8','9','10','11','12','13','14','15'],
+      |      j -> list_min(list_transform(shingles, s -> md5(j||'|'||s)))) AS mh
+      |  FROM sh),
+      |bands AS (
+      |  SELECT doc_id, b, md5(mh[4*b+1]||'|'||mh[4*b+2]||'|'||mh[4*b+3]||'|'||mh[4*b+4]) AS bk
+      |  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+      |pairs AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, levenshtein(ta.text, tb.text) AS edit_dist,
+      |  length(ta.text) AS len_a, length(tb.text) AS len_b
+      |FROM pairs JOIN documents ta ON doc_a = ta.doc_id
+      |JOIN documents tb ON doc_b = tb.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_editdist" -> (ddEditdist _),
     "dd_exact" -> (ddExact _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
@@ -272,6 +315,7 @@ object Dedup {
     "dd_embed_cosine" -> (ddEmbedCosine _))
 
   val oracles: Map[String, String] = Map(
+    "dd_editdist" -> ddEditdistSql,
     "dd_exact" -> ddExactSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_simhash" -> ddSimhashSql,

@@ -158,6 +158,35 @@ object Relational {
       |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |) WHERE order_seq <= 3 ORDER BY o_custkey, order_seq""".stripMargin
 
+  /** Ranking-function suite: rank/dense_rank/ntile/percent_rank/cume_dist
+    * over one window — the full ordered-analytics surface in one pass. */
+  def qRanking(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("o_orderpriority"), col("rnk"))
+  }
+
+  val qRankingSql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    rank() OVER w AS rnk,
+      |    dense_rank() OVER w AS drnk,
+      |    ntile(4) OVER w AS quartile,
+      |    percent_rank() OVER w AS prnk,
+      |    cume_dist() OVER w AS cdist
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice DESC, o_orderkey)
+      |) WHERE rnk <= 5 ORDER BY o_orderpriority, rnk""".stripMargin
+
   /** ROLLUP aggregation over return flag / line status. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -405,6 +434,7 @@ object Relational {
     "q5_multijoin" -> (q5MultiJoin _),
     "q6_filter" -> (q6Filter _),
     "q_window" -> (qWindow _),
+    "q_ranking" -> (qRanking _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_stats" -> (qStats _),
@@ -424,6 +454,7 @@ object Relational {
     "q5_multijoin" -> q5MultiJoinSql,
     "q6_filter" -> q6FilterSql,
     "q_window" -> qWindowSql,
+    "q_ranking" -> qRankingSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
     "q_stats" -> qStatsSql,
