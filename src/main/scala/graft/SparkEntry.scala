@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
 import graft.queries.{Relational, Transforms}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -14,12 +14,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Transforms.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      AsOfJoin.queries ++ RangeJoin.queries
+      AsOfJoin.queries ++ RangeJoin.queries ++ Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Transforms.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      AsOfJoin.oracles ++ RangeJoin.oracles
+      AsOfJoin.oracles ++ RangeJoin.oracles ++ Sampling.oracles
 }
