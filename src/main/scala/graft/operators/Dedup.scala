@@ -31,6 +31,16 @@ object Dedup {
     """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  /** Incremental exact dedup: drop new documents whose content hash is
+    * already in the historical corpus — the shape every append-only
+    * training pipeline runs per batch. left_anti on the hash: the
+    * historical side is (hash) only (16 bytes/doc however large the
+    * corpus), and the join shuffles hashes, never text. */
+  def incrementalExact(newDocs: DataFrame, knownHashes: DataFrame): DataFrame =
+    newDocs.withColumn("_h", md5(col("text")))
+      .join(knownHashes.select(col("h").as("_h")), Seq("_h"), "left_anti")
+      .drop("_h")
+
   /** Tall (doc_id, shingle) with distinct word-3-gram shingles.
     *
     * Built entirely from native expressions — `arrays_zip` of the token

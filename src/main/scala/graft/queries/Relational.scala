@@ -225,6 +225,21 @@ object Relational {
       |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Approximate aggregates — the only way to count distincts on 100 TB
+    * without a full shuffle of the key space: HLL++ sketches merge
+    * map-side, so the shuffle carries one sketch per partition per group.
+    * Sketches differ across engines → rows-only check; the relative-error
+    * bound vs exact counts is asserted in OperatorsSpec. */
+  def qApprox(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** CUBE aggregation: all grouping-set combinations of flag x status. */
   def qCube(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -438,6 +453,7 @@ object Relational {
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_stats" -> (qStats _),
+    "q_approx" -> (qApprox _),
     "q_setops" -> (qSetops _),
     "q_semijoin" -> (qSemiJoin _),
     "q_exists" -> (qExists _),

@@ -77,6 +77,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r === 11.0)
   }
 
+  test("approx_count_distinct stays within 5% of exact") {
+    import graft.queries.Relational
+    val approx = Relational.qApprox(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.core.Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("p"), countDistinct("l_suppkey").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (k, (p, s)) =>
+      val (ap, as_) = approx(k)
+      assert(math.abs(ap - p).toDouble / p < 0.05, s"$k parts: $ap vs $p")
+      assert(math.abs(as_ - s).toDouble / s < 0.05, s"$k supps: $as_ vs $s")
+    }
+  }
+
+  test("incremental dedup drops only already-known content") {
+    import spark.implicits._
+    val known = Seq("aaa", "bbb").toDF("text")
+      .select(md5(col("text")).as("h"))
+    val batch = Seq((1L, "aaa"), (2L, "new one"), (3L, "bbb"), (4L, "другой"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(batch, known)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 4L))
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val docs = Tables.documents(spark, dir)
     val deduped = Dedup.exact(docs)
