@@ -140,10 +140,21 @@ object Similarity {
       |SELECT label, dim, sum(v ORDER BY vec_id) / count(*) AS mean_v
       |FROM tall GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  /** Plain per-(label,dim) means — for internal use (IVF assignment),
+    * where nearest-centroid decisions are insensitive to summation order
+    * and the ordered-fold window of [[centroids]] (needed only for
+    * oracle-exact output) would cost an extra sort. */
+  private def centroidsFast(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
+        posexplode(col("embedding").cast(ArrayType(DoubleType))))
+      .toDF("label", "dim", "v")
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("v")).as("mean_v"))
+
   /** Centroids pivoted back to one ordered vector per label. Tiny (nlist
     * rows) — the HOF here is off the hot path by construction. */
   def centroidVectors(emb: DataFrame): DataFrame =
-    centroids(emb).groupBy(col("label"))
+    centroidsFast(emb).groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean_v")))),
         s => s.getField("mean_v")).as("cvec"))
 
