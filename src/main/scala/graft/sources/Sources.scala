@@ -37,6 +37,19 @@ object Sources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Sorted data layout for scan-time skipping: range-partition on the
+    * sort key, sort within partitions, write parquet. Each output file
+    * then covers a disjoint key range, so parquet min/max column stats
+    * let filtered scans skip whole files/row groups — the layout step a
+    * 100 TB corpus runs once so every later query reads a sliver. */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                  mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(mode).parquet(path)
+  }
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true,
                mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).option("header", header.toString)

@@ -54,6 +54,26 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() === li.filter(col("l_returnflag") === "R").count())
   }
 
+  test("writeSorted produces disjoint key ranges per file") {
+    val li = Tables.lineitem(spark, dir)
+    val path = tmp() + "/li-sorted"
+    Sources.writeSorted(li, path, Seq("l_shipdate"))
+    val back = Sources.parquet(spark, path)
+    assert(back.count() === li.count())
+    // each file covers a disjoint shipdate range (file-level min/max from
+    // the data itself, via input_file_name grouping)
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_shipdate").as("lo"), max("l_shipdate").as("hi"))
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](1), r.getAs[java.time.LocalDateTime](2)))
+      .sortBy(_._1.toString)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(!hi1.isAfter(lo2))
+      case _ => ()
+    }
+  }
+
   test("writeChannels materializes out/errors/alerts from one pass") {
     val df = spark.range(10).toDF("id")
     val out = StructType(Seq(StructField("id", LongType)))
