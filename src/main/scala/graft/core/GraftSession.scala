@@ -36,8 +36,11 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => () }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    } catch { case _: Throwable => () }
     spark
   }
 }

@@ -151,6 +151,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getAs[Double]("cos") <= 1.0001))
   }
 
+  test("operators tolerate empty inputs") {
+    import org.apache.spark.sql.types._
+    val emptyDocs = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+    val emptyEmb = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+    assert(Dedup.exact(emptyDocs).count() === 0)
+    assert(Dedup.minhashLsh(emptyDocs).count() === 0)
+    assert(Dedup.ngramJaccard(emptyDocs).count() === 0)
+    assert(Dedup.simhashPairs(emptyDocs).count() === 0)
+    assert(TextAnalysis.quality(emptyDocs).count() === 0)
+    assert(TextAnalysis.langId(emptyDocs).count() === 0)
+    assert(Similarity.bruteTopK(emptyEmb, col("vec_id") < 10).count() === 0)
+  }
+
   test("quality scores are bounded and langid votes are consistent") {
     val q = TextAnalysis.quality(Tables.documents(spark, dir))
     assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() === 0)

@@ -89,6 +89,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"shuffle carries raw text: $partialLine")
   }
 
+  test("as-of join is one shuffle + window, never a range join") {
+    val df = graft.operators.AsOfJoin.qAsof(spark, dir)
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    assert(!ex.contains("BroadcastNestedLoopJoin") && !ex.contains("CartesianProduct"),
+      s"as-of degenerated into a product join:\n$ex")
+    assert(ex.contains("Window"), "expected the running-last window")
+    // every hash exchange is on the join key (one per union branch =
+    // one shuffle pass over |L|+|R| rows); no second shuffle on other keys
+    val exchanges = ex.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("_k#")),
+      s"unexpected shuffle keys:\n${exchanges.mkString("\n")}")
+  }
+
+  test("range join executes as a bucket equi-join, not a theta join") {
+    val df = graft.operators.RangeJoin.qRange(spark, dir)
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    assert(!ex.contains("BroadcastNestedLoopJoin") && !ex.contains("CartesianProduct"),
+      s"range join degenerated into a product join:\n$ex")
+    assert(ex.contains("_bucket") || ex.contains("hashpartitioning"),
+      s"no bucket equi-join found:\n$ex")
+  }
+
+  test("stratified sampling pushes top-k below the shuffle (WindowGroupLimit)") {
+    val df = graft.operators.Sampling.qSample(spark, dir)
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    assert(ex.contains("WindowGroupLimit"),
+      s"rank filter not pushed down map-side:\n$ex")
+  }
+
   test("minhash signature aggregation is partial (map-side combine)") {
     val p = Dedup.minhashLsh(Tables.documents(spark, dir))
       .queryExecution.executedPlan.toString

@@ -106,6 +106,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream === batch)
   }
 
+  test("streaming writes land in a parquet sink (file sink end-to-end)") {
+    val src = EventStreams.readEvents(spark, eventsDir)
+    val outDir = Files.createTempDirectory("graft-sink").toString
+    val q = EventStreams.purchaseAttribution(
+        src.filter(col("event_type") === "click"),
+        src.filter(col("event_type") === "purchase"))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint())
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val written = spark.read.parquet(outDir).collect().map(_.toSeq).toSet
+    val ev = Tables.events(spark, dir)
+    val batch = EventStreams.purchaseAttribution(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      .collect().map(_.toSeq).toSet
+    assert(written.nonEmpty)
+    assert(written === batch)
+  }
+
   test("mapGroupsWithState running totals converge to batch per-user totals") {
     val q = EventStreams.runningUserTotals(EventStreams.readEvents(spark, eventsDir))
       .writeStream.format("memory").queryName("ut")
