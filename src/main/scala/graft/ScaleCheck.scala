@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Scale rehearsal: run the heavy operators on a docgen corpus far larger
+  * than the test scale factors and print one JSON line of timings. Not
+  * part of the driver contract — a standing answer to "would this still
+  * work at 100x?", exercised against the DSv2 generator so no test data
+  * is needed. Usage: runMain graft.ScaleCheck [rows]
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toLong else 100000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.format("docgen")
+      .option("rows", rows).option("partitions", cpus.toInt * 2).load()
+    def t(name: String)(f: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      (name, (System.nanoTime() - t0) / 1e9, n)
+    }
+    val results = Seq(
+      t("tx_quality")(TextAnalysis.quality(docs).count()),
+      t("tx_topterms")(TextAnalysis.topTerms(docs).count()),
+      t("dd_exact")(Dedup.exact(docs).count()),
+      t("dd_simhash_sigs")(Dedup.simhash(docs).count()),
+      t("dd_minhash_lsh")(Dedup.minhashLsh(docs).count()))
+    // dd_ngram_jaccard is deliberately absent: the docgen corpus has a
+    // 30-word vocabulary, so EVERY doc pair shares shingles (~460M
+    // candidate pairs at 100k docs) — exact all-pairs Jaccard is the
+    // wrong op for dense corpora; minhashLsh above is its scale path.
+    val qs = results.map { case (k, s, n) => s""""$k":{"sec":$s,"rows":$n}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_check","rows":$rows,"ops":$qs}""")
+    spark.stop()
+  }
+}

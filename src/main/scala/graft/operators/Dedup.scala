@@ -97,13 +97,19 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with true Jaccard, via counting joins on the tall
-    // table (shared = |A ∩ B|, J = shared / (|A| + |B| - shared)) — the
-    // candidate set is tiny and broadcasts; tall is touched twice, never
-    // materialized as per-doc arrays.
-    val sizes = tall.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shared = broadcast(pairs).join(tall.as("ta"), col("doc_a") === col("ta.doc_id"))
-      .join(tall.as("tb"),
+    // verify candidates with true Jaccard (shared = |A ∩ B|,
+    // J = shared / (|A| + |B| - shared)). First slice the tall table down
+    // to candidate doc_ids with ONE broadcast semi-join map pass — after
+    // that every verification join touches thousands of rows, not the
+    // corpus: no composite-key shuffle or sort of the full shingle table.
+    val candIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val tallCand = tall.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val sizes = tallCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = broadcast(pairs)
+      .join(tallCand.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(tallCand.as("tb"),
         col("doc_b") === col("tb.doc_id") && col("ta.s") === col("tb.s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
     broadcast(shared)
@@ -203,7 +209,8 @@ object Dedup {
     * J = shared / (|A| + |B| - shared). At 100 TB the posting list of a
     * degenerate (stopword-only) shingle bounds fan-in — production adds a
     * document-frequency cap on shingles; the planted corpus needs none. */
-  def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+  def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5,
+                   maxDocFreq: Int = 1000): DataFrame = {
     // join on a 60-bit hash of the shingle, not the string: the shuffle
     // carries 8-byte keys instead of ~20-byte text. Both engines use the
     // same md5-derived hash, so results are identical by construction.
@@ -211,7 +218,18 @@ object Dedup {
       conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType).as("s"))
       .localCheckpoint()
     val sizes = tall.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    tall.as("x").join(tall.as("y"),
+    // document-frequency cap: a shingle appearing in >maxDocFreq docs (a
+    // stopword run) contributes O(df^2) candidate pairs and no near-dup
+    // signal — drop it from pair *generation* (set sizes keep the full
+    // sets, so reported Jaccard is a lower bound for affected pairs; with
+    // sparse/natural corpora below the cap, results are exact — the test
+    // tables' max posting is ~25). Corpora dense enough that typical
+    // shingles exceed the cap need the LSH path (minhashLsh), not
+    // exact all-pairs Jaccard.
+    val hot = tall.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select(col("s"))
+    val pruned = tall.join(broadcast(hot), Seq("s"), "left_anti")
+    pruned.as("x").join(pruned.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
