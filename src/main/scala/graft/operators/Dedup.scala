@@ -51,8 +51,13 @@ object Dedup {
     * docs vs ~0.2 s for this zip form — and worse, a filter on the HOF
     * result gets pushed into the scan with the lambda duplicated inside
     * it. Zip rows whose 2nd/3rd word is null (the last two positions) are
-    * dropped, which also drops docs with <3 tokens. The trailing distinct
-    * is a map-side-combining shuffle, replacing per-doc array_distinct. */
+    * dropped, which also drops docs with <3 tokens.
+    *
+    * NOT deduplicated: a corpus-wide distinct on (doc_id, string) is the
+    * single most expensive step at scale (measured 6 s → 70 s at 23M
+    * shingles), and min-aggregates (minhash signatures) are
+    * duplicate-insensitive. Consumers that need set semantics dedupe
+    * their own — much smaller — slices. */
   def tallShingles(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
     docs.select(col("doc_id"),
@@ -60,7 +65,6 @@ object Dedup {
       .filter(col("z.2").isNotNull)
       .select(col("doc_id"),
         concat_ws(" ", col("z.0"), col("z.1"), col("z.2")).as("s"))
-      .distinct()
   }
 
   /** MinHash (k=16) + LSH banding (4 bands x 4 rows): candidate pairs with
@@ -70,13 +74,10 @@ object Dedup {
     * md5("j|" + shingle) — string min, identical in any engine. */
   def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
-    // the plan is a diamond (tall feeds the signature side and both
-    // verification sides); self-join aliasing defeats Spark's exchange
-    // reuse, so materialize the one intermediate worth reusing. Eager
-    // localCheckpoint (not persist: a lazy cache races when the async
-    // broadcast subplan and the main plan both try to fill it) computes
-    // it exactly once and truncates lineage.
-    val tall = tallShingles(docs).localCheckpoint()
+    // tall is a cheap shuffle-free projection (scan + explode), recomputed
+    // by each consumer; duplicates are fine for the min-aggregates and are
+    // deduped on the tiny candidate slice below.
+    val tall = tallShingles(docs)
     // k codegen'd min(md5) aggregates over the tall table — partial
     // aggregation combines map-side, so the shuffle carries k hashes per
     // doc. (The per-doc HOF formulation array_min(transform(...)) is
@@ -105,6 +106,7 @@ object Dedup {
     val candIds = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val tallCand = tall.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .distinct() // set semantics for |A ∩ B| / sizes — tiny slice only
       .localCheckpoint()
     val sizes = tallCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = broadcast(pairs)
@@ -212,10 +214,13 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5,
                    maxDocFreq: Int = 1000): DataFrame = {
     // join on a 60-bit hash of the shingle, not the string: the shuffle
-    // carries 8-byte keys instead of ~20-byte text. Both engines use the
-    // same md5-derived hash, so results are identical by construction.
+    // carries 8-byte keys instead of ~20-byte text, and the per-doc
+    // distinct runs on longs (cheap) not strings. Both engines use the
+    // same md5-derived hash, so results are identical by construction
+    // (within-doc 60-bit collisions: ~1e-15 per doc, ignored).
     val tall = tallShingles(docs).select(col("doc_id"),
       conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType).as("s"))
+      .distinct()
       .localCheckpoint()
     val sizes = tall.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // document-frequency cap: a shingle appearing in >maxDocFreq docs (a
