@@ -57,14 +57,17 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** TPC-H Q3 shape: shipping-priority top-k. customer and the date
-    * filters prune before the joins; customer side broadcasts. */
+  /** TPC-H Q3 shape: shipping-priority top-k. The date/segment filters
+    * prune before the joins. No broadcast hint on customer: it scales
+    * with SF (fact-sized at 100 TB) — AQE broadcasts it while it's small
+    * and shuffle-joins it when it isn't. Hints are reserved for true
+    * dimension tables (region/nation). */
   def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < ts("1997-03-15"))
     val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > ts("1997-03-15"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -82,7 +85,9 @@ object Relational {
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
-  /** TPC-H Q5 shape: 6-way star join. region/nation/supplier broadcast. */
+  /** TPC-H Q5 shape: 6-way star join. Only the fixed-size dims
+    * (region: 5 rows, nation: 25) carry broadcast hints; customer and
+    * supplier grow with SF, so their join strategy is left to AQE. */
   def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     val nation = Tables.nation(spark, dir)
@@ -92,8 +97,8 @@ object Relational {
       .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
     val li = Tables.lineitem(spark, dir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -346,7 +351,7 @@ object Relational {
     val ord = Tables.orders(spark, dir)
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
