@@ -2,9 +2,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. A warm-up action first absorbs JVM/classloader/
-  * codegen-infrastructure startup so per-query numbers reflect steady-state
-  * execution (what a long-lived cluster sees), not cold start. */
+  * prints ONE JSON line.
+  *
+  * Execution is via the `noop` sink, NOT `count()`: under count Catalyst
+  * prunes every unused projection (a transform query would be timed
+  * without computing its transforms). noop materializes every output
+  * column — what a real consumer pays.
+  *
+  * Per query: best-of-2 (first run pays per-plan codegen compile; min
+  * de-noises a busy host without hiding work — both runs are complete),
+  * plus total shuffle bytes written from the executed plan's SQL metrics —
+  * the scale-limiting quantity at 100 TB.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,21 +21,54 @@ object Bench {
     val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    // best-of-2 per query: the first run pays per-plan codegen compile,
-    // the second measures steady-state execution; min() de-noises a busy
-    // host without hiding real cost (both runs do the full work).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    // the write action runs its own QueryExecution (the DataFrame's plan
+    // object never executes) — capture it via listener to read metrics
+    @volatile var captured: org.apache.spark.sql.execution.QueryExecution = null
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        captured = qe
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    })
+    // walk through AQE wrappers (their `children` are empty, hiding the
+    // real tree from TreeNode.collect)
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(s.plan)
+        case _ => Nil
       }
-      name -> times.min
+      p +: (p.children ++ inner).flatMap(nodes)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def runOnce(name: String): (Double, Long) = {
+      val out = SparkEntry.queries(name)(spark, sfDir)
+      captured = null
+      val t0 = System.nanoTime()
+      try out.write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      val sec = (System.nanoTime() - t0) / 1e9
+      var waited = 0
+      while (captured == null && waited < 2000) { Thread.sleep(10); waited += 10 }
+      val shuffleBytes =
+        if (captured == null) 0L
+        else nodes(captured.executedPlan).map(_.metrics.collect {
+          case (k, m) if k == "shuffleBytesWritten" => m.value
+        }.sum).sum
+      (sec, shuffleBytes)
+    }
+    try runOnce("q1_agg") catch { case _: Throwable => () } // warm-up
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val (t1, _) = runOnce(name)
+      val (t2, shuffle) = runOnce(name)
+      (name, math.min(t1, t2), shuffle)
+    }
+    val qs = results.map { case (k, v, s) =>
+      s""""$k":{"sec":$v,"shuffle_mb":${s / 1048576}}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

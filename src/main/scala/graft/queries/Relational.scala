@@ -210,14 +210,23 @@ object Relational {
     * "stats profile" aggregation shape. percentile() sorts within each
     * group: exact, deterministic, identical to DuckDB's quantile_cont. */
   def qStats(spark: SparkSession, dir: String): DataFrame = {
+    // multiple count-distincts in one agg make Catalyst Expand every row
+    // once per distinct column — the percentile then sorts a 3x-inflated
+    // input. Separate passes (each with map-side partial combine) joined
+    // on the tiny group key are ~3x faster and scale-clean.
     val li = Tables.lineitem(spark, dir)
-    li.groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
-        percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
-        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+    val base = li.groupBy(col("l_returnflag")).agg(
+      percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+      percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
+      min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+    def distinctCount(key: String, as: String) =
+      li.select(col("l_returnflag"), col(key)).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+    base
+      .join(distinctCount("l_partkey", "n_parts"), Seq("l_returnflag"))
+      .join(distinctCount("l_suppkey", "n_supps"), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
+        col("p50_qty"), col("p90_price"), col("min_qty"), col("max_qty"))
       .orderBy(col("l_returnflag"))
   }
 
