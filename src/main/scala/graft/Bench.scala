@@ -66,11 +66,14 @@ object Bench {
       val (t2, shuffle) = runOnce(name)
       (name, math.min(t1, t2), shuffle)
     }
-    val qs = results.map { case (k, v, s) =>
-      s""""$k":{"sec":$v,"shuffle_mb":${s / 1048576}}"""
-    }.mkString("{", ",", "}")
+    // driver contract: "queries" maps name -> seconds (scalar). Shuffle
+    // volumes ride in a separate key.
+    val qs = results.map { case (k, v, _) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    val sh = results.map { case (k, _, s) => s""""$k":${s / 1048576}""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
