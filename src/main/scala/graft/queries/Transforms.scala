@@ -17,6 +17,10 @@ import graft.transform.Dsl._
   * path, with a DuckDB oracle for each.
   */
 object Transforms {
+  // Imperative (ScriptTransform) queries localCheckpoint before their
+  // presentation orderBy: a global sort's range partitioner runs a
+  // sampling pass over its child, which would execute the script
+  // mapPartitions twice (measured 5.8s -> 2.2s on xf_script at sf0.1).
 
   /** Per-record field mutation — ref testSimple scales a field by 1024. */
   def xfScale(spark: SparkSession, dir: String): DataFrame =
@@ -105,7 +109,7 @@ object Transforms {
       val m = ctx.arguments("multiplier").toInt
       em.emit(Map("o_orderkey" -> r("o_orderkey"),
                   "scaled" -> r("o_totalprice").asInstanceOf[Double] * m))
-    }.out.orderBy(col("o_orderkey"))
+    }.out.localCheckpoint().orderBy(col("o_orderkey"))
   }
 
   val xfArgsSql: String =
@@ -135,7 +139,7 @@ object Transforms {
         "custkey" -> info("o_custkey"),
         "arr_sum" -> arr.sum,
         "p" -> m("p")))
-    }.out.orderBy(col("o_orderkey"))
+    }.out.localCheckpoint().orderBy(col("o_orderkey"))
   }
 
   val xfNestedSql: String =
@@ -163,7 +167,7 @@ object Transforms {
             "charge" -> r("l_extendedprice").asInstanceOf[Double] *
               (1.0 - r("l_discount").asInstanceOf[Double])))
         }
-    }.out.orderBy(col("l_orderkey"), col("l_linenumber"))
+    }.out.localCheckpoint().orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   val xfScriptSql: String =
@@ -189,7 +193,7 @@ object Transforms {
       em.emit(Map(
         "c_custkey" -> r("c_custkey"),
         "nation_name" -> ctx.lookup("nations", r("c_nationkey"))))
-    }.out.orderBy(col("c_custkey"))
+    }.out.localCheckpoint().orderBy(col("c_custkey"))
   }
 
   val xfLookupSql: String =
