@@ -437,6 +437,27 @@ object Relational {
       |  min(k) AS min_k, max(k) AS max_k
       |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The SQL entry path: the same engine surface through `spark.sql` on
+    * registered views — here a correlated scalar subquery (decorrelated
+    * by Catalyst into an aggregate + join, never a per-row loop). */
+  def qSqlCorr(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+        |    AS max_order
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val qSqlCorrSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+      |    AS max_order
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   /** Tumbling-window event counts (batch form of the streaming agg). */
   def stWindowAgg(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -476,6 +497,7 @@ object Relational {
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_sessionize" -> (qSessionize _),
     "q_json" -> (qJson _),
+    "q_sql_corr" -> (qSqlCorr _),
     "st_window_agg" -> (stWindowAgg _))
 
   val oracles: Map[String, String] = Map(
@@ -496,5 +518,6 @@ object Relational {
     "q_topk_per_group" -> qTopkPerGroupSql,
     "q_sessionize" -> qSessionizeSql,
     "q_json" -> qJsonSql,
+    "q_sql_corr" -> qSqlCorrSql,
     "st_window_agg" -> stWindowAggSql)
 }
