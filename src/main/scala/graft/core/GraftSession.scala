@@ -30,6 +30,9 @@ object GraftSession {
       // dim filter prunes the fact scan before the shuffle
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed (bucketed) tables land in tmp, not the caller's cwd
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   /** Apply engine confs to an existing session (e.g. one the driver built). */

@@ -50,6 +50,22 @@ object Sources {
       .write.mode(mode).parquet(path)
   }
 
+  /** Bucketed managed table: pre-hash-partition the data on the join key
+    * at write time. Two tables bucketed the same way join with NO
+    * exchange — the shuffle is paid once at layout time instead of on
+    * every query, the core trick for repeated fact-fact joins at 100 TB.
+    * (Bucketed layout requires the catalog, hence saveAsTable.) */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true,
                mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).option("header", header.toString)

@@ -74,6 +74,45 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bucketed tables join with no exchange (co-located join)") {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    // the in-memory catalog forgets tables across JVMs but warehouse files
+    // persist — clear stale locations from previous runs
+    Seq("li_b", "ord_b").foreach { t =>
+      val loc = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Sources.writeBucketed(li, "li_b", "l_orderkey", 8)
+    Sources.writeBucketed(ord, "ord_b", "o_orderkey", 8)
+    // disable broadcast so the test exercises the shuffle-join path the
+    // bucketing is supposed to eliminate (at real scale neither side
+    // broadcasts anyway)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val ex = joined.queryExecution.executedPlan.toString
+      assert(ex.contains("SortMergeJoin") || ex.contains("ShuffledHashJoin"),
+        s"expected a shuffle-family join:\n$ex")
+      // the whole point: neither side shuffles — bucketing pre-partitioned them
+      assert(!ex.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$ex")
+      assert(joined.count() ===
+        li.join(ord, col("l_orderkey") === col("o_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("writeChannels materializes out/errors/alerts from one pass") {
     val df = spark.range(10).toDF("id")
     val out = StructType(Seq(StructField("id", LongType)))
