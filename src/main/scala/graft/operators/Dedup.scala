@@ -339,7 +339,51 @@ object Dedup {
       |JOIN documents tb ON doc_b = tb.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Dedup applied end-to-end: find verified near-dups (J >= 0.9), drop
+    * the higher doc_id of each pair, report the surviving corpus profile —
+    * the full curation-pipeline composition (candidate generation →
+    * verification → policy → apply), not just pair discovery. */
+  def applyNearDupPolicy(docs: DataFrame, minJaccard: Double = 0.9): DataFrame = {
+    val dropIds = minhashLsh(docs)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+  }
+
+  def ddPipeline(spark: SparkSession, dir: String): DataFrame =
+    applyNearDupPolicy(Tables.documents(spark, dir))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  val ddPipelineSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS shingles
+      |  FROM toks WHERE len(w) >= 3),
+      |sig AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(['0','1','2','3','4','5','6','7','8','9','10','11','12','13','14','15'],
+      |      j -> list_min(list_transform(shingles, s -> md5(j||'|'||s)))) AS mh
+      |  FROM sh),
+      |bands AS (
+      |  SELECT doc_id, b, md5(mh[4*b+1]||'|'||mh[4*b+2]||'|'||mh[4*b+3]||'|'||mh[4*b+4]) AS bk
+      |  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+      |pairs AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id),
+      |dropids AS (
+      |  SELECT DISTINCT doc_b AS doc_id FROM pairs
+      |  JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
+      |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |        CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.9)
+      |SELECT lang, count(*) AS n_docs FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_pipeline" -> (ddPipeline _),
     "dd_editdist" -> (ddEditdist _),
     "dd_exact" -> (ddExact _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
@@ -348,6 +392,7 @@ object Dedup {
     "dd_embed_cosine" -> (ddEmbedCosine _))
 
   val oracles: Map[String, String] = Map(
+    "dd_pipeline" -> ddPipelineSql,
     "dd_editdist" -> ddEditdistSql,
     "dd_exact" -> ddExactSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
