@@ -437,6 +437,51 @@ object Relational {
       |  min(k) AS min_k, max(k) AS max_k
       |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Scalar-function surface: string/date/math functions with
+    * engine-exact semantics (sqrt is correctly rounded per IEEE; no
+    * transcendentals — exp/log differ in the last ulp across libms). */
+  def qFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    ord.select(
+        col("o_orderkey"),
+        upper(col("o_orderstatus")).as("status_u"),
+        lpad(col("o_orderkey").cast(StringType), 12, "0").as("key_pad"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+        reverse(col("o_orderpriority")).as("prio_rev"),
+        length(col("o_orderpriority")).as("prio_len"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        datediff(lit("2002-01-01").cast(DateType), col("o_orderdate").cast(DateType))
+          .as("days_to_2002"),
+        abs(col("o_totalprice") * -1).as("abs_price"),
+        ceil(col("o_totalprice")).as("ceil_price"),
+        floor(col("o_totalprice")).as("floor_price"),
+        round(col("o_totalprice"), 1).as("round_price"),
+        sqrt(col("o_totalprice")).as("sqrt_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qFuncsSql: String =
+    """SELECT o_orderkey,
+      |  upper(o_orderstatus) AS status_u,
+      |  lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_pad,
+      |  substr(o_orderpriority, 1, 1) AS prio_code,
+      |  o_orderstatus || '-' || o_orderpriority AS tag,
+      |  reverse(o_orderpriority) AS prio_rev,
+      |  length(o_orderpriority) AS prio_len,
+      |  EXTRACT(year FROM o_orderdate) AS y,
+      |  EXTRACT(month FROM o_orderdate) AS m,
+      |  EXTRACT(day FROM o_orderdate) AS d,
+      |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+      |  abs(o_totalprice * -1) AS abs_price,
+      |  CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+      |  round(o_totalprice, 1) AS round_price,
+      |  sqrt(o_totalprice) AS sqrt_price
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** The SQL entry path: the same engine surface through `spark.sql` on
     * registered views — here a correlated scalar subquery (decorrelated
     * by Catalyst into an aggregate + join, never a per-row loop). */
@@ -498,6 +543,7 @@ object Relational {
     "q_sessionize" -> (qSessionize _),
     "q_json" -> (qJson _),
     "q_sql_corr" -> (qSqlCorr _),
+    "q_funcs" -> (qFuncs _),
     "st_window_agg" -> (stWindowAgg _))
 
   val oracles: Map[String, String] = Map(
@@ -519,5 +565,6 @@ object Relational {
     "q_sessionize" -> qSessionizeSql,
     "q_json" -> qJsonSql,
     "q_sql_corr" -> qSqlCorrSql,
+    "q_funcs" -> qFuncsSql,
     "st_window_agg" -> stWindowAggSql)
 }
