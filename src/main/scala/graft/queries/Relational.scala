@@ -287,6 +287,49 @@ object Relational {
       |   EXCEPT SELECT s_nationkey FROM supplier)
       |ORDER BY which, nationkey""".stripMargin
 
+  /** Explicit GROUPING SETS (beyond rollup/cube): exactly the requested
+    * grouping combinations, via the SQL path. */
+  def qGsets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+        .stripMargin)
+  }
+
+  val qGsetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** FULL OUTER join: every customer and every order, matched where
+    * possible — null-extension semantics on both sides. */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey"), col("c_name"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+  }
+
+  val qOuterJoinSql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000.0) c
+      |FULL OUTER JOIN
+      |  (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |   WHERE o_totalprice > 400000.0) o
+      |ON c_custkey = o_custkey
+      |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin
+
   /** Left-semi join: customers that have at least one open order. */
   def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
@@ -536,6 +579,8 @@ object Relational {
     "q_approx" -> (qApprox _),
     "q_setops" -> (qSetops _),
     "q_semijoin" -> (qSemiJoin _),
+    "q_gsets" -> (qGsets _),
+    "q_outer_join" -> (qOuterJoin _),
     "q_exists" -> (qExists _),
     "q_pivot" -> (qPivot _),
     "q_union_distinct" -> (qUnionDistinct _),
@@ -558,6 +603,8 @@ object Relational {
     "q_stats" -> qStatsSql,
     "q_setops" -> qSetopsSql,
     "q_semijoin" -> qSemiJoinSql,
+    "q_gsets" -> qGsetsSql,
+    "q_outer_join" -> qOuterJoinSql,
     "q_exists" -> qExistsSql,
     "q_pivot" -> qPivotSql,
     "q_union_distinct" -> qUnionDistinctSql,
