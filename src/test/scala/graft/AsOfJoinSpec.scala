@@ -50,6 +50,36 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Array((1, 10, "z")))
   }
 
+  test("agrees with a naive in-memory reference on generated cases") {
+    // deterministic pseudo-random instance, no RNG object state
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val left = (0 until 300).map(i =>
+      (Math.floorMod(mix(i), 7L).toInt, Math.floorMod(mix(i * 31 + 1), 50L).toInt))
+    val right = (0 until 200).map(i =>
+      (Math.floorMod(mix(i + 1000), 7L).toInt,
+       Math.floorMod(mix(i * 17 + 2), 50L).toInt, s"v$i"))
+    val got = run(left, right).toSeq
+    val expected = left.map { case (k, t) =>
+      val candidates = right.filter(r => r._1 == k && r._2 <= t)
+      val best =
+        if (candidates.isEmpty) null
+        // operator tiebreak: latest time, then greatest tiebreak (here v-string)
+        else candidates.maxBy(r => (r._2, r._3))._3
+      (k, t, best)
+    }.sortBy(r => (r._1, r._2))
+    // compare as multisets per (k,t) — duplicate left rows are legal
+    def norm(rs: Seq[(Int, Int, String)]): Map[(Int, Int), Seq[String]] =
+      rs.groupBy(r => (r._1, r._2))
+        .view.mapValues(_.map(r => Option(r._3).getOrElse("<none>")).sorted)
+        .toMap
+    assert(norm(got) === norm(expected))
+  }
+
   test("keys never mix") {
     val got = run(
       left = Seq((1, 10), (2, 10)),
