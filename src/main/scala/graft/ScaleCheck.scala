@@ -14,7 +14,12 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val rows = if (args.nonEmpty) args(0).toLong else 100000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+    // spill-aware partition sizing: ~50 shingle-rows per doc means 32
+    // partitions stop fitting in memory past ~1M docs. Scale the shuffle
+    // partition count with the corpus (AQE coalesces the excess away on
+    // small stages) — the same rule a cluster deployment applies.
+    val shufflePartitions = math.max(cpus.toInt, (rows / 25000L).toInt)
+    val spark = graft.core.GraftSession.builder(s"local[$cpus]", shufflePartitions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.format("docgen")
