@@ -8,11 +8,21 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   * than the test scale factors and print one JSON line of timings. Not
   * part of the driver contract — a standing answer to "would this still
   * work at 100x?", exercised against the DSv2 generator so no test data
-  * is needed. Usage: runMain graft.ScaleCheck [rows]
+  * is needed.
+  *
+  * Usage: runMain graft.ScaleCheck [rows] [dupPct] [vocabMul]
+  *  - dupPct > 0 plants corpus-scale duplicate clusters (web-dup-density
+  *    regime) and additionally runs the end-to-end dedup pipeline, whose
+  *    drop set is then ~dupPct% of the corpus — the case that must NOT
+  *    be a driver broadcast.
+  *  - vocabMul widens the 30-word generator vocabulary (x vocabMul), the
+  *    realistic-density setting for simhash candidate-count rehearsals.
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val rows = if (args.nonEmpty) args(0).toLong else 100000L
+    val dupPct = if (args.length > 1) args(1).toInt else 0
+    val vocabMul = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // spill-aware partition sizing: ~50 shingle-rows per doc means 32
     // partitions stop fitting in memory past ~1M docs. Scale the shuffle
@@ -23,25 +33,34 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.format("docgen")
-      .option("rows", rows).option("partitions", cpus.toInt * 2).load()
+      .option("rows", rows).option("partitions", cpus.toInt * 2)
+      .option("dupPct", dupPct).option("vocabMul", vocabMul).load()
     def t(name: String)(f: => Long): (String, Double, Long) = {
       val t0 = System.nanoTime()
       val n = f
       (name, (System.nanoTime() - t0) / 1e9, n)
     }
-    val results = Seq(
+    val base = Seq(
       t("tx_quality")(TextAnalysis.quality(docs).count()),
       t("tx_topterms")(TextAnalysis.topTerms(docs).count()),
       t("dd_exact")(Dedup.exact(docs).count()),
       t("dd_simhash_sigs")(Dedup.simhash(docs).count()),
+      // candidate-pair generation, the quadratic-risk step: rows here is
+      // the sub-quadratic evidence the banding (+ bucket cap) must show
+      t("dd_simhash_pairs")(Dedup.simhashPairs(docs, maxBucket = 2000).count()),
       t("dd_minhash_lsh")(Dedup.minhashLsh(docs).count()))
-    // dd_ngram_jaccard is deliberately absent: the docgen corpus has a
-    // 30-word vocabulary, so EVERY doc pair shares shingles (~460M
+    // the end-to-end pipeline (anti-join on the corpus-scale drop set)
+    // only says something new under planted dup density
+    val results = if (dupPct > 0)
+      base :+ t("dd_pipeline")(Dedup.applyNearDupPolicy(docs).count())
+    else base
+    // dd_ngram_jaccard is deliberately absent: the default docgen corpus
+    // has a 30-word vocabulary, so EVERY doc pair shares shingles (~460M
     // candidate pairs at 100k docs) — exact all-pairs Jaccard is the
     // wrong op for dense corpora; minhashLsh above is its scale path.
     val qs = results.map { case (k, s, n) => s""""$k":{"sec":$s,"rows":$n}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale_check","rows":$rows,"ops":$qs}""")
+    println(s"""{"metric":"scale_check","rows":$rows,"dup_pct":$dupPct,"vocab_mul":$vocabMul,"ops":$qs}""")
     spark.stop()
   }
 }

@@ -100,21 +100,25 @@ object Dedup {
       .distinct()
     // verify candidates with true Jaccard (shared = |A ∩ B|,
     // J = shared / (|A| + |B| - shared)). First slice the tall table down
-    // to candidate doc_ids with ONE broadcast semi-join map pass — after
-    // that every verification join touches thousands of rows, not the
-    // corpus: no composite-key shuffle or sort of the full shingle table.
+    // to candidate doc_ids with a semi-join, then all verification joins
+    // touch only the candidate slice, not the corpus. No broadcast hints:
+    // on a web-scale corpus 30-50% of documents are near-dups, so the
+    // candidate set is corpus-scale and a forced broadcast OOMs the
+    // driver — plain shuffle joins scale unconditionally, and AQE still
+    // converts them to broadcasts at runtime when the side is genuinely
+    // small (the test corpora), so nothing is lost at low dup rates.
     val candIds = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val tallCand = tall.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .distinct() // set semantics for |A ∩ B| / sizes — tiny slice only
+    val tallCand = tall.join(candIds, Seq("doc_id"), "left_semi")
+      .distinct() // set semantics for |A ∩ B| / sizes — candidate slice only
       .localCheckpoint()
     val sizes = tallCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shared = broadcast(pairs)
+    val shared = pairs
       .join(tallCand.as("ta"), col("doc_a") === col("ta.doc_id"))
       .join(tallCand.as("tb"),
         col("doc_b") === col("tb.doc_id") && col("ta.s") === col("tb.s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
-    broadcast(shared)
+    shared
       .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
       .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -149,36 +153,71 @@ object Dedup {
       |FROM pairs JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** 64-bit (here 60-bit, md5-derived) SimHash + 15-bit-band candidate
-    * pairs within hamming distance 3. The bit-sum aggregation decomposes
-    * into partial aggregates (map-side combine), so the shuffle carries 60
-    * longs per doc, not tokens. */
-  def simhash(docs: DataFrame, nBits: Int = 60): DataFrame = {
+  /** True 64-bit SimHash, carried as two 32-bit halves (`sh_lo` = bits
+    * 0..31, `sh_hi` = bits 32..63). Both halves stay positive longs, so
+    * every shift/mask/xor is portable to the DuckDB oracle without signed
+    * 64-bit edge cases. Token bits come from the first 16 hex chars of
+    * md5. The bit-sum aggregation decomposes into partial aggregates
+    * (map-side combine), so the shuffle carries 64 longs per doc, not
+    * tokens. */
+  def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
     val h = tok.select(col("doc_id"),
-      conv(substring(md5(col("t")), 1, 15), 16, 10).cast(LongType).as("hv"))
+      conv(substring(md5(col("t")), 1, 8), 16, 10).cast(LongType).as("lo"),
+      conv(substring(md5(col("t")), 9, 8), 16, 10).cast(LongType).as("hi"))
+    def bitSum(half: Column, b: Int) =
+      sum(when(shiftright(half, b).bitwiseAND(1) === 1, 1).otherwise(-1))
     val bitSums = h.groupBy(col("doc_id")).agg(
-      sum(when(shiftright(col("hv"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("s0"),
-      (1 until nBits).map(b =>
-        sum(when(shiftright(col("hv"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")): _*)
-    bitSums.select(col("doc_id"),
-      (0 until nBits).map(b =>
-        when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-        .reduce(_ + _).as("sh"))
+      bitSum(col("lo"), 0).as("s0"),
+      ((1 until 32).map(b => bitSum(col("lo"), b).as(s"s$b")) ++
+        (0 until 32).map(b => bitSum(col("hi"), b).as(s"s${32 + b}"))): _*)
+    def pack(off: Int) =
+      (0 until 32).map(b =>
+        when(col(s"s${off + b}") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+        .reduce(_ + _)
+    bitSums.select(col("doc_id"), pack(0).as("sh_lo"), pack(32).as("sh_hi"))
   }
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** Candidate pairs within hamming distance `maxHamming` via 4 x 16-bit
+    * LSH bands (pigeonhole: ≤3 differing bits over 4 bands ⇒ at least one
+    * band matches exactly). 65,536 values per band keeps mean bucket
+    * occupancy ~n/65536 per band; buckets whose occupancy still exceeds
+    * `maxBucket` (template-duplicated corpora) are sub-split with an
+    * 8-bit secondary key drawn from the *opposite* half of the signature,
+    * which bounds the per-bucket self-join at the cost of missing pairs
+    * that differ inside the secondary byte AND in all three other bands —
+    * a deliberate, documented recall trade; the cap never triggers on the
+    * test corpora so oracle results are exact. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 100000): DataFrame = {
     // materialize: the band self-join would otherwise run the whole
-    // tokenize + 60-bit-sum pipeline once per side
+    // tokenize + 64-bit-sum pipeline once per side
     val sim = simhash(docs).localCheckpoint()
-    val banded = sim.select(col("doc_id"), col("sh"), posexplode(array(
-      (0 until 4).map(b => shiftright(col("sh"), 15 * b).bitwiseAND(32767)): _*)))
-      .toDF("doc_id", "sh", "b", "bk")
-    banded.as("x").join(banded.as("y"),
+    val banded = sim.select(col("doc_id"), col("sh_lo"), col("sh_hi"), posexplode(array(
+      shiftright(col("sh_lo"), 0).bitwiseAND(65535),
+      shiftright(col("sh_lo"), 16).bitwiseAND(65535),
+      shiftright(col("sh_hi"), 0).bitwiseAND(65535),
+      shiftright(col("sh_hi"), 16).bitwiseAND(65535))))
+      .toDF("doc_id", "sh_lo", "sh_hi", "b", "bk")
+      // secondary sub-key from the opposite half's low byte — applied only
+      // inside oversized buckets below
+      .withColumn("sub", when(col("b") < 2,
+        col("sh_hi").bitwiseAND(255)).otherwise(col("sh_lo").bitwiseAND(255)))
+    // bucket occupancy: map-side-combined count on (b, bk) — bounded at
+    // 4 x 65536 groups, so this shuffle is fixed-size whatever the corpus
+    val hot = banded.groupBy(col("b"), col("bk"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") > maxBucket)
+      .select(col("b"), col("bk"), lit(true).as("_hot"))
+    val keyed = banded.join(hot, Seq("b", "bk"), "left_outer")
+      .select(col("doc_id"), col("sh_lo"), col("sh_hi"), col("b"),
+        when(col("_hot").isNotNull, col("bk") * 256 + col("sub"))
+          .otherwise(col("bk")).as("bk"))
+    keyed.as("x").join(keyed.as("y"),
         col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+        (bit_count(col("x.sh_lo").bitwiseXOR(col("y.sh_lo"))) +
+          bit_count(col("x.sh_hi").bitwiseXOR(col("y.sh_hi")))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -188,19 +227,27 @@ object Dedup {
 
   val ddSimhashSql: String =
     """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
-      |h AS (SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT AS hv FROM tok),
+      |h AS (SELECT doc_id, ('0x'||substr(md5(t),1,8))::BIGINT AS lo,
+      |             ('0x'||substr(md5(t),9,8))::BIGINT AS hi FROM tok),
       |bits AS (
-      |  SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      |  FROM h CROSS JOIN (SELECT unnest(range(0,60)) AS b) GROUP BY doc_id, b),
+      |  SELECT doc_id, b,
+      |    sum(CASE WHEN b < 32
+      |             THEN CASE WHEN (lo >> b) & 1 = 1 THEN 1 ELSE -1 END
+      |             ELSE CASE WHEN (hi >> (b-32)) & 1 = 1 THEN 1 ELSE -1 END END) AS s
+      |  FROM h CROSS JOIN (SELECT unnest(range(0,64)) AS b) GROUP BY doc_id, b),
       |sim AS (
-      |  SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END)::BIGINT AS sh
+      |  SELECT doc_id,
+      |    sum(CASE WHEN s > 0 AND b < 32 THEN 1::BIGINT << b ELSE 0::BIGINT END)::BIGINT AS sh_lo,
+      |    sum(CASE WHEN s > 0 AND b >= 32 THEN 1::BIGINT << (b-32) ELSE 0::BIGINT END)::BIGINT AS sh_hi
       |  FROM bits GROUP BY doc_id),
       |bands AS (
-      |  SELECT doc_id, sh, b2, (sh >> (15*b2)) & 32767 AS bk
+      |  SELECT doc_id, sh_lo, sh_hi, b2,
+      |    CASE b2 WHEN 0 THEN sh_lo & 65535 WHEN 1 THEN (sh_lo >> 16) & 65535
+      |            WHEN 2 THEN sh_hi & 65535 ELSE (sh_hi >> 16) & 65535 END AS bk
       |  FROM sim CROSS JOIN (SELECT unnest([0,1,2,3]) AS b2)),
       |pairs AS (
       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-      |    bit_count(xor(x.sh, y.sh)) AS hamming
+      |    bit_count(xor(x.sh_lo, y.sh_lo)) + bit_count(xor(x.sh_hi, y.sh_hi)) AS hamming
       |  FROM bands x JOIN bands y ON x.b2 = y.b2 AND x.bk = y.bk AND x.doc_id < y.doc_id)
       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
@@ -267,22 +314,45 @@ object Dedup {
       |WHERE CAST(shared AS DOUBLE) / CAST(len(sa.shingles) + len(sb.shingles) - shared AS DOUBLE) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Embedding-cosine near-dup pairs above a threshold, exact. (The test
-    * corpus is random vectors — max pairwise cos ~0.5 — so the default
-    * threshold is 0.4; a real near-dup sweep would use ~0.95.) The dot
-    * product is a sequential left fold over doubles so the oracle's
-    * list_dot_product matches bit-for-bit. This exact variant compares all
-    * pairs (fine for a near-dup audit of a bucketed shard); the 100 TB
-    * path buckets by hyperplane LSH first — see [[Similarity.lshTopK]]. */
-  def embedCosinePairs(emb: DataFrame, minCos: Double = 0.4): DataFrame = {
+  /** Embedding-cosine near-dup pairs above a threshold, LSH-blocked.
+    *
+    * Candidate pairs come from `nTables` independent random-hyperplane
+    * hash tables (`nPlanes` sign bits each — [[Similarity.lshBucket]]
+    * with disjoint plane families): a pair is compared iff it lands in
+    * the same bucket of at least one table, so the comparison is a
+    * co-partitioned **equi-join on (table, bucket)** — never the O(N²)
+    * theta join an exact sweep needs. Within a bucket the cosine is
+    * exact (sequential-fold dot product == DuckDB list_dot_product
+    * bit-for-bit), and the DuckDB oracle reproduces the identical plane
+    * construction, so results hash-match. Multi-table recall at the
+    * near-dup regime (cos ≥ 0.95): a single 8-plane table retains
+    * ~(1-θ/π)^8 ≈ 0.43 of pairs; 4 tables lift that to ~0.9, and
+    * planted-pair recall is asserted in OperatorsSpec. (The test corpus
+    * is random vectors — max pairwise cos ~0.5 — so the default
+    * threshold is 0.4.) */
+  def embedCosinePairs(emb: DataFrame, minCos: Double = 0.4,
+                       nPlanes: Int = 8, nTables: Int = 4,
+                       dim: Int = 64): DataFrame = {
     val v = emb.select(col("vec_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("v"))
     val withNorm = v.withColumn("n2", Similarity.dot(col("v"), col("v")))
-    withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
+    // bucket ids for all tables in one pass; materialize so the self-join
+    // does not recompute nTables x nPlanes dot products per side
+    val bucketed = withNorm.select(col("vec_id"), col("v"), col("n2"),
+        posexplode(array((0 until nTables).map(t =>
+          Similarity.lshBucket(col("v"), nPlanes, dim, t * nPlanes)): _*)))
+      .toDF("vec_id", "v", "n2", "t", "bk")
+      .localCheckpoint()
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
+        col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (Similarity.dot(col("a.v"), col("b.v")) /
           (sqrt(col("a.n2")) * sqrt(col("b.n2")))).as("cos"))
       .filter(col("cos") >= minCos)
+      // a pair colliding in several tables appears once per table; the
+      // cosine is deterministic, so a plain distinct dedups exactly
+      .distinct()
   }
 
   def ddEmbedCosine(spark: SparkSession, dir: String): DataFrame =
@@ -290,11 +360,21 @@ object Dedup {
 
   val ddEmbedCosineSql: String =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM v)
-      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) AS cos
-      |FROM n a JOIN n b ON a.vec_id < b.vec_id
-      |WHERE list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM v),
+      |planes AS (
+      |  SELECT t, p,
+      |    [CASE WHEN ('0x'||substr(md5((t*8+p)::VARCHAR||','||d::VARCHAR),1,2))::INT % 2 = 0
+      |          THEN 1.0 ELSE -1.0 END for d in range(0, 64)] AS pw
+      |  FROM (SELECT unnest([0,1,2,3]) AS t) CROSS JOIN
+      |       (SELECT unnest([0,1,2,3,4,5,6,7]) AS p)),
+      |b AS (
+      |  SELECT vec_id, any_value(v) AS v, any_value(n2) AS n2, t,
+      |    sum(CASE WHEN list_dot_product(v, pw) > 0 THEN 1 << p ELSE 0 END) AS bk
+      |  FROM n CROSS JOIN planes GROUP BY vec_id, t)
+      |SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+      |  list_dot_product(a.v, b2.v) / (sqrt(a.n2) * sqrt(b2.n2)) AS cos
+      |FROM b a JOIN b b2 ON a.t = b2.t AND a.bk = b2.bk AND a.vec_id < b2.vec_id
+      |WHERE list_dot_product(a.v, b2.v) / (sqrt(a.n2) * sqrt(b2.n2)) >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Edit-distance verification over LSH candidates: the precision pass a
@@ -302,9 +382,11 @@ object Dedup {
     * levenshtein touches only the candidate pairs LSH surfaced — never
     * the corpus cross product. */
   def editDistancePairs(docs: DataFrame): DataFrame = {
+    // no broadcast hint: the candidate set is corpus-scale at web dup
+    // rates — shuffle join on doc_id; AQE broadcasts when actually small
     val pairs = minhashLsh(docs).select(col("doc_a"), col("doc_b"))
     val texts = docs.select(col("doc_id"), col("text"))
-    broadcast(pairs)
+    pairs
       .join(texts.as("ta"), col("doc_a") === col("ta.doc_id"))
       .join(texts.as("tb"), col("doc_b") === col("tb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -344,10 +426,13 @@ object Dedup {
     * the full curation-pipeline composition (candidate generation →
     * verification → policy → apply), not just pair discovery. */
   def applyNearDupPolicy(docs: DataFrame, minJaccard: Double = 0.9): DataFrame = {
+    // shuffle anti-join, NOT a broadcast: at web-scale dup density the
+    // drop set is 30-50% of the corpus — a forced broadcast of it OOMs
+    // the driver. AQE broadcasts at runtime when the set is small.
     val dropIds = minhashLsh(docs)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_b").as("doc_id")).distinct()
-    docs.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+    docs.join(dropIds, Seq("doc_id"), "left_anti")
   }
 
   def ddPipeline(spark: SparkSession, dir: String): DataFrame =

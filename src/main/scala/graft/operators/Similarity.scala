@@ -77,10 +77,12 @@ object Similarity {
     }
 
   /** Random-hyperplane LSH bucket id: sign bit per plane, packed to int.
-    * A pure projection — computing it shuffles nothing. */
-  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
+    * A pure projection — computing it shuffles nothing. `planeOffset`
+    * selects a disjoint plane family, so callers can build L independent
+    * hash tables (multi-table LSH) for recall. */
+  def lshBucket(v: Column, nPlanes: Int, dim: Int, planeOffset: Int = 0): Column =
     (0 until nPlanes).map { p =>
-      val plane = array(planeWeights(p, dim).map(lit): _*)
+      val plane = array(planeWeights(planeOffset + p, dim).map(lit): _*)
       when(dot(v, plane) > 0, 1 << p).otherwise(0)
     }.reduce(_ + _)
 

@@ -56,18 +56,40 @@ object DocGen {
     z ^ (z >>> 31)
   }
 
-  def textFor(id: Long): String = {
+  def textFor(id: Long): String = textFor(id, 1)
+
+  /** `vocabMul > 1` widens the effective vocabulary by a deterministic
+    * numeric suffix (30 * vocabMul distinct tokens) — the 30-word default
+    * makes every doc pair share shingles, which is the right stress test
+    * for LSH banding but unrealistically dense for candidate-count
+    * rehearsals; a web corpus has ~1e5+ token types. */
+  def textFor(id: Long, vocabMul: Int): String = {
     val h = mix(id)
     val n = 20 + (Math.floorMod(h, 60L)).toInt
     val sb = new java.lang.StringBuilder(n * 6)
     var j = 0
     while (j < n) {
       if (j > 0) sb.append(' ')
-      sb.append(vocab(Math.floorMod(mix(id * 1315423911L + j), vocab.length.toLong).toInt))
+      val hw = mix(id * 1315423911L + j)
+      sb.append(vocab(Math.floorMod(hw, vocab.length.toLong).toInt))
+      if (vocabMul > 1) {
+        sb.append(Math.floorMod(mix(hw), vocabMul.toLong))
+      }
       j += 1
     }
     sb.toString
   }
+
+  /** Deterministic duplicate planting: with probability `dupPct`/100 a doc
+    * (id >= 1000) takes the text of a "parent" doc drawn from a bounded
+    * earlier window, producing corpus-scale duplicate clusters (avg
+    * cluster size grows with rows/window) — the web-dup-density regime
+    * the dedup pipeline must survive without broadcasting drop sets. */
+  def resolveId(id: Long, dupPct: Int): Long =
+    if (dupPct > 0 && id >= 1000 &&
+        Math.floorMod(mix(id + 31), 100L) < dupPct)
+      Math.floorMod(mix(id + 37), math.min(id, 100000L))
+    else id
 
   def langFor(id: Long): String = langs(Math.floorMod(mix(id + 7), langs.length.toLong).toInt)
   def sourceFor(id: Long): String = "gen" + Math.floorMod(mix(id + 13), 20L)
@@ -80,20 +102,24 @@ class DocGenTable extends Table with SupportsRead {
     JCollections.singleton(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocGenScanBuilder(options.getLong("rows", 1000L),
-      options.getInt("partitions", 4))
+      options.getInt("partitions", 4),
+      options.getInt("dupPct", 0),
+      options.getInt("vocabMul", 1))
 }
 
-class DocGenScanBuilder(rows: Long, partitions: Int)
+class DocGenScanBuilder(rows: Long, partitions: Int, dupPct: Int, vocabMul: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = DocGen.fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new DocGenScan(rows, partitions, required)
+  override def build(): Scan =
+    new DocGenScan(rows, partitions, required, dupPct, vocabMul)
 }
 
 case class DocGenPartition(start: Long, end: Long) extends InputPartition
 
-class DocGenScan(rows: Long, partitions: Int, required: StructType)
+class DocGenScan(rows: Long, partitions: Int, required: StructType,
+                 dupPct: Int, vocabMul: Int)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -103,20 +129,22 @@ class DocGenScan(rows: Long, partitions: Int, required: StructType)
       .toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocGenReaderFactory(required)
+    new DocGenReaderFactory(required, dupPct, vocabMul)
 }
 
-class DocGenReaderFactory(required: StructType)
+class DocGenReaderFactory(required: StructType, dupPct: Int, vocabMul: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DocGenPartition]
     // resolve required fields once per partition, not per row
     val fieldGens: Array[Long => Any] = required.fields.map(_.name match {
       case "doc_id" => (id: Long) => id
-      case "text" => (id: Long) => UTF8String.fromString(DocGen.textFor(id))
+      case "text" => (id: Long) =>
+        UTF8String.fromString(DocGen.textFor(DocGen.resolveId(id, dupPct), vocabMul))
       case "lang" => (id: Long) => UTF8String.fromString(DocGen.langFor(id))
       case "source" => (id: Long) => UTF8String.fromString(DocGen.sourceFor(id))
-      case "n_chars" => (id: Long) => DocGen.textFor(id).length.toLong
+      case "n_chars" => (id: Long) =>
+        DocGen.textFor(DocGen.resolveId(id, dupPct), vocabMul).length.toLong
       case other => throw new IllegalArgumentException(s"unknown column $other")
     })
     new PartitionReader[InternalRow] {

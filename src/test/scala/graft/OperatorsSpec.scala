@@ -42,6 +42,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(precision >= 0.9, s"simhash precision $precision")
   }
 
+  test("bucketed embed-cosine finds planted near-duplicate vectors") {
+    import spark.implicits._
+    // plant near-dups: vector i+1000 is vector i with one coordinate
+    // nudged — cosine ~0.999, the regime a real near-dup sweep targets
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val planted = base.map { case (id, v) =>
+      val w = v.clone(); w(0) += 0.01 * math.abs(w(0)) + 1e-3; (id + 1000000L, w)
+    }
+    val all = (base ++ planted).toSeq
+      .toDF("vec_id", "embedding")
+    val found = Dedup.embedCosinePairs(all, minCos = 0.99)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = base.count(b => found.contains((b._1, b._1 + 1000000L))).toDouble / base.length
+    // 4 tables x 8 planes: near-identical vectors share at least one
+    // bucket with high probability
+    assert(recall >= 0.85, s"bucketed embed-cosine recall $recall")
+  }
+
   test("LSH ANN recall vs brute-force top-5 is usable and cheaper") {
     val emb = Tables.embeddings(spark, dir)
     val brute = Similarity.bruteTopK(emb, col("vec_id") < 10)

@@ -122,6 +122,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rank filter not pushed down map-side:\n$ex")
   }
 
+  test("embed-cosine dedup is a bucket equi-join, not an all-pairs product") {
+    val df = Dedup.embedCosinePairs(Tables.embeddings(spark, dir))
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    assert(!ex.contains("BroadcastNestedLoopJoin") && !ex.contains("CartesianProduct"),
+      s"embed-cosine degenerated into a product join:\n$ex")
+    // the (table, bucket) key must drive a hash-based equi-join
+    assert(ex.contains("HashJoin") || ex.contains("SortMergeJoin"),
+      s"no equi-join on the LSH bucket key:\n$ex")
+  }
+
   test("minhash signature aggregation is partial (map-side combine)") {
     val p = Dedup.minhashLsh(Tables.documents(spark, dir))
       .queryExecution.executedPlan.toString
