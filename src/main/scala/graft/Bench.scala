@@ -27,7 +27,10 @@ object Bench {
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-        captured = qe
+        // only the noop save is the measured action: a query that eagerly
+        // materializes during construction (localCheckpoint) fires events
+        // for those sub-jobs too, which would misattribute shuffle bytes
+        if (funcName == "save" || funcName == "command") captured = qe
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     })
@@ -44,14 +47,24 @@ object Bench {
       }
       p +: (p.children ++ inner).flatMap(nodes)
     }
-    def runOnce(name: String): (Double, Long) = {
+    def runOnce(name: String): (Double, Long, Boolean) = {
       captured = null
       // time construction too: queries that eagerly materialize an
       // intermediate (localCheckpoint) do real work before the action
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      // a failure is REPORTED, never swallowed: a query that breaks must
+      // not masquerade as a fast success in the benchmark record
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+        }
       val sec = (System.nanoTime() - t0) / 1e9
       var waited = 0
       while (captured == null && waited < 2000) { Thread.sleep(10); waited += 10 }
@@ -60,22 +73,25 @@ object Bench {
         else nodes(captured.executedPlan).map(_.metrics.collect {
           case (k, m) if k == "shuffleBytesWritten" => m.value
         }.sum).sum
-      (sec, shuffleBytes)
+      (sec, shuffleBytes, ok)
     }
-    try runOnce("q1_agg") catch { case _: Throwable => () } // warm-up
+    runOnce("q1_agg") // warm-up (reported failure is visible but untimed)
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val (t1, _) = runOnce(name)
-      val (t2, shuffle) = runOnce(name)
-      (name, math.min(t1, t2), shuffle)
+      val (t1, _, ok1) = runOnce(name)
+      val (t2, shuffle, ok2) = runOnce(name)
+      (name, math.min(t1, t2), shuffle, ok1 && ok2)
     }
-    // driver contract: "queries" maps name -> seconds (scalar). Shuffle
-    // volumes ride in a separate key.
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }
+    // driver contract: "queries" maps name -> seconds (scalar). A failed
+    // query reports -1 (unmistakable in any downstream comparison) and is
+    // excluded from the total; names also land in "failed".
+    val qs = results.map { case (k, v, _, ok) => s""""$k":${if (ok) v else -1}""" }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, _, s) => s""""$k":${s / 1048576}""" }
+    val sh = results.map { case (k, _, s, _) => s""""$k":${s / 1048576}""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, _, false) => s""""$k"""" }
+      .mkString("[", ",", "]")
+    val total = results.filter(_._4).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,7 +10,9 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   * work at 100x?", exercised against the DSv2 generator so no test data
   * is needed.
   *
-  * Usage: runMain graft.ScaleCheck [rows] [dupPct] [vocabMul]
+  * Usage: runMain graft.ScaleCheck [rows] [dupPct] [vocabMul] [ops]
+  *  - ops: comma-separated op filter (default all), e.g.
+  *    `dd_simhash_sigs,dd_simhash_pairs` for the 10M banding rehearsal.
   *  - dupPct > 0 plants corpus-scale duplicate clusters (web-dup-density
   *    regime) and additionally runs the end-to-end dedup pipeline, whose
   *    drop set is then ~dupPct% of the corpus — the case that must NOT
@@ -23,6 +25,8 @@ object ScaleCheck {
     val rows = if (args.nonEmpty) args(0).toLong else 100000L
     val dupPct = if (args.length > 1) args(1).toInt else 0
     val vocabMul = if (args.length > 2) args(2).toInt else 1
+    val opsFilter: String => Boolean =
+      if (args.length > 3) args(3).split(",").toSet else (_ => true)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // spill-aware partition sizing: ~50 shingle-rows per doc means 32
     // partitions stop fitting in memory past ~1M docs. Scale the shuffle
@@ -35,11 +39,12 @@ object ScaleCheck {
     val docs = spark.read.format("docgen")
       .option("rows", rows).option("partitions", cpus.toInt * 2)
       .option("dupPct", dupPct).option("vocabMul", vocabMul).load()
-    def t(name: String)(f: => Long): (String, Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = f
-      (name, (System.nanoTime() - t0) / 1e9, n)
-    }
+    def t(name: String)(f: => Long): Option[(String, Double, Long)] =
+      if (!opsFilter(name)) None else {
+        val t0 = System.nanoTime()
+        val n = f
+        Some((name, (System.nanoTime() - t0) / 1e9, n))
+      }
     val base = Seq(
       t("tx_quality")(TextAnalysis.quality(docs).count()),
       t("tx_topterms")(TextAnalysis.topTerms(docs).count()),
@@ -48,11 +53,11 @@ object ScaleCheck {
       // candidate-pair generation, the quadratic-risk step: rows here is
       // the sub-quadratic evidence the banding (+ bucket cap) must show
       t("dd_simhash_pairs")(Dedup.simhashPairs(docs, maxBucket = 2000).count()),
-      t("dd_minhash_lsh")(Dedup.minhashLsh(docs).count()))
+      t("dd_minhash_lsh")(Dedup.minhashLsh(docs).count())).flatten
     // the end-to-end pipeline (anti-join on the corpus-scale drop set)
     // only says something new under planted dup density
     val results = if (dupPct > 0)
-      base :+ t("dd_pipeline")(Dedup.applyNearDupPolicy(docs).count())
+      base ++ t("dd_pipeline")(Dedup.applyNearDupPolicy(docs).count())
     else base
     // dd_ngram_jaccard is deliberately absent: the default docgen corpus
     // has a 30-word vocabulary, so EVERY doc pair shares shingles (~460M

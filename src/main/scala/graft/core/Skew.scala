@@ -15,16 +15,30 @@ object Skew {
 
   /** Equi-join `left` (large, skewed) with `right` (smaller) on `key`,
     * spreading each left key across `salts` shuffle partitions. The left
-    * side gets a deterministic per-row salt (hash of all columns — no RNG,
-    * so retried tasks salt identically); the right side is replicated
+    * side gets a deterministic per-row salt; the right side is replicated
     * `salts` times. One row of join fan-out semantics, `salts`x right
     * duplication — use for moderate `salts` and a right side that fits
     * comfortably, or as the fallback when AQE skew splitting can't apply
-    * (e.g. broadcast-ineligible aggregate-below-join shapes). */
+    * (e.g. broadcast-ineligible aggregate-below-join shapes).
+    *
+    * The salt mixes a per-row ordinal (partition id + within-partition
+    * index) with the row-content hash: fully duplicate rows — the classic
+    * cause of a hot key — then spread across salts instead of colliding
+    * onto one reducer, and the ordinal is still deterministic under task
+    * retry (a re-executed partition replays the same rows in the same
+    * order). Only inner/left join types are accepted: replicating the
+    * right side would emit unmatched right rows once per salt under
+    * right/full outer — semantically broken by construction. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
+    val norm = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")(norm),
+      s"saltedJoin supports inner/left join types only, got '$joinType': " +
+        "right/full outer would duplicate unmatched right rows per salt")
     val saltedLeft = left.withColumn("_salt",
-      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(salts)))
+      pmod(xxhash64(
+        (monotonically_increasing_id() +: left.columns.map(col).toSeq): _*),
+        lit(salts)))
     val saltedRight = right.withColumn("_salt",
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     saltedLeft.join(saltedRight, Seq(key, "_salt"), joinType).drop("_salt")

@@ -20,19 +20,21 @@ import graft.core.Tables
 object RangeJoin {
 
   /** Join left points (at `leftTime`, micros-precision timestamp) to right
-    * intervals [`start`, `end`) of bounded length, via bucketized
-    * equi-join. `bucketWidthSec` must be >= the longest interval for the
-    * 2-bucket explosion used here. */
+    * intervals [`start`, `end`), via bucketized equi-join. Each interval
+    * explodes into EVERY bucket it covers (ceil(len/width)+1 rows), so
+    * results are correct for any interval length — an interval longer
+    * than `bucketWidthSec` just costs proportionally more replication.
+    * Pick `bucketWidthSec` near the typical interval length so the
+    * replication factor stays ~2. */
   def pointInInterval(left: DataFrame, right: DataFrame,
                       leftTime: Column, start: Column, end: Column,
                       bucketWidthSec: Long): DataFrame = {
     val width = lit(bucketWidthSec)
     val lb = left.withColumn("_bucket", floor(unix_timestamp(leftTime) / width))
-    // an interval shorter than the bucket width overlaps at most 2 buckets
     val rb = right
       .withColumn("_sb", floor(unix_timestamp(start) / width))
       .withColumn("_eb", floor(unix_timestamp(end) / width))
-      .withColumn("_bucket", explode(array_distinct(array(col("_sb"), col("_eb")))))
+      .withColumn("_bucket", explode(sequence(col("_sb"), col("_eb"))))
       .drop("_sb", "_eb")
     lb.join(rb, "_bucket")
       .filter(leftTime >= start && leftTime < end)

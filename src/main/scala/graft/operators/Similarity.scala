@@ -111,6 +111,34 @@ object Similarity {
     lshTopK(Tables.embeddings(spark, dir), col("vec_id") < 10)
       .orderBy("q_id", "rk")
 
+  /** Full SQL oracle for the LSH path: the hyperplanes are deterministic
+    * md5 constructions ([[planeWeights]]: +1 iff the first md5 byte of
+    * "p,d" is even), so DuckDB rebuilds the identical planes and buckets
+    * and the "approximate" query hash-matches bit-for-bit. */
+  val annLshTopKSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM v),
+      |planes AS (
+      |  SELECT p,
+      |    [CASE WHEN ('0x'||substr(md5(p::VARCHAR||','||d::VARCHAR),1,2))::INT % 2 = 0
+      |          THEN 1.0 ELSE -1.0 END for d in range(0, 64)] AS pw
+      |  FROM (SELECT unnest([0,1,2,3]) AS p)),
+      |b AS (
+      |  SELECT vec_id, any_value(v) AS v, any_value(n2) AS n2,
+      |    sum(CASE WHEN list_dot_product(v, pw) > 0 THEN 1 << p ELSE 0 END) AS bk
+      |  FROM n CROSS JOIN planes GROUP BY vec_id),
+      |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, bk FROM b WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q_id, b.vec_id,
+      |    list_dot_product(qv, b.v) / (sqrt(qn2) * sqrt(b.n2)) AS cos
+      |  FROM q JOIN b ON q.bk = b.bk AND q.q_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id AS neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT q_id, neighbor_id, rk, cos FROM ranked WHERE rk <= 5
+      |ORDER BY q_id, rk""".stripMargin
+
   /** Per-label centroids — the coarse-quantizer building block of IVF
     * ANN. posexplode makes the aggregation a flat (label, dim) shape:
     * the shuffle carries n_labels x dim groups, partition-parallel.
@@ -142,21 +170,14 @@ object Similarity {
       |SELECT label, dim, sum(v ORDER BY vec_id) / count(*) AS mean_v
       |FROM tall GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
-  /** Plain per-(label,dim) means — for internal use (IVF assignment),
-    * where nearest-centroid decisions are insensitive to summation order
-    * and the ordered-fold window of [[centroids]] (needed only for
-    * oracle-exact output) would cost an extra sort. */
-  private def centroidsFast(emb: DataFrame): DataFrame =
-    emb.select(col("label"),
-        posexplode(col("embedding").cast(ArrayType(DoubleType))))
-      .toDF("label", "dim", "v")
-      .groupBy(col("label"), col("dim"))
-      .agg(avg(col("v")).as("mean_v"))
-
-  /** Centroids pivoted back to one ordered vector per label. Tiny (nlist
-    * rows) — the HOF here is off the hot path by construction. */
+  /** Centroids pivoted back to one ordered vector per label, built on the
+    * order-deterministic [[centroids]] fold so cell assignment (and with
+    * it the whole IVF result) is reproducible across engines — the extra
+    * (label, dim)-window sort is amortized over the corpus it quantizes.
+    * Tiny (nlist rows) — the HOF here is off the hot path by
+    * construction. */
   def centroidVectors(emb: DataFrame): DataFrame =
-    centroidsFast(emb).groupBy(col("label"))
+    centroids(emb).groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean_v")))),
         s => s.getField("mean_v")).as("cvec"))
 
@@ -164,8 +185,8 @@ object Similarity {
     * distance computations per vector, map-side min_by — no window, no
     * extra shuffle), then probe only the query's own cell. The
     * complement of [[lshTopK]]: data-adaptive cells instead of fixed
-    * hyperplanes. Approximate → rows-only oracle; recall vs brute is
-    * spec-tested. */
+    * hyperplanes. Deterministic by construction (ordered-fold centroids,
+    * (d2, label) tie-break) → full SQL oracle below. */
   def ivfTopK(emb: DataFrame, isQuery: Column => Column, k: Int = 5): DataFrame = {
     val all = normed(emb)
     val cells = all
@@ -174,7 +195,7 @@ object Similarity {
         (col("n2") - lit(2.0) * dot(col("v"), col("cvec")) +
           dot(col("cvec"), col("cvec"))).as("d2"))
       .groupBy(col("vec_id"))
-      .agg(min_by(col("label"), col("d2")).as("cell"),
+      .agg(min_by(col("label"), struct(col("d2"), col("label"))).as("cell"),
         first(col("v")).as("v"), first(col("n2")).as("n2"))
       // probe side and candidate side both read cells — assign once
       .localCheckpoint()
@@ -195,14 +216,50 @@ object Similarity {
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables.embeddings(spark, dir), v => v < 10).orderBy("q_id", "rk")
 
+  /** IVF oracle: rebuild the ordered-fold centroids, assign each vector
+    * to its nearest cell with the same (d2, label) tie-break, probe the
+    * query's cell — deterministic end to end, hash-matches Spark. */
+  val annIvfTopKSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+      |  FROM embeddings),
+      |tall AS (
+      |  SELECT label, vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)),
+      |cent AS (
+      |  SELECT label, dim, sum(val ORDER BY vec_id) / count(*) AS mean_v
+      |  FROM tall GROUP BY label, dim),
+      |cvecs AS (SELECT label, list(mean_v ORDER BY dim) AS cvec FROM cent GROUP BY label),
+      |dists AS (
+      |  SELECT n.vec_id, n.v, n.n2, c.label,
+      |    n.n2 - 2.0 * list_dot_product(n.v, c.cvec) + list_dot_product(c.cvec, c.cvec) AS d2
+      |  FROM n CROSS JOIN cvecs c),
+      |assign AS (
+      |  SELECT vec_id, v, n2, label AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+      |    FROM dists) WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, cell FROM assign WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q_id, a.vec_id,
+      |    list_dot_product(qv, a.v) / (sqrt(qn2) * sqrt(a.n2)) AS cos
+      |  FROM q JOIN assign a ON q.cell = a.cell AND q.q_id <> a.vec_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id AS neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT q_id, neighbor_id, rk, cos FROM ranked WHERE rk <= 5
+      |ORDER BY q_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> (annBruteTopK _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_centroids" -> (annCentroids _))
 
-  /** ann_lsh_topk intentionally omitted: approximate result, rows-only check. */
   val oracles: Map[String, String] = Map(
     "ann_brute_topk" -> annBruteTopKSql,
+    "ann_lsh_topk" -> annLshTopKSql,
+    "ann_ivf_topk" -> annIvfTopKSql,
     "ann_centroids" -> annCentroidsSql)
 }

@@ -242,17 +242,49 @@ object Relational {
   /** Approximate aggregates — the only way to count distincts on 100 TB
     * without a full shuffle of the key space: HLL++ sketches merge
     * map-side, so the shuffle carries one sketch per partition per group.
-    * Sketches differ across engines → rows-only check; the relative-error
-    * bound vs exact counts is asserted in OperatorsSpec. */
+    *
+    * Sketch values differ across engines, so the driver-visible output
+    * carries (a) the exact distinct counts, hash-checked bit-for-bit, and
+    * (b) booleans asserting each engine's own sketch lands within 10% of
+    * its own exact count — both engines emit `true`, so the oracle also
+    * verifies the sketch's error bound, not just rows. (The tighter 5%
+    * band on this data is asserted in OperatorsSpec.) Exact distincts are
+    * computed one column per pass: two distinct columns in one aggregate
+    * make Catalyst Expand the input N-fold — the q_stats lesson. */
   def qApprox(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    li.groupBy(col("l_returnflag"))
+    val approx = li.groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        approx_count_distinct(col("l_partkey")).as("_ap"),
+        approx_count_distinct(col("l_suppkey")).as("_as"),
         count(lit(1)).as("n"))
+    val exactParts = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    val exactSupps = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("exact_supps"))
+    approx.join(exactParts, Seq("l_returnflag"))
+      .join(exactSupps, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n"), col("exact_parts"), col("exact_supps"),
+        (abs(col("_ap") - col("exact_parts")) <= col("exact_parts") * 0.1)
+          .as("parts_within_10pct"),
+        (abs(col("_as") - col("exact_supps")) <= col("exact_supps") * 0.1)
+          .as("supps_within_10pct"))
       .orderBy(col("l_returnflag"))
   }
+
+  val qApproxSql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag, approx_count_distinct(l_partkey) AS ap,
+      |    approx_count_distinct(l_suppkey) AS asu, count(*) AS n
+      |  FROM lineitem GROUP BY l_returnflag),
+      |e AS (
+      |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      |    count(DISTINCT l_suppkey) AS exact_supps
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT a.l_returnflag, n, exact_parts, exact_supps,
+      |  abs(ap - exact_parts) <= exact_parts * 0.1 AS parts_within_10pct,
+      |  abs(asu - exact_supps) <= exact_supps * 0.1 AS supps_within_10pct
+      |FROM a JOIN e USING (l_returnflag) ORDER BY l_returnflag""".stripMargin
 
   /** CUBE aggregation: all grouping-set combinations of flag x status. */
   def qCube(spark: SparkSession, dir: String): DataFrame = {
@@ -592,6 +624,7 @@ object Relational {
     "st_window_agg" -> (stWindowAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q_approx" -> qApproxSql,
     "q1_agg" -> q1AggSql,
     "q3_join_agg" -> q3JoinAggSql,
     "q5_multijoin" -> q5MultiJoinSql,

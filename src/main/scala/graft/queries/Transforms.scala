@@ -176,6 +176,33 @@ object Transforms {
       |FROM lineitem WHERE l_returnflag <> 'R'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** emitAlert channel (ref PythonEvaluator.java:191-194): script flags
+    * anomalous records as alert payloads riding the same single tagged
+    * pass as the output channel; the driver query surfaces the alerts
+    * table. Also exercises the script logger ([[graft.transform
+    * .ScriptLogger]]) on the alert path. */
+  def xfAlerts(spark: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(StructField("o_orderkey", LongType)))
+    val res = ScriptTransform(Tables.orders(spark, dir), out) { (r, em, ctx) =>
+      val price = r("o_totalprice").asInstanceOf[Double]
+      if (price > 400000.0) {
+        ctx.logger.warn(s"high-value order ${r("o_orderkey")}")
+        em.emitAlert(Map("reason" -> "high_value",
+                         "order" -> r("o_orderkey").toString))
+      }
+      em.emit(Map("o_orderkey" -> r("o_orderkey")))
+    }
+    res.alerts
+      .select(element_at(col("payload"), "order").cast(LongType).as("o_orderkey"),
+        element_at(col("payload"), "reason").as("reason"))
+      .localCheckpoint().orderBy(col("o_orderkey"))
+  }
+
+  val xfAlertsSql: String =
+    """SELECT o_orderkey, 'high_value' AS reason
+      |FROM orders WHERE o_totalprice > 400000.0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Lookup-provider transform (ref declares context.getLookup but throws
     * Unsupported — Graft implements it): enrich each customer with its
     * nation name from a broadcast lookup dataset. The imperative
@@ -202,6 +229,7 @@ object Transforms {
       |ORDER BY c_custkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "xf_alerts" -> (xfAlerts _),
     "xf_lookup" -> (xfLookup _),
     "xf_scale" -> (xfScale _),
     "xf_flatmap" -> (xfFlatmap _),
@@ -213,6 +241,7 @@ object Transforms {
     "xf_script" -> (xfScript _))
 
   val oracles: Map[String, String] = Map(
+    "xf_alerts" -> xfAlertsSql,
     "xf_lookup" -> xfLookupSql,
     "xf_scale" -> xfScaleSql,
     "xf_flatmap" -> xfFlatmapSql,

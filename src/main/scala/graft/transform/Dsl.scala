@@ -96,11 +96,18 @@ object Dsl {
     * reference's emitError semantics (ref: PythonEvaluator.java:186-204)
     * as two filters over the same scan; Catalyst pushes both predicates
     * down, no driver round-trip.
+    *
+    * The split is exhaustive: SQL three-valued logic would otherwise drop
+    * rows where `invalidWhen` evaluates to NULL (e.g. a null field inside
+    * the predicate) from BOTH channels — the opposite of what a
+    * quarantine primitive promises. A NULL verdict means validity could
+    * not be established, so those rows route to the error channel (the
+    * conservative data-quality choice): valid ⟺ invalidWhen IS FALSE.
     */
   def splitErrors(df: DataFrame, invalidWhen: Column, errorCode: Int,
                   errorMsg: Column): (DataFrame, DataFrame) = {
-    val valid = df.filter(!invalidWhen)
-    val errors = df.filter(invalidWhen).select(
+    val valid = df.filter(coalesce(!invalidWhen, lit(false)))
+    val errors = df.filter(coalesce(invalidWhen, lit(true))).select(
       lit(errorCode).as("errorCode") +: errorMsg.as("errorMsg") +:
         df.columns.toSeq.map(col): _*)
     (valid, errors)

@@ -15,6 +15,81 @@ import org.apache.spark.sql.types._
   */
 object SchemaCodec {
 
+  /** Marker on a struct-typed field meaning "this struct encodes an
+    * Avro-style heterogeneous union": one nullable `memberN` field per
+    * branch, at most one non-null. `[null, T]` unions are plain nullable
+    * fields (no wrapper needed); this mapping covers the general
+    * `[T1, T2, ...]` case the reference's PythonObjectsEncoder handles
+    * dynamically (ref: PythonObjectsEncoder.java). Spark has no union
+    * type, so the struct-of-options IS the on-wire representation; the
+    * script-side codec unwraps it to the naked branch value and re-wraps
+    * emitted values by runtime type, so union columns feel native inside
+    * script code. */
+  private val UnionMarker = "graft.union"
+
+  /** Struct field declaring a union of `branches` (order = Avro branch
+    * resolution order: first runtime-type match wins on encode). */
+  def unionField(name: String, branches: Seq[DataType]): StructField =
+    StructField(name, unionType(branches), nullable = true,
+      new MetadataBuilder().putBoolean(UnionMarker, true).build())
+
+  def unionType(branches: Seq[DataType]): StructType =
+    StructType(branches.zipWithIndex.map { case (dt, i) =>
+      StructField(s"member$i", dt, nullable = true)
+    })
+
+  def isUnionField(f: StructField): Boolean =
+    f.metadata.contains(UnionMarker) && f.dataType.isInstanceOf[StructType]
+
+  /** Union row (struct-of-options) → the single non-null branch value,
+    * decoded; null if all branches are null (the `[null, ...]` case). */
+  def fromUnion(row: Row, ut: StructType): Any = {
+    if (row == null) return null
+    var i = 0
+    while (i < ut.length) {
+      val v = row.get(i)
+      if (v != null) return decode(v, ut(i).dataType)
+      i += 1
+    }
+    null
+  }
+
+  /** Wrap a script-side value into the first union branch its runtime
+    * type matches (Avro-style resolution). Throws on no match — emitting
+    * a value outside the declared union is a script bug, not data. */
+  def toUnion(value: Any, ut: StructType): Row = {
+    val values = new Array[Any](ut.length)
+    if (value != null) {
+      var i = 0
+      var hit = -1
+      while (hit < 0 && i < ut.length) {
+        if (branchMatches(value, ut(i).dataType)) hit = i
+        i += 1
+      }
+      if (hit < 0) throw new IllegalArgumentException(
+        s"value of ${value.getClass.getName} matches no union branch in ${ut.simpleString}")
+      values(hit) = encode(value, ut(hit).dataType)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericRow(values)
+  }
+
+  private def branchMatches(v: Any, dt: DataType): Boolean = (v, dt) match {
+    case (_: java.lang.Integer, IntegerType) => true
+    case (_: java.lang.Long, LongType) => true
+    case (_: java.lang.Double, DoubleType) => true
+    case (_: java.lang.Float, FloatType) => true
+    case (_: java.lang.Short, ShortType) => true
+    case (_: java.lang.Byte, ByteType) => true
+    case (_: java.lang.Boolean, BooleanType) => true
+    case (_: String, StringType) => true
+    case (_: Array[Byte], BinaryType) => true
+    case (_: scala.collection.Seq[_], _: ArrayType) => true
+    case (_: scala.collection.Map[_, _], _: MapType) => true
+    case (_: scala.collection.Map[_, _], _: StructType) => true
+    case (_: Row, _: StructType) => true
+    case _ => false
+  }
+
   /** External row value → plain Scala value (structs → Map, arrays → Seq). */
   def decode(value: Any, dt: DataType): Any = (value, dt) match {
     case (null, _) => null
@@ -30,7 +105,12 @@ object SchemaCodec {
     val b = Map.newBuilder[String, Any]
     var i = 0
     while (i < schema.length) {
-      b += schema(i).name -> decode(row.get(i), schema(i).dataType)
+      val f = schema(i)
+      val v =
+        if (isUnionField(f))
+          fromUnion(row.get(i).asInstanceOf[Row], f.dataType.asInstanceOf[StructType])
+        else decode(row.get(i), f.dataType)
+      b += f.name -> v
       i += 1
     }
     b.result()
@@ -64,7 +144,11 @@ object SchemaCodec {
     val values = new Array[Any](fields.length)
     var i = 0
     while (i < fields.length) {
-      values(i) = encode(m.getOrElse(fields(i).name, null), fields(i).dataType)
+      val f = fields(i)
+      val raw = m.getOrElse(f.name, null)
+      values(i) =
+        if (isUnionField(f)) toUnion(raw, f.dataType.asInstanceOf[StructType])
+        else encode(raw, f.dataType)
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericRow(values)

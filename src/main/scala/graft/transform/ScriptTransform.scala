@@ -12,7 +12,15 @@ import org.apache.spark.util.LongAccumulator
   * PythonEvaluator.java:268-287). Spark `LongAccumulator`s: registered on
   * the driver up front, incremented inside executor closures, readable on
   * the driver after an action.
-  */
+  *
+  * Semantics are **at-least-once**, like every Spark accumulator updated
+  * inside a transformation: task retries and speculative re-execution
+  * re-add their increments, and consuming more than one
+  * [[TransformResult]] channel without calling `cached()` re-runs the
+  * user closure once per action, multiplying counts accordingly. Treat
+  * values as operational telemetry (did scripts run / roughly how much),
+  * not exact record counts — derive exact counts from the channel
+  * DataFrames themselves. */
 class Metrics private (private val accs: Map[String, LongAccumulator])
     extends Serializable {
   def count(name: String, n: Long = 1L): Unit = accs.get(name).foreach(_.add(n))
@@ -20,21 +28,44 @@ class Metrics private (private val accs: Map[String, LongAccumulator])
 }
 
 object Metrics {
+  /** Always-registered counters backing [[ScriptLogger]]. */
+  private[transform] val logLevels =
+    Seq("log.debug", "log.info", "log.warn", "log.error")
   def apply(spark: SparkSession, names: String*): Metrics =
-    new Metrics(names.map(n => n -> spark.sparkContext.longAccumulator(s"graft.metric.$n")).toMap)
+    new Metrics((names ++ logLevels).distinct.map(n =>
+      n -> spark.sparkContext.longAccumulator(s"graft.metric.$n")).toMap)
   val none: Metrics = new Metrics(Map.empty)
 }
 
+/** Script-visible logger (ref: PythonEvaluator.java:268-287 exposes the
+  * stage logger to script code — the first thing script authors reach for
+  * when debugging). Messages go to the executor's log via slf4j under the
+  * `graft.script` logger (the distributed equivalent of the reference's
+  * task log), and per-level counters ride the stage [[Metrics]]
+  * (`log.info` / `log.warn` / `log.error` / `log.debug`) so a driver can
+  * see *that* scripts logged — and how much — without scraping executor
+  * logs. Counter caveats are those of Metrics (at-least-once). */
+final class ScriptLogger private[transform] (metrics: Metrics) extends Serializable {
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.script")
+  def debug(msg: => String): Unit = { metrics.count("log.debug"); if (log.isDebugEnabled) log.debug(msg) }
+  def info(msg: => String): Unit = { metrics.count("log.info"); if (log.isInfoEnabled) log.info(msg) }
+  def warn(msg: => String): Unit = { metrics.count("log.warn"); log.warn(msg) }
+  def error(msg: => String): Unit = { metrics.count("log.error"); log.error(msg) }
+  def error(msg: => String, t: Throwable): Unit = { metrics.count("log.error"); log.error(msg, t) }
+}
+
 /** What user script code sees besides the record: runtime arguments,
-  * metrics, and lookup tables (ref: PythonEvaluator's ScriptContext —
-  * logger, metrics, arguments, lookup; the reference *declares* lookup but
-  * throws UnsupportedOperation — Graft supports it). Lookup datasets are
-  * torrent-broadcast once per job, not serialized into every task. */
+  * metrics, logger, and lookup tables (ref: PythonEvaluator's
+  * ScriptContext — logger, metrics, arguments, lookup; the reference
+  * *declares* lookup but throws UnsupportedOperation — Graft supports
+  * it). Lookup datasets are torrent-broadcast once per job, not
+  * serialized into every task. */
 final class ScriptContext(
     val arguments: Map[String, String],
     val metrics: Metrics,
     lookups: org.apache.spark.broadcast.Broadcast[Map[String, Map[String, Any]]])
     extends Serializable {
+  val logger: ScriptLogger = new ScriptLogger(metrics)
   /** Value for `key` in the named lookup dataset, or null. */
   def lookup(dataset: String, key: Any): Any =
     lookups.value.get(dataset).flatMap(_.get(String.valueOf(key))).orNull

@@ -54,4 +54,22 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("pid").as[Long].collect().sorted
     assert(got === Array(1L, 2L))
   }
+
+  test("intervals longer than the bucket width keep their middle buckets") {
+    import spark.implicits._
+    def ts(s: String): Timestamp = Timestamp.valueOf(s)
+    // 10-minute interval with 120s buckets: a point in a MIDDLE bucket
+    // (neither the start nor the end bucket) must still pair
+    val points = Seq(
+      (1L, ts("2024-01-01 10:05:00")), // middle bucket
+      (2L, ts("2024-01-01 10:00:10")), // start bucket
+      (3L, ts("2024-01-01 10:09:59")), // end bucket
+      (4L, ts("2024-01-01 10:10:00"))  // == end → out
+    ).toDF("pid", "pt")
+    val iv = Seq((100L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")))
+      .toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(points, iv, col("pt"), col("s"), col("e"), 120)
+      .select("pid").as[Long].collect().sorted
+    assert(got === Array(1L, 2L, 3L))
+  }
 }

@@ -43,6 +43,41 @@ class SchemaCodecPropSpec extends AnyFunSuite {
     "arr" -> arr, "m" -> keys.zip(vals).toMap,
     "nested" -> (if (nullNested) null else Map("x" -> x, "ys" -> ys)))
 
+  test("heterogeneous-union codec round-trips every branch type") {
+    val u = StructType(Seq(
+      StructField("id", LongType),
+      SchemaCodec.unionField("u", Seq(
+        LongType, StringType,
+        StructType(Seq(StructField("x", LongType))),
+        ArrayType(StringType)))))
+    val genUnionVal: Gen[Any] = Gen.oneOf(
+      Gen.long.map(v => v: Any),
+      Gen.alphaNumStr.map(v => v: Any),
+      Gen.long.map(x => Map("x" -> x): Any),
+      Gen.listOf(Gen.alphaNumStr).map(v => v: Any),
+      Gen.const(null: Any))
+    forAll(Gen.zip(Gen.long, genUnionVal)) { case (id, uv) =>
+      val row = SchemaCodec.mapToRow(Map("id" -> id, "u" -> uv), u)
+      // on the wire: struct-of-options with at most one member set
+      val wire = row.getAs[org.apache.spark.sql.Row](1)
+      if (uv == null) assert(wire.toSeq.forall(_ == null))
+      else assert(wire.toSeq.count(_ != null) === 1)
+      val back = SchemaCodec.rowToMap(row, u)
+      (uv, back("u")) match {
+        case (null, got) => assert(got === null)
+        case (exp: Map[_, _], got: Map[_, _]) =>
+          assert(got.asInstanceOf[Map[String, Any]]("x") ===
+            exp.asInstanceOf[Map[String, Any]]("x"))
+        case (exp: List[_], got: Seq[_]) => assert(got === exp)
+        case (exp, got) => assert(got === exp)
+      }
+    }
+    // a value matching no branch is a script bug → loud failure
+    intercept[IllegalArgumentException] {
+      SchemaCodec.mapToRow(Map("id" -> 1L, "u" -> true), u)
+    }
+  }
+
   test("rowToMap . mapToRow is identity for schema-conforming values") {
     forAll(genRecord) { m =>
       val row = SchemaCodec.mapToRow(m, schema)

@@ -34,10 +34,40 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("saltedJoin spreads the hot key across salt shards") {
     val dim = Seq((1L, "hot")).toDF("k", "name")
     val salted = skewed.withColumn("_salt",
-      pmod(xxhash64(skewed.columns.map(col).toSeq: _*), lit(8)))
+      pmod(xxhash64(
+        (monotonically_increasing_id() +: skewed.columns.map(col).toSeq): _*),
+        lit(8)))
     val shards = salted.filter(col("k") === 1L)
       .groupBy("_salt").count().collect()
     assert(shards.length > 4, s"hot key landed in only ${shards.length} shards")
+  }
+
+  test("fully duplicate hot rows still spread across salts") {
+    // the degenerate hot-key shape: the hot rows are IDENTICAL, so a
+    // content-only salt would put them all on one reducer
+    val dups = spark.range(10000).select(lit(1L).as("k"), lit(7L).as("v"))
+    val dim = Seq((1L, "hot")).toDF("k", "name")
+    val joined = Skew.saltedJoin(dups, dim, "k", salts = 8)
+    assert(joined.count() === 10000)
+    val shards = dups.withColumn("_salt",
+        pmod(xxhash64(
+          (monotonically_increasing_id() +: dups.columns.map(col).toSeq): _*),
+          lit(8)))
+      .groupBy("_salt").count().collect()
+    assert(shards.length === 8, s"duplicate rows collapsed onto ${shards.length} shards")
+  }
+
+  test("saltedJoin rejects right/full outer join types") {
+    val dim = Seq((1L, "hot")).toDF("k", "name")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dim, "k", salts = 8, joinType = "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dim, "k", salts = 8, joinType = "right")
+    }
+    // left outer stays legal: unmatched LEFT rows appear once (not replicated)
+    val lo = Skew.saltedJoin(skewed, dim, "k", salts = 4, joinType = "left_outer")
+    assert(lo.count() === skewed.count())
   }
 
   test("saltedDistinctCount equals exact countDistinct") {

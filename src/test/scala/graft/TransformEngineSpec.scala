@@ -186,4 +186,33 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getAs[Int]("errorCode") === 42)
     assert(e.getAs[Double]("discount") === 0.99)
   }
+
+  test("Dsl.splitErrors is exhaustive: NULL-predicate rows quarantine, not vanish") {
+    val df = Seq((1, Some(0.01)), (2, Some(0.99)), (3, None))
+      .toDF("id", "discount")
+    val (valid, errors) =
+      Dsl.splitErrors(df, col("discount") > 0.5, 42, lit("too big"))
+    // row 3's predicate is NULL (null discount): three-valued logic would
+    // drop it from both channels; the quarantine contract routes it to
+    // errors so every input row lands in exactly one channel
+    assert(valid.select("id").as[Int].collect().sorted === Array(1))
+    assert(errors.select("id").as[Int].collect().sorted === Array(2, 3))
+    assert(valid.count() + errors.count() === df.count())
+  }
+
+  test("ScriptTransform: script logger reaches executor logs and counts per level") {
+    val df = (1 to 20).toDF("n").repartition(4)
+    val out = StructType(Seq(StructField("n", IntegerType)))
+    val metrics = Metrics(spark)
+    val result = ScriptTransform(df, out, metrics = metrics) { (r, em, ctx) =>
+      val n = r("n").asInstanceOf[Int]
+      if (n % 5 == 0) ctx.logger.warn(s"multiple of five: $n")
+      ctx.logger.info(s"processing $n")
+      em.emit(r)
+    }
+    assert(result.out.count() === 20)
+    assert(metrics.value("log.info") === 20)
+    assert(metrics.value("log.warn") === 4)
+    assert(metrics.value("log.error") === 0)
+  }
 }
