@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
-import graft.transform.{Dsl, Metrics, ScriptTransform}
+import graft.transform.{Dsl, Metrics, ProcessScriptTransform, ScriptTransform}
 import graft.transform.Dsl._
 
 /** Record-transform surface (SURVEY.md §2.A) — reference parity.
@@ -176,6 +176,40 @@ object Transforms {
       |FROM lineitem WHERE l_returnflag <> 'R'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Actual out-of-process PYTHON execution (the reference's native
+    * language, ref Py4jPythonExecutor.java): the user script below is
+    * reference-API-shaped (`transform(record, emitter, context)`,
+    * `context.getArguments()`) and would run unchanged in the reference
+    * plugin. One python3 worker per partition, JSON-lines lockstep —
+    * see [[graft.transform.ProcessScriptTransform]]. */
+  def xfPyscript(spark: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("bucket", StringType),
+      StructField("scaled", DoubleType)))
+    val script =
+      """def transform(record, emitter, context):
+        |    m = int(context.getArguments()["multiplier"])
+        |    if record["o_totalprice"] >= 200000.0:
+        |        bucket = "high"
+        |    else:
+        |        bucket = "low"
+        |    emitter.emit({"o_orderkey": record["o_orderkey"],
+        |                  "bucket": bucket,
+        |                  "scaled": record["o_totalprice"] * m})
+        |""".stripMargin
+    ProcessScriptTransform.python(
+        Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
+        out, script, arguments = Map("multiplier" -> "3"))
+      .out.localCheckpoint().orderBy(col("o_orderkey"))
+  }
+
+  val xfPyscriptSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice >= 200000.0 THEN 'high' ELSE 'low' END AS bucket,
+      |  o_totalprice * 3 AS scaled
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** emitAlert channel (ref PythonEvaluator.java:191-194): script flags
     * anomalous records as alert payloads riding the same single tagged
     * pass as the output channel; the driver query surfaces the alerts
@@ -229,6 +263,7 @@ object Transforms {
       |ORDER BY c_custkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "xf_pyscript" -> (xfPyscript _),
     "xf_alerts" -> (xfAlerts _),
     "xf_lookup" -> (xfLookup _),
     "xf_scale" -> (xfScale _),
@@ -241,6 +276,7 @@ object Transforms {
     "xf_script" -> (xfScript _))
 
   val oracles: Map[String, String] = Map(
+    "xf_pyscript" -> xfPyscriptSql,
     "xf_alerts" -> xfAlertsSql,
     "xf_lookup" -> xfLookupSql,
     "xf_scale" -> xfScaleSql,

@@ -1,0 +1,288 @@
+package graft.transform
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable.ListBuffer
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** Out-of-process script execution — parity with the reference's Native
+  * mode (ref: Py4jPythonExecutor.java:1-297), which runs user *Python* in
+  * an external process while the engine streams records across.
+  *
+  * Re-expressed for Spark's execution model: each `mapPartitions` task
+  * spawns one worker process (python3 running [[workerSource]], stdlib
+  * only) and speaks a JSON-lines protocol over its stdin/stdout in
+  * per-record lockstep (write record, read channel messages until the
+  * record's done-marker) — lockstep bounds pipe buffering, so the
+  * protocol cannot deadlock however many rows a record emits. The worker
+  * count scales with partitions like any Spark stage; there is no driver
+  * round-trip.
+  *
+  * Script contract matches the reference plugin, so a user's existing
+  * script body runs unchanged:
+  * {{{
+  * def transform(record, emitter, context):
+  *     emitter.emit(dict)                       # 0..N times
+  *     emitter.emitError({'errorCode': int, 'errorMsg': str,
+  *                        'invalidRecord': dict})
+  *     emitter.emitAlert({str: str})
+  *     context.getArguments() / .getLogger() / .getMetrics().count(name)
+  * }}}
+  * Channels, error policy, metrics, and the tagged single-pass result are
+  * the same [[TransformResult]] the in-process [[ScriptTransform]] path
+  * produces; logger output goes to the executor's stderr log and
+  * per-level counts ride [[Metrics]] like the Scala path's ScriptLogger.
+  *
+  * Value codec across the JSON boundary: null/boolean/integral/floating/
+  * string/array/map/struct (structs travel as JSON objects). BINARY and
+  * datetime columns are out of scope for the process path — pre-convert
+  * them (base64/ISO strings) in the declarative layer; the in-process
+  * path handles them natively.
+  */
+object ProcessScriptTransform {
+
+  def python(df: DataFrame, outSchema: StructType, script: String,
+             arguments: Map[String, String] = Map.empty,
+             metrics: Metrics = Metrics.none,
+             onError: ScriptTransform.ErrorPolicy = ScriptTransform.FailFast,
+             pythonExec: String = "python3"): TransformResult = {
+    val inSchema = df.schema
+    val errSchema = StructType(
+      StructField("errorCode", IntegerType) ::
+      StructField("errorMsg", StringType) :: inSchema.fields.toList)
+    val taggedSchema = StructType(Seq(
+      StructField("_tag", StringType, nullable = false),
+      StructField("_out", outSchema),
+      StructField("_err", errSchema),
+      StructField("_alert", MapType(StringType, StringType))))
+    val worker = workerSource
+    val inFields = inSchema.fields
+
+    val tagged = df.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val mapper = new ObjectMapper()
+        val pb = new ProcessBuilder(pythonExec, "-c", worker)
+        val proc = pb.start()
+        // stderr (script logger output, tracebacks) → executor log
+        val drain = new Thread(() => {
+          val r = new BufferedReader(new InputStreamReader(
+            proc.getErrorStream, StandardCharsets.UTF_8))
+          var l = r.readLine()
+          while (l != null) { System.err.println(s"[graft.pyscript] $l"); l = r.readLine() }
+        }, "graft-pyscript-stderr")
+        drain.setDaemon(true)
+        drain.start()
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => proc.destroyForcibly()))
+        val stdin = new BufferedWriter(new OutputStreamWriter(
+          proc.getOutputStream, StandardCharsets.UTF_8))
+        val stdout = new BufferedReader(new InputStreamReader(
+          proc.getInputStream, StandardCharsets.UTF_8))
+
+        def send(m: java.util.Map[String, Object]): Unit = {
+          stdin.write(mapper.writeValueAsString(m)); stdin.write("\n"); stdin.flush()
+        }
+        val init = new java.util.LinkedHashMap[String, Object]()
+        init.put("script", script)
+        init.put("arguments", JsonCodec.toJava(arguments))
+        send(init)
+
+        def errRow(code: Int, msg: String, bad: Map[String, Any]): Row = {
+          val values = new Array[Any](inFields.length + 2)
+          values(0) = code
+          values(1) = msg
+          var i = 0
+          while (i < inFields.length) {
+            values(i + 2) = SchemaCodec.encode(
+              bad.getOrElse(inFields(i).name, null), inFields(i).dataType)
+            i += 1
+          }
+          Row("err", null,
+            new org.apache.spark.sql.catalyst.expressions.GenericRow(values), null)
+        }
+
+        val out = rows.flatMap { row =>
+          val record = SchemaCodec.rowToMap(row, inSchema)
+          val m = new java.util.LinkedHashMap[String, Object]()
+          m.put("t", "rec")
+          m.put("d", JsonCodec.toJava(record))
+          send(m)
+          val buf = new ListBuffer[Row]
+          var done = false
+          while (!done) {
+            val line = stdout.readLine()
+            if (line == null)
+              throw new IllegalStateException(
+                s"python worker died mid-record (exit=${if (proc.isAlive) "alive" else proc.exitValue()})")
+            val msg = mapper.readValue(line, classOf[java.util.Map[String, Object]])
+            msg.get("t").asInstanceOf[String] match {
+              case "e" =>
+                buf += Row("out", SchemaCodec.mapToRow(
+                  JsonCodec.toScala(msg.get("d")).asInstanceOf[Map[String, Any]],
+                  outSchema), null, null)
+              case "r" =>
+                val e = JsonCodec.toScala(msg.get("d")).asInstanceOf[Map[String, Any]]
+                buf += errRow(
+                  e.getOrElse("errorCode", 0).asInstanceOf[Number].intValue(),
+                  String.valueOf(e.getOrElse("errorMsg", "")),
+                  e.getOrElse("invalidRecord", Map.empty[String, Any])
+                    .asInstanceOf[Map[String, Any]])
+              case "a" =>
+                buf += Row("alert", null, null,
+                  JsonCodec.toScala(msg.get("d")).asInstanceOf[Map[String, Any]]
+                    .map { case (k, v) => k -> String.valueOf(v) })
+              case "f" =>
+                // "f" REPLACES the "d" done-marker (the worker's record
+                // loop ends either way) — treat it as the terminator too,
+                // or RouteToErrors would wait forever for a "d"
+                val err = String.valueOf(msg.get("m"))
+                onError match {
+                  case ScriptTransform.FailFast =>
+                    throw new RuntimeException(s"python transform failed: $err")
+                  case ScriptTransform.RouteToErrors(code) =>
+                    buf += errRow(code, err, record)
+                    done = true
+                }
+              case "d" => done = true
+              case other =>
+                throw new IllegalStateException(s"unknown worker message '$other'")
+            }
+          }
+          buf.result()
+        }
+        // after the last record: end-of-stream handshake — collect the
+        // worker's metric counts into the stage accumulators, reap it
+        val finish = new Iterator[Row] {
+          private var ran = false
+          override def hasNext: Boolean = {
+            if (!ran) {
+              ran = true
+              val m = new java.util.LinkedHashMap[String, Object]()
+              m.put("t", "end")
+              send(m)
+              val line = stdout.readLine()
+              if (line != null) {
+                val msg = mapper.readValue(line, classOf[java.util.Map[String, Object]])
+                if (msg.get("t") == "m") {
+                  val counts = JsonCodec.toScala(msg.get("c"))
+                    .asInstanceOf[Map[String, Any]]
+                  counts.foreach { case (k, v) =>
+                    metrics.count(k, v.asInstanceOf[Number].longValue()) }
+                }
+              }
+              proc.waitFor()
+            }
+            false
+          }
+          override def next(): Row = throw new NoSuchElementException
+        }
+        out ++ finish
+      }
+    }(Encoders.row(taggedSchema))
+
+    TransformResult(tagged.toDF(), outSchema, errSchema)
+  }
+
+  /** The worker harness, Python stdlib only. Mirrors the reference's
+    * script surface (ref: PythonEvaluator.java:261-287): `transform`
+    * entry point, emitter with three channels, context with
+    * getArguments/getLogger/getMetrics (attribute access works too). */
+  private[transform] val workerSource: String =
+    """import sys, json
+      |
+      |def _w(obj):
+      |    sys.stdout.write(json.dumps(obj))
+      |    sys.stdout.write("\n")
+      |
+      |_counts = {}
+      |
+      |class _Metrics(object):
+      |    def count(self, name, n=1):
+      |        _counts[name] = _counts.get(name, 0) + n
+      |
+      |class _Logger(object):
+      |    def _log(self, lvl, msg):
+      |        _counts["log." + lvl] = _counts.get("log." + lvl, 0) + 1
+      |        sys.stderr.write("%s %s\n" % (lvl.upper(), msg))
+      |        sys.stderr.flush()
+      |    def debug(self, msg): self._log("debug", msg)
+      |    def info(self, msg): self._log("info", msg)
+      |    def warn(self, msg): self._log("warn", msg)
+      |    def error(self, msg): self._log("error", msg)
+      |
+      |class _Emitter(object):
+      |    def emit(self, record): _w({"t": "e", "d": record})
+      |    def emitError(self, err): _w({"t": "r", "d": err})
+      |    def emitAlert(self, payload): _w({"t": "a", "d": payload})
+      |
+      |class _Context(object):
+      |    def __init__(self, args):
+      |        self.arguments = args
+      |        self.logger = _Logger()
+      |        self.metrics = _Metrics()
+      |    def getArguments(self): return self.arguments
+      |    def getLogger(self): return self.logger
+      |    def getMetrics(self): return self.metrics
+      |
+      |_init = json.loads(sys.stdin.readline())
+      |_ns = {}
+      |exec(_init["script"], _ns)
+      |_transform = _ns["transform"]
+      |_ctx = _Context(_init.get("arguments", {}))
+      |_em = _Emitter()
+      |
+      |for _line in sys.stdin:
+      |    _msg = json.loads(_line)
+      |    if _msg["t"] == "end":
+      |        break
+      |    try:
+      |        _transform(_msg["d"], _em, _ctx)
+      |        _w({"t": "d"})
+      |    except Exception as _e:
+      |        import traceback
+      |        traceback.print_exc(file=sys.stderr)
+      |        _w({"t": "f", "m": "%s: %s" % (type(_e).__name__, _e)})
+      |    sys.stdout.flush()
+      |
+      |_w({"t": "m", "c": _counts})
+      |sys.stdout.flush()
+      |""".stripMargin
+}
+
+/** Scala ↔ java.util JSON-shape conversion for the process boundary. */
+private[transform] object JsonCodec {
+  def toJava(v: Any): Object = v match {
+    case null => null
+    case m: scala.collection.Map[_, _] =>
+      val out = new java.util.LinkedHashMap[String, Object]()
+      m.foreach { case (k, x) => out.put(String.valueOf(k), toJava(x)) }
+      out
+    case s: scala.collection.Seq[_] =>
+      val out = new java.util.ArrayList[Object](s.length)
+      s.foreach(x => out.add(toJava(x)))
+      out
+    case other => other.asInstanceOf[Object]
+  }
+
+  def toScala(v: Any): Any = v match {
+    case null => null
+    case m: java.util.Map[_, _] =>
+      val b = Map.newBuilder[String, Any]
+      m.forEach((k, x) => b += String.valueOf(k) -> toScala(x))
+      b.result()
+    case l: java.util.List[_] =>
+      val b = Seq.newBuilder[Any]
+      l.forEach(x => b += toScala(x))
+      b.result()
+    case i: java.math.BigInteger => i.longValueExact()
+    case d: java.math.BigDecimal => d.doubleValue()
+    case other => other
+  }
+}

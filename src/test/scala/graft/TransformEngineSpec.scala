@@ -7,7 +7,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.GraftSession
-import graft.transform.{Dsl, Metrics, SchemaCodec, ScriptTransform}
+import graft.transform.{Dsl, Metrics, ProcessScriptTransform, SchemaCodec, ScriptTransform}
 import graft.transform.Dsl._
 
 class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
@@ -198,6 +198,71 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(valid.select("id").as[Int].collect().sorted === Array(1))
     assert(errors.select("id").as[Int].collect().sorted === Array(2, 3))
     assert(valid.count() + errors.count() === df.count())
+  }
+
+  test("python process path: all three channels + metrics, equals the in-JVM path") {
+    val df = Seq((1L, "ok", 10.0), (2L, "bad", 20.0), (3L, "ok", 30.0))
+      .toDF("id", "status", "v").repartition(2)
+    val out = StructType(Seq(StructField("id", LongType),
+                             StructField("scaled", DoubleType)))
+    // reference-API-shaped script: runs unchanged in the reference plugin
+    val script =
+      """def transform(record, emitter, context):
+        |    context.getMetrics().count("processed")
+        |    if record["status"] == "bad":
+        |        context.getLogger().warn("bad record %d" % record["id"])
+        |        emitter.emitError({"errorCode": 7, "errorMsg": "bad status",
+        |                           "invalidRecord": record})
+        |        emitter.emitAlert({"severity": "high", "id": str(record["id"])})
+        |    else:
+        |        m = float(context.getArguments()["mult"])
+        |        emitter.emit({"id": record["id"], "scaled": record["v"] * m})
+        |        emitter.emit({"id": record["id"], "scaled": record["v"] * m})
+        |""".stripMargin
+    val metrics = Metrics(spark, "processed")
+    val py = ProcessScriptTransform.python(df, out, script,
+      arguments = Map("mult" -> "2.5"), metrics = metrics).cached()
+    // the same transform through the in-JVM Scala closure path
+    val jvm = ScriptTransform(df, out, arguments = Map("mult" -> "2.5")) {
+      (r, em, ctx) =>
+        if (r("status") == "bad") {
+          em.emitError(7, "bad status", r)
+          em.emitAlert(Map("severity" -> "high", "id" -> r("id").toString))
+        } else {
+          val m = ctx.arguments("mult").toDouble
+          em.emit(Map("id" -> r("id"), "scaled" -> r("v").asInstanceOf[Double] * m))
+          em.emit(Map("id" -> r("id"), "scaled" -> r("v").asInstanceOf[Double] * m))
+        }
+    }.cached()
+    assert(py.out.collect().map(_.toSeq).toSet === jvm.out.collect().map(_.toSeq).toSet)
+    val pyErr = py.errors.collect()
+    assert(pyErr.length === 1)
+    assert(pyErr(0).getAs[Int]("errorCode") === 7)
+    assert(pyErr(0).getAs[Long]("id") === 2L) // full invalid record preserved
+    assert(py.alerts.collect().head
+      .getAs[Map[String, String]]("payload")("severity") === "high")
+    assert(metrics.value("processed") === 3)
+    assert(metrics.value("log.warn") === 1)
+  }
+
+  test("python process path: FailFast surfaces script exceptions, RouteToErrors quarantines") {
+    val df = Seq((1L, 2.0), (2L, 0.0), (3L, 4.0)).toDF("id", "v").repartition(1)
+    val out = StructType(Seq(StructField("id", LongType),
+                             StructField("inv", DoubleType)))
+    val script =
+      """def transform(record, emitter, context):
+        |    emitter.emit({"id": record["id"], "inv": 1.0 / record["v"]})
+        |""".stripMargin
+    intercept[org.apache.spark.SparkException] {
+      ProcessScriptTransform.python(df, out, script).out.collect()
+    }
+    val routed = ProcessScriptTransform.python(df, out, script,
+      onError = ScriptTransform.RouteToErrors(500)).cached()
+    assert(routed.out.count() === 2)
+    val e = routed.errors.collect()(0)
+    assert(e.getAs[Int]("errorCode") === 500)
+    assert(e.getAs[String]("errorMsg").contains("ZeroDivisionError"))
+    assert(e.getAs[Long]("id") === 2L)
   }
 
   test("ScriptTransform: script logger reaches executor logs and counts per level") {
