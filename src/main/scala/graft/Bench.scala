@@ -29,8 +29,11 @@ object Bench {
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
         // only the noop save is the measured action: a query that eagerly
         // materializes during construction (localCheckpoint) fires events
-        // for those sub-jobs too, which would misattribute shuffle bytes
-        if (funcName == "save" || funcName == "command") captured = qe
+        // for those sub-jobs too, which would misattribute shuffle bytes.
+        // The v2 write path reports the save mode as funcName
+        // ("overwrite" for mode(overwrite).save()); v1 paths say "save".
+        if (funcName == "save" || funcName == "command" ||
+            funcName == "overwrite" || funcName == "append") captured = qe
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     })

@@ -200,7 +200,10 @@ object Transforms {
         |""".stripMargin
     ProcessScriptTransform.python(
         Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
-        out, script, arguments = Map("multiplier" -> "3"))
+        out, script, arguments = Map("multiplier" -> "3"),
+        // a narrow orders scan is 1-2 parquet splits → 1-2 workers;
+        // spread the interpreter cost across the cluster
+        parallelism = spark.sparkContext.defaultParallelism)
       .out.localCheckpoint().orderBy(col("o_orderkey"))
   }
 

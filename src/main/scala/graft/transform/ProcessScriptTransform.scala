@@ -3,8 +3,6 @@ package graft.transform
 import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
 
-import scala.collection.mutable.ListBuffer
-
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.TaskContext
@@ -17,12 +15,14 @@ import org.apache.spark.sql.types._
   *
   * Re-expressed for Spark's execution model: each `mapPartitions` task
   * spawns one worker process (python3 running [[workerSource]], stdlib
-  * only) and speaks a JSON-lines protocol over its stdin/stdout in
-  * per-record lockstep (write record, read channel messages until the
-  * record's done-marker) — lockstep bounds pipe buffering, so the
-  * protocol cannot deadlock however many rows a record emits. The worker
-  * count scales with partitions like any Spark stage; there is no driver
-  * round-trip.
+  * only) and speaks a JSON-lines protocol over its stdin/stdout. A
+  * dedicated writer thread streams records in while the task thread
+  * reads channel messages out (the same two-thread shape Spark's own
+  * Python runner uses): neither side ever waits on a round trip, so
+  * throughput is pipeline-limited, and the bounded in-flight queue plus
+  * pipe backpressure bound memory — no deadlock however many rows a
+  * record emits. The worker count scales with partitions like any Spark
+  * stage; there is no driver round-trip.
   *
   * Script contract matches the reference plugin, so a user's existing
   * script body runs unchanged:
@@ -51,8 +51,13 @@ object ProcessScriptTransform {
              arguments: Map[String, String] = Map.empty,
              metrics: Metrics = Metrics.none,
              onError: ScriptTransform.ErrorPolicy = ScriptTransform.FailFast,
-             pythonExec: String = "python3"): TransformResult = {
-    val inSchema = df.schema
+             pythonExec: String = "python3",
+             parallelism: Int = 0): TransformResult = {
+    // a narrow parquet scan often yields 1-2 partitions = 1-2 workers;
+    // parallelism > 0 repartitions so the python stage uses the cluster
+    // (the shuffle of input rows is cheap next to interpreting them)
+    val in = if (parallelism > 0) df.repartition(parallelism) else df
+    val inSchema = in.schema
     val errSchema = StructType(
       StructField("errorCode", IntegerType) ::
       StructField("errorMsg", StringType) :: inSchema.fields.toList)
@@ -64,12 +69,11 @@ object ProcessScriptTransform {
     val worker = workerSource
     val inFields = inSchema.fields
 
-    val tagged = df.mapPartitions { rows =>
+    val tagged = in.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else {
         val mapper = new ObjectMapper()
-        val pb = new ProcessBuilder(pythonExec, "-c", worker)
-        val proc = pb.start()
+        val proc = new ProcessBuilder(pythonExec, "-c", worker).start()
         // stderr (script logger output, tracebacks) → executor log
         val drain = new Thread(() => {
           val r = new BufferedReader(new InputStreamReader(
@@ -79,20 +83,47 @@ object ProcessScriptTransform {
         }, "graft-pyscript-stderr")
         drain.setDaemon(true)
         drain.start()
-        Option(TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => proc.destroyForcibly()))
         val stdin = new BufferedWriter(new OutputStreamWriter(
           proc.getOutputStream, StandardCharsets.UTF_8))
         val stdout = new BufferedReader(new InputStreamReader(
           proc.getInputStream, StandardCharsets.UTF_8))
 
-        def send(m: java.util.Map[String, Object]): Unit = {
-          stdin.write(mapper.writeValueAsString(m)); stdin.write("\n"); stdin.flush()
-        }
-        val init = new java.util.LinkedHashMap[String, Object]()
-        init.put("script", script)
-        init.put("arguments", JsonCodec.toJava(arguments))
-        send(init)
+        // records the writer has sent whose completion marker ("d"/"f")
+        // the reader has not yet seen — bounded, so a slow worker
+        // backpressures the writer instead of buffering the partition
+        val pending = new java.util.concurrent.LinkedBlockingQueue[Map[String, Any]](1024)
+        val writerError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val tc = TaskContext.get()
+        val writer = new Thread(() => {
+          try {
+            if (tc != null) org.apache.spark.graft.TaskContextBridge.set(tc)
+            val init = new java.util.LinkedHashMap[String, Object]()
+            init.put("script", script)
+            init.put("arguments", JsonCodec.toJava(arguments))
+            stdin.write(mapper.writeValueAsString(init)); stdin.write("\n")
+            while (rows.hasNext) {
+              val record = SchemaCodec.rowToMap(rows.next(), inSchema)
+              pending.put(record) // BEFORE the write: reader must find it
+              val m = new java.util.LinkedHashMap[String, Object]()
+              m.put("t", "rec")
+              m.put("d", JsonCodec.toJava(record))
+              stdin.write(mapper.writeValueAsString(m)); stdin.write("\n")
+            }
+            val end = new java.util.LinkedHashMap[String, Object]()
+            end.put("t", "end")
+            stdin.write(mapper.writeValueAsString(end)); stdin.write("\n")
+            stdin.flush()
+          } catch {
+            case t: Throwable =>
+              writerError.set(t)
+              proc.destroyForcibly()
+          }
+        }, "graft-pyscript-writer")
+        writer.setDaemon(true)
+        Option(tc).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          proc.destroyForcibly(); writer.interrupt()
+        })
+        writer.start()
 
         def errRow(code: Int, msg: String, bad: Map[String, Any]): Row = {
           val values = new Array[Any](inFields.length + 2)
@@ -108,82 +139,72 @@ object ProcessScriptTransform {
             new org.apache.spark.sql.catalyst.expressions.GenericRow(values), null)
         }
 
-        val out = rows.flatMap { row =>
-          val record = SchemaCodec.rowToMap(row, inSchema)
-          val m = new java.util.LinkedHashMap[String, Object]()
-          m.put("t", "rec")
-          m.put("d", JsonCodec.toJava(record))
-          send(m)
-          val buf = new ListBuffer[Row]
-          var done = false
-          while (!done) {
-            val line = stdout.readLine()
-            if (line == null)
-              throw new IllegalStateException(
-                s"python worker died mid-record (exit=${if (proc.isAlive) "alive" else proc.exitValue()})")
-            val msg = mapper.readValue(line, classOf[java.util.Map[String, Object]])
-            msg.get("t").asInstanceOf[String] match {
-              case "e" =>
-                buf += Row("out", SchemaCodec.mapToRow(
-                  JsonCodec.toScala(msg.get("d")).asInstanceOf[Map[String, Any]],
-                  outSchema), null, null)
-              case "r" =>
-                val e = JsonCodec.toScala(msg.get("d")).asInstanceOf[Map[String, Any]]
-                buf += errRow(
-                  e.getOrElse("errorCode", 0).asInstanceOf[Number].intValue(),
-                  String.valueOf(e.getOrElse("errorMsg", "")),
-                  e.getOrElse("invalidRecord", Map.empty[String, Any])
-                    .asInstanceOf[Map[String, Any]])
-              case "a" =>
-                buf += Row("alert", null, null,
-                  JsonCodec.toScala(msg.get("d")).asInstanceOf[Map[String, Any]]
-                    .map { case (k, v) => k -> String.valueOf(v) })
-              case "f" =>
-                // "f" REPLACES the "d" done-marker (the worker's record
-                // loop ends either way) — treat it as the terminator too,
-                // or RouteToErrors would wait forever for a "d"
-                val err = String.valueOf(msg.get("m"))
-                onError match {
-                  case ScriptTransform.FailFast =>
-                    throw new RuntimeException(s"python transform failed: $err")
-                  case ScriptTransform.RouteToErrors(code) =>
-                    buf += errRow(code, err, record)
-                    done = true
-                }
-              case "d" => done = true
-              case other =>
-                throw new IllegalStateException(s"unknown worker message '$other'")
-            }
+        // responses arrive in record order (the worker is sequential);
+        // "d"/"f" markers advance the pending queue so "f" can name the
+        // record that failed
+        new Iterator[Row] {
+          private var nextRow: Row = null
+          private var finished = false
+          private def fail(why: String): Nothing = {
+            val cause = writerError.get()
+            if (cause != null) throw new IllegalStateException(
+              s"python worker input stream failed: $cause", cause)
+            throw new IllegalStateException(why)
           }
-          buf.result()
-        }
-        // after the last record: end-of-stream handshake — collect the
-        // worker's metric counts into the stage accumulators, reap it
-        val finish = new Iterator[Row] {
-          private var ran = false
-          override def hasNext: Boolean = {
-            if (!ran) {
-              ran = true
-              val m = new java.util.LinkedHashMap[String, Object]()
-              m.put("t", "end")
-              send(m)
+          private def advance(): Unit = {
+            while (nextRow == null && !finished) {
               val line = stdout.readLine()
-              if (line != null) {
-                val msg = mapper.readValue(line, classOf[java.util.Map[String, Object]])
-                if (msg.get("t") == "m") {
+              if (line == null) fail(
+                s"python worker died (exit=${if (proc.isAlive) "alive" else proc.exitValue()})")
+              val msg = mapper.readValue(line, classOf[java.util.Map[String, Object]])
+              msg.get("t").asInstanceOf[String] match {
+                case "e" =>
+                  nextRow = Row("out", SchemaCodec.mapToRow(
+                    JsonCodec.toScala(msg.get("d")).asInstanceOf[Map[String, Any]],
+                    outSchema), null, null)
+                case "r" =>
+                  val e = JsonCodec.toScala(msg.get("d")).asInstanceOf[Map[String, Any]]
+                  nextRow = errRow(
+                    e.getOrElse("errorCode", 0).asInstanceOf[Number].intValue(),
+                    String.valueOf(e.getOrElse("errorMsg", "")),
+                    e.getOrElse("invalidRecord", Map.empty[String, Any])
+                      .asInstanceOf[Map[String, Any]])
+                case "a" =>
+                  nextRow = Row("alert", null, null,
+                    JsonCodec.toScala(msg.get("d")).asInstanceOf[Map[String, Any]]
+                      .map { case (k, v) => k -> String.valueOf(v) })
+                case "d" => pending.poll()
+                case "f" =>
+                  // "f" REPLACES the "d" done-marker for the failing record
+                  val bad = pending.poll()
+                  val err = String.valueOf(msg.get("m"))
+                  onError match {
+                    case ScriptTransform.FailFast =>
+                      throw new RuntimeException(s"python transform failed: $err")
+                    case ScriptTransform.RouteToErrors(code) =>
+                      nextRow = errRow(code, err,
+                        if (bad == null) Map.empty else bad)
+                  }
+                case "m" =>
+                  // end-of-stream: fold worker-side metric counts into the
+                  // stage accumulators, reap the process
                   val counts = JsonCodec.toScala(msg.get("c"))
                     .asInstanceOf[Map[String, Any]]
                   counts.foreach { case (k, v) =>
                     metrics.count(k, v.asInstanceOf[Number].longValue()) }
-                }
+                  proc.waitFor()
+                  finished = true
+                case other => fail(s"unknown worker message '$other'")
               }
-              proc.waitFor()
             }
-            false
           }
-          override def next(): Row = throw new NoSuchElementException
+          override def hasNext: Boolean = { advance(); nextRow != null }
+          override def next(): Row = {
+            advance()
+            if (nextRow == null) throw new NoSuchElementException
+            val r = nextRow; nextRow = null; r
+          }
         }
-        out ++ finish
       }
     }(Encoders.row(taggedSchema))
 
@@ -238,6 +259,7 @@ object ProcessScriptTransform {
       |_ctx = _Context(_init.get("arguments", {}))
       |_em = _Emitter()
       |
+      |_n = 0
       |for _line in sys.stdin:
       |    _msg = json.loads(_line)
       |    if _msg["t"] == "end":
@@ -249,7 +271,9 @@ object ProcessScriptTransform {
       |        import traceback
       |        traceback.print_exc(file=sys.stderr)
       |        _w({"t": "f", "m": "%s: %s" % (type(_e).__name__, _e)})
-      |    sys.stdout.flush()
+      |    _n += 1
+      |    if _n % 64 == 0:       # stdout auto-flushes when its buffer
+      |        sys.stdout.flush() # fills; this just bounds reader latency
       |
       |_w({"t": "m", "c": _counts})
       |sys.stdout.flush()
