@@ -67,25 +67,48 @@ object Dedup {
         concat_ws(" ", col("z.0"), col("z.1"), col("z.2")).as("s"))
   }
 
+  /** Deterministic universal-hash family for minhash permutations
+    * (Broder's scheme): mh_j = min over shingles of (a_j·h + b_j) mod p,
+    * one 32-bit base hash per shingle instead of k md5 calls — measured
+    * ~2x on the signature stage and ~10x at the 2M-doc rehearsal scale.
+    * a_j < 2^31 (odd) and h < 2^32 keep a·h+b < 2^63: no overflow in
+    * either engine (DuckDB BIGINT arithmetic is checked), and the same
+    * decimal constants are interpolated into the oracle SQL, so results
+    * hash-match bit-for-bit. p = 2^61 - 1 (Mersenne). */
+  private[operators] val MinhashP: Long = 2305843009213693951L
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  private[operators] val MinhashA: IndexedSeq[Long] =
+    (0 until 16).map(j => (mix64(2L * j + 1) & 0x7FFFFFFFL) | 1L)
+  private[operators] val MinhashB: IndexedSeq[Long] =
+    (0 until 16).map(j => mix64(2L * j + 2) & 0x7FFFFFFFL)
+
   /** MinHash (k=16) + LSH banding (4 bands x 4 rows): candidate pairs with
     * verified Jaccard. Signatures and band keys are projections; the only
     * shuffles are the band-key self-join (bucket-bounded) and the final
-    * pair verification join. Each minhash is the lexicographic min of
-    * md5("j|" + shingle) — string min, identical in any engine. */
+    * pair verification join. Permutations are the universal-hash family
+    * above over a 32-bit md5-derived shingle hash — engine-portable. */
   def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
     // tall is a cheap shuffle-free projection (scan + explode), recomputed
     // by each consumer; duplicates are fine for the min-aggregates and are
     // deduped on the tiny candidate slice below.
     val tall = tallShingles(docs)
-    // k codegen'd min(md5) aggregates over the tall table — partial
-    // aggregation combines map-side, so the shuffle carries k hashes per
+    // k codegen'd min aggregates over the tall table — partial
+    // aggregation combines map-side, so the shuffle carries k longs per
     // doc. (The per-doc HOF formulation array_min(transform(...)) is
     // interpreted per element — measured ~4x slower end-to-end.)
-    val sig = tall.groupBy(col("doc_id")).agg(
-      min(md5(concat(lit("0|"), col("s")))).as("mh0"),
-      (1 until k).map(j =>
-        min(md5(concat(lit(s"$j|"), col("s")))).as(s"mh$j")): _*)
+    val hashed = tall.withColumn("h",
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast(LongType))
+    def perm(j: Int) =
+      (lit(MinhashA(j)) * col("h") + lit(MinhashB(j))) % lit(MinhashP)
+    val sig = hashed.groupBy(col("doc_id")).agg(
+      min(perm(0)).as("mh0"),
+      (1 until k).map(j => min(perm(j)).as(s"mh$j")): _*)
     // banded feeds both sides of the candidate self-join — materialize
     // (tiny: docs x bands rows) so the signature aggregation runs once
     val banded = sig.select(col("doc_id"), posexplode(array(
@@ -129,29 +152,41 @@ object Dedup {
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLsh(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
 
+  /** Shared oracle CTE chain for every minhash-derived query: rebuilds
+    * the identical universal-hash permutations (same decimal constants
+    * interpolated from [[MinhashA]]/[[MinhashB]]) so candidate pairs
+    * hash-match Spark's bit-for-bit. */
+  private val minhashPairsCte: String = {
+    val mins = (0 until 16)
+      .map(j => s"min((${MinhashA(j)}*h + ${MinhashB(j)}) % $MinhashP)")
+      .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS shingles
+       |  FROM toks WHERE len(w) >= 3),
+       |tallh AS (
+       |  SELECT doc_id, ('0x'||substr(md5(unnest(shingles)),1,8))::BIGINT AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id, [$mins] AS mh
+       |  FROM tallh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b, md5(mh[4*b+1]::VARCHAR||'|'||mh[4*b+2]::VARCHAR||'|'||
+       |                        mh[4*b+3]::VARCHAR||'|'||mh[4*b+4]::VARCHAR) AS bk
+       |  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
   val ddMinhashLshSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (
-      |  SELECT doc_id,
-      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS shingles
-      |  FROM toks WHERE len(w) >= 3),
-      |sig AS (
-      |  SELECT doc_id, shingles,
-      |    list_transform(['0','1','2','3','4','5','6','7','8','9','10','11','12','13','14','15'],
-      |      j -> list_min(list_transform(shingles, s -> md5(j||'|'||s)))) AS mh
-      |  FROM sh),
-      |bands AS (
-      |  SELECT doc_id, b, md5(mh[4*b+1]||'|'||mh[4*b+2]||'|'||mh[4*b+3]||'|'||mh[4*b+4]) AS bk
-      |  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
-      |pairs AS (
-      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      |  FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id)
-      |SELECT doc_a, doc_b,
-      |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-      |  CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) AS jaccard
-      |FROM pairs JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
-      |ORDER BY doc_a, doc_b""".stripMargin
+    s"""$minhashPairsCte
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |  CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) AS jaccard
+       |FROM pairs JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** True 64-bit SimHash, carried as two 32-bit halves (`sh_lo` = bits
     * 0..31, `sh_hi` = bits 32..63). Both halves stay positive longs, so
@@ -379,12 +414,15 @@ object Dedup {
 
   /** Edit-distance verification over LSH candidates: the precision pass a
     * title/short-text dedup pipeline runs after banding. Quadratic-cost
-    * levenshtein touches only the candidate pairs LSH surfaced — never
-    * the corpus cross product. */
-  def editDistancePairs(docs: DataFrame): DataFrame = {
+    * levenshtein touches only candidates that already verified at
+    * `minJaccard` set similarity — cheap set-sim gates expensive
+    * string-sim, so banding false positives (dissimilar docs sharing one
+    * band) never reach the O(len²) comparison. */
+  def editDistancePairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
     // no broadcast hint: the candidate set is corpus-scale at web dup
     // rates — shuffle join on doc_id; AQE broadcasts when actually small
-    val pairs = minhashLsh(docs).select(col("doc_a"), col("doc_b"))
+    val pairs = minhashLsh(docs).filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
     val texts = docs.select(col("doc_id"), col("text"))
     pairs
       .join(texts.as("ta"), col("doc_a") === col("ta.doc_id"))
@@ -398,28 +436,17 @@ object Dedup {
     editDistancePairs(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
 
   val ddEditdistSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (
-      |  SELECT doc_id,
-      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS shingles
-      |  FROM toks WHERE len(w) >= 3),
-      |sig AS (
-      |  SELECT doc_id, shingles,
-      |    list_transform(['0','1','2','3','4','5','6','7','8','9','10','11','12','13','14','15'],
-      |      j -> list_min(list_transform(shingles, s -> md5(j||'|'||s)))) AS mh
-      |  FROM sh),
-      |bands AS (
-      |  SELECT doc_id, b, md5(mh[4*b+1]||'|'||mh[4*b+2]||'|'||mh[4*b+3]||'|'||mh[4*b+4]) AS bk
-      |  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
-      |pairs AS (
-      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      |  FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id)
-      |SELECT doc_a, doc_b, levenshtein(ta.text, tb.text) AS edit_dist,
-      |  length(ta.text) AS len_a, length(tb.text) AS len_b
-      |FROM pairs JOIN documents ta ON doc_a = ta.doc_id
-      |JOIN documents tb ON doc_b = tb.doc_id
-      |ORDER BY doc_a, doc_b""".stripMargin
+    s"""$minhashPairsCte,
+       |vpairs AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |        CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.5)
+       |SELECT doc_a, doc_b, levenshtein(ta.text, tb.text) AS edit_dist,
+       |  length(ta.text) AS len_a, length(tb.text) AS len_b
+       |FROM vpairs JOIN documents ta ON doc_a = ta.doc_id
+       |JOIN documents tb ON doc_b = tb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Dedup applied end-to-end: find verified near-dups (J >= 0.9), drop
     * the higher doc_id of each pair, report the surviving corpus profile —
@@ -441,31 +468,15 @@ object Dedup {
       .orderBy(col("lang"))
 
   val ddPipelineSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (
-      |  SELECT doc_id,
-      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS shingles
-      |  FROM toks WHERE len(w) >= 3),
-      |sig AS (
-      |  SELECT doc_id, shingles,
-      |    list_transform(['0','1','2','3','4','5','6','7','8','9','10','11','12','13','14','15'],
-      |      j -> list_min(list_transform(shingles, s -> md5(j||'|'||s)))) AS mh
-      |  FROM sh),
-      |bands AS (
-      |  SELECT doc_id, b, md5(mh[4*b+1]||'|'||mh[4*b+2]||'|'||mh[4*b+3]||'|'||mh[4*b+4]) AS bk
-      |  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
-      |pairs AS (
-      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      |  FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id),
-      |dropids AS (
-      |  SELECT DISTINCT doc_b AS doc_id FROM pairs
-      |  JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
-      |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-      |        CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.9)
-      |SELECT lang, count(*) AS n_docs FROM documents
-      |WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
-      |GROUP BY lang ORDER BY lang""".stripMargin
+    s"""$minhashPairsCte,
+       |dropids AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM pairs
+       |  JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |        CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.9)
+       |SELECT lang, count(*) AS n_docs FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_pipeline" -> (ddPipeline _),
