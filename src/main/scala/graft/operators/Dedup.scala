@@ -41,6 +41,23 @@ object Dedup {
       .join(knownHashes.select(col("h").as("_h")), Seq("_h"), "left_anti")
       .drop("_h")
 
+  /** Driver query for the incremental shape: doc_id < 200 plays the
+    * historical corpus (only its hashes are retained — 16 bytes/doc),
+    * the rest arrive as the new batch. */
+  def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val known = docs.filter(col("doc_id") < 200).select(md5(col("text")).as("h"))
+    incrementalExact(docs.filter(col("doc_id") >= 200), known)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ddIncrementalSql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE doc_id >= 200 AND md5(text) NOT IN
+      |  (SELECT md5(text) FROM documents WHERE doc_id < 200)
+      |ORDER BY doc_id""".stripMargin
+
   /** Tall (doc_id, shingle) with distinct word-3-gram shingles.
     *
     * Built entirely from native expressions — `arrays_zip` of the token
@@ -479,6 +496,7 @@ object Dedup {
        |GROUP BY lang ORDER BY lang""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_incremental" -> (ddIncremental _),
     "dd_pipeline" -> (ddPipeline _),
     "dd_editdist" -> (ddEditdist _),
     "dd_exact" -> (ddExact _),
@@ -488,6 +506,7 @@ object Dedup {
     "dd_embed_cosine" -> (ddEmbedCosine _))
 
   val oracles: Map[String, String] = Map(
+    "dd_incremental" -> ddIncrementalSql,
     "dd_pipeline" -> ddPipelineSql,
     "dd_editdist" -> ddEditdistSql,
     "dd_exact" -> ddExactSql,

@@ -184,7 +184,48 @@ object TextAnalysis {
       |SELECT term, count(*) AS n FROM t
       |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin
 
+  /** Corpus-weighted term relevance: top-k terms per doc by tf/df. The
+    * score is tf·(1/df) — order-equivalent per doc to classic tf·idf
+    * (log is monotone in 1/df) while staying a single IEEE division, so
+    * both engines rank identically bit-for-bit; ln(N/df) would drag
+    * libm's last-ulp drift into the oracle. Shuffle shape at 100 TB:
+    * (doc, term) tf with map-side combine, a vocabulary-sized df table
+    * (AQE-broadcast into the join), one doc-keyed window. */
+  def tfidf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score", col("tf").cast(DoubleType) / col("df").cast(DoubleType))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  def txTfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidf(Tables.documents(spark, dir)).orderBy(col("doc_id"), col("rank"))
+
+  val txTfidfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+      |  GROUP BY doc_id, term),
+      |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |s AS (
+      |  SELECT doc_id, term, tf, df, tf::DOUBLE / df::DOUBLE AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tf::DOUBLE / df::DOUBLE DESC, term) AS rank
+      |  FROM tf JOIN dfx USING (term))
+      |SELECT doc_id, rank, term, tf, df, score FROM s WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_tfidf" -> (txTfidf _),
     "tx_topterms" -> (txTopterms _),
     "tx_tokens" -> (txTokens _),
     "tx_quality" -> (txQuality _),
@@ -192,6 +233,7 @@ object TextAnalysis {
     "tx_fingerprint" -> (txFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "tx_tfidf" -> txTfidfSql,
     "tx_topterms" -> txToptermsSql,
     "tx_tokens" -> txTokensSql,
     "tx_quality" -> txQualitySql,

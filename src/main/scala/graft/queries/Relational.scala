@@ -598,7 +598,51 @@ object Relational {
       |  CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS total_value
       |FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** Purchase attribution — batch twin of the event-time-bounded
+    * stream-stream join in EventStreams: each purchase joins the most
+    * recent click by the same user within the preceding 30 minutes.
+    * Equi-join on user_id (per-user fan-in is session-bounded) + window;
+    * the unbounded-history variant is [[graft.operators.AsOfJoin]]. */
+  def stAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("c_ts").desc, col("click_id").desc)
+    purchases.join(clicks, Seq("user_id"))
+      .filter(col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"), col("value"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val stAttributionSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |    user_id, event_type, value
+      |  FROM events),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+      |      FROM ev WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+      |      FROM ev WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT purchase_id, p.user_id, p_ts, click_id, c_ts, value,
+      |    row_number() OVER (PARTITION BY purchase_id
+      |      ORDER BY c_ts DESC, click_id DESC) AS rn
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |  WHERE c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 30 MINUTE)
+      |SELECT purchase_id, user_id, p_ts, click_id, c_ts, value
+      |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_attribution" -> (stAttribution _),
     "q1_agg" -> (q1Agg _),
     "q3_join_agg" -> (q3JoinAgg _),
     "q5_multijoin" -> (q5MultiJoin _),
@@ -624,6 +668,7 @@ object Relational {
     "st_window_agg" -> (stWindowAgg _))
 
   val oracles: Map[String, String] = Map(
+    "st_attribution" -> stAttributionSql,
     "q_approx" -> qApproxSql,
     "q1_agg" -> q1AggSql,
     "q3_join_agg" -> q3JoinAggSql,
