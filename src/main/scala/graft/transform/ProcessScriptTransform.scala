@@ -47,12 +47,43 @@ import org.apache.spark.sql.types._
   */
 object ProcessScriptTransform {
 
+  /** Configure-time script validation (ref: PythonEvaluator.java:224-243
+    * compiles the script in configurePipeline so a typo fails the deploy,
+    * not a 1000-executor job): compile-check the source and require a
+    * callable `transform` of arity 3. Runs one driver-side python3 (~50
+    * ms); throws IllegalArgumentException with the interpreter's message. */
+  def validate(script: String, pythonExec: String = "python3"): Unit = {
+    val checker =
+      """import sys, inspect
+        |src = sys.stdin.read()
+        |try:
+        |    code = compile(src, "<transform>", "exec")
+        |except SyntaxError as e:
+        |    sys.stderr.write("syntax error: %s (line %s)" % (e.msg, e.lineno)); sys.exit(1)
+        |ns = {}
+        |exec(code, ns)
+        |t = ns.get("transform")
+        |if not callable(t):
+        |    sys.stderr.write("script must define transform(record, emitter, context)"); sys.exit(1)
+        |n = len(inspect.signature(t).parameters)
+        |if n != 3:
+        |    sys.stderr.write("transform must take 3 parameters (record, emitter, context), got %d" % n); sys.exit(1)
+        |""".stripMargin
+    val proc = new ProcessBuilder(pythonExec, "-c", checker).start()
+    val in = proc.getOutputStream
+    in.write(script.getBytes(StandardCharsets.UTF_8)); in.close()
+    val err = new String(proc.getErrorStream.readAllBytes(), StandardCharsets.UTF_8)
+    if (proc.waitFor() != 0)
+      throw new IllegalArgumentException(s"invalid transform script: $err")
+  }
+
   def python(df: DataFrame, outSchema: StructType, script: String,
              arguments: Map[String, String] = Map.empty,
              metrics: Metrics = Metrics.none,
              onError: ScriptTransform.ErrorPolicy = ScriptTransform.FailFast,
              pythonExec: String = "python3",
              parallelism: Int = 0): TransformResult = {
+    validate(script, pythonExec) // fail at configure time, not per task
     // a narrow parquet scan often yields 1-2 partitions = 1-2 workers;
     // parallelism > 0 repartitions so the python stage uses the cluster
     // (the shuffle of input rows is cheap next to interpreting them)

@@ -265,6 +265,24 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getAs[Long]("id") === 2L)
   }
 
+  test("python script validation fails at configure time with the interpreter's message") {
+    val bad = intercept[IllegalArgumentException] {
+      ProcessScriptTransform.validate("def transform(record, emitter context):\n    pass\n")
+    }
+    assert(bad.getMessage.contains("syntax error"))
+    val missing = intercept[IllegalArgumentException] {
+      ProcessScriptTransform.validate("x = 1\n")
+    }
+    assert(missing.getMessage.contains("must define transform"))
+    val arity = intercept[IllegalArgumentException] {
+      ProcessScriptTransform.validate("def transform(record):\n    pass\n")
+    }
+    assert(arity.getMessage.contains("3 parameters"))
+    // a valid script passes silently
+    ProcessScriptTransform.validate(
+      "def transform(record, emitter, context):\n    emitter.emit(record)\n")
+  }
+
   test("ScriptTransform: script logger reaches executor logs and counts per level") {
     val df = (1 to 20).toDF("n").repartition(4)
     val out = StructType(Seq(StructField("n", IntegerType)))
