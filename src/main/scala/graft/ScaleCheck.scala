@@ -57,7 +57,18 @@ object ScaleCheck {
     // the end-to-end pipeline (anti-join on the corpus-scale drop set)
     // only says something new under planted dup density
     val results = if (dupPct > 0)
-      base ++ t("dd_pipeline")(Dedup.applyNearDupPolicy(docs).count())
+      base ++ t("dd_pipeline")(Dedup.applyNearDupPolicy(docs).count()) ++
+        t("dd_cc") {
+          // connected components over the planted dup clusters: star
+          // edges (representative -> member) from exact-dup groups give
+          // a corpus-scale graph without paying minhash verification
+          val members = docs.select(md5(col("text")).as("h"), col("doc_id"))
+          val reps = members.groupBy(col("h")).agg(min(col("doc_id")).as("rep"))
+          val pairs = members.join(reps, Seq("h"))
+            .filter(col("doc_id") =!= col("rep"))
+            .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+          Dedup.connectedComponents(pairs).count()
+        }
     else base
     // dd_ngram_jaccard is deliberately absent: the default docgen corpus
     // has a 30-word vocabulary, so EVERY doc pair shares shingles (~460M

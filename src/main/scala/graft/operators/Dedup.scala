@@ -465,6 +465,93 @@ object Dedup {
        |JOIN documents tb ON doc_b = tb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Connected components over an undirected pair graph via distributed
+    * min-label propagation: every vertex starts as its own label and
+    * repeatedly takes the min label in its neighborhood until a fixpoint.
+    * This is how a real curation pipeline turns pairwise near-dup hits
+    * into CLUSTERS (keep one doc per component) — transitive closure
+    * that pairwise drop policies miss (a~b, b~c but a!~c).
+    *
+    * Scale shape: each iteration is one equi-join labels⋈edges on the
+    * vertex key + a min-aggregate — shuffles bounded by |E|, map-side
+    * combined; iterations = component diameter (near-dup clusters are
+    * shallow — single digits). Each round localCheckpoints to cut the
+    * growing lineage, and convergence is an aggregate count, not a
+    * collect. maxIter caps pathological chains. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // symmetric edge list; self-loops keep isolated candidate endpoints
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min of own label and every neighbor's label
+      val next = labels
+        .join(edges, col("v") === col("src"), "left_outer")
+        .select(col("v"), col("label"), col("dst"))
+        .join(labels.select(col("v").as("dst"), col("label").as("nl")),
+          Seq("dst"), "left_outer")
+        .groupBy(col("v"))
+        .agg(least(min(col("label")), coalesce(min(col("nl")), min(col("label"))))
+          .as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /** dd_cluster: minhash near-dup pairs (J >= 0.9) → connected
+    * components → one row per clustered doc with its cluster
+    * representative (min doc_id) and the cluster size. */
+  def ddCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(Tables.documents(spark, dir))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val cc = connectedComponents(pairs)
+    val sizes = cc.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: transitive closure by recursive CTE (UNION dedups, so the
+    * recursion reaches a fixpoint), component label = min reachable
+    * vertex. Tractable because near-dup components are tiny; the Spark
+    * side is the one built for corpus-scale graphs. */
+  val ddClusterSql: String =
+    s"""${minhashPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |vpairs AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |        CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.9),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+       |  UNION SELECT doc_b, doc_a FROM vpairs
+       |  UNION SELECT doc_a, doc_a FROM vpairs
+       |  UNION SELECT doc_b, doc_b FROM vpairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cc AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+       |sizes AS (SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY cluster)
+       |SELECT doc_id, cc.cluster, cluster_size FROM cc JOIN sizes USING (cluster)
+       |ORDER BY doc_id""".stripMargin
+
   /** Dedup applied end-to-end: find verified near-dups (J >= 0.9), drop
     * the higher doc_id of each pair, report the surviving corpus profile —
     * the full curation-pipeline composition (candidate generation →
@@ -496,6 +583,7 @@ object Dedup {
        |GROUP BY lang ORDER BY lang""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_cluster" -> (ddCluster _),
     "dd_incremental" -> (ddIncremental _),
     "dd_pipeline" -> (ddPipeline _),
     "dd_editdist" -> (ddEditdist _),
@@ -506,6 +594,7 @@ object Dedup {
     "dd_embed_cosine" -> (ddEmbedCosine _))
 
   val oracles: Map[String, String] = Map(
+    "dd_cluster" -> ddClusterSql,
     "dd_incremental" -> ddIncrementalSql,
     "dd_pipeline" -> ddPipelineSql,
     "dd_editdist" -> ddEditdistSql,

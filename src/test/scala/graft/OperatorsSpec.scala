@@ -42,6 +42,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(precision >= 0.9, s"simhash precision $precision")
   }
 
+  test("connected components label chains, triangles and pairs transitively") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), triangle
+    // 10-11-12, pair 20-21: transitive closure a pairwise policy misses
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L), s"chain: $cc")
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L), s"triangle: $cc")
+    assert(Seq(20L, 21L).forall(cc(_) == 20L), s"pair: $cc")
+    assert(cc.size === 9)
+  }
+
   test("bucketed embed-cosine finds planted near-duplicate vectors") {
     import spark.implicits._
     // plant near-dups: vector i+1000 is vector i with one coordinate
