@@ -491,21 +491,22 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // min of own label and every neighbor's label
+      // min of own label and every neighbor's label; the old label rides
+      // along (min(label) — constant per v) so convergence is a cheap
+      // filter+count on the checkpointed result, not another join
       val next = labels
         .join(edges, col("v") === col("src"), "left_outer")
         .select(col("v"), col("label"), col("dst"))
         .join(labels.select(col("v").as("dst"), col("label").as("nl")),
           Seq("dst"), "left_outer")
         .groupBy(col("v"))
-        .agg(least(min(col("label")), coalesce(min(col("nl")), min(col("label"))))
-          .as("label"))
+        .agg(min(col("label")).as("old_label"),
+          coalesce(min(col("nl")), min(col("label"))).as("min_nl"))
+        .select(col("v"), col("old_label"),
+          least(col("old_label"), col("min_nl")).as("label"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("old_label")).count()
+      labels = next.select(col("v"), col("label"))
       converged = changed == 0
       iter += 1
     }

@@ -142,40 +142,44 @@ object Similarity {
   /** Per-label centroids — the coarse-quantizer building block of IVF
     * ANN. posexplode makes the aggregation a flat (label, dim) shape:
     * the shuffle carries n_labels x dim groups, partition-parallel.
-    * The double sum is made order-deterministic by accumulating in
-    * vec_id order (running window sum, final value via max_by) — the
-    * exact sequential fold DuckDB's `sum(v ORDER BY vec_id)` computes,
-    * so the oracle matches to the last bit. (A DECIMAL-cast sum is
-    * order-free but the double→decimal conversion itself rounds
-    * differently across engines at the last ulp.) */
-  def centroids(emb: DataFrame): DataFrame = {
-    val tall = emb.select(col("label"), col("vec_id"),
+    *
+    * The double sum is made order-FREE by accumulating exactly-scaled
+    * integers: floor(v·2^40) is a pure IEEE op (identical bits in any
+    * engine) and integer sums commute, so no ordered fold, no window
+    * sort, and map-side partial aggregation works — one plain shuffle.
+    * The 2^-40 quantization (~1e-12 on unit-scale embeddings) is
+    * irrelevant to a coarse quantizer; what matters is both engines
+    * compute the identical mean. (The previous ordered-window
+    * formulation matched DuckDB's `sum(v ORDER BY vec_id)` at ~2x the
+    * cost of this one.) */
+  private val CentScale = 1099511627776.0 // 2^40
+  def centroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
         posexplode(col("embedding").cast(ArrayType(DoubleType))))
-      .toDF("label", "vec_id", "dim", "v")
-    val w = Window.partitionBy(col("label"), col("dim")).orderBy(col("vec_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tall.withColumn("cum", sum(col("v")).over(w))
+      .toDF("label", "dim", "v")
       .groupBy(col("label"), col("dim"))
-      .agg(max_by(col("cum"), col("vec_id")).as("sum_v"), count(lit(1)).as("n"))
-      .select(col("label"), col("dim"), (col("sum_v") / col("n")).as("mean_v"))
-  }
+      .agg(sum(floor(col("v") * lit(CentScale)).cast(LongType)
+          .cast(DecimalType(38, 0))).as("sum_s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (col("sum_s").cast(DoubleType) / col("n") / lit(CentScale)).as("mean_v"))
 
   def annCentroids(spark: SparkSession, dir: String): DataFrame =
     centroids(Tables.embeddings(spark, dir)).orderBy("label", "dim")
 
   val annCentroidsSql: String =
     """WITH tall AS (
-      |  SELECT label, vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      |  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i))
-      |SELECT label, dim, sum(v ORDER BY vec_id) / count(*) AS mean_v
+      |SELECT label, dim,
+      |  (CAST(sum(CAST(floor(v * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+      |    / count(*)) / 1099511627776.0 AS mean_v
       |FROM tall GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
-  /** Centroids pivoted back to one ordered vector per label, built on the
-    * order-deterministic [[centroids]] fold so cell assignment (and with
-    * it the whole IVF result) is reproducible across engines — the extra
-    * (label, dim)-window sort is amortized over the corpus it quantizes.
-    * Tiny (nlist rows) — the HOF here is off the hot path by
-    * construction. */
+  /** Centroids pivoted back to one ordered vector per label, built on
+    * the order-free exact [[centroids]] so cell assignment (and with it
+    * the whole IVF result) is reproducible across engines. Tiny (nlist
+    * rows) — the HOF here is off the hot path by construction. */
   def centroidVectors(emb: DataFrame): DataFrame =
     centroids(emb).groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean_v")))),
@@ -185,8 +189,8 @@ object Similarity {
     * distance computations per vector, map-side min_by — no window, no
     * extra shuffle), then probe only the query's own cell. The
     * complement of [[lshTopK]]: data-adaptive cells instead of fixed
-    * hyperplanes. Deterministic by construction (ordered-fold centroids,
-    * (d2, label) tie-break) → full SQL oracle below. */
+    * hyperplanes. Deterministic by construction (exact integer-sum
+    * centroids, (d2, label) tie-break) → full SQL oracle below. */
   def ivfTopK(emb: DataFrame, isQuery: Column => Column, k: Int = 5): DataFrame = {
     val all = normed(emb)
     val cells = all
@@ -216,7 +220,7 @@ object Similarity {
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables.embeddings(spark, dir), v => v < 10).orderBy("q_id", "rk")
 
-  /** IVF oracle: rebuild the ordered-fold centroids, assign each vector
+  /** IVF oracle: rebuild the integer-sum centroids, assign each vector
     * to its nearest cell with the same (d2, label) tie-break, probe the
     * query's cell — deterministic end to end, hash-matches Spark. */
   val annIvfTopKSql: String =
@@ -225,10 +229,12 @@ object Similarity {
       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
       |  FROM embeddings),
       |tall AS (
-      |  SELECT label, vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+      |  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)),
       |cent AS (
-      |  SELECT label, dim, sum(val ORDER BY vec_id) / count(*) AS mean_v
+      |  SELECT label, dim,
+      |    (CAST(sum(CAST(floor(val * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+      |      / count(*)) / 1099511627776.0 AS mean_v
       |  FROM tall GROUP BY label, dim),
       |cvecs AS (SELECT label, list(mean_v ORDER BY dim) AS cvec FROM cent GROUP BY label),
       |dists AS (
