@@ -101,6 +101,45 @@ object SchemaCodec {
     case (v, _) => v
   }
 
+  /** Lazy Map view over a Row: field values decode on access instead of
+    * materializing all of them per record — a script that touches 5 of
+    * 16 columns pays for 5. Mutation-style operations (`+`, `-`)
+    * materialize first, so the full immutable-Map contract holds.
+    * Build one [[RowMapper]] per schema (it precomputes the name→index
+    * table) and reuse it for every row. */
+  final class RowMapper(schema: StructType) extends Serializable {
+    private val index: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
+    private val fields = schema.fields
+
+    private[SchemaCodec] def fieldValue(row: Row, i: Int): Any = {
+      val f = fields(i)
+      if (isUnionField(f))
+        fromUnion(row.get(i).asInstanceOf[Row], f.dataType.asInstanceOf[StructType])
+      else decode(row.get(i), f.dataType)
+    }
+
+    def apply(row: Row): Map[String, Any] = new RowBackedMap(row)
+
+    private final class RowBackedMap(row: Row)
+        extends scala.collection.immutable.AbstractMap[String, Any] {
+      override def get(key: String): Option[Any] =
+        index.get(key).map(fieldValue(row, _))
+      override def iterator: Iterator[(String, Any)] =
+        fields.indices.iterator.map(i => fields(i).name -> fieldValue(row, i))
+      override def size: Int = fields.length
+      override def contains(key: String): Boolean = index.contains(key)
+      override def removed(key: String): Map[String, Any] =
+        iterator.toMap.removed(key)
+      override def updated[V1 >: Any](key: String, value: V1): Map[String, V1] =
+        iterator.toMap.updated(key, value)
+      override def getOrElse[V1 >: Any](key: String, default: => V1): V1 =
+        index.get(key) match {
+          case Some(i) => fieldValue(row, i)
+          case None => default
+        }
+    }
+  }
+
   def rowToMap(row: Row, schema: StructType): Map[String, Any] = {
     val b = Map.newBuilder[String, Any]
     var i = 0
