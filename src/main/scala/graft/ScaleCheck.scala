@@ -51,8 +51,13 @@ object ScaleCheck {
       t("dd_exact")(Dedup.exact(docs).count()),
       t("dd_simhash_sigs")(Dedup.simhash(docs).count()),
       // candidate-pair generation, the quadratic-risk step: rows here is
-      // the sub-quadratic evidence the banding (+ bucket cap) must show
-      t("dd_simhash_pairs")(Dedup.simhashPairs(docs, maxBucket = 2000).count()),
+      // the sub-quadratic evidence the banding (+ bucket cap) must show.
+      // Only meaningful with a widened vocabulary: at the default 30-word
+      // vocab most docs are genuinely near-identical, so the TRUE pair
+      // count (the answer, not an artifact) is quadratic in the corpus.
+      (if (vocabMul > 1)
+        t("dd_simhash_pairs")(Dedup.simhashPairs(docs, maxBucket = 2000).count())
+      else None),
       t("dd_minhash_lsh")(Dedup.minhashLsh(docs).count())).flatten
     // the end-to-end pipeline (anti-join on the corpus-scale drop set)
     // only says something new under planted dup density

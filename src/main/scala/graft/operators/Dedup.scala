@@ -84,15 +84,20 @@ object Dedup {
         concat_ws(" ", col("z.0"), col("z.1"), col("z.2")).as("s"))
   }
 
-  /** Deterministic universal-hash family for minhash permutations
-    * (Broder's scheme): mh_j = min over shingles of (a_j·h + b_j) mod p,
-    * one 32-bit base hash per shingle instead of k md5 calls — measured
-    * ~2x on the signature stage and ~10x at the 2M-doc rehearsal scale.
-    * a_j < 2^31 (odd) and h < 2^32 keep a·h+b < 2^63: no overflow in
-    * either engine (DuckDB BIGINT arithmetic is checked), and the same
-    * decimal constants are interpolated into the oracle SQL, so results
-    * hash-match bit-for-bit. p = 2^61 - 1 (Mersenne). */
-  private[operators] val MinhashP: Long = 2305843009213693951L
+  /** Deterministic Carter-Wegman universal-hash family for minhash
+    * permutations (Broder's scheme): mh_j = (a_j·(h mod p) + b_j) mod p
+    * over a single 32-bit md5-derived shingle hash — one md5 per shingle
+    * instead of k. p MUST be small (2^31 - 1) so a·h wraps the modulus
+    * billions of times: with a large p (first attempt used 2^61-1) the
+    * product wraps at most ~3 times and the maps stay mostly
+    * ORDER-PRESERVING in h, correlating all k "permutations" — bands
+    * then collide whenever two docs merely share their min-h shingle and
+    * candidate counts explode quadratically on dense corpora. With
+    * p = 2^31-1: a, h mod p < 2^31 keep the product < 2^62 — no overflow
+    * in either engine (DuckDB BIGINT arithmetic is checked) — and the
+    * same decimal constants are interpolated into the oracle SQL, so
+    * results hash-match bit-for-bit. */
+  private[operators] val MinhashP: Long = 2147483647L // 2^31 - 1 (Mersenne)
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -100,9 +105,9 @@ object Dedup {
     z ^ (z >>> 31)
   }
   private[operators] val MinhashA: IndexedSeq[Long] =
-    (0 until 16).map(j => (mix64(2L * j + 1) & 0x7FFFFFFFL) | 1L)
+    (0 until 16).map(j => Math.floorMod(mix64(2L * j + 1), MinhashP - 1) + 1)
   private[operators] val MinhashB: IndexedSeq[Long] =
-    (0 until 16).map(j => mix64(2L * j + 2) & 0x7FFFFFFFL)
+    (0 until 16).map(j => Math.floorMod(mix64(2L * j + 2), MinhashP))
 
   /** MinHash (k=16) + LSH banding (4 bands x 4 rows): candidate pairs with
     * verified Jaccard. Signatures and band keys are projections; the only
@@ -120,7 +125,7 @@ object Dedup {
     // doc. (The per-doc HOF formulation array_min(transform(...)) is
     // interpreted per element — measured ~4x slower end-to-end.)
     val hashed = tall.withColumn("h",
-      conv(substring(md5(col("s")), 1, 8), 16, 10).cast(LongType))
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast(LongType) % lit(MinhashP))
     def perm(j: Int) =
       (lit(MinhashA(j)) * col("h") + lit(MinhashB(j))) % lit(MinhashP)
     val sig = hashed.groupBy(col("doc_id")).agg(
@@ -177,6 +182,8 @@ object Dedup {
     val mins = (0 until 16)
       .map(j => s"min((${MinhashA(j)}*h + ${MinhashB(j)}) % $MinhashP)")
       .mkString(", ")
+    // h is the same 32-bit md5-derived base hash reduced mod p; the
+    // constants below are interpolated from MinhashA/MinhashB
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (
@@ -184,7 +191,7 @@ object Dedup {
        |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS shingles
        |  FROM toks WHERE len(w) >= 3),
        |tallh AS (
-       |  SELECT doc_id, ('0x'||substr(md5(unnest(shingles)),1,8))::BIGINT AS h FROM sh),
+       |  SELECT doc_id, ('0x'||substr(md5(unnest(shingles)),1,8))::BIGINT % $MinhashP AS h FROM sh),
        |sig AS (
        |  SELECT doc_id, [$mins] AS mh
        |  FROM tallh GROUP BY doc_id),
