@@ -165,9 +165,38 @@ object Multimodal {
       |    AS data_checksum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** mm_resize: the full synth → sniff → parse → resize-plan chain,
+    * driver-checked. The decode is the documented stub, but the resize
+    * ARITHMETIC (aspect-preserving fit into a box) and every byte of
+    * plumbing before it are real; the oracle re-derives the expected
+    * output dimensions from the generator law with the identical
+    * double-precision expression. */
+  def mmResize(spark: SparkSession, dir: String): DataFrame =
+    resizeMeta(extractMeta(synthesize(Tables.documents(spark, dir))))
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("out_w"), col("out_h"))
+      .orderBy("doc_id")
+
+  val mmResizeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+      |      ELSE 'audio/wav' END AS media_type,
+      |    CAST(doc_id % 1024 + 1 AS INTEGER) AS width,
+      |    CAST(doc_id % 768 + 1 AS INTEGER) AS height
+      |  FROM documents),
+      |s AS (
+      |  SELECT *, least(32.0 / width, 32.0 / height) AS scale FROM m)
+      |SELECT doc_id, media_type, width, height,
+      |  greatest(CAST(floor(width * scale) AS INTEGER), 1) AS out_w,
+      |  greatest(CAST(floor(height * scale) AS INTEGER), 1) AS out_h
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_meta" -> (mmMeta _))
+    "mm_meta" -> (mmMeta _),
+    "mm_resize" -> (mmResize _))
 
   val oracles: Map[String, String] = Map(
-    "mm_meta" -> mmMetaSql)
+    "mm_meta" -> mmMetaSql,
+    "mm_resize" -> mmResizeSql)
 }

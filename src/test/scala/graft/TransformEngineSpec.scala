@@ -265,6 +265,25 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getAs[Long]("id") === 2L)
   }
 
+  test("python worker death mid-stream surfaces as a task error, not a hang") {
+    val df = (1L to 50L).toDF("id").repartition(1)
+    val out = StructType(Seq(StructField("id", LongType)))
+    // worker kills itself partway through the partition
+    val script =
+      """import sys, os
+        |def transform(record, emitter, context):
+        |    if record["id"] == 25:
+        |        os._exit(3)
+        |    emitter.emit({"id": record["id"]})
+        |""".stripMargin
+    val e = intercept[org.apache.spark.SparkException] {
+      ProcessScriptTransform.python(df, out, script).out.collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("python worker") || msg.contains("died"),
+      s"unexpected failure text: $msg")
+  }
+
   test("python script validation fails at configure time with the interpreter's message") {
     val bad = intercept[IllegalArgumentException] {
       ProcessScriptTransform.validate("def transform(record, emitter context):\n    pass\n")
