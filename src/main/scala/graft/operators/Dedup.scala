@@ -267,9 +267,11 @@ object Dedup {
     val hot = banded.groupBy(col("b"), col("bk"))
       .agg(count(lit(1)).as("occ")).filter(col("occ") > maxBucket)
       .select(col("b"), col("bk"), lit(true).as("_hot"))
+    // sub-split keys live above 65536 so they can never collide with an
+    // ordinary bucket that kept its bk value in the same band
     val keyed = banded.join(hot, Seq("b", "bk"), "left_outer")
       .select(col("doc_id"), col("sh_lo"), col("sh_hi"), col("b"),
-        when(col("_hot").isNotNull, col("bk") * 256 + col("sub"))
+        when(col("_hot").isNotNull, lit(65536L) + col("bk") * 256 + col("sub"))
           .otherwise(col("bk")).as("bk"))
     keyed.as("x").join(keyed.as("y"),
         col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
@@ -484,8 +486,13 @@ object Dedup {
     * combined; iterations = component diameter (near-dup clusters are
     * shallow — single digits). Each round localCheckpoints to cut the
     * growing lineage, and convergence is an aggregate count, not a
-    * collect. maxIter caps pathological chains. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * collect. maxIter caps pathological chains; hitting it without a
+    * fixpoint means some component of diameter > maxIter would be
+    * silently split into several clusters, so the default is to throw
+    * rather than return wrong labels (set failOnMaxIter=false to accept
+    * the truncation knowingly, e.g. for a best-effort exploratory pass). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          failOnMaxIter: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
     // symmetric edge list; self-loops keep isolated candidate endpoints
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -517,6 +524,11 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged && failOnMaxIter)
+      throw new IllegalStateException(
+        s"connectedComponents did not reach a fixpoint in $maxIter iterations; " +
+          "labels would split high-diameter components — raise maxIter or pass " +
+          "failOnMaxIter=false to accept truncated clusters")
     labels.select(col("v").as("doc_id"), col("label").as("cluster"))
   }
 

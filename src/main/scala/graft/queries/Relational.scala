@@ -333,9 +333,13 @@ object Relational {
     * grouping combinations, via the SQL path. */
   def qGsets(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    // Spark-side text diverges from the oracle here on purpose: a raw
+    // BIGINT sum silently wraps under non-ANSI Spark at corpus scale, so
+    // sum in DECIMAL(38,0) like dsum. (DuckDB sums BIGINT into HUGEINT,
+    // so the oracle text below stays on the plain BIGINT sum.)
     spark.sql(
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_qty
+        |  CAST(sum(CAST(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""

@@ -49,31 +49,46 @@ object ProcessScriptTransform {
 
   /** Configure-time script validation (ref: PythonEvaluator.java:224-243
     * compiles the script in configurePipeline so a typo fails the deploy,
-    * not a 1000-executor job): compile-check the source and require a
-    * callable `transform` of arity 3. Runs one driver-side python3 (~50
-    * ms); throws IllegalArgumentException with the interpreter's message. */
+    * not a 1000-executor job): compile-check the source and verify the
+    * `transform` signature from the AST — the user module is never
+    * executed, so top-level side effects (network calls, input(),
+    * infinite loops) can neither run on the driver host nor hang
+    * configuration. The whole check is bounded by a hard timeout as a
+    * second line of defense. Runs one driver-side python3 (~50 ms);
+    * throws IllegalArgumentException with the interpreter's message. */
   def validate(script: String, pythonExec: String = "python3"): Unit = {
     val checker =
-      """import sys, inspect
+      """import sys, ast
         |src = sys.stdin.read()
         |try:
-        |    code = compile(src, "<transform>", "exec")
+        |    tree = ast.parse(src, "<transform>", "exec")
+        |    compile(tree, "<transform>", "exec")
         |except SyntaxError as e:
         |    sys.stderr.write("syntax error: %s (line %s)" % (e.msg, e.lineno)); sys.exit(1)
-        |ns = {}
-        |exec(code, ns)
-        |t = ns.get("transform")
-        |if not callable(t):
-        |    sys.stderr.write("script must define transform(record, emitter, context)"); sys.exit(1)
-        |n = len(inspect.signature(t).parameters)
-        |if n != 3:
+        |defs = [n for n in tree.body
+        |        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        |        and n.name == "transform"]
+        |if not defs:
+        |    sys.stderr.write("script must define transform(record, emitter, context) at module top level"); sys.exit(1)
+        |if isinstance(defs[-1], ast.AsyncFunctionDef):
+        |    sys.stderr.write("transform must be a plain def, not async def (it is called synchronously)"); sys.exit(1)
+        |a = defs[-1].args
+        |n = len(a.posonlyargs) + len(a.args)
+        |if n != 3 and not (a.vararg is not None and n < 3):
         |    sys.stderr.write("transform must take 3 parameters (record, emitter, context), got %d" % n); sys.exit(1)
         |""".stripMargin
     val proc = new ProcessBuilder(pythonExec, "-c", checker).start()
     val in = proc.getOutputStream
     in.write(script.getBytes(StandardCharsets.UTF_8)); in.close()
+    // the checker never runs user code, so this bound only guards a
+    // broken interpreter; destroy on expiry so configuration can't hang
+    if (!proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)) {
+      proc.destroyForcibly()
+      throw new IllegalArgumentException(
+        "transform script validation timed out after 30s")
+    }
     val err = new String(proc.getErrorStream.readAllBytes(), StandardCharsets.UTF_8)
-    if (proc.waitFor() != 0)
+    if (proc.exitValue() != 0)
       throw new IllegalArgumentException(s"invalid transform script: $err")
   }
 

@@ -302,6 +302,23 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "def transform(record, emitter, context):\n    emitter.emit(record)\n")
   }
 
+  test("python script validation never executes the module top level") {
+    // under an exec-based check this would hang configuration for 600 s
+    // and run the side effect on the driver host; the AST check returns
+    // immediately without running it
+    val t0 = System.nanoTime()
+    ProcessScriptTransform.validate(
+      "import time\ntime.sleep(600)\n" +
+        "def transform(record, emitter, context):\n    emitter.emit(record)\n")
+    assert((System.nanoTime() - t0) < 10e9, "validation must not exec the script")
+    // async transform is rejected: the worker calls it synchronously
+    val async = intercept[IllegalArgumentException] {
+      ProcessScriptTransform.validate(
+        "async def transform(record, emitter, context):\n    pass\n")
+    }
+    assert(async.getMessage.contains("async"))
+  }
+
   test("ScriptTransform: script logger reaches executor logs and counts per level") {
     val df = (1 to 20).toDF("n").repartition(4)
     val out = StructType(Seq(StructField("n", IntegerType)))
