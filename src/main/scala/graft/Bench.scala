@@ -79,7 +79,12 @@ object Bench {
       (sec, shuffleBytes, ok)
     }
     runOnce("q1_agg") // warm-up (reported failure is visible but untimed)
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // optional args = substring filters for a fast local iteration loop
+    // (the driver passes none and times the full surface)
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (args.isEmpty) names0
+      else names0.filter(n => args.exists(n.contains))
+    val results = names.map { name =>
       val (t1, _, ok1) = runOnce(name)
       val (t2, shuffle, ok2) = runOnce(name)
       (name, math.min(t1, t2), shuffle, ok1 && ok2)

@@ -494,10 +494,12 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           failOnMaxIter: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
-    // symmetric edge list; self-loops keep isolated candidate endpoints
+    // symmetric edge list — no dedup needed: pairs arrive unique with
+    // doc_a < doc_b, so the two union branches cannot collide (and the
+    // min-aggregate is idempotent to duplicates anyway); a distinct here
+    // would be a full extra shuffle of |E|
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
@@ -505,19 +507,18 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // min of own label and every neighbor's label; the old label rides
-      // along (min(label) — constant per v) so convergence is a cheap
-      // filter+count on the checkpointed result, not another join
-      val next = labels
-        .join(edges, col("v") === col("src"), "left_outer")
-        .select(col("v"), col("label"), col("dst"))
-        .join(labels.select(col("v").as("dst"), col("label").as("nl")),
-          Seq("dst"), "left_outer")
+      // message-passing formulation: each vertex sends its label to its
+      // out-neighbors (edges are symmetric) and to itself, then takes the
+      // min — ONE shuffle join + one map-side-combined aggregate per
+      // iteration (the labels⋈edges⋈labels double-join costs two). The
+      // own-label rides along tagged so convergence is a cheap
+      // filter+count on the checkpointed result, not another join.
+      val next = edges.join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), col("label"), lit(false).as("own"))
+        .union(labels.select(col("v"), col("label"), lit(true).as("own")))
         .groupBy(col("v"))
-        .agg(min(col("label")).as("old_label"),
-          coalesce(min(col("nl")), min(col("label"))).as("min_nl"))
-        .select(col("v"), col("old_label"),
-          least(col("old_label"), col("min_nl")).as("label"))
+        .agg(min(when(col("own"), col("label"))).as("old_label"),
+          min(col("label")).as("label"))
         .localCheckpoint()
       val changed = next.filter(col("label") =!= col("old_label")).count()
       labels = next.select(col("v"), col("label"))

@@ -176,33 +176,44 @@ object Similarity {
       |    / count(*)) / 1099511627776.0 AS mean_v
       |FROM tall GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
-  /** Centroids pivoted back to one ordered vector per label, built on
-    * the order-free exact [[centroids]] so cell assignment (and with it
-    * the whole IVF result) is reproducible across engines. Tiny (nlist
-    * rows) — the HOF here is off the hot path by construction. */
-  def centroidVectors(emb: DataFrame): DataFrame =
-    centroids(emb).groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean_v")))),
-        s => s.getField("mean_v")).as("cvec"))
-
-  /** IVF ANN: assign every vector to its nearest centroid cell (nlist
-    * distance computations per vector, map-side min_by — no window, no
-    * extra shuffle), then probe only the query's own cell. The
-    * complement of [[lshTopK]]: data-adaptive cells instead of fixed
-    * hyperplanes. Deterministic by construction (exact integer-sum
+  /** IVF ANN: assign every vector to its nearest centroid cell, then
+    * probe only the query's own cell. The complement of [[lshTopK]]:
+    * data-adaptive cells instead of fixed hyperplanes.
+    *
+    * The coarse quantizer is nlist x dim doubles — a driver-side
+    * constant, same footprint class as a broadcast dimension table — so
+    * it is folded into the plan as literals and assignment becomes a
+    * pure codegen'd projection (array_min over per-cell (d2, label)
+    * structs): no explode, no N x nlist shuffle carrying 64-dim
+    * vectors, nothing materialized corpus-side. At 100 TB the corpus is
+    * scanned once and every operation before the per-cell probe join is
+    * map-side. Deterministic by construction (exact integer-sum
     * centroids, (d2, label) tie-break) → full SQL oracle below. */
   def ivfTopK(emb: DataFrame, isQuery: Column => Column, k: Int = 5): DataFrame = {
     val all = normed(emb)
-    val cells = all
-      .join(broadcast(centroidVectors(emb)))
-      .select(col("vec_id"), col("v"), col("n2"), col("label"),
-        (col("n2") - lit(2.0) * dot(col("v"), col("cvec")) +
-          dot(col("cvec"), col("cvec"))).as("d2"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("label"), struct(col("d2"), col("label"))).as("cell"),
-        first(col("v")).as("v"), first(col("n2")).as("n2"))
-      // probe side and candidate side both read cells — assign once
-      .localCheckpoint()
+    // nlist x dim — tiny by contract (coarse quantizer), ordered by
+    // (label, dim); c2 = sequential self-dot, the same left-to-right
+    // fold the native dotp / DuckDB list_dot_product performs
+    val cents: Array[(Long, Array[Double])] =
+      centroids(emb).collect()
+        .groupBy(_.getAs[Number]("label").longValue())
+        .toArray
+        .map { case (lbl, rows) =>
+          lbl -> rows.sortBy(_.getAs[Number]("dim").longValue())
+            .map(_.getAs[Double]("mean_v"))
+        }
+        .sortBy(_._1)
+    val cellStructs = cents.map { case (lbl, cv) =>
+      var c2 = 0.0
+      var i = 0
+      while (i < cv.length) { c2 += cv(i) * cv(i); i += 1 }
+      val cvec = array(cv.map(lit).toIndexedSeq: _*)
+      struct(
+        (col("n2") - lit(2.0) * dot(col("v"), cvec) + lit(c2)).as("d2"),
+        lit(lbl).as("label"))
+    }
+    val cells = all.withColumn("cell",
+      array_min(array(cellStructs.toIndexedSeq: _*)).getField("label"))
     val queries = cells.filter(isQuery(col("vec_id")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
