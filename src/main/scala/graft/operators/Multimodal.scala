@@ -192,11 +192,60 @@ object Multimodal {
       |  greatest(CAST(floor(height * scale) AS INTEGER), 1) AS out_h
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** mm_frames: driver-checked frame sampling. The payload's data
+    * section is framed (8-byte frames, keep every 4th) and each kept
+    * frame's BYTES are surfaced as hex; the oracle rebuilds the exact
+    * hex string from the generator law — every sampled byte is
+    * verified, not just counts. */
+  def mmFrames(spark: SparkSession, dir: String): DataFrame =
+    frameSample(synthesize(Tables.documents(spark, dir)))
+      .select(col("doc_id"), col("frame_idx"), hex(col("frame")).as("frame_hex"))
+      .orderBy("doc_id", "frame_idx")
+
+  val mmFramesSql: String =
+    """SELECT doc_id, fi AS frame_idx,
+      |  upper(string_agg(printf('%02x', (doc_id + fi*8 + j) % 256), '' ORDER BY j))
+      |    AS frame_hex
+      |FROM documents
+      |CROSS JOIN (SELECT unnest([0, 4]) AS fi)
+      |CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+      |GROUP BY doc_id, fi
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** mm_features: driver-checked feature extraction — the 16-bin byte
+    * histogram embedding, exploded tall so the oracle can rebuild every
+    * weight exactly (k/64 is a power-of-two division: bit-exact in
+    * float and double alike). */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(synthesize(Tables.documents(spark, dir)))
+      .select(col("doc_id"), posexplode(col("embedding")))
+      .toDF("doc_id", "bin", "weight")
+      .select(col("doc_id"), col("bin"),
+        col("weight").cast(DoubleType).as("weight"))
+      .orderBy("doc_id", "bin")
+
+  val mmFeaturesSql: String =
+    """WITH bytes AS (
+      |  SELECT doc_id, ((doc_id + i) % 256) // 16 AS bin
+      |  FROM documents, unnest(range(0, 64)) r(i)),
+      |counts AS (SELECT doc_id, bin, count(*) AS n FROM bytes GROUP BY doc_id, bin),
+      |bins AS (
+      |  SELECT doc_id, b AS bin FROM documents, unnest(range(0, 16)) rb(b))
+      |SELECT bins.doc_id, CAST(bins.bin AS INTEGER) AS bin,
+      |  CAST(coalesce(counts.n, 0) AS DOUBLE) / 64.0 AS weight
+      |FROM bins LEFT JOIN counts
+      |  ON bins.doc_id = counts.doc_id AND bins.bin = counts.bin
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta _),
-    "mm_resize" -> (mmResize _))
+    "mm_resize" -> (mmResize _),
+    "mm_frames" -> (mmFrames _),
+    "mm_features" -> (mmFeatures _))
 
   val oracles: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
-    "mm_resize" -> mmResizeSql)
+    "mm_resize" -> mmResizeSql,
+    "mm_frames" -> mmFramesSql,
+    "mm_features" -> mmFeaturesSql)
 }

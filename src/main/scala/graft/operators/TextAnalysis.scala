@@ -166,6 +166,49 @@ object TextAnalysis {
       trim(regexp_replace(masked, """\s+""", " ")))
   }
 
+  /** tx_pii: driver-checked PII scrub. The corpus carries no real PII,
+    * so every shape the scrubber handles (email, IPv4, phone, long
+    * digit run) is synthesized deterministically from doc_id and
+    * prepended to the document text; the oracle rebuilds the identical
+    * input and applies the identical replacement chain, so the masked
+    * output — including pattern precedence (IP before phone, digit runs
+    * last) — is verified byte-for-byte. A pure codegen'd projection:
+    * shuffle-free at any corpus size. */
+  def txPii(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pii = docs.select(col("doc_id"),
+      concat(
+        lit("reach u"), col("doc_id").cast(StringType),
+        lit("@mail.example.org or +1 555 "),
+        lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"),
+        lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast(StringType),
+        lit(".7 acct "), (col("doc_id") + 100000).cast(StringType),
+        lit(" "), col("text")).as("text"))
+    scrub(pii).select(col("doc_id"), col("text").as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  val txPiiSql: String =
+    """WITH pii AS (
+      |  SELECT doc_id,
+      |    'reach u' || doc_id || '@mail.example.org or +1 555 ' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |    ' ip 10.0.' || (doc_id % 256) || '.7 acct ' ||
+      |    (doc_id + 100000) || ' ' || text AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  trim(regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(t,
+      |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |          '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+      |        '\+?\d+(?:[\s().-]+\d+){2,}', '<PHONE>', 'g'),
+      |      '\b\d{6,}\b', '<NUM>', 'g'),
+      |    '\s+', ' ', 'g')) AS scrubbed
+      |FROM pii ORDER BY doc_id""".stripMargin
+
   /** Corpus-level term frequencies: explode tokens, aggregate, top-k.
     * The shuffle carries (token, partial count) thanks to map-side
     * combine — vocabulary-sized, not corpus-sized. */
@@ -230,6 +273,7 @@ object TextAnalysis {
     "tx_tokens" -> (txTokens _),
     "tx_quality" -> (txQuality _),
     "tx_langid" -> (txLangid _),
+    "tx_pii" -> (txPii _),
     "tx_fingerprint" -> (txFingerprint _))
 
   val oracles: Map[String, String] = Map(
@@ -238,5 +282,6 @@ object TextAnalysis {
     "tx_tokens" -> txTokensSql,
     "tx_quality" -> txQualitySql,
     "tx_langid" -> txLangidSql,
+    "tx_pii" -> txPiiSql,
     "tx_fingerprint" -> txFingerprintSql)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
-import graft.core.Tables
+import graft.core.{Skew, Tables}
 
 /** Relational / analytics query surface (SURVEY.md §2.B).
   *
@@ -594,6 +594,80 @@ object Relational {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** q_skew_salted: the skew-mitigation path as a first-class,
+    * driver-verified operator. [[graft.core.Skew.saltedJoin]] spreads
+    * each (possibly hot) left key over 8 salt shards and replicates the
+    * right side per shard; salting is RESULT-INVARIANT by construction,
+    * and this query proves it — the oracle is the plain unsalted join.
+    * At 100 TB this is the planner-level fallback when one key carries a
+    * disproportionate share of rows and AQE's runtime skew splitting
+    * can't apply (broadcast-ineligible shapes). */
+  def qSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("partkey"), col("l_quantity"))
+    val pt = Tables.part(spark, dir)
+      .select(col("p_partkey").as("partkey"), col("p_brand"))
+    Skew.saltedJoin(li, pt, "partkey", salts = 8)
+      .groupBy(col("p_brand"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("p_brand"))
+  }
+
+  val qSkewSaltedSql: String =
+    """SELECT p_brand,
+      |  CAST(sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** q_histogram: equi-width histogram with explicit bin bounds — the
+    * numeric-profiling shape every dataset report runs. Binning is a
+    * pure projection (floor division), the count a map-side-combined
+    * aggregate: one bounded shuffle of (bin, partials) whatever the
+    * corpus size. */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val binW = 50000.0
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / lit(binW)).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(col("bucket"), (col("bucket") * lit(binW)).as("lo"),
+        ((col("bucket") + 1) * lit(binW)).as("hi"), col("n"), col("sum_price"))
+      .orderBy("bucket")
+  }
+
+  val qHistogramSql: String =
+    """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+      |  CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000.0 AS lo,
+      |  (CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1) * 50000.0 AS hi,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** st_dedup: batch twin of the streaming exactly-once dedup
+    * (EventStreams.dedupEvents / dropDuplicatesWithinWatermark). An
+    * at-least-once delivery is simulated by re-delivering every 10th
+    * event; dedup restores exactly-once. Duplicate rows are bitwise
+    * identical, so distinct() is deterministic; the shuffle carries the
+    * event key space once, never payloads twice. */
+  def stDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val redelivered = ev.union(ev.filter(pmod(col("event_id"), lit(10)) === 0))
+    redelivered.distinct().orderBy("event_id")
+  }
+
+  val stDedupSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |    user_id, event_type, value
+      |  FROM events),
+      |redelivered AS (
+      |  SELECT * FROM ev
+      |  UNION ALL SELECT * FROM ev WHERE event_id % 10 = 0)
+      |SELECT DISTINCT event_id, ts, user_id, event_type, value
+      |FROM redelivered ORDER BY event_id""".stripMargin
+
   /** Tumbling-window event counts (batch form of the streaming agg). */
   def stWindowAgg(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -681,6 +755,9 @@ object Relational {
     "q_json" -> (qJson _),
     "q_sql_corr" -> (qSqlCorr _),
     "q_funcs" -> (qFuncs _),
+    "q_skew_salted" -> (qSkewSalted _),
+    "q_histogram" -> (qHistogram _),
+    "st_dedup" -> (stDedup _),
     "st_window_agg" -> (stWindowAgg _))
 
   val oracles: Map[String, String] = Map(
@@ -707,5 +784,8 @@ object Relational {
     "q_json" -> qJsonSql,
     "q_sql_corr" -> qSqlCorrSql,
     "q_funcs" -> qFuncsSql,
+    "q_skew_salted" -> qSkewSaltedSql,
+    "q_histogram" -> qHistogramSql,
+    "st_dedup" -> stDedupSql,
     "st_window_agg" -> stWindowAggSql)
 }

@@ -82,6 +82,15 @@ object EventStreams {
       .drop("p_user")
   }
 
+  /** Exactly-once restoration over an at-least-once event feed:
+    * duplicate event_ids arriving within the watermark are dropped
+    * (state per key is evicted once the watermark passes, so state is
+    * bounded by the redelivery horizon, not the stream's lifetime).
+    * Batch twin with a DuckDB oracle: Relational.stDedup. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 seconds"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 

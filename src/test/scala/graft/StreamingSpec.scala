@@ -128,6 +128,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(written === batch)
   }
 
+  test("streaming dedup drops redelivered events across micro-batches") {
+    // simulate at-least-once delivery: the full feed plus every 10th
+    // event again, split over multiple files → multiple micro-batches,
+    // so dedup state must carry across batch boundaries
+    val d = Files.createTempDirectory("graft-events-dup")
+    val raw = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    raw.union(raw.filter(pmod(col("event_id"), lit(10)) === 0))
+      .withColumn("ts", unix_micros(col("ts")) * 1000) // back to raw long nanos
+      .repartition(4)
+      .write.parquet(d.toString + "/files")
+    val q = EventStreams.dedupEvents(
+        EventStreams.readEvents(spark, d.toString + "/files", Some(1)),
+        watermark = "365 days") // all redeliveries inside the horizon
+      .writeStream.format("memory").queryName("dd")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dd").select("event_id").collect().map(_.getLong(0))
+    assert(streamed.length === streamed.distinct.length, "duplicates survived")
+    assert(streamed.toSet === raw.select("event_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("mapGroupsWithState running totals converge to batch per-user totals") {
     val q = EventStreams.runningUserTotals(EventStreams.readEvents(spark, eventsDir))
       .writeStream.format("memory").queryName("ut")
