@@ -213,6 +213,39 @@ object Transforms {
       |  o_totalprice * 3 AS scaled
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Lookup datasets in the PYTHON script context — parity with
+    * xf_lookup's Scala path (the reference *declares* context lookups
+    * but throws UnsupportedOperation; Graft supports them on both
+    * paths). The dimension map is torrent-broadcast to executors and
+    * handed to each worker once at init, never per record. */
+  def xfPylookup(spark: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("prio_code", StringType)))
+    val script =
+      """def transform(record, emitter, context):
+        |    code = context.lookup("prio_code", record["o_orderpriority"])
+        |    emitter.emit({"o_orderkey": record["o_orderkey"],
+        |                  "prio_code": code if code is not None else "?"})
+        |""".stripMargin
+    ProcessScriptTransform.python(
+        Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+        out, script,
+        lookups = Map("prio_code" -> Map(
+          "1-URGENT" -> "U", "2-HIGH" -> "H", "3-MEDIUM" -> "M",
+          "4-NOT SPECIFIED" -> "N", "5-LOW" -> "L")),
+        parallelism = spark.sparkContext.defaultParallelism)
+      .out.localCheckpoint().orderBy(col("o_orderkey"))
+  }
+
+  val xfPylookupSql: String =
+    """SELECT o_orderkey,
+      |  CASE o_orderpriority
+      |    WHEN '1-URGENT' THEN 'U' WHEN '2-HIGH' THEN 'H'
+      |    WHEN '3-MEDIUM' THEN 'M' WHEN '4-NOT SPECIFIED' THEN 'N'
+      |    WHEN '5-LOW' THEN 'L' ELSE '?' END AS prio_code
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** emitAlert channel (ref PythonEvaluator.java:191-194): script flags
     * anomalous records as alert payloads riding the same single tagged
     * pass as the output channel; the driver query surfaces the alerts
@@ -267,6 +300,7 @@ object Transforms {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "xf_pyscript" -> (xfPyscript _),
+    "xf_pylookup" -> (xfPylookup _),
     "xf_alerts" -> (xfAlerts _),
     "xf_lookup" -> (xfLookup _),
     "xf_scale" -> (xfScale _),
@@ -280,6 +314,7 @@ object Transforms {
 
   val oracles: Map[String, String] = Map(
     "xf_pyscript" -> xfPyscriptSql,
+    "xf_pylookup" -> xfPylookupSql,
     "xf_alerts" -> xfAlertsSql,
     "xf_lookup" -> xfLookupSql,
     "xf_scale" -> xfScaleSql,

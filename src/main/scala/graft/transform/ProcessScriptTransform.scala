@@ -33,6 +33,7 @@ import org.apache.spark.sql.types._
   *                        'invalidRecord': dict})
   *     emitter.emitAlert({str: str})
   *     context.getArguments() / .getLogger() / .getMetrics().count(name)
+  *     context.lookup(dataset, key) / .getLookup(dataset)   # broadcast dims
   * }}}
   * Channels, error policy, metrics, and the tagged single-pass result are
   * the same [[TransformResult]] the in-process [[ScriptTransform]] path
@@ -95,10 +96,14 @@ object ProcessScriptTransform {
   def python(df: DataFrame, outSchema: StructType, script: String,
              arguments: Map[String, String] = Map.empty,
              metrics: Metrics = Metrics.none,
+             lookups: Map[String, Map[String, Any]] = Map.empty,
              onError: ScriptTransform.ErrorPolicy = ScriptTransform.FailFast,
              pythonExec: String = "python3",
              parallelism: Int = 0): TransformResult = {
     validate(script, pythonExec) // fail at configure time, not per task
+    // torrent-broadcast once per executor (like the Scala path's
+    // ScriptContext), not serialized into every task closure
+    val bcLookups = df.sparkSession.sparkContext.broadcast(lookups)
     // a narrow parquet scan often yields 1-2 partitions = 1-2 workers;
     // parallelism > 0 repartitions so the python stage uses the cluster
     // (the shuffle of input rows is cheap next to interpreting them)
@@ -146,6 +151,7 @@ object ProcessScriptTransform {
             val init = new java.util.LinkedHashMap[String, Object]()
             init.put("script", script)
             init.put("arguments", JsonCodec.toJava(arguments))
+            init.put("lookups", JsonCodec.toJava(bcLookups.value))
             stdin.write(mapper.writeValueAsString(init)); stdin.write("\n")
             while (rows.hasNext) {
               val record = SchemaCodec.rowToMap(rows.next(), inSchema)
@@ -290,19 +296,24 @@ object ProcessScriptTransform {
       |    def emitAlert(self, payload): _w({"t": "a", "d": payload})
       |
       |class _Context(object):
-      |    def __init__(self, args):
+      |    def __init__(self, args, lookups):
       |        self.arguments = args
+      |        self.lookups = lookups
       |        self.logger = _Logger()
       |        self.metrics = _Metrics()
       |    def getArguments(self): return self.arguments
       |    def getLogger(self): return self.logger
       |    def getMetrics(self): return self.metrics
+      |    def getLookup(self, dataset): return self.lookups.get(dataset, {})
+      |    def lookup(self, dataset, key):
+      |        d = self.lookups.get(dataset)
+      |        return None if d is None else d.get(str(key))
       |
       |_init = json.loads(sys.stdin.readline())
       |_ns = {}
       |exec(_init["script"], _ns)
       |_transform = _ns["transform"]
-      |_ctx = _Context(_init.get("arguments", {}))
+      |_ctx = _Context(_init.get("arguments", {}), _init.get("lookups", {}))
       |_em = _Emitter()
       |
       |_n = 0
