@@ -133,6 +133,46 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no equi-join on the LSH bucket key:\n$ex")
   }
 
+  test("PII scrub is shuffle-free whole-stage codegen") {
+    // the masking chain itself (driver query minus its presentation
+    // sort) must be a single codegen'd projection
+    val masked = graft.operators.TextAnalysis.scrub(Tables.documents(spark, dir))
+    val p = plan(masked)
+    assert(!p.contains("Exchange"), s"regex masking introduced a shuffle:\n$p")
+    masked.collect()
+    val ex = masked.queryExecution.executedPlan.toString
+    assert(ex.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"masking projection fell out of codegen:\n$ex")
+  }
+
+  test("IVF cell assignment is a pure projection (no shuffle before the probe join)") {
+    val df = Similarity.annIvfTopK(spark, dir)
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    // no aggregate-based assignment: the only aggregates allowed are the
+    // tiny centroid build (collected driver-side before planning) — the
+    // executed probe plan must contain no HashAggregate at all below the
+    // top-k window, and no nested-loop fallback
+    assert(!ex.contains("BroadcastNestedLoopJoin") && !ex.contains("CartesianProduct"),
+      s"IVF probe degenerated into a product join:\n$ex")
+    assert(ex.contains("array_min"), s"literal-centroid argmin projection missing:\n$ex")
+  }
+
+  test("salted join stays an equi-join and spreads keys over salt shards") {
+    val li = Tables.lineitem(spark, dir)
+      .select(org.apache.spark.sql.functions.col("l_partkey").as("partkey"),
+        org.apache.spark.sql.functions.col("l_quantity"))
+    val pt = Tables.part(spark, dir)
+      .select(org.apache.spark.sql.functions.col("p_partkey").as("partkey"),
+        org.apache.spark.sql.functions.col("p_brand"))
+    val df = graft.core.Skew.saltedJoin(li, pt, "partkey", 8)
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    assert(!ex.contains("BroadcastNestedLoopJoin") && !ex.contains("CartesianProduct"),
+      s"salted join degenerated:\n$ex")
+    assert(ex.contains("_salt"), s"salt key missing from the join:\n$ex")
+  }
+
   test("minhash signature aggregation is partial (map-side combine)") {
     val p = Dedup.minhashLsh(Tables.documents(spark, dir))
       .queryExecution.executedPlan.toString
