@@ -67,6 +67,38 @@ object Similarity {
       |SELECT q_id, neighbor_id, rk, cos FROM ranked WHERE rk <= 5
       |ORDER BY q_id, rk""".stripMargin
 
+  /** Radius (range) search: every corpus vector within a cosine
+    * threshold of each query — the retrieval shape when the caller
+    * needs "everything this similar", not a fixed k (e.g. contamination
+    * sweeps: find all training docs near a benchmark item). Same
+    * broadcast-queries/scan-once structure as [[bruteTopK]] but with no
+    * window at all: a pure scan→filter, embarrassingly parallel, zero
+    * shuffle beyond the final presentation sort. */
+  def rangeSearch(emb: DataFrame, isQuery: Column, minCos: Double): DataFrame = {
+    val all = normed(emb)
+    val queries = all.filter(isQuery)
+    broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2")))
+      .join(all, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  def annRange(spark: SparkSession, dir: String): DataFrame =
+    rangeSearch(Tables.embeddings(spark, dir), col("vec_id") < 10, 0.3)
+      .orderBy("q_id", "neighbor_id")
+
+  val annRangeSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM v),
+      |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id < 10)
+      |SELECT q_id, vec_id AS neighbor_id,
+      |  list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) AS cos
+      |FROM q JOIN n ON q_id <> vec_id
+      |WHERE list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) >= 0.3
+      |ORDER BY q_id, neighbor_id""".stripMargin
+
   /** Deterministic ±1 hyperplane weights derived from md5 — no RNG, so
     * every engine (and every test run) builds the same planes. */
   private[operators] def planeWeights(plane: Int, dim: Int): Seq[Double] =
@@ -272,11 +304,13 @@ object Similarity {
     "ann_brute_topk" -> (annBruteTopK _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
+    "ann_range" -> (annRange _),
     "ann_centroids" -> (annCentroids _))
 
   val oracles: Map[String, String] = Map(
     "ann_brute_topk" -> annBruteTopKSql,
     "ann_lsh_topk" -> annLshTopKSql,
     "ann_ivf_topk" -> annIvfTopKSql,
+    "ann_range" -> annRangeSql,
     "ann_centroids" -> annCentroidsSql)
 }

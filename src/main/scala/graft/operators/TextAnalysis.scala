@@ -227,6 +227,34 @@ object TextAnalysis {
       |SELECT term, count(*) AS n FROM t
       |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin
 
+  /** Corpus-level bigram frequencies — the n-gram LM statistics shape
+    * (token-pair counts feed LM smoothing tables, collocation mining,
+    * and quality heuristics). Bigrams come from the same codegen'd
+    * `arrays_zip`+slice+explode pattern as shingling (no interpreted
+    * HOF lambda); the aggregate is map-side combined so the shuffle is
+    * vocabulary²-bounded, not corpus-sized. */
+  def bigrams(docs: DataFrame, k: Int = 20): DataFrame = {
+    val w = split(col("text"), " ")
+    docs.select(explode(arrays_zip(w, slice(w, lit(2), size(w)))).as("z"))
+      .filter(col("z.1").isNotNull)
+      .select(concat_ws(" ", col("z.0"), col("z.1")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
+  def txBigrams(spark: SparkSession, dir: String): DataFrame =
+    bigrams(Tables.documents(spark, dir))
+
+  val txBigramsSql: String =
+    """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |b AS (
+      |  SELECT unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS bigram
+      |  FROM toks WHERE len(w) >= 2)
+      |SELECT bigram, count(*) AS n FROM b
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
   /** Corpus-weighted term relevance: top-k terms per doc by tf/df. The
     * score is tf·(1/df) — order-equivalent per doc to classic tf·idf
     * (log is monotone in 1/df) while staying a single IEEE division, so
@@ -274,6 +302,7 @@ object TextAnalysis {
     "tx_quality" -> (txQuality _),
     "tx_langid" -> (txLangid _),
     "tx_pii" -> (txPii _),
+    "tx_bigrams" -> (txBigrams _),
     "tx_fingerprint" -> (txFingerprint _))
 
   val oracles: Map[String, String] = Map(
@@ -283,5 +312,6 @@ object TextAnalysis {
     "tx_quality" -> txQualitySql,
     "tx_langid" -> txLangidSql,
     "tx_pii" -> txPiiSql,
+    "tx_bigrams" -> txBigramsSql,
     "tx_fingerprint" -> txFingerprintSql)
 }
