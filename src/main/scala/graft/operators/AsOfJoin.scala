@@ -56,6 +56,44 @@ object AsOfJoin {
         rightPayload.map { case (n, _) => col(s"_match.$n").as(n) }: _*)
   }
 
+  /** Forward as-of: for each left row, the EARLIEST right row of the
+    * same key with rightTime >= leftTime (inclusive) — the "next event"
+    * shape (time-to-conversion, next-maintenance, lookahead labels).
+    * Same single-shuffle union+window structure as [[asOf]], mirrored:
+    * left rows sort before right rows at equal time (side 0 vs 1) so an
+    * exactly-simultaneous right row matches, and the window runs
+    * current→following with a running `first(right, ignoreNulls)`.
+    * Earliest tiebreak wins among equal (key, time) right rows. */
+  def asOfForward(left: DataFrame, right: DataFrame,
+                  leftKey: Column, rightKey: Column,
+                  leftTime: Column, rightTime: Column,
+                  rightPayload: Seq[(String, Column)],
+                  rightTiebreak: Column = lit(0)): DataFrame = {
+    val lStruct = struct(left.columns.map(col).toSeq: _*)
+    val rStruct = struct(rightPayload.map { case (n, c) => c.as(n) }: _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+    val tbType = right.select(rightTiebreak).schema.head.dataType
+
+    val lTagged = left.select(
+      leftKey.as("_k"), leftTime.as("_t"), lit(0).as("_side"),
+      lit(null).cast(tbType).as("_tb"), lStruct.as("_l"),
+      lit(null).cast(rType).as("_r"))
+    val rTagged = right.select(
+      rightKey.as("_k"), rightTime.as("_t"), lit(1).as("_side"),
+      rightTiebreak.as("_tb"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side"), col("_tb"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    lTagged.unionByName(rTagged)
+      .withColumn("_match", first(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(col("_l.*") +:
+        rightPayload.map { case (n, _) => col(s"_match.$n").as(n) }: _*)
+  }
+
   /** q_asof: for every click event, the user's most recent purchase at or
     * before the click — nulls for users who hadn't purchased yet. */
   def qAsof(spark: SparkSession, dir: String): DataFrame = {
@@ -88,9 +126,43 @@ object AsOfJoin {
       |  ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
       |ORDER BY c.event_id""".stripMargin
 
+  /** q_asof_fwd: for every click, the user's NEXT purchase at or after
+    * the click (time-to-conversion) — nulls if they never purchased
+    * again. Oracle: DuckDB's native ASOF with the inequality reversed. */
+  def qAsofFwd(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+    asOfForward(clicks, purchases,
+      leftKey = col("user_id"), rightKey = col("user_id"),
+      leftTime = col("ts"), rightTime = col("ts"),
+      rightPayload = Seq(
+        "next_purchase_ts" -> col("ts"),
+        "next_purchase_value" -> col("value")),
+      rightTiebreak = col("event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofFwdSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |    value, event_type
+      |  FROM main.events),
+      |c AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts AS next_purchase_ts, value AS next_purchase_value
+      |      FROM ev WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, c.ts, c.value,
+      |  p.next_purchase_ts, p.next_purchase_value
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND c.ts <= p.next_purchase_ts
+      |ORDER BY c.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof" -> (qAsof _))
+    "q_asof" -> (qAsof _),
+    "q_asof_fwd" -> (qAsofFwd _))
 
   val oracles: Map[String, String] = Map(
-    "q_asof" -> qAsofSql)
+    "q_asof" -> qAsofSql,
+    "q_asof_fwd" -> qAsofFwdSql)
 }

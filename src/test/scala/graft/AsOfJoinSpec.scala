@@ -86,4 +86,32 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       right = Seq((1, 5, "k1"), (2, 7, "k2")))
     assert(got === Array((1, 10, "k1"), (2, 10, "k2")))
   }
+
+  private def runFwd(left: Seq[(Int, Int)], right: Seq[(Int, Int, String)]) = {
+    val l = left.toDF("k", "t")
+    val r = right.toDF("k", "t", "v")
+    AsOfJoin.asOfForward(l, r,
+        leftKey = col("k"), rightKey = col("k"),
+        leftTime = col("t"), rightTime = col("t"),
+        rightPayload = Seq("v" -> col("v")),
+        rightTiebreak = col("v"))
+      .orderBy("k", "t")
+      .collect().map(row => (row.getInt(0), row.getInt(1), row.getString(2)))
+  }
+
+  test("forward as-of matches the earliest right row at or after each left time") {
+    val got = runFwd(
+      left = Seq((1, 5), (1, 10), (1, 20)),
+      right = Seq((1, 4, "a"), (1, 10, "b"), (1, 15, "c")))
+    // t=5 → b (10 >= 5, earliest); t=10 → b (exact tie matches,
+    // inclusive); t=20 → null (nothing after)
+    assert(got === Array((1, 5, "b"), (1, 10, "b"), (1, 20, null)))
+  }
+
+  test("forward as-of resolves same-(key,time) right rows by tiebreak, first wins") {
+    val got = runFwd(
+      left = Seq((1, 10)),
+      right = Seq((1, 10, "z"), (1, 10, "a"), (1, 10, "m")))
+    assert(got === Array((1, 10, "a")))
+  }
 }
