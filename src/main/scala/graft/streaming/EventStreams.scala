@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming surface over the events stream (SURVEY.md §5).
@@ -90,6 +90,45 @@ object EventStreams {
   def dedupEvents(events: DataFrame, watermark: String = "10 seconds"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  case class SessionState(n: Long, lastMs: Long)
+  case class FinalizedSession(user_id: Long, n_events: Long,
+                              last_ts: java.sql.Timestamp)
+
+  /** Idle-session finalization via flatMapGroupsWithState with an
+    * EVENT-TIME TIMEOUT — the state-store capability windows can't
+    * express: emit nothing while a key is active, then exactly one
+    * summary record when the watermark passes `gapMs` beyond the key's
+    * last event, removing its state. This is how per-key state stays
+    * bounded on an unbounded key space: every idle key is evicted by
+    * the timer, not by a full-state sweep. */
+  def expiringSessions(events: DataFrame, gapMs: Long = 600000L,
+                       watermark: String = "10 seconds"): Dataset[FinalizedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, FinalizedSession](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, batch, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              FinalizedSession(user, s.n, new java.sql.Timestamp(s.lastMs)))
+          } else {
+            val times = batch.map(_._2.getTime).toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0L))
+            val updated = SessionState(
+              prev.n + times.size, math.max(prev.lastMs, times.max))
+            state.update(updated)
+            state.setTimeoutTimestamp(updated.lastMs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
 
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)

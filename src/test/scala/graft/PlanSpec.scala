@@ -90,18 +90,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("as-of join is one shuffle + window, never a range join") {
-    val df = graft.operators.AsOfJoin.qAsof(spark, dir)
-    df.collect()
-    val ex = df.queryExecution.executedPlan.toString
-    assert(!ex.contains("BroadcastNestedLoopJoin") && !ex.contains("CartesianProduct"),
-      s"as-of degenerated into a product join:\n$ex")
-    assert(ex.contains("Window"), "expected the running-last window")
-    // every hash exchange is on the join key (one per union branch =
-    // one shuffle pass over |L|+|R| rows); no second shuffle on other keys
-    val exchanges = ex.linesIterator
-      .filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(exchanges.nonEmpty && exchanges.forall(_.contains("_k#")),
-      s"unexpected shuffle keys:\n${exchanges.mkString("\n")}")
+    for (df <- Seq(graft.operators.AsOfJoin.qAsof(spark, dir),
+                   graft.operators.AsOfJoin.qAsofFwd(spark, dir))) {
+      df.collect()
+      val ex = df.queryExecution.executedPlan.toString
+      assert(!ex.contains("BroadcastNestedLoopJoin") && !ex.contains("CartesianProduct"),
+        s"as-of degenerated into a product join:\n$ex")
+      assert(ex.contains("Window"), "expected the running last/first window")
+      // every hash exchange is on the join key (one per union branch =
+      // one shuffle pass over |L|+|R| rows); no second shuffle on other keys
+      val exchanges = ex.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exchanges.nonEmpty && exchanges.forall(_.contains("_k#")),
+        s"unexpected shuffle keys:\n${exchanges.mkString("\n")}")
+    }
   }
 
   test("range join executes as a bucket equi-join, not a theta join") {

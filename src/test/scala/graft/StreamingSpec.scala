@@ -153,6 +153,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.toSet === raw.select("event_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("event-time timeout finalizes idle sessions and evicts their state") {
+    val d = Files.createTempDirectory("graft-sessions")
+    val streamDir = d.resolve("files")
+    Files.createDirectory(streamDir)
+    import spark.implicits._
+    def writeFile(name: String, rows: Seq[(Long, Long, Long)], mtime: Long): Unit = {
+      val df = rows.toDF("event_id", "ts", "user_id")
+        .withColumn("event_type", lit("click"))
+        .withColumn("value", lit(1.0))
+        .withColumn("props", lit("{}"))
+      val tmp = Files.createTempDirectory("graft-sess-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst.get
+      val dst = streamDir.resolve(name)
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val min = 60L * 1000000000L // one minute in raw nanos
+    val base = 24 * 60 * min // keep clear of the epoch-zero initial watermark
+    // user 1: three events ending at t=2min (file A, processed first);
+    // user 2: one event at t=60min (file B) — advancing the watermark far
+    // past user 1's last event + the 10-minute gap
+    val now = System.currentTimeMillis()
+    writeFile("a.parquet",
+      Seq((1L, base, 1L), (2L, base + 1 * min, 1L), (3L, base + 2 * min, 1L)),
+      now - 60000)
+    writeFile("b.parquet", Seq((4L, base + 60 * min, 2L)), now)
+    val q = EventStreams.expiringSessions(
+        EventStreams.readEvents(spark, streamDir.toString, Some(1)))
+      .writeStream.format("memory").queryName("es")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("es").collect()
+    // exactly user 1 finalized (timer fired when the watermark passed
+    // 2min + 10min gap); user 2's session is still open — no emission
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L), s"got: ${rows.mkString(",")}")
+    assert(rows(0).getLong(1) === 3L)
+  }
+
   test("mapGroupsWithState running totals converge to batch per-user totals") {
     val q = EventStreams.runningUserTotals(EventStreams.readEvents(spark, eventsDir))
       .writeStream.format("memory").queryName("ut")
