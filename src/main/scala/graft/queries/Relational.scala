@@ -594,6 +594,77 @@ object Relational {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** q_not_in: NOT IN with a subquery — semantically distinct from the
+    * plain anti join (q_semijoin): a single NULL in the inner side makes
+    * NOT IN return no rows, so Catalyst plans a NULL-AWARE anti join
+    * (broadcast with isNullAwareAntiJoin) rather than a simple
+    * left_anti. The inner side here is an aggregate-filtered key set —
+    * the "exclude everything matching this blocklist" pipeline shape. */
+  def qNotIn(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val qNotInSql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q_resample: time-series regularization — densify each user's event
+    * history onto an hourly grid (sequence + explode: a pure projection,
+    * no cross join against a calendar table) and forward-fill gaps with
+    * the last observed hourly total (running last(ignoreNulls) window).
+    * The resample/gap-fill shape every metrics or feature pipeline runs
+    * before ML; shuffles are one per-user span agg + one per-user
+    * window, both key-partitioned — no corpus-wide sort. */
+  def qResample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+    val spans = ev.groupBy(col("user_id")).agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = spans.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val hourly = ev.groupBy(col("user_id"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(dsum(col("value")).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left_outer")
+      .withColumn("v_ff", last(col("v"), ignoreNulls = true).over(w))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  val qResampleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+      |  FROM events),
+      |spans AS (
+      |  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+      |    date_trunc('hour', max(ts)) AS h1
+      |  FROM ev GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM spans),
+      |hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour,
+      |    CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS v
+      |  FROM ev GROUP BY 1, 2)
+      |SELECT g.user_id, g.hour, hourly.v,
+      |  last_value(hourly.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+      |    ORDER BY g.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+      |FROM grid g LEFT JOIN hourly
+      |  ON g.user_id = hourly.user_id AND g.hour = hourly.hour
+      |ORDER BY 1, 2""".stripMargin
+
   /** q_skew_salted: the skew-mitigation path as a first-class,
     * driver-verified operator. [[graft.core.Skew.saltedJoin]] spreads
     * each (possibly hot) left key over 8 salt shards and replicates the
@@ -757,6 +828,8 @@ object Relational {
     "q_funcs" -> (qFuncs _),
     "q_skew_salted" -> (qSkewSalted _),
     "q_histogram" -> (qHistogram _),
+    "q_not_in" -> (qNotIn _),
+    "q_resample" -> (qResample _),
     "st_dedup" -> (stDedup _),
     "st_window_agg" -> (stWindowAgg _))
 
@@ -786,6 +859,8 @@ object Relational {
     "q_funcs" -> qFuncsSql,
     "q_skew_salted" -> qSkewSaltedSql,
     "q_histogram" -> qHistogramSql,
+    "q_not_in" -> qNotInSql,
+    "q_resample" -> qResampleSql,
     "st_dedup" -> stDedupSql,
     "st_window_agg" -> stWindowAggSql)
 }
