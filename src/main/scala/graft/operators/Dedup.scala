@@ -114,44 +114,42 @@ object Dedup {
     * shuffles are the band-key self-join (bucket-bounded) and the final
     * pair verification join. Permutations are the universal-hash family
     * above over a 32-bit md5-derived shingle hash — engine-portable. */
-  def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+  /** (doc_id, b, bk) LSH band keys from the k-permutation minhash
+    * signature — a projection + one map-side-combined aggregate,
+    * localCheckpointed because it feeds both sides of candidate joins. */
+  private[operators] def bandKeys(docs: DataFrame, k: Int = 16,
+                                  bands: Int = 4): DataFrame = {
     val rows = k / bands
-    // tall is a cheap shuffle-free projection (scan + explode), recomputed
-    // by each consumer; duplicates are fine for the min-aggregates and are
-    // deduped on the tiny candidate slice below.
-    val tall = tallShingles(docs)
     // k codegen'd min aggregates over the tall table — partial
     // aggregation combines map-side, so the shuffle carries k longs per
     // doc. (The per-doc HOF formulation array_min(transform(...)) is
     // interpreted per element — measured ~4x slower end-to-end.)
-    val hashed = tall.withColumn("h",
+    val hashed = tallShingles(docs).withColumn("h",
       conv(substring(md5(col("s")), 1, 8), 16, 10).cast(LongType) % lit(MinhashP))
     def perm(j: Int) =
       (lit(MinhashA(j)) * col("h") + lit(MinhashB(j))) % lit(MinhashP)
     val sig = hashed.groupBy(col("doc_id")).agg(
       min(perm(0)).as("mh0"),
       (1 until k).map(j => min(perm(j)).as(s"mh$j")): _*)
-    // banded feeds both sides of the candidate self-join — materialize
-    // (tiny: docs x bands rows) so the signature aggregation runs once
-    val banded = sig.select(col("doc_id"), posexplode(array(
+    sig.select(col("doc_id"), posexplode(array(
       (0 until bands).map(b => md5(concat_ws("|",
         (0 until rows).map(r => col(s"mh${rows * b + r}")): _*))): _*)))
       .toDF("doc_id", "b", "bk")
       .localCheckpoint()
-    val pairs = banded.as("x").join(banded.as("y"),
-        col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    // verify candidates with true Jaccard (shared = |A ∩ B|,
-    // J = shared / (|A| + |B| - shared)). First slice the tall table down
-    // to candidate doc_ids with a semi-join, then all verification joins
-    // touch only the candidate slice, not the corpus. No broadcast hints:
-    // on a web-scale corpus 30-50% of documents are near-dups, so the
-    // candidate set is corpus-scale and a forced broadcast OOMs the
-    // driver — plain shuffle joins scale unconditionally, and AQE still
-    // converts them to broadcasts at runtime when the side is genuinely
-    // small (the test corpora), so nothing is lost at low dup rates.
+  }
+
+  /** Verify candidate pairs with true Jaccard (shared = |A ∩ B|,
+    * J = shared / (|A| + |B| - shared)). First slices the tall shingle
+    * table down to candidate doc_ids with a semi-join, so all
+    * verification joins touch only the candidate slice, not the corpus.
+    * No broadcast hints: on a web-scale corpus 30-50% of documents are
+    * near-dups, so the candidate set is corpus-scale and a forced
+    * broadcast OOMs the driver — plain shuffle joins scale
+    * unconditionally, and AQE still converts them to broadcasts at
+    * runtime when the side is genuinely small (the test corpora), so
+    * nothing is lost at low dup rates. */
+  private[operators] def verifyJaccard(pairs: DataFrame,
+                                       tall: DataFrame): DataFrame = {
     val candIds = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val tallCand = tall.join(candIds, Seq("doc_id"), "left_semi")
@@ -169,6 +167,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("shared").cast(DoubleType) /
           (col("na.n") + col("nb.n") - col("shared")).cast(DoubleType)).as("jaccard"))
+  }
+
+  def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val banded = bandKeys(docs, k, bands)
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // tall is a cheap shuffle-free projection (scan + explode),
+    // recomputed by each consumer; duplicates are fine for the
+    // min-aggregates and are deduped on the tiny candidate slice.
+    verifyJaccard(pairs, tallShingles(docs))
+  }
+
+  /** Incremental NEAR-dup dedup: drop arriving documents whose verified
+    * Jaccard against the HISTORICAL corpus reaches `minJaccard` — the
+    * per-batch shape of a continuously-ingesting training pipeline
+    * (dd_incremental is its exact-hash sibling). Candidates come from a
+    * band-key join of new×historical only: within-batch pairs are never
+    * generated or verified, so per-batch cost is proportional to the
+    * batch's collision mass, not the corpus. At steady state the
+    * historical band keys are a precomputed table (4 keys/doc); the
+    * band join shuffles keys, never text. */
+  def incrementalNearDup(docs: DataFrame, isHistorical: Column,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val banded = bandKeys(docs)
+    val bHist = banded.filter(isHistorical)
+    val bNew = banded.filter(!isHistorical)
+    val cand = bHist.as("h").join(bNew.as("n"),
+        col("h.b") === col("n.b") && col("h.bk") === col("n.bk"))
+      .select(col("h.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
+      .distinct()
+    val dropIds = verifyJaccard(cand, tallShingles(docs))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.filter(!isHistorical)
+      .join(dropIds, Seq("doc_id"), "left_anti")
   }
 
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame =
@@ -611,9 +647,34 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Driver query for the incremental near-dup shape: doc_id < 200
+    * plays the historical corpus, the rest arrive as the new batch;
+    * survivors = new docs with no verified J >= 0.5 historical match. */
+  def ddIncrNear(spark: SparkSession, dir: String): DataFrame =
+    incrementalNearDup(Tables.documents(spark, dir), col("doc_id") < 200)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle: the corpus-wide pair CTE restricted to (historical, new)
+    * pairs — band keys are per-doc, so a hist-new collision in the
+    * full-corpus self-join is exactly a collision in the hist×new join
+    * (hist ids < 200 <= new ids matches the doc_a < doc_b orientation). */
+  val ddIncrNearSql: String =
+    s"""$minhashPairsCte,
+       |dropids AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM pairs
+       |  JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
+       |  WHERE doc_a < 200 AND doc_b >= 200
+       |    AND CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |        CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.5)
+       |SELECT doc_id, lang FROM documents
+       |WHERE doc_id >= 200 AND doc_id NOT IN (SELECT doc_id FROM dropids)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_cluster" -> (ddCluster _),
     "dd_incremental" -> (ddIncremental _),
+    "dd_incr_near" -> (ddIncrNear _),
     "dd_pipeline" -> (ddPipeline _),
     "dd_editdist" -> (ddEditdist _),
     "dd_exact" -> (ddExact _),
@@ -625,6 +686,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dd_cluster" -> ddClusterSql,
     "dd_incremental" -> ddIncrementalSql,
+    "dd_incr_near" -> ddIncrNearSql,
     "dd_pipeline" -> ddPipelineSql,
     "dd_editdist" -> ddEditdistSql,
     "dd_exact" -> ddExactSql,

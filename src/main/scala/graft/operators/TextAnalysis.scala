@@ -255,6 +255,47 @@ object TextAnalysis {
       |SELECT bigram, count(*) AS n FROM b
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  /** tx_repetition: per-document repetition signals — the share of the
+    * document covered by its most frequent bigram and the distinct-
+    * bigram ratio. The standard boilerplate/template detector (heavily
+    * repeated n-grams) in pre-training quality filters. Same codegen'd
+    * bigram pairing as [[bigrams]]; the (doc, bigram) aggregate is
+    * map-side combined and the per-doc rollup shuffles only (doc,
+    * count) rows. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val counts = docs
+      .select(col("doc_id"),
+        explode(arrays_zip(w, slice(w, lit(2), size(w)))).as("z"))
+      .filter(col("z.1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("z.0"), col("z.1")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_n"), sum(col("n")).as("total"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"), col("top_n"), col("total"), col("n_distinct"),
+        (col("top_n").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("rep_ratio"),
+        (col("n_distinct").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("distinct_ratio"))
+  }
+
+  def txRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetition(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val txRepetitionSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS bigram
+      |  FROM toks WHERE len(w) >= 2),
+      |c AS (SELECT doc_id, bigram, count(*) AS n FROM b GROUP BY doc_id, bigram)
+      |SELECT doc_id, max(n) AS top_n, CAST(sum(n) AS BIGINT) AS total, count(*) AS n_distinct,
+      |  CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS rep_ratio,
+      |  CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS distinct_ratio
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Corpus-weighted term relevance: top-k terms per doc by tf/df. The
     * score is tf·(1/df) — order-equivalent per doc to classic tf·idf
     * (log is monotone in 1/df) while staying a single IEEE division, so
@@ -303,6 +344,7 @@ object TextAnalysis {
     "tx_langid" -> (txLangid _),
     "tx_pii" -> (txPii _),
     "tx_bigrams" -> (txBigrams _),
+    "tx_repetition" -> (txRepetition _),
     "tx_fingerprint" -> (txFingerprint _))
 
   val oracles: Map[String, String] = Map(
@@ -313,5 +355,6 @@ object TextAnalysis {
     "tx_langid" -> txLangidSql,
     "tx_pii" -> txPiiSql,
     "tx_bigrams" -> txBigramsSql,
+    "tx_repetition" -> txRepetitionSql,
     "tx_fingerprint" -> txFingerprintSql)
 }
