@@ -48,6 +48,11 @@ object ScaleCheck {
     val base = Seq(
       t("tx_quality")(TextAnalysis.quality(docs).count()),
       t("tx_topterms")(TextAnalysis.topTerms(docs).count()),
+      // the multimodal mapPartitions path: synthesize binary payloads and
+      // parse them back — map-only, proves the imperative batch stage
+      // scales linearly like the codegen'd projections
+      t("mm_meta")(graft.operators.Multimodal.extractMeta(
+        graft.operators.Multimodal.synthesize(docs)).count()),
       t("dd_exact")(Dedup.exact(docs).count()),
       t("dd_simhash_sigs")(Dedup.simhash(docs).count()),
       // candidate-pair generation, the quadratic-risk step: rows here is
