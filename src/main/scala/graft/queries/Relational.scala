@@ -594,6 +594,26 @@ object Relational {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** q_listagg: ordered string aggregation (LISTAGG ... WITHIN GROUP)
+    * over BOUNDED groups — nations per region, suppliers per nation
+    * would be the unbounded anti-pattern; the members list here is
+    * dimension-bounded by construction, which is the only shape this
+    * aggregate is safe in at 100 TB. */
+  def qListagg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT n_regionkey,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS members,
+        |  count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+  }
+
+  val qListaggSql: String =
+    """SELECT n_regionkey,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS members,
+      |  count(*) AS n
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   /** q_not_in: NOT IN with a subquery — semantically distinct from the
     * plain anti join (q_semijoin): a single NULL in the inner side makes
     * NOT IN return no rows, so Catalyst plans a NULL-AWARE anti join
@@ -830,6 +850,7 @@ object Relational {
     "q_histogram" -> (qHistogram _),
     "q_not_in" -> (qNotIn _),
     "q_resample" -> (qResample _),
+    "q_listagg" -> (qListagg _),
     "st_dedup" -> (stDedup _),
     "st_window_agg" -> (stWindowAgg _))
 
@@ -861,6 +882,7 @@ object Relational {
     "q_histogram" -> qHistogramSql,
     "q_not_in" -> qNotInSql,
     "q_resample" -> qResampleSql,
+    "q_listagg" -> qListaggSql,
     "st_dedup" -> stDedupSql,
     "st_window_agg" -> stWindowAggSql)
 }
