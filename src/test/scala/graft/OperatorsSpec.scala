@@ -223,4 +223,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(l.filter(col("h_en") + col("h_es") + col("h_fr") + col("h_de") === 0 &&
       col("lang_pred") =!= "und").count() === 0)
   }
+
+  test("incremental near-dup drops only vs history, never within the batch") {
+    import spark.implicits._
+    // hist doc 1; new docs: 10 ≈ near-dup of 1 (dropped), 11 == 12
+    // (identical within-batch — BOTH must survive: incremental dedup
+    // compares against history only), 13 unrelated (survives)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docs = Seq(
+      (1L, base),
+      (10L, base + "lambda"),
+      (11L, "one two three four five six seven eight nine ten " * 3),
+      (12L, "one two three four five six seven eight nine ten " * 3),
+      (13L, "red orange yellow green blue indigo violet umber black white " * 3))
+      .toDF("doc_id", "text")
+    val survivors = Dedup.incrementalNearDup(docs, col("doc_id") < 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(11L, 12L, 13L),
+      s"expected within-batch dups to survive and the historical near-dup to drop, got $survivors")
+  }
 }
