@@ -21,6 +21,15 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   *    realistic-density setting for simhash candidate-count rehearsals.
   */
 object ScaleCheck {
+  /** Deterministic 64-dim embedding per doc: xxhash64(doc_id, dim)
+    * scaled into [0,1) — a pure codegen projection, so the rehearsal
+    * measures the ANN operators, not embedding generation. */
+  private def synthEmb(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id").as("vec_id"),
+      array((0 until 64).map(d =>
+        (pmod(xxhash64(col("doc_id"), lit(d)), lit(100000L)).cast("double") /
+          lit(100000.0))): _*).as("embedding"))
+
   def main(args: Array[String]): Unit = {
     val rows = if (args.nonEmpty) args(0).toLong else 100000L
     val dupPct = if (args.length > 1) args(1).toInt else 0
@@ -63,7 +72,13 @@ object ScaleCheck {
       (if (vocabMul > 1)
         t("dd_simhash_pairs")(Dedup.simhashPairs(docs, maxBucket = 2000).count())
       else None),
-      t("dd_minhash_lsh")(Dedup.minhashLsh(docs).count())).flatten
+      t("dd_minhash_lsh")(Dedup.minhashLsh(docs).count()),
+      // ANN at corpus scale: deterministic synthetic embeddings (64 dims
+      // of xxhash64-derived values in [0,1)) stand in for a model's
+      // output; brute = the scan-once exact baseline, lsh = the bucketed
+      // scale path — both per-query cost, not all-pairs
+      t("ann_brute")(Similarity.bruteTopK(synthEmb(docs), col("vec_id") < 10).count()),
+      t("ann_lsh")(Similarity.lshTopK(synthEmb(docs), col("vec_id") < 10).count())).flatten
     // the end-to-end pipeline (anti-join on the corpus-scale drop set)
     // only says something new under planted dup density
     val results = if (dupPct > 0)

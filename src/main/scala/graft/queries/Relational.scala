@@ -594,6 +594,38 @@ object Relational {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** q_window_range: RANGE-framed (time-interval) running aggregates —
+    * per-customer trailing-30-day spend and order count, the rolling
+    * feature-engineering window keyed by TIME DISTANCE, not row count
+    * (ROWS frames are a different, already-covered shape: q_window).
+    * RANGE frames include order-key peers (equal timestamps) in both
+    * engines, so results are deterministic without a tiebreak. One
+    * key-partitioned sort per customer, no corpus-wide sort. */
+  def qWindowRange(spark: SparkSession, dir: String): DataFrame = {
+    // o_orderdate is TIMESTAMP_NTZ; the session is pinned to UTC, so
+    // NTZ → timestamp → long yields the same epoch seconds DuckDB's
+    // epoch() computes on the naive value
+    val epoch = col("o_orderdate").cast(TimestampType).cast(LongType)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(epoch)
+      .rangeBetween(-2592000L, 0L) // trailing 30 days in seconds
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (sum(scaled(col("o_totalprice"))).over(w).cast(DoubleType) /
+          lit(1000000.0)).as("sum30d"),
+        count(lit(1)).over(w).as("n30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT)) OVER w
+      |    AS DOUBLE) / 1000000.0 AS sum30d,
+      |  count(*) OVER w AS n30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+      |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** q_listagg: ordered string aggregation (LISTAGG ... WITHIN GROUP)
     * over BOUNDED groups — nations per region, suppliers per nation
     * would be the unbounded anti-pattern; the members list here is
@@ -851,6 +883,7 @@ object Relational {
     "q_not_in" -> (qNotIn _),
     "q_resample" -> (qResample _),
     "q_listagg" -> (qListagg _),
+    "q_window_range" -> (qWindowRange _),
     "st_dedup" -> (stDedup _),
     "st_window_agg" -> (stWindowAgg _))
 
@@ -883,6 +916,7 @@ object Relational {
     "q_not_in" -> qNotInSql,
     "q_resample" -> qResampleSql,
     "q_listagg" -> qListaggSql,
+    "q_window_range" -> qWindowRangeSql,
     "st_dedup" -> stDedupSql,
     "st_window_agg" -> stWindowAggSql)
 }
