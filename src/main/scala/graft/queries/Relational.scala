@@ -594,6 +594,62 @@ object Relational {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** q_corr: correlation / covariance / standard deviation per group —
+    * the second-moment statistics of a profiling pass. Each engine's
+    * native corr()/stddev() accumulates doubles in its own order (libm-
+    * style last-ulp drift), so instead the MOMENTS are accumulated as
+    * exactly-scaled integers (the dsum trick, plus integer products for
+    * the second moments — DECIMAL(38,0) holds Σ(x·y) at 3e24 for a
+    * trillion-row corpus) and the closed-form combination runs in double
+    * with the identical operation order in both engines: bit-exact corr
+    * without giving up one-pass map-side-combined aggregation. Scale
+    * factors cancel in corr; covar/stddev unscale by 1e12 / 1e6. */
+  def qCorr(spark: SparkSession, dir: String): DataFrame = {
+    val sx = sum(scaled(col("l_quantity"))).as("sx")
+    val sy = sum(scaled(col("l_extendedprice"))).as("sy")
+    val sxx = sum(scaled(col("l_quantity")) * scaled(col("l_quantity"))).as("sxx")
+    val syy = sum(scaled(col("l_extendedprice")) * scaled(col("l_extendedprice"))).as("syy")
+    val sxy = sum(scaled(col("l_quantity")) * scaled(col("l_extendedprice"))).as("sxy")
+    val m = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sx, sy, sxx, syy, sxy)
+    def d(c: String) = col(c).cast(DoubleType)
+    val nD = col("n").cast(DoubleType)
+    m.select(col("l_returnflag"), col("n"),
+        ((nD * d("sxy") - d("sx") * d("sy")) /
+          (sqrt(nD * d("sxx") - d("sx") * d("sx")) *
+            sqrt(nD * d("syy") - d("sy") * d("sy")))).as("corr_qty_price"),
+        ((nD * d("sxy") - d("sx") * d("sy")) / (nD * (nD - 1.0)) /
+          lit(1000000000000.0)).as("covar_qty_price"),
+        (sqrt((nD * d("sxx") - d("sx") * d("sx")) / (nD * (nD - 1.0))) /
+          lit(1000000.0)).as("stddev_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qCorrSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT) AS xs,
+      |    CAST(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT) AS ys
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(xs) AS sx, sum(ys) AS sy,
+      |    sum(xs * xs) AS sxx, sum(ys * ys) AS syy, sum(xs * ys) AS sxy
+      |  FROM s GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    AS corr_qty_price,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1000000000000.0
+      |    AS covar_qty_price,
+      |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 1000000.0
+      |    AS stddev_qty
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   /** q_window_range: RANGE-framed (time-interval) running aggregates —
     * per-customer trailing-30-day spend and order count, the rolling
     * feature-engineering window keyed by TIME DISTANCE, not row count
@@ -884,6 +940,7 @@ object Relational {
     "q_resample" -> (qResample _),
     "q_listagg" -> (qListagg _),
     "q_window_range" -> (qWindowRange _),
+    "q_corr" -> (qCorr _),
     "st_dedup" -> (stDedup _),
     "st_window_agg" -> (stWindowAgg _))
 
@@ -917,6 +974,7 @@ object Relational {
     "q_resample" -> qResampleSql,
     "q_listagg" -> qListaggSql,
     "q_window_range" -> qWindowRangeSql,
+    "q_corr" -> qCorrSql,
     "st_dedup" -> stDedupSql,
     "st_window_agg" -> stWindowAggSql)
 }
