@@ -594,6 +594,81 @@ object Relational {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** q_regr: least-squares regression (slope/intercept/R²) of price on
+    * quantity per group, from the same exact scaled-integer moments as
+    * [[qCorr]] — regr_slope/regr_intercept without the engine-native
+    * accumulation-order drift. Scale factors cancel in slope and R²;
+    * the intercept unscales the means explicitly. */
+  def qRegr(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(scaled(col("l_quantity"))).as("sx"),
+        sum(scaled(col("l_extendedprice"))).as("sy"),
+        sum(scaled(col("l_quantity")) * scaled(col("l_quantity"))).as("sxx"),
+        sum(scaled(col("l_extendedprice")) * scaled(col("l_extendedprice"))).as("syy"),
+        sum(scaled(col("l_quantity")) * scaled(col("l_extendedprice"))).as("sxy"))
+    def d(c: String) = col(c).cast(DoubleType)
+    val nD = col("n").cast(DoubleType)
+    val slope = (nD * d("sxy") - d("sx") * d("sy")) /
+      (nD * d("sxx") - d("sx") * d("sx"))
+    m.select(col("l_returnflag"), col("n"),
+        slope.as("slope"),
+        ((d("sy") / (nD * lit(1000000.0))) -
+          slope * (d("sx") / (nD * lit(1000000.0)))).as("intercept"),
+        (((nD * d("sxy") - d("sx") * d("sy")) * (nD * d("sxy") - d("sx") * d("sy"))) /
+          ((nD * d("sxx") - d("sx") * d("sx")) *
+            (nD * d("syy") - d("sy") * d("sy")))).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qRegrSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT) AS xs,
+      |    CAST(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT) AS ys
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(xs) AS sx, sum(ys) AS sy,
+      |    sum(xs * xs) AS sxx, sum(ys * ys) AS syy, sum(xs * ys) AS sxy
+      |  FROM s GROUP BY l_returnflag),
+      |c AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+      |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+      |    CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+      |  FROM m)
+      |SELECT l_returnflag, n,
+      |  (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope,
+      |  (syd / (nd * 1000000.0)) -
+      |    ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * (sxd / (nd * 1000000.0))
+      |    AS intercept,
+      |  ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) /
+      |    ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS r2
+      |FROM c ORDER BY l_returnflag""".stripMargin
+
+  /** q_unpivot: wide → long reshaping (the inverse of q_pivot) — three
+    * measure columns melt into (measure, value) rows. A pure projection
+    * + generator (Expand): no shuffle at all before the presentation
+    * sort, output 3x the input rows regardless of corpus size. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty"), col("l_discount").as("disc"),
+        col("l_tax").as("tax"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("qty"), col("disc"), col("tax")), "measure", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+  }
+
+  val qUnpivotSql: String =
+    """SELECT l_orderkey, l_linenumber, measure, value FROM (
+      |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+      |           l_discount AS disc, l_tax AS tax FROM lineitem)
+      |  ON qty, disc, tax INTO NAME measure VALUE value)
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
   /** q_corr: correlation / covariance / standard deviation per group —
     * the second-moment statistics of a profiling pass. Each engine's
     * native corr()/stddev() accumulates doubles in its own order (libm-
@@ -941,6 +1016,8 @@ object Relational {
     "q_listagg" -> (qListagg _),
     "q_window_range" -> (qWindowRange _),
     "q_corr" -> (qCorr _),
+    "q_regr" -> (qRegr _),
+    "q_unpivot" -> (qUnpivot _),
     "st_dedup" -> (stDedup _),
     "st_window_agg" -> (stWindowAgg _))
 
@@ -975,6 +1052,8 @@ object Relational {
     "q_listagg" -> qListaggSql,
     "q_window_range" -> qWindowRangeSql,
     "q_corr" -> qCorrSql,
+    "q_regr" -> qRegrSql,
+    "q_unpivot" -> qUnpivotSql,
     "st_dedup" -> stDedupSql,
     "st_window_agg" -> stWindowAggSql)
 }
