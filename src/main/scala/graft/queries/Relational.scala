@@ -594,6 +594,39 @@ object Relational {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** q_collections: the array/collection scalar-function surface
+    * (construct, sort, membership, index, slice, position) — the
+    * complement of q_funcs' string/date/math coverage. All codegen'd
+    * array primitives over small per-row arrays; no higher-order
+    * functions (those are CodegenFallback — banned from hot paths). */
+  def qCollections(spark: SparkSession, dir: String): DataFrame = {
+    val arr = array(col("l_quantity"), col("l_discount"), col("l_tax"))
+    // array-typed OUTPUT columns are avoided (the driver comparator
+    // round-trips through pandas, where arrays don't hash) — the array
+    // ops run for real and the verified columns are their scalar reads
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        element_at(sort_array(arr), 1).as("min_val"),
+        element_at(sort_array(arr), 3).as("max_val"),
+        array_contains(arr, 0.05).as("has005"),
+        element_at(arr, 2).as("second_val"),
+        size(arr).as("n_vals"),
+        element_at(slice(sort_array(arr), 2, 2), 1).as("mid_val"),
+        array_position(arr, 0.05).as("pos005"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val qCollectionsSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  list_sort([l_quantity, l_discount, l_tax])[1] AS min_val,
+      |  list_sort([l_quantity, l_discount, l_tax])[3] AS max_val,
+      |  list_contains([l_quantity, l_discount, l_tax], 0.05) AS has005,
+      |  [l_quantity, l_discount, l_tax][2] AS second_val,
+      |  len([l_quantity, l_discount, l_tax]) AS n_vals,
+      |  list_slice(list_sort([l_quantity, l_discount, l_tax]), 2, 3)[1] AS mid_val,
+      |  coalesce(list_position([l_quantity, l_discount, l_tax], 0.05), 0) AS pos005
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** q_regr: least-squares regression (slope/intercept/R²) of price on
     * quantity per group, from the same exact scaled-integer moments as
     * [[qCorr]] — regr_slope/regr_intercept without the engine-native
@@ -1018,6 +1051,7 @@ object Relational {
     "q_corr" -> (qCorr _),
     "q_regr" -> (qRegr _),
     "q_unpivot" -> (qUnpivot _),
+    "q_collections" -> (qCollections _),
     "st_dedup" -> (stDedup _),
     "st_window_agg" -> (stWindowAgg _))
 
@@ -1054,6 +1088,7 @@ object Relational {
     "q_corr" -> qCorrSql,
     "q_regr" -> qRegrSql,
     "q_unpivot" -> qUnpivotSql,
+    "q_collections" -> qCollectionsSql,
     "st_dedup" -> stDedupSql,
     "st_window_agg" -> stWindowAggSql)
 }
