@@ -62,6 +62,23 @@ object ScaleCheck {
       // scales linearly like the codegen'd projections
       t("mm_meta")(graft.operators.Multimodal.extractMeta(
         graft.operators.Multimodal.synthesize(docs)).count()),
+      // the imperative reference-parity path at corpus scale: per-record
+      // Scala closure + row↔map codec over mapPartitions — must stay
+      // linear like the declarative projections
+      t("xf_script") {
+        val out = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_upper",
+            org.apache.spark.sql.types.IntegerType)))
+        graft.transform.ScriptTransform(
+            docs.select(col("doc_id"), col("text")), out) { (r, em, _) =>
+          val t = r("text").asInstanceOf[String]
+          var n = 0; var i = 0
+          while (i < t.length) { if (t.charAt(i) == 'a') n += 1; i += 1 }
+          em.emit(Map("doc_id" -> r("doc_id"), "n_upper" -> n))
+        }.out.count()
+      },
       t("dd_exact")(Dedup.exact(docs).count()),
       t("dd_simhash_sigs")(Dedup.simhash(docs).count()),
       // candidate-pair generation, the quadratic-risk step: rows here is
