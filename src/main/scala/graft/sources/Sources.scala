@@ -30,6 +30,12 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC — the other columnar interchange format warehouses hand over;
+    * Spark's native vectorized reader handles it, same pruning/pushdown
+    * story as parquet. Schema passed explicitly like every reader here. */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   def writeParquet(df: DataFrame, path: String,
                    partitionBy: Seq[String] = Nil,
                    mode: SaveMode = SaveMode.Overwrite): Unit = {
@@ -75,6 +81,10 @@ object Sources {
   def writeJsonLines(df: DataFrame, path: String,
                      mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  def writeOrc(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
 
   /** Materialize a transform's three channels side by side — the pipeline
     * sink shape of the reference (output port + error port + alerts). One

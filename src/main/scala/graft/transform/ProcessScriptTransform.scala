@@ -338,7 +338,7 @@ object ProcessScriptTransform {
 }
 
 /** Scala ↔ java.util JSON-shape conversion for the process boundary. */
-private[transform] object JsonCodec {
+private[graft] object JsonCodec {
   def toJava(v: Any): Object = v match {
     case null => null
     case m: scala.collection.Map[_, _] =>

@@ -26,6 +26,14 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def sortedRows(df: org.apache.spark.sql.DataFrame): Array[String] =
     df.orderBy("l_orderkey", "l_linenumber").collect().map(_.toString)
 
+  test("orc round-trip preserves doubles and timestamps exactly") {
+    val li = Tables.lineitem(spark, dir)
+    val path = tmp() + "/li-orc"
+    Sources.writeOrc(li, path)
+    val back = Sources.orc(spark, path, li.schema)
+    assert(sortedRows(back) === sortedRows(li))
+  }
+
   test("csv round-trip preserves doubles and timestamps exactly") {
     val li = Tables.lineitem(spark, dir)
     val path = tmp() + "/li-csv"

@@ -302,6 +302,26 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "def transform(record, emitter, context):\n    emitter.emit(record)\n")
   }
 
+  test("python boundary JSON codec round-trips nested values") {
+    import graft.transform.JsonCodec
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // longs arrive back as Integer from Jackson and are coerced by the
+    // schema codec downstream, so the structural round-trip is asserted
+    // on strings/doubles/booleans/nesting — the shapes the protocol
+    // actually guarantees
+    val value: Any = Map(
+      "s" -> "text",
+      "d" -> 3.5,
+      "b" -> true,
+      "nul" -> null,
+      "seq" -> Seq("a", 1.25, false),
+      "nested" -> Map("inner" -> Seq(Map("k" -> "v"))))
+    val json = mapper.writeValueAsString(JsonCodec.toJava(value))
+    val back = JsonCodec.toScala(
+      mapper.readValue(json, classOf[java.util.Map[String, Object]]))
+    assert(back === value)
+  }
+
   test("python script validation never executes the module top level") {
     // under an exec-based check this would hang configuration for 600 s
     // and run the side effect on the driver host; the AST check returns
