@@ -930,6 +930,53 @@ object Relational {
       |  CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_price
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** q_skew_distinct: the two-phase salted exact distinct count —
+    * [[graft.core.Skew.saltedDistinctCount]] splits each (possibly hot)
+    * group across 16 salt shards for the raw-row shuffle, then sums the
+    * shard-level distinct counts (value-hash salting makes shards
+    * disjoint, so the sum is exact). The oracle is the plain
+    * count(DISTINCT) — driver-proving the rewrite is result-invariant,
+    * like q_skew_salted does for the salted join. */
+  def qSkewDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Skew.saltedDistinctCount(
+        Tables.events(spark, dir), "event_type", "user_id", salts = 16)
+      .orderBy(col("event_type"))
+
+  val qSkewDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** st_sliding: SLIDING (hopping) windows — 1-hour windows advancing
+    * every 30 minutes, each event contributing to exactly two windows.
+    * The overlap factor multiplies shuffle volume by size/slide, which
+    * is why the engine exposes tumbling (q: st_window_agg) as the
+    * default and sliding as the opt-in; the streaming twin is the same
+    * `window()` call under `readStream`. */
+  def stSliding(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(scaled(col("value"))).cast(DoubleType) / lit(1000000.0)).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val stSlidingSql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(make_timestamp(epoch_ns(ts) // 1000))) AS BIGINT) AS es, value
+      |  FROM events),
+      |assigned AS (
+      |  SELECT event_type, value,
+      |    unnest([(es // 1800) * 1800, (es // 1800) * 1800 - 1800]) AS ws
+      |  FROM ev)
+      |SELECT make_timestamp(ws * 1000000) AS window_start, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_value
+      |FROM assigned GROUP BY ws, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
   /** st_dedup: batch twin of the streaming exactly-once dedup
     * (EventStreams.dedupEvents / dropDuplicatesWithinWatermark). An
     * at-least-once delivery is simulated by re-delivering every 10th
@@ -1053,6 +1100,8 @@ object Relational {
     "q_unpivot" -> (qUnpivot _),
     "q_collections" -> (qCollections _),
     "st_dedup" -> (stDedup _),
+    "q_skew_distinct" -> (qSkewDistinct _),
+    "st_sliding" -> (stSliding _),
     "st_window_agg" -> (stWindowAgg _))
 
   val oracles: Map[String, String] = Map(
@@ -1090,5 +1139,7 @@ object Relational {
     "q_unpivot" -> qUnpivotSql,
     "q_collections" -> qCollectionsSql,
     "st_dedup" -> stDedupSql,
+    "q_skew_distinct" -> qSkewDistinctSql,
+    "st_sliding" -> stSlidingSql,
     "st_window_agg" -> stWindowAggSql)
 }
