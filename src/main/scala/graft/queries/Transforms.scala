@@ -213,6 +213,32 @@ object Transforms {
       |  o_totalprice * 3 AS scaled
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** The error channel on the PYTHON path, driver-verified (xf_errors
+    * covers the declarative path): a script exception under
+    * RouteToErrors quarantines the failing record — full input plus
+    * errorCode and the exception text — instead of failing the stage.
+    * Deterministic because the script raises on a data condition. */
+  def xfPyerrors(spark: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(StructField("o_orderkey", LongType)))
+    val script =
+      """def transform(record, emitter, context):
+        |    if record["o_totalprice"] > 400000.0:
+        |        raise ValueError("price cap exceeded")
+        |    emitter.emit({"o_orderkey": record["o_orderkey"]})
+        |""".stripMargin
+    ProcessScriptTransform.python(
+        Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
+        out, script,
+        onError = ScriptTransform.RouteToErrors(7),
+        parallelism = spark.sparkContext.defaultParallelism)
+      .errors.localCheckpoint().orderBy(col("o_orderkey"))
+  }
+
+  val xfPyerrorsSql: String =
+    """SELECT 7 AS errorCode, 'ValueError: price cap exceeded' AS errorMsg,
+      |  o_orderkey, o_totalprice
+      |FROM orders WHERE o_totalprice > 400000.0 ORDER BY o_orderkey""".stripMargin
+
   /** Lookup datasets in the PYTHON script context — parity with
     * xf_lookup's Scala path (the reference *declares* context lookups
     * but throws UnsupportedOperation; Graft supports them on both
@@ -301,6 +327,7 @@ object Transforms {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "xf_pyscript" -> (xfPyscript _),
     "xf_pylookup" -> (xfPylookup _),
+    "xf_pyerrors" -> (xfPyerrors _),
     "xf_alerts" -> (xfAlerts _),
     "xf_lookup" -> (xfLookup _),
     "xf_scale" -> (xfScale _),
@@ -315,6 +342,7 @@ object Transforms {
   val oracles: Map[String, String] = Map(
     "xf_pyscript" -> xfPyscriptSql,
     "xf_pylookup" -> xfPylookupSql,
+    "xf_pyerrors" -> xfPyerrorsSql,
     "xf_alerts" -> xfAlertsSql,
     "xf_lookup" -> xfLookupSql,
     "xf_scale" -> xfScaleSql,
