@@ -239,6 +239,32 @@ object Transforms {
       |  o_orderkey, o_totalprice
       |FROM orders WHERE o_totalprice > 400000.0 ORDER BY o_orderkey""".stripMargin
 
+  /** The alert channel on the PYTHON path, driver-verified — with
+    * xf_pyscript (emit) and xf_pyerrors this makes all three reference
+    * channels hash-checked end to end through the worker protocol. */
+  def xfPyalerts(spark: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(StructField("o_orderkey", LongType)))
+    val script =
+      """def transform(record, emitter, context):
+        |    if record["o_totalprice"] > 450000.0:
+        |        emitter.emitAlert({"reason": "very_high_value",
+        |                           "order": str(record["o_orderkey"])})
+        |    emitter.emit({"o_orderkey": record["o_orderkey"]})
+        |""".stripMargin
+    ProcessScriptTransform.python(
+        Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
+        out, script,
+        parallelism = spark.sparkContext.defaultParallelism)
+      .alerts.localCheckpoint()
+      .select(col("payload")("reason").as("reason"),
+        col("payload")("order").cast(LongType).as("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val xfPyalertsSql: String =
+    """SELECT 'very_high_value' AS reason, o_orderkey
+      |FROM orders WHERE o_totalprice > 450000.0 ORDER BY o_orderkey""".stripMargin
+
   /** Lookup datasets in the PYTHON script context — parity with
     * xf_lookup's Scala path (the reference *declares* context lookups
     * but throws UnsupportedOperation; Graft supports them on both
@@ -328,6 +354,7 @@ object Transforms {
     "xf_pyscript" -> (xfPyscript _),
     "xf_pylookup" -> (xfPylookup _),
     "xf_pyerrors" -> (xfPyerrors _),
+    "xf_pyalerts" -> (xfPyalerts _),
     "xf_alerts" -> (xfAlerts _),
     "xf_lookup" -> (xfLookup _),
     "xf_scale" -> (xfScale _),
@@ -343,6 +370,7 @@ object Transforms {
     "xf_pyscript" -> xfPyscriptSql,
     "xf_pylookup" -> xfPylookupSql,
     "xf_pyerrors" -> xfPyerrorsSql,
+    "xf_pyalerts" -> xfPyalertsSql,
     "xf_alerts" -> xfAlertsSql,
     "xf_lookup" -> xfLookupSql,
     "xf_scale" -> xfScaleSql,
