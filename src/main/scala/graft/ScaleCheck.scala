@@ -69,14 +69,14 @@ object ScaleCheck {
         val out = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
             org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("n_upper",
+          org.apache.spark.sql.types.StructField("n_a",
             org.apache.spark.sql.types.IntegerType)))
         graft.transform.ScriptTransform(
             docs.select(col("doc_id"), col("text")), out) { (r, em, _) =>
           val t = r("text").asInstanceOf[String]
           var n = 0; var i = 0
           while (i < t.length) { if (t.charAt(i) == 'a') n += 1; i += 1 }
-          em.emit(Map("doc_id" -> r("doc_id"), "n_upper" -> n))
+          em.emit(Map("doc_id" -> r("doc_id"), "n_a" -> n))
         }.out.count()
       },
       t("dd_exact")(Dedup.exact(docs).count()),

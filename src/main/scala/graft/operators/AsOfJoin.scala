@@ -59,11 +59,14 @@ object AsOfJoin {
   /** Forward as-of: for each left row, the EARLIEST right row of the
     * same key with rightTime >= leftTime (inclusive) — the "next event"
     * shape (time-to-conversion, next-maintenance, lookahead labels).
-    * Same single-shuffle union+window structure as [[asOf]], mirrored:
-    * left rows sort before right rows at equal time (side 0 vs 1) so an
-    * exactly-simultaneous right row matches, and the window runs
-    * current→following with a running `first(right, ignoreNulls)`.
-    * Earliest tiebreak wins among equal (key, time) right rows. */
+    * Same single-shuffle union+window structure as [[asOf]], mirrored
+    * by sorting time DESCENDING so the frame stays the O(r) RUNNING
+    * preceding frame (a currentRow→unboundedFollowing frame looks
+    * equivalent but Spark recomputes it per row — O(r²) on a hot key).
+    * Scanning later→earlier, the running `last(right, ignoreNulls)` is
+    * the smallest right time seen so far, i.e. the earliest right at or
+    * after the current row; rights sort before lefts at equal time
+    * (inclusive match) and _tb DESC makes the smallest tiebreak win. */
   def asOfForward(left: DataFrame, right: DataFrame,
                   leftKey: Column, rightKey: Column,
                   leftTime: Column, rightTime: Column,
@@ -76,20 +79,20 @@ object AsOfJoin {
     val tbType = right.select(rightTiebreak).schema.head.dataType
 
     val lTagged = left.select(
-      leftKey.as("_k"), leftTime.as("_t"), lit(0).as("_side"),
+      leftKey.as("_k"), leftTime.as("_t"), lit(1).as("_side"),
       lit(null).cast(tbType).as("_tb"), lStruct.as("_l"),
       lit(null).cast(rType).as("_r"))
     val rTagged = right.select(
-      rightKey.as("_k"), rightTime.as("_t"), lit(1).as("_side"),
+      rightKey.as("_k"), rightTime.as("_t"), lit(0).as("_side"),
       rightTiebreak.as("_tb"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
 
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_side"), col("_tb"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("_t").desc, col("_side"), col("_tb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lTagged.unionByName(rTagged)
-      .withColumn("_match", first(col("_r"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 0)
+      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
       .select(col("_l.*") +:
         rightPayload.map { case (n, _) => col(s"_match.$n").as(n) }: _*)
   }
@@ -128,7 +131,12 @@ object AsOfJoin {
 
   /** q_asof_fwd: for every click, the user's NEXT purchase at or after
     * the click (time-to-conversion) — nulls if they never purchased
-    * again. Oracle: DuckDB's native ASOF with the inequality reversed. */
+    * again. Oracle: DuckDB's native ASOF with the inequality reversed.
+    * Precondition shared with q_asof: DuckDB ASOF has no payload
+    * tiebreak for equal matched timestamps, so the oracle comparison
+    * relies on (user_id, ts) being unique in the events data (nanosecond
+    * timestamps — holds by construction in the generator); the operator
+    * itself IS deterministic under ties via rightTiebreak. */
   def qAsofFwd(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val clicks = ev.filter(col("event_type") === "click")

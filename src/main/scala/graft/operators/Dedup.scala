@@ -182,29 +182,42 @@ object Dedup {
     verifyJaccard(pairs, tallShingles(docs))
   }
 
-  /** Incremental NEAR-dup dedup: drop arriving documents whose verified
-    * Jaccard against the HISTORICAL corpus reaches `minJaccard` — the
-    * per-batch shape of a continuously-ingesting training pipeline
-    * (dd_incremental is its exact-hash sibling). Candidates come from a
-    * band-key join of new×historical only: within-batch pairs are never
-    * generated or verified, so per-batch cost is proportional to the
-    * batch's collision mass, not the corpus. At steady state the
-    * historical band keys are a precomputed table (4 keys/doc); the
-    * band join shuffles keys, never text. */
-  def incrementalNearDup(docs: DataFrame, isHistorical: Column,
-                         minJaccard: Double = 0.5): DataFrame = {
-    val banded = bandKeys(docs)
-    val bHist = banded.filter(isHistorical)
-    val bNew = banded.filter(!isHistorical)
-    val cand = bHist.as("h").join(bNew.as("n"),
+  /** Steady-state incremental NEAR-dup dedup: drop arriving documents
+    * whose verified Jaccard against the HISTORICAL corpus reaches
+    * `minJaccard` — the per-batch shape of a continuously-ingesting
+    * training pipeline (dd_incremental is its exact-hash sibling).
+    * `histBands` (doc_id, b, bk — 4 keys/doc) and `histShingles`
+    * (doc_id, s) are the PRECOMPUTED tables a deployment persists once
+    * as each document enters the corpus, so a batch pays only its own
+    * shingling/signatures plus the collision mass: per-batch cost is
+    * independent of corpus size, and the band join shuffles keys, never
+    * text. Within-batch pairs are never generated or verified. */
+  def incrementalNearDupPrecomputed(newDocs: DataFrame,
+                                    histBands: DataFrame,
+                                    histShingles: DataFrame,
+                                    minJaccard: Double = 0.5): DataFrame = {
+    val bNew = bandKeys(newDocs)
+    val cand = histBands.as("h").join(bNew.as("n"),
         col("h.b") === col("n.b") && col("h.bk") === col("n.bk"))
       .select(col("h.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
       .distinct()
-    val dropIds = verifyJaccard(cand, tallShingles(docs))
+    val tall = histShingles.select(col("doc_id"), col("s"))
+      .union(tallShingles(newDocs))
+    val dropIds = verifyJaccard(cand, tall)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_b").as("doc_id")).distinct()
-    docs.filter(!isHistorical)
-      .join(dropIds, Seq("doc_id"), "left_anti")
+    newDocs.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** One-table convenience form (the driver-query shape): splits the
+    * corpus by the predicate and DERIVES the historical tables — a
+    * demonstration over a single snapshot; a real deployment persists
+    * them and calls [[incrementalNearDupPrecomputed]] directly. */
+  def incrementalNearDup(docs: DataFrame, isHistorical: Column,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val hist = docs.filter(isHistorical)
+    incrementalNearDupPrecomputed(docs.filter(!isHistorical),
+      bandKeys(hist), tallShingles(hist), minJaccard)
   }
 
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame =

@@ -32,17 +32,25 @@ object Similarity {
     emb.select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
 
-  /** Exact top-k neighbors for each query vector (queries broadcast). */
-  def bruteTopK(emb: DataFrame, isQuery: Column, k: Int = 5): DataFrame = {
+  /** Broadcast-queries exact scoring sweep: every (query, corpus) cosine
+    * except self-pairs — the shared scan-once core of [[bruteTopK]] and
+    * [[rangeSearch]] (one definition so the cosine expression and the
+    * self-match filter cannot diverge between operators). */
+  private def scoredPairs(emb: DataFrame, isQuery: Column): DataFrame = {
     val all = normed(emb)
     val queries = all.filter(isQuery)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
     broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("n2").as("qn2")))
       .join(all, col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         (dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
+  }
+
+  /** Exact top-k neighbors for each query vector (queries broadcast). */
+  def bruteTopK(emb: DataFrame, isQuery: Column, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scoredPairs(emb, isQuery)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
@@ -74,16 +82,10 @@ object Similarity {
     * broadcast-queries/scan-once structure as [[bruteTopK]] but with no
     * window at all: a pure scan→filter, embarrassingly parallel, zero
     * shuffle beyond the final presentation sort. */
-  def rangeSearch(emb: DataFrame, isQuery: Column, minCos: Double): DataFrame = {
-    val all = normed(emb)
-    val queries = all.filter(isQuery)
-    broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("n2").as("qn2")))
-      .join(all, col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
+  def rangeSearch(emb: DataFrame, isQuery: Column, minCos: Double): DataFrame =
+    scoredPairs(emb, isQuery)
       .filter(col("cos") >= minCos)
-  }
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"))
 
   def annRange(spark: SparkSession, dir: String): DataFrame =
     rangeSearch(Tables.embeddings(spark, dir), col("vec_id") < 10, 0.3)

@@ -77,6 +77,9 @@ object ProcessScriptTransform {
         |n = len(a.posonlyargs) + len(a.args)
         |if n != 3 and not (a.vararg is not None and n < 3):
         |    sys.stderr.write("transform must take 3 parameters (record, emitter, context), got %d" % n); sys.exit(1)
+        |required_kw = [k.arg for k, d in zip(a.kwonlyargs, a.kw_defaults) if d is None]
+        |if required_kw:
+        |    sys.stderr.write("transform must not require keyword-only parameters (it is called with 3 positional args): %s" % ", ".join(required_kw)); sys.exit(1)
         |""".stripMargin
     val proc = new ProcessBuilder(pythonExec, "-c", checker).start()
     val in = proc.getOutputStream
@@ -102,8 +105,12 @@ object ProcessScriptTransform {
              parallelism: Int = 0): TransformResult = {
     validate(script, pythonExec) // fail at configure time, not per task
     // torrent-broadcast once per executor (like the Scala path's
-    // ScriptContext), not serialized into every task closure
-    val bcLookups = df.sparkSession.sparkContext.broadcast(lookups)
+    // ScriptContext), not serialized into every task closure; no
+    // broadcast block at all in the common no-lookups case (a broadcast
+    // per python() call lives until the SparkContext dies)
+    val bcLookups =
+      if (lookups.isEmpty) null
+      else df.sparkSession.sparkContext.broadcast(lookups)
     // a narrow parquet scan often yields 1-2 partitions = 1-2 workers;
     // parallelism > 0 repartitions so the python stage uses the cluster
     // (the shuffle of input rows is cheap next to interpreting them)
@@ -151,7 +158,9 @@ object ProcessScriptTransform {
             val init = new java.util.LinkedHashMap[String, Object]()
             init.put("script", script)
             init.put("arguments", JsonCodec.toJava(arguments))
-            init.put("lookups", JsonCodec.toJava(bcLookups.value))
+            init.put("lookups", JsonCodec.toJava(
+              if (bcLookups == null) Map.empty[String, Map[String, Any]]
+              else bcLookups.value))
             stdin.write(mapper.writeValueAsString(init)); stdin.write("\n")
             while (rows.hasNext) {
               val record = SchemaCodec.rowToMap(rows.next(), inSchema)

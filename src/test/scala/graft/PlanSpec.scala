@@ -153,11 +153,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ex = df.queryExecution.executedPlan.toString
     // no aggregate-based assignment: the only aggregates allowed are the
     // tiny centroid build (collected driver-side before planning) — the
-    // executed probe plan must contain no HashAggregate at all below the
-    // top-k window, and no nested-loop fallback
+    // executed probe plan must contain no aggregate at all, and no
+    // nested-loop fallback
     assert(!ex.contains("BroadcastNestedLoopJoin") && !ex.contains("CartesianProduct"),
       s"IVF probe degenerated into a product join:\n$ex")
     assert(ex.contains("array_min"), s"literal-centroid argmin projection missing:\n$ex")
+    assert(!ex.contains("HashAggregate"),
+      s"aggregate-based cell assignment crept back into the probe plan:\n$ex")
   }
 
   test("salted join stays an equi-join and spreads keys over salt shards") {

@@ -297,9 +297,18 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ProcessScriptTransform.validate("def transform(record):\n    pass\n")
     }
     assert(arity.getMessage.contains("3 parameters"))
-    // a valid script passes silently
+    // required keyword-only params can't be satisfied by the positional
+    // call the worker makes — rejected at configure time
+    val kwonly = intercept[IllegalArgumentException] {
+      ProcessScriptTransform.validate(
+        "def transform(record, emitter, context, *, sep):\n    pass\n")
+    }
+    assert(kwonly.getMessage.contains("keyword-only"))
+    // a valid script passes silently (including defaulted kwonly params)
     ProcessScriptTransform.validate(
       "def transform(record, emitter, context):\n    emitter.emit(record)\n")
+    ProcessScriptTransform.validate(
+      "def transform(record, emitter, context, *, sep=','):\n    pass\n")
   }
 
   test("python boundary JSON codec round-trips nested values") {
