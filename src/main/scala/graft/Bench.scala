@@ -99,7 +99,13 @@ object Bench {
     val failed = results.collect { case (k, _, _, false) => s""""$k"""" }
       .mkString("[", ",", "]")
     val total = results.filter(_._4).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout tail gets truncated by capture tooling on an 80+-query
+    // map — persist the full line so the artifact stays auditable
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -95,7 +95,22 @@ object ScaleCheck {
       // output; brute = the scan-once exact baseline, lsh = the bucketed
       // scale path — both per-query cost, not all-pairs
       t("ann_brute")(Similarity.bruteTopK(synthEmb(docs), col("vec_id") < 10).count()),
-      t("ann_lsh")(Similarity.lshTopK(synthEmb(docs), col("vec_id") < 10).count())).flatten
+      t("ann_lsh")(Similarity.lshTopK(synthEmb(docs), col("vec_id") < 10).count()),
+      // IVF at production quantizer size: nlist=1024 cells forces the
+      // broadcast-join assignment path (no literal fold, no driver
+      // collect); cost must stay linear in rows — the rehearsal for
+      // nlist ~ sqrt(N) at 100 TB. The synthetic embeddings are
+      // materialized first (localCheckpoint): inlining the 64-hash
+      // synthesis expression into every downstream codegen stage pushes
+      // the generated methods past HotSpot's JIT size limit (measured
+      // ~50x slower, interpreted bytecode) — and a real corpus reads
+      // embeddings from storage anyway
+      t("ann_ivf_1024") {
+        val emb = synthEmb(docs).withColumn("label",
+          pmod(xxhash64(col("vec_id"), lit(4242L)), lit(1024L)).cast("int"))
+          .localCheckpoint()
+        Similarity.ivfTopK(emb, v => v < 10).count()
+      }).flatten
     // the end-to-end pipeline (anti-join on the corpus-scale drop set)
     // only says something new under planted dup density
     val results = if (dupPct > 0)

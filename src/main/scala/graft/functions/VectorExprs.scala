@@ -5,7 +5,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -34,6 +34,22 @@ object VectorExprs {
   /** Bridge to the private[sql] Column↔Expression conversion, for engine
     * code outside the sql package (e.g. lineage analysis over Columns). */
   def expressionOf(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** nearestCell(v, n2, cents): IVF coarse-quantizer assignment as one
+    * codegen'd argmin loop. `cents` is array<struct<label, cvec, c2>>
+    * (attached per-row from a broadcast single-row DataFrame), and the
+    * result is the label minimizing d2 = n2 - 2*dot(v,cvec) + c2 with
+    * ties to the smallest label — the same d2 operation order and
+    * (d2, label) tie-break as the literal-folded array_min path, so the
+    * two assignment paths are bit-identical. Unlike a min(struct)
+    * aggregation (SortAggregate: struct buffers aren't hash-aggregable,
+    * so Spark would sort all N x nlist candidate rows) or a literal fold
+    * (64 KB codegen ceiling), this is O(nlist*dim) register arithmetic
+    * per row with nothing materialized and no shuffle at all. */
+  def nearestCell(v: Column, n2: Column, cents: Column): Column =
+    ExpressionUtils.column(NearestCell(
+      ExpressionUtils.expression(v), ExpressionUtils.expression(n2),
+      ExpressionUtils.expression(cents)))
 }
 
 case class DotProduct(left: Expression, right: Expression)
@@ -72,4 +88,95 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** Argmin over centroid cells — see [[VectorExprs.nearestCell]]. Children:
+  * vector array<double>, its self-dot n2, and the centroid table as
+  * array<struct<label: bigint, cvec: array<double>, c2: double>>. Returns
+  * the winning label.
+  *
+  * Declared non-nullable (empty-quantizer input returns label 0): the
+  * centroid array comes from aggregating the corpus itself, so it is
+  * empty only when the corpus is — and a nullable join key here would
+  * make the downstream cell equi-join push an
+  * `isnotnull(graft_nearest_cell(...))` condition INTO the broadcast
+  * nested-loop join that attaches the quantizer, evaluating the argmin
+  * twice per row and (worse) knocking the join out of whole-stage
+  * codegen, which re-serializes the multi-hundred-KB centroid column at
+  * every operator boundary per corpus row (measured ~1000x). */
+case class NearestCell(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), DoubleType, ArrayType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_nearest_cell"
+
+  override protected def nullSafeEval(vAny: Any, n2Any: Any, cAny: Any): Any = {
+    val v = vAny.asInstanceOf[ArrayData]
+    val n2 = n2Any.asInstanceOf[Double]
+    val cents = cAny.asInstanceOf[ArrayData]
+    val m = cents.numElements()
+    var best = Double.PositiveInfinity
+    var bestLbl = 0L
+    var found = false
+    var j = 0
+    while (j < m) {
+      val cell = cents.getStruct(j, 3)
+      val cv = cell.getArray(1)
+      val n = math.min(v.numElements(), cv.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += v.getDouble(i) * cv.getDouble(i); i += 1 }
+      val d2 = n2 - 2.0 * acc + cell.getDouble(2)
+      val lbl = cell.getLong(0)
+      if (!found || d2 < best || (d2 == best && lbl < bestLbl)) {
+        best = d2; bestLbl = lbl; found = true
+      }
+      j += 1
+    }
+    bestLbl
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, n2, cents) => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d2 = ctx.freshName("d2")
+      val lbl = ctx.freshName("lbl")
+      val best = ctx.freshName("best")
+      val bestLbl = ctx.freshName("bestLbl")
+      val found = ctx.freshName("found")
+      val cell = ctx.freshName("cell")
+      val cv = ctx.freshName("cv")
+      s"""
+         |int $m = $cents.numElements();
+         |double $best = Double.POSITIVE_INFINITY;
+         |long $bestLbl = 0L;
+         |boolean $found = false;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  InternalRow $cell = $cents.getStruct($j, 3);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $cell.getArray(1);
+         |  int $n = java.lang.Math.min($v.numElements(), $cv.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $v.getDouble($i) * $cv.getDouble($i);
+         |  }
+         |  double $d2 = $n2 - 2.0 * $acc + $cell.getDouble(2);
+         |  long $lbl = $cell.getLong(0);
+         |  if (!$found || $d2 < $best || ($d2 == $best && $lbl < $bestLbl)) {
+         |    $best = $d2; $bestLbl = $lbl; $found = true;
+         |  }
+         |}
+         |${ev.value} = $bestLbl;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): NearestCell =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

@@ -370,6 +370,24 @@ object Dedup {
     * document-frequency cap on shingles; the planted corpus needs none. */
   def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5,
                    maxDocFreq: Int = 1000): DataFrame = {
+    val (out, dropped) = ngramJaccardWithStats(docs, minJaccard, maxDocFreq)
+    if (dropped > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ngramJaccard: df cap ($maxDocFreq) dropped $dropped hot shingles " +
+          "from pair generation; Jaccard is a lower bound for pairs that " +
+          "shared them — dense corpora belong on the minhashLsh path")
+    out
+  }
+
+  /** [[ngramJaccard]] plus its truncation telemetry (no-silent-truncation
+    * rule): the second element is the number of distinct shingle hashes
+    * the df cap removed from pair generation — 0 means the result is
+    * exact, >0 quantifies exactly how much signal the cap traded away.
+    * The count is an eager side-output over the already-materialized
+    * (localCheckpointed) shingle table, so it costs one tiny aggregation,
+    * not a recompute. */
+  def ngramJaccardWithStats(docs: DataFrame, minJaccard: Double = 0.5,
+                            maxDocFreq: Int = 1000): (DataFrame, Long) = {
     // join on a 60-bit hash of the shingle, not the string: the shuffle
     // carries 8-byte keys instead of ~20-byte text, and the per-doc
     // distinct runs on longs (cheap) not strings. Both engines use the
@@ -390,8 +408,10 @@ object Dedup {
     // exact all-pairs Jaccard.
     val hot = tall.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq).select(col("s"))
+      .localCheckpoint()
+    val dropped = hot.count()
     val pruned = tall.join(broadcast(hot), Seq("s"), "left_anti")
-    pruned.as("x").join(pruned.as("y"),
+    val out = pruned.as("x").join(pruned.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
@@ -401,6 +421,7 @@ object Dedup {
         (col("shared").cast(DoubleType) /
           (col("na.n") + col("nb.n") - col("shared")).cast(DoubleType)).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+    (out, dropped)
   }
 
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =

@@ -210,26 +210,37 @@ object Similarity {
       |    / count(*)) / 1099511627776.0 AS mean_v
       |FROM tall GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
-  /** IVF ANN: assign every vector to its nearest centroid cell, then
-    * probe only the query's own cell. The complement of [[lshTopK]]:
-    * data-adaptive cells instead of fixed hyperplanes.
-    *
-    * The coarse quantizer is nlist x dim doubles — a driver-side
-    * constant, same footprint class as a broadcast dimension table — so
-    * it is folded into the plan as literals and assignment becomes a
-    * pure codegen'd projection (array_min over per-cell (d2, label)
-    * structs): no explode, no N x nlist shuffle carrying 64-dim
-    * vectors, nothing materialized corpus-side. At 100 TB the corpus is
-    * scanned once and every operation before the per-cell probe join is
-    * map-side. Deterministic by construction (exact integer-sum
-    * centroids, (d2, label) tie-break) → full SQL oracle below. */
-  def ivfTopK(emb: DataFrame, isQuery: Column => Column, k: Int = 5): DataFrame = {
-    val all = normed(emb)
-    // nlist x dim — tiny by contract (coarse quantizer), ordered by
-    // (label, dim); c2 = sequential self-dot, the same left-to-right
-    // fold the native dotp / DuckDB list_dot_product performs
+  /** Per-cell squared distance, shared verbatim by every assignment path
+    * so the two paths (and the query-side multi-probe ranking) compute
+    * bit-identical d2: ||v||^2 - 2 v.c + ||c||^2 with the same operation
+    * order everywhere. */
+  private def cellDist(cvec: Column, c2: Column): Column =
+    col("n2") - lit(2.0) * dot(col("v"), cvec) + c2
+
+  /** Centroids as one row per cell: (c_label, cvec ordered by dim, c2).
+    * c2 = sequential self-dot via the native [[dot]], the same
+    * left-to-right fold the literal path computes driver-side — so both
+    * assignment paths see identical (cvec, c2) values. nlist rows total:
+    * broadcast-dimension-table footprint. */
+  private[operators] def centroidVectors(cent: DataFrame): DataFrame =
+    cent.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean_v")))).as("dm"))
+      .select(col("label").cast(LongType).as("c_label"),
+        col("dm").getField("mean_v").as("cvec"))
+      .withColumn("c2", dot(col("cvec"), col("cvec")))
+
+  /** Literal-fold assignment (nlist <= maxLiteralCells): the quantizer is
+    * collected driver-side and folded into the plan as literals, making
+    * assignment a pure codegen'd projection (array_min over per-cell
+    * (d2, label) structs) — no join, no aggregate, nothing materialized
+    * corpus-side. Right only while nlist x dim stays in the tens of
+    * thousands of literals (codegen's 64 KB method ceiling). */
+  private[operators] def assignCellsLiteral(all: DataFrame, cent: DataFrame): DataFrame = {
+    // nlist x dim — tiny by contract here, ordered by (label, dim);
+    // c2 = sequential self-dot, the same left-to-right fold the native
+    // dotp / DuckDB list_dot_product performs
     val cents: Array[(Long, Array[Double])] =
-      centroids(emb).collect()
+      cent.collect()
         .groupBy(_.getAs[Number]("label").longValue())
         .toArray
         .map { case (lbl, rows) =>
@@ -242,17 +253,91 @@ object Similarity {
       var i = 0
       while (i < cv.length) { c2 += cv(i) * cv(i); i += 1 }
       val cvec = array(cv.map(lit).toIndexedSeq: _*)
-      struct(
-        (col("n2") - lit(2.0) * dot(col("v"), cvec) + lit(c2)).as("d2"),
-        lit(lbl).as("label"))
+      struct(cellDist(cvec, lit(c2)).as("d2"), lit(lbl).as("label"))
     }
-    val cells = all.withColumn("cell",
+    all.withColumn("cell",
       array_min(array(cellStructs.toIndexedSeq: _*)).getField("label"))
-    val queries = cells.filter(isQuery(col("vec_id")))
+  }
+
+  /** Broadcast-join assignment (nlist > maxLiteralCells): centroids stay
+    * a broadcast DataFrame — never collected to the driver, never folded
+    * into the expression tree. The whole quantizer is packed into ONE
+    * broadcast row holding array<struct<label, cvec, c2>>, attached to
+    * every corpus row by a broadcast nested-loop join (a pointer into the
+    * broadcast block, nothing copied), and assignment is the native
+    * codegen'd argmin loop [[org.apache.spark.sql.graft.NearestCell]]:
+    * O(nlist*dim) register arithmetic per row, zero shuffle, zero
+    * aggregation, no N x nlist intermediate rows anywhere. (The obvious
+    * alternatives both fail at scale: min(struct) per vec_id is a
+    * SortAggregate — struct buffers aren't hash-aggregable, so Spark
+    * sorts all N x nlist candidate rows — and the literal fold blows
+    * codegen's 64 KB method limit past a few hundred cells.) This is the
+    * path that survives production IVF parameters
+    * (nlist ~ sqrt(N) ~ 1e4-1e5, dim 768+). Same d2 operation order and
+    * (d2, label) tie-break as the literal path, so the two produce
+    * identical cells. */
+  private[operators] def assignCellsBroadcast(all: DataFrame, cvecs: DataFrame): DataFrame = {
+    val packed = cvecs.agg(collect_list(
+      struct(col("c_label"), col("cvec"), col("c2"))).as("cents"))
+    all.crossJoin(broadcast(packed))
+      .withColumn("cell", org.apache.spark.sql.graft.VectorExprs.nearestCell(
+        col("v"), col("n2"), col("cents")))
+      .drop("cents")
+  }
+
+  /** IVF ANN: assign every vector to its nearest centroid cell, then
+    * probe only the query's nProbe nearest cells (default 1: the cell it
+    * sits in). The complement of [[lshTopK]]: data-adaptive cells instead
+    * of fixed hyperplanes.
+    *
+    * Two assignment paths, chosen by quantizer size: literals folded
+    * into a codegen'd projection while nlist <= maxLiteralCells
+    * ([[assignCellsLiteral]]), a broadcast-join min-by above that
+    * ([[assignCellsBroadcast]]) — identical semantics, so the switch is
+    * purely physical. At 100 TB the corpus is scanned once and every
+    * operation before the per-cell probe join is map-side (literal path)
+    * or one linear shuffle (broadcast path). Deterministic by
+    * construction (exact integer-sum centroids, (d2, label) tie-break)
+    * → full SQL oracle below.
+    *
+    * nProbe > 1 ranks cells by the same d2 for the (tiny, broadcast)
+    * query set only and probes the nProbe nearest — the standard IVF
+    * recall knob; corpus vectors are never duplicated, so result rows
+    * stay unique per (q_id, neighbor_id). */
+  def ivfTopK(emb: DataFrame, isQuery: Column => Column, k: Int = 5,
+              maxLiteralCells: Int = 256, nProbe: Int = 1): DataFrame = {
+    val all = normed(emb)
+    val cent = centroids(emb)
+    // single-scalar action on the raw label column (no explode, no
+    // vector collect) just to pick the physical assignment path
+    val nlist = emb.select(countDistinct(col("label"))).head.getLong(0)
+    val literal = nlist <= maxLiteralCells
+    lazy val cvecs = centroidVectors(cent)
+    val cells =
+      if (literal) assignCellsLiteral(all, cent)
+      else assignCellsBroadcast(all, cvecs)
+    val queries0 = cells.filter(isQuery(col("vec_id")))
+    // query-side probe list: the nProbe nearest cells by the shared d2.
+    // Queries are a broadcast-sized set by contract, so the ranking join
+    // below (queries x nlist) is dimension-table work, not corpus work.
+    val queries =
+      if (nProbe <= 1) queries0.withColumn("probe_cell", col("cell"))
+      else {
+        val ranked = queries0.select(col("vec_id"), col("v"), col("n2"))
+          .crossJoin(broadcast(cvecs))
+          .select(col("vec_id"), col("v"), col("n2"),
+            struct(cellDist(col("cvec"), col("c2")).as("d2"),
+              col("c_label").as("label")).as("cand"))
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("cand"))
+        ranked.withColumn("cr", row_number().over(w))
+          .filter(col("cr") <= nProbe)
+          .select(col("vec_id"), col("v"), col("n2"),
+            col("cand").getField("label").as("probe_cell"))
+      }
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("n2").as("qn2"), col("cell")))
+        col("n2").as("qn2"), col("probe_cell").as("cell")))
       .join(cells, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),

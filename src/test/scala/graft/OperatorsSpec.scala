@@ -42,6 +42,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(precision >= 0.9, s"simhash precision $precision")
   }
 
+  test("ngramJaccard df-cap telemetry: 0 dropped on the test corpus, >0 on a stopword flood") {
+    import spark.implicits._
+    // the natural test corpus sits under the default cap: result is exact
+    // and the telemetry must say so
+    val (_, droppedClean) =
+      Dedup.ngramJaccardWithStats(Tables.documents(spark, dir))
+    assert(droppedClean === 0L, s"df cap silently active on clean corpus: $droppedClean")
+    // stopword flood: one shingle ("the of and ...") shared by every doc
+    // exceeds a df cap of 5 and must be counted as dropped, not silent
+    val flood = (0 until 20).map { i =>
+      (i.toLong, s"the of and to unique$i trailing words here")
+    }.toDF("doc_id", "text")
+    val (pairs, droppedFlood) = Dedup.ngramJaccardWithStats(flood, 0.1, maxDocFreq = 5)
+    assert(droppedFlood > 0L, "flooded shingles not reported as dropped")
+    pairs.collect() // pair generation still runs on the pruned index
+  }
+
   test("connected components label chains, triangles and pairs transitively") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 propagation round), triangle
@@ -105,6 +122,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val recall = brute.count(ivf.contains).toDouble / brute.size
     assert(recall >= 0.2, s"IVF recall $recall")
     assert(ivf.size <= brute.size)
+  }
+
+  test("IVF broadcast-join assignment path matches the literal-fold path exactly") {
+    val emb = Tables.embeddings(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val literal = rows(Similarity.ivfTopK(emb, v => v < 10, maxLiteralCells = 256))
+    // maxLiteralCells = 0 forces the broadcast-join path on the same data:
+    // the switch must be purely physical — identical rows, identical cos
+    // bits (shared cellDist expression + (d2, label) tie-break)
+    val bcast = rows(Similarity.ivfTopK(emb, v => v < 10, maxLiteralCells = 0))
+    assert(bcast === literal)
+  }
+
+  test("IVF multi-probe (nProbe) raises recall toward brute force, default stays 1-cell") {
+    val emb = Tables.embeddings(spark, dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteTopK(emb, col("vec_id") < 10))
+    val p1 = pairs(Similarity.ivfTopK(emb, v => v < 10))
+    val pAll = pairs(Similarity.ivfTopK(emb, v => v < 10, nProbe = Int.MaxValue))
+    val r1 = brute.count(p1.contains).toDouble / brute.size
+    val rAll = brute.count(pAll.contains).toDouble / brute.size
+    // probing every cell = brute force exactly; intermediate nProbe is
+    // monotone between the two ends
+    assert(rAll === 1.0, s"full-probe recall $rAll")
+    assert(rAll >= r1)
+    val p3 = pairs(Similarity.ivfTopK(emb, v => v < 10, nProbe = 3))
+    val r3 = brute.count(p3.contains).toDouble / brute.size
+    assert(r3 >= r1, s"nProbe=3 recall $r3 below nProbe=1 recall $r1")
   }
 
   test("graft_dot is callable from SQL via session extensions") {

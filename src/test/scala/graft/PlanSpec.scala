@@ -162,6 +162,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"aggregate-based cell assignment crept back into the probe plan:\n$ex")
   }
 
+  test("IVF broadcast assignment: no literal fold, map-side combined, linear shuffle") {
+    val emb = Tables.embeddings(spark, dir)
+    // maxLiteralCells = 0 forces the large-nlist path
+    val df = Similarity.ivfTopK(emb, v => v < 10, maxLiteralCells = 0)
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    // the quantizer must NOT be folded into the expression tree (that is
+    // the literal path's 64 KB-codegen scale ceiling)
+    assert(!ex.contains("array_min"),
+      s"literal-folded quantizer leaked into the broadcast path:\n$ex")
+    // assignment = corpus x broadcast(single packed centroid row): the
+    // only acceptable nested-loop join is against the broadcast quantizer
+    assert(ex.contains("BroadcastNestedLoopJoin"),
+      s"broadcast centroid join missing:\n$ex")
+    // assignment is the native argmin projection: no aggregate over the
+    // N x nlist candidate space (min(struct) would be a SortAggregate
+    // sorting N x nlist rows) and no Generate/explode of the centroid
+    // array against the corpus
+    assert(ex.contains("graft_nearest_cell"),
+      s"native argmin assignment expression missing:\n$ex")
+    assert(!ex.contains("SortAggregate"),
+      s"sort-based aggregate crept into the broadcast path:\n$ex")
+    assert(!ex.contains("Generate explode"),
+      s"corpus-side explode crept into assignment:\n$ex")
+  }
+
   test("salted join stays an equi-join and spreads keys over salt shards") {
     val li = Tables.lineitem(spark, dir)
       .select(org.apache.spark.sql.functions.col("l_partkey").as("partkey"),
