@@ -298,6 +298,70 @@ object Transforms {
       |    WHEN '5-LOW' THEN 'L' ELSE '?' END AS prio_code
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** BINARY and datetime columns across the PYTHON process boundary
+    * (ref: PythonObjectsEncoder.java:48 BYTES, :126/:173 logical types):
+    * the script receives real `bytes` and timezone-aware
+    * `datetime.datetime` objects, slices/measures the bytes and does
+    * datetime arithmetic, and emits bytes + timestamp + date back —
+    * every leg schema-driven through the base64/ISO-8601 wire codec
+    * ([[graft.transform.ProcessScriptTransform]] WireCodec + worker
+    * `_dec`/`_enc`), hash-verified against DuckDB's native BLOB and
+    * TIMESTAMP arithmetic. */
+  def xfPybytes(spark: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("head", BinaryType),
+      StructField("n_bytes", LongType),
+      StructField("shifted", TimestampType),
+      StructField("day", DateType)))
+    val script =
+      """import datetime
+        |
+        |def transform(record, emitter, context):
+        |    p = record["payload"]                     # bytes
+        |    t = record["ts"]                          # aware datetime (UTC)
+        |    s = t + datetime.timedelta(minutes=90)
+        |    emitter.emit({"event_id": record["event_id"],
+        |                  "head": p[:8],
+        |                  "n_bytes": len(p),
+        |                  "shifted": s,
+        |                  "day": s.date()})
+        |""".stripMargin
+    ProcessScriptTransform.python(
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"),
+            col("props").cast(BinaryType).as("payload")),
+        out, script,
+        parallelism = spark.sparkContext.defaultParallelism)
+      .out.localCheckpoint()
+      // binary compares as hex in the oracle layer (repo convention, see
+      // mm_frames: the hash compare can't order raw blobs portably); the
+      // wire codec still moved real bytes both directions above
+      .select(col("event_id"), hex(col("head")).as("head_hex"),
+        col("n_bytes"), col("shifted"),
+        // DATE also travels as ISO text in the compare layer: DuckDB's
+        // pandas bridge renders DATE as midnight timestamps, so raw DATE
+        // columns are unorderable across engines in the hash compare
+        date_format(col("day"), "yyyy-MM-dd").as("day_str"))
+      .orderBy(col("event_id"))
+  }
+
+  /** DuckDB twin: UTF-8 encode to BLOB, byte slice via hex (DuckDB has
+    * no BLOB substring; 16 hex chars = 8 bytes), interval arithmetic on
+    * the micros-truncated timestamp (same truncation Tables.events
+    * applies). */
+  val xfPybytesSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |    encode(props) AS payload
+      |  FROM events)
+      |SELECT event_id,
+      |  upper(substr(to_hex(payload), 1, 16)) AS head_hex,
+      |  octet_length(payload) AS n_bytes,
+      |  ts + INTERVAL 90 MINUTE AS shifted,
+      |  strftime(CAST(ts + INTERVAL 90 MINUTE AS DATE), '%Y-%m-%d') AS day_str
+      |FROM ev ORDER BY event_id""".stripMargin
+
   /** emitAlert channel (ref PythonEvaluator.java:191-194): script flags
     * anomalous records as alert payloads riding the same single tagged
     * pass as the output channel; the driver query surfaces the alerts
@@ -351,6 +415,7 @@ object Transforms {
       |ORDER BY c_custkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "xf_pybytes" -> (xfPybytes _),
     "xf_pyscript" -> (xfPyscript _),
     "xf_pylookup" -> (xfPylookup _),
     "xf_pyerrors" -> (xfPyerrors _),
@@ -367,6 +432,7 @@ object Transforms {
     "xf_script" -> (xfScript _))
 
   val oracles: Map[String, String] = Map(
+    "xf_pybytes" -> xfPybytesSql,
     "xf_pyscript" -> xfPyscriptSql,
     "xf_pylookup" -> xfPylookupSql,
     "xf_pyerrors" -> xfPyerrorsSql,

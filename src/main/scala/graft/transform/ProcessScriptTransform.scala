@@ -41,10 +41,15 @@ import org.apache.spark.sql.types._
   * per-level counts ride [[Metrics]] like the Scala path's ScriptLogger.
   *
   * Value codec across the JSON boundary: null/boolean/integral/floating/
-  * string/array/map/struct (structs travel as JSON objects). BINARY and
-  * datetime columns are out of scope for the process path — pre-convert
-  * them (base64/ISO strings) in the declarative layer; the in-process
-  * path handles them natively.
+  * string/array/map/struct (structs travel as JSON objects), plus the
+  * reference codec's BYTES and logical datetime types
+  * (ref: PythonObjectsEncoder.java:48,126,173): BINARY rides as base64,
+  * TIMESTAMP/DATE as ISO-8601 — schema-driven on BOTH sides of the pipe
+  * ([[WireCodec]] here, `_dec`/`_enc` in the worker), so the script sees
+  * real `bytes`/`datetime.datetime`/`datetime.date` objects and may emit
+  * them back, exactly like the reference. Union branches remain
+  * plain-typed on this path (the in-process path handles unions of any
+  * branch type natively).
   */
 object ProcessScriptTransform {
 
@@ -126,6 +131,10 @@ object ProcessScriptTransform {
       StructField("_alert", MapType(StringType, StringType))))
     val worker = workerSource
     val inFields = inSchema.fields
+    // wire-type descriptors: null (and zero per-record cost) unless the
+    // schema actually carries binary/datetime somewhere
+    val inDesc = WireCodec.descriptor(inSchema)
+    val outDesc = WireCodec.descriptor(outSchema)
 
     val tagged = in.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
@@ -161,13 +170,18 @@ object ProcessScriptTransform {
             init.put("lookups", JsonCodec.toJava(
               if (bcLookups == null) Map.empty[String, Map[String, Any]]
               else bcLookups.value))
+            if (inDesc != null) init.put("in_types", inDesc)
+            if (outDesc != null) init.put("out_types", outDesc)
             stdin.write(mapper.writeValueAsString(init)); stdin.write("\n")
             while (rows.hasNext) {
               val record = SchemaCodec.rowToMap(rows.next(), inSchema)
               pending.put(record) // BEFORE the write: reader must find it
+              val wire =
+                if (inDesc == null) record
+                else WireCodec.mapToWire(record, inSchema)
               val m = new java.util.LinkedHashMap[String, Object]()
               m.put("t", "rec")
-              m.put("d", JsonCodec.toJava(record))
+              m.put("d", JsonCodec.toJava(wire))
               stdin.write(mapper.writeValueAsString(m)); stdin.write("\n")
             }
             val end = new java.util.LinkedHashMap[String, Object]()
@@ -220,16 +234,20 @@ object ProcessScriptTransform {
               val msg = mapper.readValue(line, classOf[java.util.Map[String, Object]])
               msg.get("t").asInstanceOf[String] match {
                 case "e" =>
+                  val raw = JsonCodec.toScala(msg.get("d")).asInstanceOf[Map[String, Any]]
                   nextRow = Row("out", SchemaCodec.mapToRow(
-                    JsonCodec.toScala(msg.get("d")).asInstanceOf[Map[String, Any]],
+                    if (outDesc == null) raw
+                    else WireCodec.mapFromWire(raw, outSchema),
                     outSchema), null, null)
                 case "r" =>
                   val e = JsonCodec.toScala(msg.get("d")).asInstanceOf[Map[String, Any]]
+                  val badRaw = e.getOrElse("invalidRecord", Map.empty[String, Any])
+                    .asInstanceOf[Map[String, Any]]
                   nextRow = errRow(
                     e.getOrElse("errorCode", 0).asInstanceOf[Number].intValue(),
                     String.valueOf(e.getOrElse("errorMsg", "")),
-                    e.getOrElse("invalidRecord", Map.empty[String, Any])
-                      .asInstanceOf[Map[String, Any]])
+                    if (inDesc == null) badRaw
+                    else WireCodec.mapFromWire(badRaw, inSchema))
                 case "a" =>
                   nextRow = Row("alert", null, null,
                     JsonCodec.toScala(msg.get("d")).asInstanceOf[Map[String, Any]]
@@ -277,11 +295,51 @@ object ProcessScriptTransform {
     * entry point, emitter with three channels, context with
     * getArguments/getLogger/getMetrics (attribute access works too). */
   private[transform] val workerSource: String =
-    """import sys, json
+    """import sys, json, base64, datetime
       |
       |def _w(obj):
       |    sys.stdout.write(json.dumps(obj))
       |    sys.stdout.write("\n")
+      |
+      |def _dec(v, t):
+      |    # wire -> script types, driven by the schema descriptor: base64
+      |    # str -> bytes, ISO str -> datetime/date (the reference codec's
+      |    # BYTES and logical types, PythonObjectsEncoder-equivalent)
+      |    if v is None or t is None:
+      |        return v
+      |    k = t["k"]
+      |    if k == "bin": return base64.b64decode(v)
+      |    if k == "ts" or k == "ntz": return datetime.datetime.fromisoformat(v)
+      |    if k == "date": return datetime.date.fromisoformat(v)
+      |    if k == "arr": return [_dec(x, t["e"]) for x in v]
+      |    if k == "map": return {kk: _dec(x, t["v"]) for kk, x in v.items()}
+      |    if k == "struct":
+      |        f = t["f"]
+      |        return {kk: _dec(x, f[kk]) if kk in f else x for kk, x in v.items()}
+      |    return v
+      |
+      |def _enc(v, t):
+      |    # script -> wire types: bytes -> base64 str, datetime -> ISO str
+      |    # (strings pass through untouched, so scripts may also emit
+      |    # pre-encoded values)
+      |    if v is None or t is None:
+      |        return v
+      |    k = t["k"]
+      |    if k == "bin":
+      |        if isinstance(v, (bytes, bytearray, memoryview)):
+      |            return base64.b64encode(bytes(v)).decode("ascii")
+      |        return v
+      |    if k == "ts" or k == "ntz":
+      |        return v.isoformat() if isinstance(v, datetime.datetime) else v
+      |    if k == "date":
+      |        if isinstance(v, datetime.datetime): return v.date().isoformat()
+      |        return v.isoformat() if isinstance(v, datetime.date) else v
+      |    if k == "arr": return [_enc(x, t["e"]) for x in v]
+      |    if k == "map": return {kk: _enc(x, t["v"]) for kk, x in v.items()}
+      |    if k == "struct":
+      |        f = t["f"]
+      |        return {kk: _enc(x, f[kk]) if kk in f else x for kk, x in v.items()}
+      |    return v
       |
       |_counts = {}
       |
@@ -300,8 +358,14 @@ object ProcessScriptTransform {
       |    def error(self, msg): self._log("error", msg)
       |
       |class _Emitter(object):
-      |    def emit(self, record): _w({"t": "e", "d": record})
-      |    def emitError(self, err): _w({"t": "r", "d": err})
+      |    def emit(self, record):
+      |        _w({"t": "e", "d": _enc(record, _out_types)})
+      |    def emitError(self, err):
+      |        if _in_types is not None and isinstance(err, dict) \
+      |                and isinstance(err.get("invalidRecord"), dict):
+      |            err = dict(err)
+      |            err["invalidRecord"] = _enc(err["invalidRecord"], _in_types)
+      |        _w({"t": "r", "d": err})
       |    def emitAlert(self, payload): _w({"t": "a", "d": payload})
       |
       |class _Context(object):
@@ -319,6 +383,8 @@ object ProcessScriptTransform {
       |        return None if d is None else d.get(str(key))
       |
       |_init = json.loads(sys.stdin.readline())
+      |_in_types = _init.get("in_types")
+      |_out_types = _init.get("out_types")
       |_ns = {}
       |exec(_init["script"], _ns)
       |_transform = _ns["transform"]
@@ -331,7 +397,7 @@ object ProcessScriptTransform {
       |    if _msg["t"] == "end":
       |        break
       |    try:
-      |        _transform(_msg["d"], _em, _ctx)
+      |        _transform(_dec(_msg["d"], _in_types), _em, _ctx)
       |        _w({"t": "d"})
       |    except Exception as _e:
       |        import traceback
@@ -344,6 +410,117 @@ object ProcessScriptTransform {
       |_w({"t": "m", "c": _counts})
       |sys.stdout.flush()
       |""".stripMargin
+}
+
+/** Schema-driven wire conversion for types JSON cannot carry natively —
+  * the process-path twin of the reference's typed codec
+  * (ref: PythonObjectsEncoder.java:48 BYTES, :126 logical types, :173
+  * decode): BINARY ↔ base64, TIMESTAMP ↔ ISO-8601 UTC micros,
+  * TIMESTAMP_NTZ ↔ ISO-8601 local micros, DATE ↔ ISO date. A compact
+  * type descriptor (only subtrees that actually need conversion) ships
+  * to the worker once at init, so schemas with no such columns pay
+  * nothing and the worker never walks plain values. */
+private[transform] object WireCodec {
+  import java.time.{Instant, LocalDate, LocalDateTime, OffsetDateTime, ZoneOffset}
+  import java.time.format.DateTimeFormatter
+
+  // micros always written, offset spelled +00:00 (python
+  // datetime.fromisoformat-safe on every 3.x)
+  private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+  /** JSON-shaped descriptor of the convertible leaves under `dt`;
+    * null when nothing below needs conversion (the common case). */
+  def descriptor(dt: DataType): Object = dt match {
+    case BinaryType => leaf("bin")
+    case TimestampType => leaf("ts")
+    case TimestampNTZType => leaf("ntz")
+    case DateType => leaf("date")
+    case ArrayType(et, _) =>
+      val e = descriptor(et)
+      if (e == null) null else { val m = leaf("arr"); m.put("e", e); m }
+    case MapType(_, vt, _) =>
+      val v = descriptor(vt)
+      if (v == null) null else { val m = leaf("map"); m.put("v", v); m }
+    case st: StructType =>
+      val fs = new java.util.LinkedHashMap[String, Object]()
+      st.fields.foreach { f =>
+        if (!SchemaCodec.isUnionField(f)) {
+          val d = descriptor(f.dataType)
+          if (d != null) fs.put(f.name, d)
+        }
+      }
+      if (fs.isEmpty) null else { val m = leaf("struct"); m.put("f", fs); m }
+    case _ => null
+  }
+
+  private def leaf(kind: String): java.util.LinkedHashMap[String, Object] = {
+    val m = new java.util.LinkedHashMap[String, Object]()
+    m.put("k", kind)
+    m
+  }
+
+  /** Decoded record map → JSON-safe map under the input schema. Walks
+    * the schema's fields (hash lookups into the record), converting only
+    * where needed; keys outside the schema pass through untouched. */
+  def mapToWire(m: Map[String, Any], schema: StructType): Map[String, Any] =
+    convertMap(m, schema, toWire)
+
+  def toWire(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (b: Array[Byte], BinaryType) =>
+      java.util.Base64.getEncoder.encodeToString(b)
+    case (t: java.sql.Timestamp, TimestampType) =>
+      LocalDateTime.ofInstant(t.toInstant, ZoneOffset.UTC).format(TsFmt) + "+00:00"
+    case (i: Instant, TimestampType) =>
+      LocalDateTime.ofInstant(i, ZoneOffset.UTC).format(TsFmt) + "+00:00"
+    case (l: LocalDateTime, TimestampNTZType) => l.format(TsFmt)
+    case (d: java.sql.Date, DateType) => d.toLocalDate.toString
+    case (d: LocalDate, DateType) => d.toString
+    case (s: scala.collection.Seq[_], ArrayType(et, _)) => s.map(toWire(_, et))
+    case (m: scala.collection.Map[_, _], MapType(_, vt, _)) =>
+      m.map { case (k, x) => k -> toWire(x, vt) }
+    case (m: scala.collection.Map[_, _], st: StructType) =>
+      mapToWire(m.asInstanceOf[Map[String, Any]], st)
+    case (other, _) => other
+  }
+
+  /** JSON-parsed map → decoded record map under the declared schema
+    * (what [[SchemaCodec.mapToRow]] expects). */
+  def mapFromWire(m: Map[String, Any], schema: StructType): Map[String, Any] =
+    convertMap(m, schema, fromWire)
+
+  private def convertMap(m: Map[String, Any], schema: StructType,
+                         conv: (Any, DataType) => Any): Map[String, Any] = {
+    var out = m
+    schema.fields.foreach { f =>
+      if (!SchemaCodec.isUnionField(f)) m.get(f.name) match {
+        case Some(v) =>
+          val w = conv(v, f.dataType)
+          if (w.asInstanceOf[AnyRef] ne v.asInstanceOf[AnyRef])
+            out = out.updated(f.name, w)
+        case None =>
+      }
+    }
+    out
+  }
+
+  def fromWire(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (s: String, BinaryType) => java.util.Base64.getDecoder.decode(s)
+    case (s: String, TimestampType) =>
+      // aware ISO from the worker (or a naive string = assume UTC)
+      try java.sql.Timestamp.from(OffsetDateTime.parse(s).toInstant)
+      catch { case _: java.time.format.DateTimeParseException =>
+        java.sql.Timestamp.from(LocalDateTime.parse(s).toInstant(ZoneOffset.UTC)) }
+    case (s: String, TimestampNTZType) => LocalDateTime.parse(s)
+    case (s: String, DateType) => java.sql.Date.valueOf(LocalDate.parse(s))
+    case (s: scala.collection.Seq[_], ArrayType(et, _)) => s.map(fromWire(_, et))
+    case (m: scala.collection.Map[_, _], MapType(_, vt, _)) =>
+      m.map { case (k, x) => k -> fromWire(x, vt) }
+    case (m: scala.collection.Map[_, _], st: StructType) =>
+      mapFromWire(m.asInstanceOf[Map[String, Any]], st)
+    case (other, _) => other
+  }
 }
 
 /** Scala ↔ java.util JSON-shape conversion for the process boundary. */

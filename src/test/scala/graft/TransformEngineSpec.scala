@@ -331,6 +331,66 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back === value)
   }
 
+  test("python process path round-trips BINARY and datetime (bytes/datetime objects in-script)") {
+    import java.sql.{Date, Timestamp}
+    val in = Seq(
+      (1L, Array[Byte](1, 2, 3, -128, 127), Timestamp.valueOf("2026-03-01 10:30:00.123456"),
+        Date.valueOf("2026-03-01")),
+      (2L, "héllo".getBytes("UTF-8"), Timestamp.valueOf("2026-08-13 23:59:59.999999"),
+        Date.valueOf("2026-08-13")),
+      (3L, Array.empty[Byte], Timestamp.valueOf("1969-12-31 23:59:59.5"),
+        Date.valueOf("1969-12-31"))
+    ).toDF("id", "payload", "ts", "day")
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType),      // echoed bytes
+      StructField("doubled", BinaryType),      // script-built bytes
+      StructField("n", IntegerType),           // len() proves real bytes
+      StructField("ts", TimestampType),        // echoed timestamp
+      StructField("plus_hour", TimestampType), // datetime arithmetic
+      StructField("day", DateType),            // echoed date
+      StructField("next_day", DateType)))      // date arithmetic
+    val script =
+      """import datetime
+        |
+        |def transform(record, emitter, context):
+        |    p = record["payload"]
+        |    assert isinstance(p, bytes), type(p).__name__
+        |    t = record["ts"]
+        |    assert isinstance(t, datetime.datetime), type(t).__name__
+        |    d = record["day"]
+        |    assert isinstance(d, datetime.date), type(d).__name__
+        |    emitter.emit({"id": record["id"],
+        |                  "payload": p,
+        |                  "doubled": p + p,
+        |                  "n": len(p),
+        |                  "ts": t,
+        |                  "plus_hour": t + datetime.timedelta(hours=1),
+        |                  "day": d,
+        |                  "next_day": d + datetime.timedelta(days=1)})
+        |""".stripMargin
+    val got = ProcessScriptTransform.python(in, out, script).out
+      .orderBy("id").collect()
+    assert(got.length === 3)
+    val r1 = got(0)
+    assert(r1.getAs[Array[Byte]]("payload").toSeq === Seq[Byte](1, 2, 3, -128, 127))
+    assert(r1.getAs[Array[Byte]]("doubled").toSeq ===
+      Seq[Byte](1, 2, 3, -128, 127, 1, 2, 3, -128, 127))
+    assert(r1.getAs[Int]("n") === 5)
+    assert(r1.getAs[Timestamp]("ts") === Timestamp.valueOf("2026-03-01 10:30:00.123456"))
+    assert(r1.getAs[Timestamp]("plus_hour") === Timestamp.valueOf("2026-03-01 11:30:00.123456"))
+    assert(r1.getAs[Date]("day") === Date.valueOf("2026-03-01"))
+    assert(r1.getAs[Date]("next_day") === Date.valueOf("2026-03-02"))
+    val r2 = got(1)
+    assert(new String(r2.getAs[Array[Byte]]("payload"), "UTF-8") === "héllo")
+    assert(r2.getAs[Int]("n") === 6) // bytes length, not str length
+    assert(r2.getAs[Timestamp]("plus_hour") ===
+      Timestamp.valueOf("2026-08-14 00:59:59.999999"))
+    val r3 = got(2) // empty bytes + sub-second pre-epoch timestamp
+    assert(r3.getAs[Array[Byte]]("payload").length === 0)
+    assert(r3.getAs[Timestamp]("ts") === Timestamp.valueOf("1969-12-31 23:59:59.5"))
+  }
+
   test("python script validation never executes the module top level") {
     // under an exec-based check this would hang configuration for 600 s
     // and run the side effect on the driver host; the AST check returns
