@@ -21,8 +21,14 @@ import graft.core.Tables
   * and skewed keys are handled by AQE like any other shuffle.
   *
   * Ties: a right row at exactly leftTime matches (sorted before the left
-  * row via the side bit). Multiple right rows at the same (key, time) are
-  * ordered by `rightTiebreak` — the last one wins, deterministically.
+  * row via the side bit in both directions). Multiple right rows at the
+  * same (key, time) resolve by `rightTiebreak`, deterministically, but
+  * per scan direction: [[asOf]] (backward) takes the LARGEST tiebreak
+  * (the running `last` keeps the latest-sorted right), [[asOfForward]]
+  * takes the SMALLEST (its reversed frame keeps the first-sorted right)
+  * — each picks the right row nearest its scan direction, matching what
+  * "most recent before" / "earliest after" mean under a secondary order.
+  * Both behaviors are pinned in AsOfJoinSpec.
   */
 object AsOfJoin {
 

@@ -191,14 +191,27 @@ object Dedup {
     * as each document enters the corpus, so a batch pays only its own
     * shingling/signatures plus the collision mass: per-batch cost is
     * independent of corpus size, and the band join shuffles keys, never
-    * text. Within-batch pairs are never generated or verified. */
+    * text. Within-batch pairs are never generated or verified.
+    *
+    * Precondition: historical and new doc_id spaces should be disjoint
+    * (the derived [[incrementalNearDup]] form guarantees it). A
+    * re-submitted id is excluded from self-comparison below, but because
+    * verification unions both shingle tables by doc_id, an id present in
+    * BOTH tables with different content would merge its two shingle sets
+    * in any OTHER pair's Jaccard that touches it. */
   def incrementalNearDupPrecomputed(newDocs: DataFrame,
                                     histBands: DataFrame,
                                     histShingles: DataFrame,
                                     minJaccard: Double = 0.5): DataFrame = {
     val bNew = bandKeys(newDocs)
+    // doc_a =!= doc_b: ids are normally disjoint between history and a
+    // new batch (the derived incrementalNearDup form guarantees it), but
+    // a re-submitted id must not self-collide — the shared-shingle union
+    // in verifyJaccard would merge the two versions' sets and the
+    // anti-join below would drop the new doc against itself
     val cand = histBands.as("h").join(bNew.as("n"),
-        col("h.b") === col("n.b") && col("h.bk") === col("n.bk"))
+        col("h.b") === col("n.b") && col("h.bk") === col("n.bk") &&
+          col("h.doc_id") =!= col("n.doc_id"))
       .select(col("h.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
       .distinct()
     val tall = histShingles.select(col("doc_id"), col("s"))

@@ -56,10 +56,16 @@ object ProcessScriptTransform {
   /** Configure-time script validation (ref: PythonEvaluator.java:224-243
     * compiles the script in configurePipeline so a typo fails the deploy,
     * not a 1000-executor job): compile-check the source and verify the
-    * `transform` signature from the AST — the user module is never
+    * `transform` binding from the AST — the user module is never
     * executed, so top-level side effects (network calls, input(),
     * infinite loops) can neither run on the driver host nor hang
-    * configuration. The whole check is bounded by a hard timeout as a
+    * configuration. Accepted bindings: a top-level plain `def transform`
+    * (3-arg signature checked statically) or any top-level assignment /
+    * import that binds the name `transform` (partials, aliases —
+    * arity is unknowable statically, so a mismatch surfaces through the
+    * worker's normal per-record error channel instead). A `transform`
+    * bound only inside an `if` block or other nested scope is rejected:
+    * whether it exists would depend on executing the module. The whole check is bounded by a hard timeout as a
     * second line of defense. Runs one driver-side python3 (~50 ms);
     * throws IllegalArgumentException with the interpreter's message. */
   def validate(script: String, pythonExec: String = "python3"): Unit = {
@@ -74,8 +80,27 @@ object ProcessScriptTransform {
         |defs = [n for n in tree.body
         |        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
         |        and n.name == "transform"]
+        |def _binds_transform(n):
+        |    # transform = functools.partial(...), transform: Callable = f,
+        |    # from mod import transform, import transform — all run fine
+        |    # under the worker's exec + _ns["transform"], so accept them
+        |    # (arity can't be checked statically; a mismatch fails in the
+        |    # worker with the normal per-record error surface)
+        |    if isinstance(n, ast.Assign):
+        |        return any(isinstance(t, ast.Name) and t.id == "transform"
+        |                   for t in n.targets)
+        |    if isinstance(n, ast.AnnAssign):
+        |        return isinstance(n.target, ast.Name) and n.target.id == "transform" \
+        |            and n.value is not None
+        |    if isinstance(n, ast.ImportFrom):
+        |        return any((a.asname or a.name) == "transform" for a in n.names)
+        |    if isinstance(n, ast.Import):
+        |        return any(a.asname == "transform" for a in n.names)
+        |    return False
+        |if not defs and any(_binds_transform(n) for n in tree.body):
+        |    sys.exit(0)
         |if not defs:
-        |    sys.stderr.write("script must define transform(record, emitter, context) at module top level"); sys.exit(1)
+        |    sys.stderr.write("script must bind transform(record, emitter, context) at module top level (def or assignment)"); sys.exit(1)
         |if isinstance(defs[-1], ast.AsyncFunctionDef):
         |    sys.stderr.write("transform must be a plain def, not async def (it is called synchronously)"); sys.exit(1)
         |a = defs[-1].args
@@ -89,6 +114,16 @@ object ProcessScriptTransform {
     val proc = new ProcessBuilder(pythonExec, "-c", checker).start()
     val in = proc.getOutputStream
     in.write(script.getBytes(StandardCharsets.UTF_8)); in.close()
+    // drain stderr CONCURRENTLY with the wait: a checker that writes more
+    // than the pipe buffer before exiting would otherwise block and
+    // surface as a bogus timeout instead of its real message
+    val errBytes = new java.io.ByteArrayOutputStream()
+    val drain = new Thread(() => {
+      try proc.getErrorStream.transferTo(errBytes)
+      catch { case _: java.io.IOException => } // destroyed on timeout
+    }, "graft-validate-stderr")
+    drain.setDaemon(true)
+    drain.start()
     // the checker never runs user code, so this bound only guards a
     // broken interpreter; destroy on expiry so configuration can't hang
     if (!proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)) {
@@ -96,7 +131,8 @@ object ProcessScriptTransform {
       throw new IllegalArgumentException(
         "transform script validation timed out after 30s")
     }
-    val err = new String(proc.getErrorStream.readAllBytes(), StandardCharsets.UTF_8)
+    drain.join(5000)
+    val err = errBytes.toString(StandardCharsets.UTF_8)
     if (proc.exitValue() != 0)
       throw new IllegalArgumentException(s"invalid transform script: $err")
   }

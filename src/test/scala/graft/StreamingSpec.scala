@@ -195,6 +195,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).getLong(1) === 3L)
   }
 
+  test("checkpoint recovery: restart on the same checkpoint is exactly-once, state intact") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-ckpt-recovery")
+    val streamDir = d.resolve("files")
+    Files.createDirectory(streamDir)
+    val ckpt = checkpoint()
+    val outDir = Files.createTempDirectory("graft-ckpt-out").toString
+    def writeFile(name: String, ids: Seq[Long], mtime: Long): Unit = {
+      val df = ids.toDF("event_id")
+        .withColumn("ts", lit(86400L * 1000000000L) + col("event_id") * 1000000000L)
+        .withColumn("user_id", col("event_id") % 7)
+        .withColumn("event_type", lit("click"))
+        .withColumn("value", lit(1.0))
+        .withColumn("props", lit("{}"))
+      val tmp = Files.createTempDirectory("graft-ckpt-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst.get
+      val dst = streamDir.resolve(name)
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    def runToCompletion(): Unit = {
+      val q = EventStreams.dedupEvents(
+          EventStreams.readEvents(spark, streamDir.toString, Some(1)),
+          watermark = "365 days")
+        .select("event_id", "user_id")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt) // SAME checkpoint both runs
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    val now = System.currentTimeMillis()
+    // run 1: events 1..100, then the query terminates (= stop/kill between
+    // micro-batches; the checkpoint holds source offsets + dedup state)
+    writeFile("a.parquet", 1L to 100L, now - 60000)
+    runToCompletion()
+    // run 2, same checkpoint: new events 101..150 PLUS redelivered 1..10.
+    // Exactly-once requires the restarted query to (a) not reprocess file
+    // a, (b) drop the redelivered ids via RECOVERED dedup state, (c) not
+    // duplicate anything already committed to the sink manifest
+    writeFile("b.parquet", (101L to 150L) ++ (1L to 10L), now)
+    runToCompletion()
+    val got = spark.read.parquet(outDir).select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.length === got.distinct.length,
+      s"restart duplicated ${got.length - got.distinct.length} rows")
+    assert(got.toSet === (1L to 150L).toSet,
+      s"missing: ${(1L to 150L).toSet.diff(got.toSet)}")
+  }
+
   test("mapGroupsWithState running totals converge to batch per-user totals") {
     val q = EventStreams.runningUserTotals(EventStreams.readEvents(spark, eventsDir))
       .writeStream.format("memory").queryName("ut")

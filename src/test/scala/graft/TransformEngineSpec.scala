@@ -292,7 +292,7 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val missing = intercept[IllegalArgumentException] {
       ProcessScriptTransform.validate("x = 1\n")
     }
-    assert(missing.getMessage.contains("must define transform"))
+    assert(missing.getMessage.contains("must bind transform"))
     val arity = intercept[IllegalArgumentException] {
       ProcessScriptTransform.validate("def transform(record):\n    pass\n")
     }
@@ -406,6 +406,23 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         "async def transform(record, emitter, context):\n    pass\n")
     }
     assert(async.getMessage.contains("async"))
+    // non-def top-level bindings are accepted (they run fine under the
+    // worker's exec): partials, aliases, imports binding `transform`
+    ProcessScriptTransform.validate(
+      "import functools\n" +
+        "def base(tag, record, emitter, context):\n    emitter.emit(record)\n" +
+        "transform = functools.partial(base, 'x')\n")
+    ProcessScriptTransform.validate(
+      "def impl(record, emitter, context):\n    emitter.emit(record)\n" +
+        "transform = impl\n")
+    ProcessScriptTransform.validate("from json import loads as transform\n")
+    // but a transform bound only inside a nested scope stays rejected —
+    // its existence would depend on executing the module
+    val nested = intercept[IllegalArgumentException] {
+      ProcessScriptTransform.validate(
+        "if True:\n    def transform(record, emitter, context):\n        pass\n")
+    }
+    assert(nested.getMessage.contains("top level"))
   }
 
   test("ScriptTransform: script logger reaches executor logs and counts per level") {
