@@ -156,6 +156,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r3 >= r1, s"nProbe=3 recall $r3 below nProbe=1 recall $r1")
   }
 
+  test("rate-based stratified sampling: deterministic, monotone in rate, rate-accurate") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, dir)
+    def ids(r: Double): Set[Long] =
+      Sampling.stratifiedByRate(docs, col("lang"), col("doc_id"),
+          Map("en" -> r), defaultRate = 0.0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val low = ids(0.2)
+    val high = ids(0.6)
+    assert(ids(0.2) === low, "same rate must select identical rows")
+    // raising a rate only ADDS rows (stable eval splits)
+    assert(low.subsetOf(high), "rate increase must be a superset")
+    assert(high.size > low.size)
+    val en = docs.filter(col("lang") === "en").count().toDouble
+    assert(math.abs(low.size / en - 0.2) < 0.15, s"keep rate ${low.size / en} far from 0.2")
+  }
+
   test("graft_dot is callable from SQL via session extensions") {
     val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .collect()(0).getDouble(0)
