@@ -437,6 +437,58 @@ object Dedup {
     (out, dropped)
   }
 
+  /** Benchmark-contamination sweep: flag corpus documents whose distinct
+    * word-3-gram shingles overlap an evaluation/benchmark set by at
+    * least `minFrac` — the decontamination pass a training pipeline runs
+    * before every data release (eval answers leaking into training data
+    * inflate benchmark scores). The benchmark side is small by nature
+    * (eval suites are thousands of items, the corpus is billions), so
+    * its distinct shingle set BROADCASTS: the sweep is one scan of
+    * corpus shingles + a broadcast hash join — no shuffle of text, no
+    * corpus x benchmark pairs, cost linear in corpus shingles at 100 TB.
+    * Returns (doc_id, shared, n_shingles, frac). */
+  def contamination(docs: DataFrame, bench: DataFrame,
+                    minFrac: Double = 0.2): DataFrame = {
+    val d = tallShingles(docs).distinct()
+    val sizes = d.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val b = tallShingles(bench).select(col("s")).distinct()
+    d.join(broadcast(b), Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
+      .join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("shared"), col("n_shingles"),
+        (col("shared").cast(DoubleType) /
+          col("n_shingles").cast(DoubleType)).as("frac"))
+      .filter(col("frac") >= minFrac)
+  }
+
+  /** dd_contamination: every 97th document plays the benchmark set, the
+    * rest the training corpus. */
+  def ddContamination(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(spark, dir)
+    contamination(all.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        all.filter(pmod(col("doc_id"), lit(97)) === 0))
+      .orderBy("doc_id")
+  }
+
+  val ddContaminationSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS shingles
+      |  FROM toks WHERE len(w) >= 3),
+      |tall AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |bench AS (SELECT DISTINCT s FROM tall WHERE doc_id % 97 = 0),
+      |hits AS (
+      |  SELECT t.doc_id, count(*) AS shared
+      |  FROM tall t JOIN bench b USING (s)
+      |  WHERE t.doc_id % 97 <> 0 GROUP BY t.doc_id)
+      |SELECT h.doc_id AS doc_id, shared, len(sh.shingles) AS n_shingles,
+      |  CAST(shared AS DOUBLE) / CAST(len(sh.shingles) AS DOUBLE) AS frac
+      |FROM hits h JOIN sh ON h.doc_id = sh.doc_id
+      |WHERE CAST(shared AS DOUBLE) / CAST(len(sh.shingles) AS DOUBLE) >= 0.2
+      |ORDER BY h.doc_id""".stripMargin
+
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccard(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
 
@@ -723,6 +775,7 @@ object Dedup {
     "dd_incremental" -> (ddIncremental _),
     "dd_incr_near" -> (ddIncrNear _),
     "dd_pipeline" -> (ddPipeline _),
+    "dd_contamination" -> (ddContamination _),
     "dd_editdist" -> (ddEditdist _),
     "dd_exact" -> (ddExact _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
@@ -735,6 +788,7 @@ object Dedup {
     "dd_incremental" -> ddIncrementalSql,
     "dd_incr_near" -> ddIncrNearSql,
     "dd_pipeline" -> ddPipelineSql,
+    "dd_contamination" -> ddContaminationSql,
     "dd_editdist" -> ddEditdistSql,
     "dd_exact" -> ddExactSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,

@@ -387,7 +387,92 @@ object Similarity {
       |SELECT q_id, neighbor_id, rk, cos FROM ranked WHERE rk <= 5
       |ORDER BY q_id, rk""".stripMargin
 
+  /** Lloyd k-means — trains the IVF coarse quantizer itself (the
+    * [[centroids]]/[[ivfTopK]] pair consumes labels; this PRODUCES them
+    * when no labels exist, which is the normal case for a raw embedding
+    * corpus). Each iteration is the scale-safe pair already proven at
+    * 2M rows: broadcast packed-quantizer + native argmin assignment
+    * (zero shuffle), then order-free integer-scaled means (one linear
+    * shuffle of (cell, dim) partial sums). Deterministic end to end —
+    * seeds are the k vectors with the smallest md5(vec_id) (a TakeOrdered
+    * top-k, no global sort), assignment ties break by (d2, label), means
+    * are exact — so a fixed-iteration run is bit-reproducible in any
+    * engine and the full SQL oracle below replays it. A cell that loses
+    * every member simply disappears (k shrinks), identically everywhere.
+    * iters is small and fixed by contract (each iteration re-scans the
+    * corpus; a long-running trainer would checkpoint between rounds). */
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val all = normed(emb)
+    val hashOrder = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
+    val seeds = all.orderBy(hashOrder: _*).limit(k) // TakeOrdered: top-k, scale-safe
+    val w = Window.orderBy(hashOrder: _*) // over k rows only
+    var cent = seeds
+      .withColumn("label", row_number().over(w).cast(LongType) - 1)
+      .select(col("label"), posexplode(col("v")))
+      .toDF("label", "dim", "mean_v")
+    for (_ <- 1 to iters) {
+      val assigned = assignCellsBroadcast(all, centroidVectors(cent))
+      cent = centroids(
+        assigned.select(col("cell").as("label"), col("v").as("embedding")))
+    }
+    cent.select(col("label").as("cell"), col("dim"), col("mean_v"))
+  }
+
+  def annKmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeans(Tables.embeddings(spark, dir)).orderBy("cell", "dim")
+
+  /** Replays both Lloyd iterations: same seed order (md5 rank), same d2
+    * operation order, same (d2, label) tie-break, same integer-scaled
+    * means — hash-matches Spark bit-for-bit. */
+  val annKmeansSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+      |  FROM embeddings),
+      |ranked AS (
+      |  SELECT vec_id, v,
+      |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS label
+      |  FROM n),
+      |c0 AS (
+      |  SELECT label, i - 1 AS dim, CAST(v[i] AS DOUBLE) AS mean_v
+      |  FROM ranked, unnest(range(1, len(v) + 1)) r(i)
+      |  WHERE label < 8),
+      |cv0 AS (SELECT label, list(mean_v ORDER BY dim) AS cvec FROM c0 GROUP BY label),
+      |d0 AS (
+      |  SELECT n.vec_id, n.v, c.label,
+      |    n.n2 - 2.0 * list_dot_product(n.v, c.cvec)
+      |      + list_dot_product(c.cvec, c.cvec) AS d2
+      |  FROM n CROSS JOIN cv0 c),
+      |a0 AS (
+      |  SELECT vec_id, v, label AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+      |    FROM d0) WHERE rn = 1),
+      |c1 AS (
+      |  SELECT cell AS label, i - 1 AS dim,
+      |    (CAST(sum(CAST(floor(v[i] * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+      |      / count(*)) / 1099511627776.0 AS mean_v
+      |  FROM a0, unnest(range(1, len(v) + 1)) r(i)
+      |  GROUP BY cell, i),
+      |cv1 AS (SELECT label, list(mean_v ORDER BY dim) AS cvec FROM c1 GROUP BY label),
+      |d1 AS (
+      |  SELECT n.vec_id, n.v, c.label,
+      |    n.n2 - 2.0 * list_dot_product(n.v, c.cvec)
+      |      + list_dot_product(c.cvec, c.cvec) AS d2
+      |  FROM n CROSS JOIN cv1 c),
+      |a1 AS (
+      |  SELECT vec_id, v, label AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |c2 AS (
+      |  SELECT cell, i - 1 AS dim,
+      |    (CAST(sum(CAST(floor(v[i] * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+      |      / count(*)) / 1099511627776.0 AS mean_v
+      |  FROM a1, unnest(range(1, len(v) + 1)) r(i)
+      |  GROUP BY cell, i)
+      |SELECT cell, dim, mean_v FROM c2 ORDER BY cell, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_kmeans" -> (annKmeans _),
     "ann_brute_topk" -> (annBruteTopK _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
@@ -395,6 +480,7 @@ object Similarity {
     "ann_centroids" -> (annCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "ann_kmeans" -> annKmeansSql,
     "ann_brute_topk" -> annBruteTopKSql,
     "ann_lsh_topk" -> annLshTopKSql,
     "ann_ivf_topk" -> annIvfTopKSql,

@@ -173,6 +173,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(low.size / en - 0.2) < 0.15, s"keep rate ${low.size / en} far from 0.2")
   }
 
+  test("kmeans training: Lloyd iterations reduce the quantization objective") {
+    val emb = Tables.embeddings(spark, dir)
+    // total squared distance of every vector to its nearest centroid,
+    // for a given trained quantizer
+    def objective(cent: org.apache.spark.sql.DataFrame): Double = {
+      val cvecs = cent.select(col("cell").as("label"), col("dim"), col("mean_v"))
+      val all = emb.select(col("vec_id"),
+        col("embedding").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)).as("v"))
+      val cents = cvecs.collect().groupBy(_.getLong(0)).map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }.toArray
+      all.collect().map { r =>
+        val v = r.getSeq[Double](1).toArray
+        cents.map { c =>
+          var d2 = 0.0
+          var i = 0
+          while (i < v.length) { val d = v(i) - c(i); d2 += d * d; i += 1 }
+          d2
+        }.min
+      }.sum
+    }
+    val seed = objective(Similarity.kmeans(emb, k = 8, iters = 0)
+      .select(col("cell"), col("dim"), col("mean_v")))
+    val one = objective(Similarity.kmeans(emb, k = 8, iters = 1))
+    val two = objective(Similarity.kmeans(emb, k = 8, iters = 2))
+    // Lloyd monotonicity: each iteration cannot increase the objective
+    assert(one <= seed + 1e-9, s"iter1 $one > seed $seed")
+    assert(two <= one + 1e-9, s"iter2 $two > iter1 $one")
+    assert(two < seed, "training never improved on raw seed vectors")
+    // deterministic: a rerun yields the identical quantizer
+    val a = Similarity.kmeans(emb).orderBy("cell", "dim").collect().map(_.toSeq)
+    val b = Similarity.kmeans(emb).orderBy("cell", "dim").collect().map(_.toSeq)
+    assert(a === b)
+  }
+
   test("graft_dot is callable from SQL via session extensions") {
     val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .collect()(0).getDouble(0)
