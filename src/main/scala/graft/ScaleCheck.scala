@@ -110,6 +110,20 @@ object ScaleCheck {
           pmod(xxhash64(col("vec_id"), lit(4242L)), lit(1024L)).cast("int"))
           .localCheckpoint()
         Similarity.ivfTopK(emb, v => v < 10).count()
+      },
+      // quantizer TRAINING at production size: k=256 cells, 2 Lloyd
+      // iterations — each iteration is one zero-shuffle assignment pass
+      // + one linear (cell, dim) mean shuffle; must scale like ivf
+      t("ann_kmeans_256") {
+        val emb = synthEmb(docs).localCheckpoint()
+        Similarity.kmeans(emb, k = 256, iters = 2).count()
+      },
+      // contamination sweep: a 1k-doc benchmark set against the corpus —
+      // the bench shingle set broadcasts, the corpus is scanned once
+      t("dd_contamination") {
+        graft.operators.Dedup.contamination(
+          docs.filter(pmod(col("doc_id"), lit(1000L)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(1000L)) === 0)).count()
       }).flatten
     // the end-to-end pipeline (anti-join on the corpus-scale drop set)
     // only says something new under planted dup density

@@ -5,7 +5,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -34,6 +34,27 @@ object VectorExprs {
   /** Bridge to the private[sql] Column↔Expression conversion, for engine
     * code outside the sql package (e.g. lineage analysis over Columns). */
   def expressionOf(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Symmetric int8 quantization of an embedding: byte_i =
+    * floor(v_i * (127 / max|v|) + 0.5), packed little-endian into BINARY
+    * — 1/8 the bytes of array<double> (the difference between scanning
+    * 100 TB and 12.5 TB for an ANN sweep). Cosine is scale-invariant, so
+    * quantized similarity search needs no dequantization at all; for
+    * value reconstruction store [[int8Scale]] alongside. Deterministic
+    * (pure IEEE ops), so any engine reproduces identical bytes. */
+  def quantizeInt8(v: Column): Column =
+    ExpressionUtils.column(QuantizeInt8(ExpressionUtils.expression(v)))
+
+  /** The quantization scale 127 / max|v| (0 for a zero vector):
+    * dequantize as q_i / scale. */
+  def int8Scale(v: Column): Column =
+    ExpressionUtils.column(Int8Scale(ExpressionUtils.expression(v)))
+
+  /** Exact integer dot product of two packed int8 vectors (sum of signed
+    * byte products, as long) — the quantized-cosine kernel. */
+  def dotInt8(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotInt8(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** nearestCell(v, n2, cents): IVF coarse-quantizer assignment as one
     * codegen'd argmin loop. `cents` is array<struct<label, cvec, c2>>
@@ -87,6 +108,134 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Symmetric int8 pack — see [[VectorExprs.quantizeInt8]]. */
+case class QuantizeInt8(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_quantize_int8"
+
+  override protected def nullSafeEval(vAny: Any): Any = {
+    val v = vAny.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) { val a = math.abs(v.getDouble(i)); if (a > m) m = a; i += 1 }
+    val scale = if (m == 0.0) 0.0 else 127.0 / m
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(v.getDouble(i) * scale + 0.5).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val a = ctx.freshName("a")
+      val scale = ctx.freshName("scale")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $v.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $a = java.lang.Math.abs($v.getDouble($i));
+         |  if ($a > $m) { $m = $a; }
+         |}
+         |double $scale = ($m == 0.0) ? 0.0 : (127.0 / $m);
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (byte) java.lang.Math.floor($v.getDouble($i) * $scale + 0.5);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}
+
+/** Quantization scale — see [[VectorExprs.int8Scale]]. */
+case class Int8Scale(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_int8_scale"
+
+  override protected def nullSafeEval(vAny: Any): Any = {
+    val v = vAny.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) { val a = math.abs(v.getDouble(i)); if (a > m) m = a; i += 1 }
+    if (m == 0.0) 0.0 else 127.0 / m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val a = ctx.freshName("a")
+      s"""
+         |int $n = $v.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $a = java.lang.Math.abs($v.getDouble($i));
+         |  if ($a > $m) { $m = $a; }
+         |}
+         |${ev.value} = ($m == 0.0) ? 0.0 : (127.0 / $m);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Scale =
+    copy(child = newChild)
+}
+
+/** Exact signed-byte dot product — see [[VectorExprs.dotInt8]]. */
+case class DotInt8(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_int8"
+
+  override protected def nullSafeEval(aAny: Any, bAny: Any): Any = {
+    val a = aAny.asInstanceOf[Array[Byte]]
+    val b = bAny.asInstanceOf[Array[Byte]]
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a(i).toLong * b(i).toLong; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((long) $a[$i]) * ((long) $b[$i]);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotInt8 =
     copy(left = newLeft, right = newRight)
 }
 

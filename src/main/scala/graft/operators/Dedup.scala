@@ -449,9 +449,16 @@ object Dedup {
     * Returns (doc_id, shared, n_shingles, frac). */
   def contamination(docs: DataFrame, bench: DataFrame,
                     minFrac: Double = 0.2): DataFrame = {
-    val d = tallShingles(docs).distinct()
+    // 60-bit hashed shingles, same trade as ngramJaccard: the corpus-wide
+    // distinct and the join run on longs, not ~20-byte strings (measured
+    // 149 s → string distinct dominated at 2M docs / ~100M shingles);
+    // cross-engine by construction, collisions ~1e-15/doc ignored
+    def hashed(df: DataFrame) = tallShingles(df).select(col("doc_id"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType).as("s"))
+      .distinct()
+    val d = hashed(docs)
     val sizes = d.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val b = tallShingles(bench).select(col("s")).distinct()
+    val b = hashed(bench).select(col("s")).distinct()
     d.join(broadcast(b), Seq("s"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
       .join(sizes, Seq("doc_id"))
@@ -477,16 +484,20 @@ object Dedup {
       |  SELECT doc_id,
       |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS shingles
       |  FROM toks WHERE len(w) >= 3),
-      |tall AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |tall AS (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x'||substr(md5(unnest(shingles)),1,15))::BIGINT AS s
+      |  FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tall GROUP BY doc_id),
       |bench AS (SELECT DISTINCT s FROM tall WHERE doc_id % 97 = 0),
       |hits AS (
       |  SELECT t.doc_id, count(*) AS shared
       |  FROM tall t JOIN bench b USING (s)
       |  WHERE t.doc_id % 97 <> 0 GROUP BY t.doc_id)
-      |SELECT h.doc_id AS doc_id, shared, len(sh.shingles) AS n_shingles,
-      |  CAST(shared AS DOUBLE) / CAST(len(sh.shingles) AS DOUBLE) AS frac
-      |FROM hits h JOIN sh ON h.doc_id = sh.doc_id
-      |WHERE CAST(shared AS DOUBLE) / CAST(len(sh.shingles) AS DOUBLE) >= 0.2
+      |SELECT h.doc_id AS doc_id, shared, z.n_shingles,
+      |  CAST(shared AS DOUBLE) / CAST(z.n_shingles AS DOUBLE) AS frac
+      |FROM hits h JOIN sizes z ON h.doc_id = z.doc_id
+      |WHERE CAST(shared AS DOUBLE) / CAST(z.n_shingles AS DOUBLE) >= 0.2
       |ORDER BY h.doc_id""".stripMargin
 
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =

@@ -387,6 +387,74 @@ object Similarity {
       |SELECT q_id, neighbor_id, rk, cos FROM ranked WHERE rk <= 5
       |ORDER BY q_id, rk""".stripMargin
 
+  /** Per-vector symmetric int8 quantization: (vec_id, qv BINARY, scale).
+    * qv is 1/8 the bytes of the double array — at 100 TB of embeddings
+    * the difference between a 100 TB and a 12.5 TB ANN scan — and
+    * cosine is scale-invariant, so quantized similarity needs no
+    * dequantization (store `scale` to reconstruct values: v_i ~
+    * qv_i / scale). All three kernels are native codegen'd expressions
+    * ([[org.apache.spark.sql.graft.QuantizeInt8]] etc.), deterministic
+    * in any engine. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val v = col("embedding").cast(ArrayType(DoubleType))
+    emb.select(col("vec_id"),
+      org.apache.spark.sql.graft.VectorExprs.quantizeInt8(v).as("qv"),
+      org.apache.spark.sql.graft.VectorExprs.int8Scale(v).as("scale"))
+  }
+
+  /** Exact top-k under the int8-quantized cosine — the memory-bandwidth-
+    * bound sweep shape: same broadcast-queries scan-once plan as
+    * [[bruteTopK]], but each corpus row moves 64 bytes instead of 512
+    * and the kernel is integer multiply-adds. Integer dots are exact, so
+    * the result is deterministic and fully SQL-oracle-checkable; recall
+    * vs the float baseline is asserted in OperatorsSpec. */
+  def int8TopK(emb: DataFrame, isQuery: Column, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExprs.dotInt8
+    val all = quantizeInt8(emb)
+      .withColumn("n2q", dotInt8(col("qv"), col("qv")))
+    val queries = all.filter(isQuery)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosq").desc, col("vec_id"))
+    broadcast(queries.select(col("vec_id").as("q_id"), col("qv").as("qa"),
+        col("n2q").as("qn2")))
+      .join(all, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotInt8(col("qa"), col("qv")).cast(DoubleType) /
+          (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("n2q").cast(DoubleType))))
+          .as("cosq"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cosq"))
+  }
+
+  def annInt8TopK(spark: SparkSession, dir: String): DataFrame =
+    int8TopK(Tables.embeddings(spark, dir), col("vec_id") < 10)
+      .orderBy("q_id", "rk")
+
+  /** DuckDB rebuilds the identical quantization (same IEEE scale and
+    * floor(x*scale + 0.5) bytes) and the integer dots are exact, so the
+    * quantized ANN hash-matches bit-for-bit. */
+  val annInt8TopKSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |        list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+      |q AS (SELECT vec_id,
+      |        list_transform(v, x -> floor(x *
+      |          (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END) + 0.5)) AS qv
+      |      FROM m),
+      |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM q),
+      |qs AS (SELECT vec_id AS q_id, qv AS qa, n2 AS qn2 FROM n WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q_id, n.vec_id,
+      |    list_dot_product(qa, n.qv) / (sqrt(qn2) * sqrt(n.n2)) AS cosq
+      |  FROM qs JOIN n ON q_id <> n.vec_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id AS neighbor_id, cosq,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosq DESC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT q_id, neighbor_id, rk, cosq FROM ranked WHERE rk <= 5
+      |ORDER BY q_id, rk""".stripMargin
+
   /** Lloyd k-means — trains the IVF coarse quantizer itself (the
     * [[centroids]]/[[ivfTopK]] pair consumes labels; this PRODUCES them
     * when no labels exist, which is the normal case for a raw embedding
@@ -473,6 +541,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_kmeans" -> (annKmeans _),
+    "ann_int8_topk" -> (annInt8TopK _),
     "ann_brute_topk" -> (annBruteTopK _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
@@ -481,6 +550,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann_kmeans" -> annKmeansSql,
+    "ann_int8_topk" -> annInt8TopKSql,
     "ann_brute_topk" -> annBruteTopKSql,
     "ann_lsh_topk" -> annLshTopKSql,
     "ann_ivf_topk" -> annIvfTopKSql,

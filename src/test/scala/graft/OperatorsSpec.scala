@@ -209,6 +209,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === b)
   }
 
+  test("int8-quantized ANN: high recall vs float brute force at 1/8 the bytes") {
+    val emb = Tables.embeddings(spark, dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteTopK(emb, col("vec_id") < 10, 10))
+    val quant = pairs(Similarity.int8TopK(emb, col("vec_id") < 10, 10))
+    val recall = exact.count(quant.contains).toDouble / exact.size
+    // int8 keeps ~7 bits of precision per dim: neighbor sets at k=10
+    // stay close to the float baseline
+    assert(recall >= 0.8, s"int8 recall $recall")
+    // quantization facts: 1/8 the bytes, values within [-127, 127],
+    // dequantization recovers the vector to within half a step
+    val q = Similarity.quantizeInt8(emb).collect()
+    val raw = emb.select(col("vec_id"),
+        col("embedding").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    q.foreach { r =>
+      val id = r.getLong(0)
+      val qv = r.getAs[Array[Byte]]("qv")
+      val scale = r.getDouble(2)
+      val v = raw(id)
+      assert(qv.length === v.length)
+      if (scale > 0) {
+        val maxErr = v.indices.map(i => math.abs(qv(i) / scale - v(i))).max
+        assert(maxErr <= 0.5 / scale + 1e-12, s"vec $id dequant err $maxErr")
+      }
+    }
+  }
+
   test("graft_dot is callable from SQL via session extensions") {
     val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .collect()(0).getDouble(0)
