@@ -92,11 +92,91 @@ object Sampling {
       |                    WHEN 'de' THEN 0.5 ELSE 0.25 END
       |ORDER BY doc_id""".stripMargin
 
+  /** Token-budget selection: within each stratum, take documents in the
+    * deterministic hash order until the running token total reaches the
+    * budget — how a data-mixing recipe fills "N tokens of language X"
+    * slots. One shuffle on the stratum key; the running sum is a window
+    * per stratum, parallel across strata (strata are languages/sources/
+    * quality buckets — thousands of independent partitions at 100 TB).
+    * The hash order makes budget increases SUPERSETS, like the rate
+    * sampler. */
+  def tokenBudget(df: DataFrame, stratum: Column, key: Column,
+                  tokens: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(stratum)
+      .orderBy(md5(key.cast("string")), key)
+    df.withColumn("_cum", sum(tokens).over(w))
+      .filter(col("_cum") <= budget)
+      .drop("_cum")
+  }
+
+  /** q_token_budget: up to 20k chars per language, hash-ordered. */
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudget(Tables.documents(spark, dir), col("lang"), col("doc_id"),
+        col("n_chars"), 20000L)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  val qTokenBudgetSql: String =
+    """SELECT doc_id, lang, n_chars FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |    sum(n_chars) OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM documents)
+      |WHERE cum <= 20000 ORDER BY lang, doc_id""".stripMargin
+
+  /** Epoch-weighted repetition: emit each document floor(w) times plus
+    * one more with probability frac(w), decided by the deterministic
+    * hash-uniform — the multi-epoch upsampling shape of a mixture recipe
+    * (w=2.5 → every doc twice, half of them three times). A pure
+    * projection + generator: zero shuffle, and the expected stratum mass
+    * is exactly w x its corpus mass. `epoch` indexes the copies so
+    * downstream shuffles can spread repeats across the run. */
+  def epochWeighted(df: DataFrame, stratum: Column, key: Column,
+                    weights: Map[String, Double],
+                    defaultWeight: Double = 1.0): DataFrame = {
+    val wMap = map(weights.toSeq.sortBy(_._1).flatMap {
+      case (s, r) => Seq(lit(s), lit(r)) }: _*)
+    val wCol = coalesce(element_at(wMap, stratum.cast("string")), lit(defaultWeight))
+    val copies = (floor(wCol).cast("int") +
+      when(hashUniform(key) < (wCol - floor(wCol)), 1).otherwise(0)).as("_n")
+    df.withColumn("_n", copies)
+      .select(col("*"), posexplode(array_repeat(lit(1), col("_n"))))
+      .withColumnRenamed("pos", "epoch")
+      .drop("col", "_n")
+  }
+
+  /** q_sample_epochs: 2.5x the rare fr docs, 0.5x dominant en, 1x rest. */
+  def qSampleEpochs(spark: SparkSession, dir: String): DataFrame =
+    epochWeighted(Tables.documents(spark, dir), col("lang"), col("doc_id"),
+        Map("fr" -> 2.5, "en" -> 0.5))
+      .select(col("doc_id"), col("lang"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+
+  val qSampleEpochsSql: String =
+    """WITH wts AS (
+      |  SELECT doc_id, lang,
+      |    CASE lang WHEN 'fr' THEN 2.5 WHEN 'en' THEN 0.5 ELSE 1.0 END AS w,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+      |      / 1152921504606846976.0 AS u
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT doc_id, lang,
+      |    CAST(floor(w) AS INT) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS n
+      |  FROM wts)
+      |SELECT doc_id, lang, CAST(e AS INT) AS epoch
+      |FROM cnt, unnest(range(0, n)) r(e)
+      |ORDER BY doc_id, epoch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample" -> (qSample _),
-    "q_sample_rate" -> (qSampleRate _))
+    "q_sample_rate" -> (qSampleRate _),
+    "q_token_budget" -> (qTokenBudget _),
+    "q_sample_epochs" -> (qSampleEpochs _))
 
   val oracles: Map[String, String] = Map(
     "q_sample" -> qSampleSql,
-    "q_sample_rate" -> qSampleRateSql)
+    "q_sample_rate" -> qSampleRateSql,
+    "q_token_budget" -> qTokenBudgetSql,
+    "q_sample_epochs" -> qSampleEpochsSql)
 }

@@ -156,6 +156,45 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r3 >= r1, s"nProbe=3 recall $r3 below nProbe=1 recall $r1")
   }
 
+  test("token-budget selection: per-stratum sums within budget, budget increases are supersets") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, dir)
+    def sel(b: Long) = Sampling.tokenBudget(docs, col("lang"), col("doc_id"),
+      col("n_chars"), b)
+    val sums = sel(20000L).groupBy("lang").agg(sum("n_chars").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums.nonEmpty)
+    sums.foreach { case (l, s) => assert(s <= 20000L, s"$l over budget: $s") }
+    val small = sel(10000L).select("doc_id").collect().map(_.getLong(0)).toSet
+    val large = sel(30000L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large), "budget increase must only add documents")
+  }
+
+  test("epoch-weighted repetition: copy counts follow the weights, mass ~ w x corpus") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, dir)
+    val out = Sampling.epochWeighted(docs, col("lang"), col("doc_id"),
+      Map("fr" -> 2.5, "en" -> 0.5))
+    val byLang = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val raw = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fr: every doc 2x or 3x; en: 0 or 1; others exactly 1x
+    val frRatio = byLang("fr").toDouble / raw("fr")
+    val enRatio = byLang("en").toDouble / raw("en")
+    assert(frRatio >= 2.0 && frRatio <= 3.0, s"fr ratio $frRatio")
+    assert(enRatio > 0.2 && enRatio < 0.8, s"en ratio $enRatio")
+    assert(byLang("de") === raw("de"))
+    // epoch indexes copies 0..n-1
+    val maxEpoch = out.filter(col("lang") === "fr").agg(max("epoch"))
+      .head.getInt(0)
+    assert(maxEpoch === 2)
+    // per-doc copies for fr are exactly 2 or 3
+    val copies = out.filter(col("lang") === "fr").groupBy("doc_id").count()
+      .select("count").distinct().collect().map(_.getLong(0)).toSet
+    assert(copies.subsetOf(Set(2L, 3L)), s"fr copy counts: $copies")
+  }
+
   test("rate-based stratified sampling: deterministic, monotone in rate, rate-accurate") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, dir)
