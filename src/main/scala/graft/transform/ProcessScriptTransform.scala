@@ -456,7 +456,7 @@ object ProcessScriptTransform {
   * type descriptor (only subtrees that actually need conversion) ships
   * to the worker once at init, so schemas with no such columns pay
   * nothing and the worker never walks plain values. */
-private[transform] object WireCodec {
+private[graft] object WireCodec {
   import java.time.{Instant, LocalDate, LocalDateTime, OffsetDateTime, ZoneOffset}
   import java.time.format.DateTimeFormatter
 

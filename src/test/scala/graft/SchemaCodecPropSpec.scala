@@ -78,6 +78,63 @@ class SchemaCodecPropSpec extends AnyFunSuite {
     }
   }
 
+  test("WireCodec: fromWire . toWire is identity for binary/datetime trees (via JSON)") {
+    import graft.transform.WireCodec
+    val wireSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType),
+      StructField("ts", TimestampType),
+      StructField("day", DateType),
+      StructField("chunks", ArrayType(BinaryType)),
+      StructField("times", ArrayType(TimestampType)),
+      StructField("nested", StructType(Seq(
+        StructField("blob", BinaryType),
+        StructField("when", TimestampType))))))
+    // micros-precision instants across the epoch in both directions,
+    // arbitrary byte content including empty and negative bytes
+    val genTs: Gen[java.sql.Timestamp] = Gen.chooseNum(-4102444800L, 4102444800L)
+      .flatMap(s => Gen.chooseNum(0L, 999999L).map { us =>
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s, us * 1000L))
+      })
+    val genBytes: Gen[Array[Byte]] =
+      Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+    val genRec: Gen[Map[String, Any]] = for {
+      id <- Gen.long
+      p <- genBytes
+      ts <- genTs
+      d <- Gen.chooseNum(-30000, 30000).map(n =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(n.toLong)))
+      chunks <- Gen.listOf(genBytes)
+      times <- Gen.listOf(genTs)
+      blob <- genBytes
+      when <- genTs
+    } yield Map("id" -> id, "payload" -> p, "ts" -> ts, "day" -> d,
+      "chunks" -> chunks, "times" -> times,
+      "nested" -> Map("blob" -> blob, "when" -> when))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    forAll(genRec, n = 100) { m =>
+      // the full pipe: typed map → wire map → JSON → parsed map → typed map
+      val wire = WireCodec.mapToWire(m, wireSchema)
+      val json = mapper.writeValueAsString(graft.transform.JsonCodec.toJava(wire))
+      val parsed = graft.transform.JsonCodec.toScala(
+        mapper.readValue(json, classOf[java.util.Map[String, Object]]))
+        .asInstanceOf[Map[String, Any]]
+      val back = WireCodec.mapFromWire(parsed, wireSchema)
+      assert(back("payload").asInstanceOf[Array[Byte]].toSeq ===
+        m("payload").asInstanceOf[Array[Byte]].toSeq)
+      assert(back("ts") === m("ts"))
+      assert(back("day") === m("day"))
+      assert(back("chunks").asInstanceOf[Seq[Array[Byte]]].map(_.toSeq) ===
+        m("chunks").asInstanceOf[Seq[Array[Byte]]].map(_.toSeq))
+      assert(back("times").asInstanceOf[Seq[Any]] === m("times").asInstanceOf[Seq[Any]])
+      val bn = back("nested").asInstanceOf[Map[String, Any]]
+      val mn = m("nested").asInstanceOf[Map[String, Any]]
+      assert(bn("blob").asInstanceOf[Array[Byte]].toSeq ===
+        mn("blob").asInstanceOf[Array[Byte]].toSeq)
+      assert(bn("when") === mn("when"))
+    }
+  }
+
   test("rowToMap . mapToRow is identity for schema-conforming values") {
     forAll(genRecord) { m =>
       val row = SchemaCodec.mapToRow(m, schema)
