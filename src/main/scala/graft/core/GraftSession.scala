@@ -2,8 +2,8 @@ package graft.core
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.DotProduct
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{DotInt8, DotProduct, Int8Scale, NearestCell, QuantizeInt8}
 
 /** Session factory with the engine's standard configuration.
   *
@@ -17,11 +17,17 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       // engine extensions: native expressions available from SQL too
-      .withExtensions(_.injectFunction((
-        FunctionIdentifier("graft_dot"),
-        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          DotProduct(children.head, children(1)))))
+      .withExtensions { ext =>
+        def fn(name: String, cls: Class[_])(build: Seq[Expression] => Expression): Unit =
+          ext.injectFunction((FunctionIdentifier(name),
+            new ExpressionInfo(cls.getName, name), build))
+        fn("graft_dot", classOf[DotProduct])(c => DotProduct(c.head, c(1)))
+        fn("graft_nearest_cell", classOf[NearestCell])(c =>
+          NearestCell(c.head, c(1), c(2)))
+        fn("graft_quantize_int8", classOf[QuantizeInt8])(c => QuantizeInt8(c.head))
+        fn("graft_int8_scale", classOf[Int8Scale])(c => Int8Scale(c.head))
+        fn("graft_dot_int8", classOf[DotInt8])(c => DotInt8(c.head, c(1)))
+      }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))

@@ -285,6 +285,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r === 11.0)
   }
 
+  test("int8 and argmin expressions are callable from SQL") {
+    // quantize [0.5, -1.0] -> scale 127, bytes [64, -127]; int8 self-dot
+    val row = spark.sql(
+      """SELECT graft_quantize_int8(array(0.5D, -1.0D)) AS q,
+        |  graft_int8_scale(array(0.5D, -1.0D)) AS s,
+        |  graft_dot_int8(graft_quantize_int8(array(0.5D, -1.0D)),
+        |                 graft_quantize_int8(array(0.5D, -1.0D))) AS d,
+        |  graft_nearest_cell(array(1.0D, 0.0D), graft_dot(array(1.0D, 0.0D), array(1.0D, 0.0D)),
+        |    array(named_struct('label', 7L, 'cvec', array(1.0D, 0.0D), 'c2', 1.0D),
+        |          named_struct('label', 3L, 'cvec', array(0.0D, 1.0D), 'c2', 1.0D))) AS cell
+        |""".stripMargin).collect()(0)
+    assert(row.getAs[Array[Byte]]("q").toSeq === Seq[Byte](64, -127))
+    assert(row.getAs[Double]("s") === 127.0)
+    assert(row.getAs[Long]("d") === 64L * 64L + 127L * 127L)
+    assert(row.getAs[Long]("cell") === 7L)
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     import graft.queries.Relational
     val approx = graft.core.Tables.lineitem(spark, dir)
