@@ -195,6 +195,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).getLong(1) === 3L)
   }
 
+  test("mixture sampling and int8 quantization run unchanged on a stream") {
+    // rate-based sampling and quantization are stateless projections, so
+    // the SAME operator code runs on readStream input — the streaming
+    // ingest shape of mixture construction (sample at ingest, store
+    // quantized embeddings). Streamed result must equal batch exactly.
+    val d = Files.createTempDirectory("graft-stream-docs")
+    val docsDir = "/root/testdata/sf0.001"
+    Files.copy(java.nio.file.Paths.get(s"$docsDir/documents.parquet"),
+      d.resolve("documents.parquet"))
+    val batchDocs = Tables.documents(spark, docsDir)
+    val streamDocs = spark.readStream
+      .schema(batchDocs.schema)
+      .parquet(d.toString)
+    val q = graft.operators.Sampling.stratifiedByRate(
+        streamDocs, col("lang"), col("doc_id"),
+        Map("en" -> 0.1, "fr" -> 1.0), defaultRate = 0.25)
+      .select(col("doc_id"), col("lang"))
+      .writeStream.format("memory").queryName("mix")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("mix").collect().map(_.toSeq).toSet
+    val batch = graft.operators.Sampling.stratifiedByRate(
+        batchDocs, col("lang"), col("doc_id"),
+        Map("en" -> 0.1, "fr" -> 1.0), defaultRate = 0.25)
+      .select(col("doc_id"), col("lang")).collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // quantization as a streaming projection over the embeddings table
+    val e = Files.createTempDirectory("graft-stream-emb")
+    Files.copy(java.nio.file.Paths.get(s"$docsDir/embeddings.parquet"),
+      e.resolve("embeddings.parquet"))
+    val batchEmb = Tables.embeddings(spark, docsDir)
+    val q2 = graft.operators.Similarity.quantizeInt8(
+        spark.readStream.schema(batchEmb.schema).parquet(e.toString))
+      .writeStream.format("memory").queryName("qemb")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val sq = spark.table("qemb").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getDouble(2))).toSet
+    val bq = graft.operators.Similarity.quantizeInt8(batchEmb).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getDouble(2))).toSet
+    assert(sq === bq)
+    assert(sq.nonEmpty)
+  }
+
   test("checkpoint recovery: restart on the same checkpoint is exactly-once, state intact") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-ckpt-recovery")
