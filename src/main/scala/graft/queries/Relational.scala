@@ -298,6 +298,43 @@ object Relational {
       |  abs(asu - exact_supps) <= exact_supps * 0.1 AS supps_within_10pct
       |FROM a JOIN e USING (l_returnflag) ORDER BY l_returnflag""".stripMargin
 
+  /** Approximate quantiles (mergeable sketch — the 100 TB shape where an
+    * exact per-group sort is off the table) with the q_approx contract:
+    * the hash-compared outputs are the EXACT interpolated percentiles
+    * (engine-portable bit-for-bit, as q_stats proves), plus booleans
+    * asserting each engine's own sketch lands within 2% relative of its
+    * own exact — so the sketch's error bound itself is oracle-verified
+    * even though the two engines' sketches (GK here, t-digest there)
+    * need not agree with each other. */
+  def qApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("_ex"),
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000)").as("_ap"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        col("_ex").getItem(0).as("p50_exact"),
+        col("_ex").getItem(1).as("p90_exact"),
+        (abs(col("_ap").getItem(0) - col("_ex").getItem(0)) <=
+          col("_ex").getItem(0) * 0.02).as("p50_within_2pct"),
+        (abs(col("_ap").getItem(1) - col("_ex").getItem(1)) <=
+          col("_ex").getItem(1) * 0.02).as("p90_within_2pct"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qApproxQuantilesSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_exact,
+      |  abs(approx_quantile(l_extendedprice, 0.5) -
+      |      quantile_cont(l_extendedprice, 0.5))
+      |    <= quantile_cont(l_extendedprice, 0.5) * 0.02 AS p50_within_2pct,
+      |  abs(approx_quantile(l_extendedprice, 0.9) -
+      |      quantile_cont(l_extendedprice, 0.9))
+      |    <= quantile_cont(l_extendedprice, 0.9) * 0.02 AS p90_within_2pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** CUBE aggregation: all grouping-set combinations of flag x status. */
   def qCube(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -1077,6 +1114,7 @@ object Relational {
     "q_cube" -> (qCube _),
     "q_stats" -> (qStats _),
     "q_approx" -> (qApprox _),
+    "q_approx_quantiles" -> (qApproxQuantiles _),
     "q_setops" -> (qSetops _),
     "q_semijoin" -> (qSemiJoin _),
     "q_gsets" -> (qGsets _),
@@ -1107,6 +1145,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "st_attribution" -> stAttributionSql,
     "q_approx" -> qApproxSql,
+    "q_approx_quantiles" -> qApproxQuantilesSql,
     "q1_agg" -> q1AggSql,
     "q3_join_agg" -> q3JoinAggSql,
     "q5_multijoin" -> q5MultiJoinSql,
