@@ -252,7 +252,11 @@ case class DotInt8(left: Expression, right: Expression)
   * nested-loop join that attaches the quantizer, evaluating the argmin
   * twice per row and (worse) knocking the join out of whole-stage
   * codegen, which re-serializes the multi-hundred-KB centroid column at
-  * every operator boundary per corpus row (measured ~1000x). */
+  * every operator boundary per corpus row (measured ~1000x).
+  *
+  * Non-nullable output with nullable children means codegen emits NO
+  * null guards: inputs must be null-free ([[DotProduct]]'s contract) —
+  * callers filter null vectors first (assignCellsBroadcast does). */
 case class NearestCell(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ExpectsInputTypes {
 

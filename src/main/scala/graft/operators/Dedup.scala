@@ -456,7 +456,11 @@ object Dedup {
     def hashed(df: DataFrame) = tallShingles(df).select(col("doc_id"),
       conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType).as("s"))
       .distinct()
-    val d = hashed(docs)
+    // materialized once (same convention as ngramJaccard's tall table):
+    // both the sizes aggregate and the benchmark join consume it, and
+    // corpus shingling is the dominant cost — without this the corpus
+    // would be tokenized twice
+    val d = hashed(docs).localCheckpoint()
     val sizes = d.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val b = hashed(bench).select(col("s")).distinct()
     d.join(broadcast(b), Seq("s"))

@@ -102,8 +102,14 @@ object Sampling {
     * sampler. */
   def tokenBudget(df: DataFrame, stratum: Column, key: Column,
                   tokens: Column, budget: Long): DataFrame = {
+    // ROWS, not the default RANGE frame: with duplicate (hash, key)
+    // ordering values (e.g. repeated keys from epochWeighted) RANGE sums
+    // all peers at once — every copy would see the combined total and
+    // all of them drop together, instead of taking rows until the
+    // budget trips
     val w = Window.partitionBy(stratum)
       .orderBy(md5(key.cast("string")), key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_cum", sum(tokens).over(w))
       .filter(col("_cum") <= budget)
       .drop("_cum")

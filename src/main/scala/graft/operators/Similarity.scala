@@ -279,7 +279,14 @@ object Similarity {
   private[operators] def assignCellsBroadcast(all: DataFrame, cvecs: DataFrame): DataFrame = {
     val packed = cvecs.agg(collect_list(
       struct(col("c_label"), col("cvec"), col("c2"))).as("cents"))
-    all.crossJoin(broadcast(packed))
+    // NearestCell is non-nullable (a nullable join key would push an
+    // isnotnull(argmin) condition into the quantizer-attach join —
+    // codegen loss + double eval) and so requires null-free inputs;
+    // drop null-embedding rows explicitly here. End-to-end parity with
+    // the literal path holds: there, a null embedding yields a null
+    // cell, which the probe equi-join can never match either.
+    all.filter(col("v").isNotNull)
+      .crossJoin(broadcast(packed))
       .withColumn("cell", org.apache.spark.sql.graft.VectorExprs.nearestCell(
         col("v"), col("n2"), col("cents")))
       .drop("cents")

@@ -464,9 +464,27 @@ private[graft] object WireCodec {
   // datetime.fromisoformat-safe on every 3.x)
   private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
 
+  // memoized per DataType so the per-record hot path pays a hash lookup,
+  // not a type-tree walk (None = nothing below needs conversion)
+  private val descCache =
+    new java.util.concurrent.ConcurrentHashMap[DataType, Option[Object]]()
+
   /** JSON-shaped descriptor of the convertible leaves under `dt`;
     * null when nothing below needs conversion (the common case). */
-  def descriptor(dt: DataType): Object = dt match {
+  def descriptor(dt: DataType): Object = {
+    // plain get/put, NOT computeIfAbsent: the builder recurses into
+    // nested types (would deadlock/fail as a recursive map update);
+    // racing builders compute identical values, so last-put-wins is fine
+    val cached = descCache.get(dt)
+    if (cached != null) cached.orNull
+    else {
+      val built = Option(descriptorUncached(dt))
+      descCache.put(dt, built)
+      built.orNull
+    }
+  }
+
+  private def descriptorUncached(dt: DataType): Object = dt match {
     case BinaryType => leaf("bin")
     case TimestampType => leaf("ts")
     case TimestampNTZType => leaf("ntz")
@@ -512,11 +530,15 @@ private[graft] object WireCodec {
     case (l: LocalDateTime, TimestampNTZType) => l.format(TsFmt)
     case (d: java.sql.Date, DateType) => d.toLocalDate.toString
     case (d: LocalDate, DateType) => d.toString
-    case (s: scala.collection.Seq[_], ArrayType(et, _)) => s.map(toWire(_, et))
+    // recursion gated on the memoized descriptor: a collection with no
+    // convertible leaves below passes through by reference, unwalked
+    case (s: scala.collection.Seq[_], ArrayType(et, _)) =>
+      if (descriptor(et) == null) s else s.map(toWire(_, et))
     case (m: scala.collection.Map[_, _], MapType(_, vt, _)) =>
-      m.map { case (k, x) => k -> toWire(x, vt) }
+      if (descriptor(vt) == null) m else m.map { case (k, x) => k -> toWire(x, vt) }
     case (m: scala.collection.Map[_, _], st: StructType) =>
-      mapToWire(m.asInstanceOf[Map[String, Any]], st)
+      if (descriptor(st) == null) m
+      else mapToWire(m.asInstanceOf[Map[String, Any]], st)
     case (other, _) => other
   }
 
@@ -529,13 +551,16 @@ private[graft] object WireCodec {
                          conv: (Any, DataType) => Any): Map[String, Any] = {
     var out = m
     schema.fields.foreach { f =>
-      if (!SchemaCodec.isUnionField(f)) m.get(f.name) match {
-        case Some(v) =>
-          val w = conv(v, f.dataType)
-          if (w.asInstanceOf[AnyRef] ne v.asInstanceOf[AnyRef])
-            out = out.updated(f.name, w)
-        case None =>
-      }
+      // only fields with convertible leaves are touched (memoized check);
+      // plain columns — however large — pass through by reference
+      if (!SchemaCodec.isUnionField(f) && descriptor(f.dataType) != null)
+        m.get(f.name) match {
+          case Some(v) =>
+            val w = conv(v, f.dataType)
+            if (w.asInstanceOf[AnyRef] ne v.asInstanceOf[AnyRef])
+              out = out.updated(f.name, w)
+          case None =>
+        }
     }
     out
   }
@@ -550,11 +575,13 @@ private[graft] object WireCodec {
         java.sql.Timestamp.from(LocalDateTime.parse(s).toInstant(ZoneOffset.UTC)) }
     case (s: String, TimestampNTZType) => LocalDateTime.parse(s)
     case (s: String, DateType) => java.sql.Date.valueOf(LocalDate.parse(s))
-    case (s: scala.collection.Seq[_], ArrayType(et, _)) => s.map(fromWire(_, et))
+    case (s: scala.collection.Seq[_], ArrayType(et, _)) =>
+      if (descriptor(et) == null) s else s.map(fromWire(_, et))
     case (m: scala.collection.Map[_, _], MapType(_, vt, _)) =>
-      m.map { case (k, x) => k -> fromWire(x, vt) }
+      if (descriptor(vt) == null) m else m.map { case (k, x) => k -> fromWire(x, vt) }
     case (m: scala.collection.Map[_, _], st: StructType) =>
-      mapFromWire(m.asInstanceOf[Map[String, Any]], st)
+      if (descriptor(st) == null) m
+      else mapFromWire(m.asInstanceOf[Map[String, Any]], st)
     case (other, _) => other
   }
 }

@@ -170,6 +170,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(small.subsetOf(large), "budget increase must only add documents")
   }
 
+  test("token budget uses a ROWS frame: duplicate keys fill the budget one row at a time") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // two copies of the same doc (epochWeighted's shape): a RANGE frame
+    // would give both peers the combined running sum and drop both; the
+    // ROWS frame keeps exactly as many copies as fit
+    val dup = Seq((1L, "en", 60L), (1L, "en", 60L), (2L, "en", 60L))
+      .toDF("doc_id", "lang", "n_chars")
+    val kept = Sampling.tokenBudget(dup, col("lang"), col("doc_id"),
+        col("n_chars"), 100L)
+      .collect()
+    assert(kept.length === 1, s"expected exactly one 60-token row under a 100 budget, got ${kept.length}")
+  }
+
   test("epoch-weighted repetition: copy counts follow the weights, mass ~ w x corpus") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, dir)
