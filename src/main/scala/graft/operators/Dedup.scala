@@ -456,11 +456,14 @@ object Dedup {
     def hashed(df: DataFrame) = tallShingles(df).select(col("doc_id"),
       conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType).as("s"))
       .distinct()
-    // materialized once (same convention as ngramJaccard's tall table):
-    // both the sizes aggregate and the benchmark join consume it, and
-    // corpus shingling is the dominant cost — without this the corpus
-    // would be tokenized twice
-    val d = hashed(docs).localCheckpoint()
+    // recompute-by-design for BOTH consumers (sizes aggregate + benchmark
+    // join), per the tallShingles scaladoc rationale: the corpus-wide
+    // shingle table is ~50 rows/doc, so a localCheckpoint materializes
+    // ~100M deserialized rows per 2M docs — a memory cliff that measured
+    // no faster than the two cheap scan+explode passes it saves (58 s
+    // recomputed vs 105-121 s checkpointed at 2M docs, noisy host) and
+    // at cluster scale risks eviction where recompute cannot
+    val d = hashed(docs)
     val sizes = d.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val b = hashed(bench).select(col("s")).distinct()
     d.join(broadcast(b), Seq("s"))
