@@ -56,6 +56,12 @@ object VectorExprs {
     ExpressionUtils.column(DotInt8(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** (qv, scale) in one kernel — one max-abs pass instead of the two
+    * that separate [[quantizeInt8]]/[[int8Scale]] projections would run
+    * (distinct expression classes, so codegen cannot CSE across them). */
+  def quantizeInt8Pair(v: Column): Column =
+    ExpressionUtils.column(QuantizeInt8Pair(ExpressionUtils.expression(v)))
+
   /** nearestCell(v, n2, cents): IVF coarse-quantizer assignment as one
     * codegen'd argmin loop. `cents` is array<struct<label, cvec, c2>>
     * (attached per-row from a broadcast single-row DataFrame), and the
@@ -160,6 +166,63 @@ case class QuantizeInt8(child: Expression)
     })
 
   override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}
+
+/** Fused (qv, scale) quantization — see [[VectorExprs.quantizeInt8Pair]].
+  * Same null-free input contract as the other vector kernels. */
+case class QuantizeInt8Pair(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("qv", BinaryType, nullable = false),
+    StructField("scale", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_quantize_int8_pair"
+
+  override protected def nullSafeEval(vAny: Any): Any = {
+    val v = vAny.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) { val a = math.abs(v.getDouble(i)); if (a > m) m = a; i += 1 }
+    val scale = if (m == 0.0) 0.0 else 127.0 / m
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(v.getDouble(i) * scale + 0.5).toByte
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](out, scale))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val a = ctx.freshName("a")
+      val scale = ctx.freshName("scale")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $v.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $a = java.lang.Math.abs($v.getDouble($i));
+         |  if ($a > $m) { $m = $a; }
+         |}
+         |double $scale = ($m == 0.0) ? 0.0 : (127.0 / $m);
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (byte) java.lang.Math.floor($v.getDouble($i) * $scale + 0.5);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { $out, java.lang.Double.valueOf($scale) });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8Pair =
     copy(child = newChild)
 }
 
@@ -284,7 +347,12 @@ case class NearestCell(first: Expression, second: Expression, third: Expression)
       while (i < n) { acc += v.getDouble(i) * cv.getDouble(i); i += 1 }
       val d2 = n2 - 2.0 * acc + cell.getDouble(2)
       val lbl = cell.getLong(0)
-      if (!found || d2 < best || (d2 == best && lbl < bestLbl)) {
+      // Double.compare, not < : Spark's double ordering (NaN greater
+      // than everything, -0.0 < 0.0) — the same ordering array_min uses
+      // on the literal path, so a NaN/Inf component cannot make the two
+      // assignment paths diverge or go order-dependent
+      val cmp = java.lang.Double.compare(d2, best)
+      if (!found || cmp < 0 || (cmp == 0 && lbl < bestLbl)) {
         best = d2; bestLbl = lbl; found = true
       }
       j += 1
@@ -306,6 +374,7 @@ case class NearestCell(first: Expression, second: Expression, third: Expression)
       val found = ctx.freshName("found")
       val cell = ctx.freshName("cell")
       val cv = ctx.freshName("cv")
+      val cmp = ctx.freshName("cmp")
       s"""
          |int $m = $cents.numElements();
          |double $best = Double.POSITIVE_INFINITY;
@@ -321,7 +390,8 @@ case class NearestCell(first: Expression, second: Expression, third: Expression)
          |  }
          |  double $d2 = $n2 - 2.0 * $acc + $cell.getDouble(2);
          |  long $lbl = $cell.getLong(0);
-         |  if (!$found || $d2 < $best || ($d2 == $best && $lbl < $bestLbl)) {
+         |  int ${cmp} = java.lang.Double.compare($d2, $best);
+         |  if (!$found || ${cmp} < 0 || (${cmp} == 0 && $lbl < $bestLbl)) {
          |    $best = $d2; $bestLbl = $lbl; $found = true;
          |  }
          |}

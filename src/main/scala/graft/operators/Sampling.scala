@@ -22,9 +22,17 @@ import graft.core.Tables
   * the corpus. */
 object Sampling {
 
+  /** Salted per-operator key hash: every sampler draws from its own
+    * hash family, so composing samplers on the SAME key column keeps
+    * their decisions independent (an unsalted shared md5(key) would
+    * perfectly correlate them — e.g. every rate-sampler survivor would
+    * always win the epoch-sampler's fractional copy too). */
+  private def hashKey(key: Column, salt: String): Column =
+    md5(concat(key.cast("string"), lit(":" + salt)))
+
   def stratified(df: DataFrame, stratum: Column, key: Column, k: Int): DataFrame = {
     val w = Window.partitionBy(stratum)
-      .orderBy(md5(key.cast("string")), key)
+      .orderBy(hashKey(key, "strat"), key)
     df.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= k)
       .drop("_rk")
@@ -40,7 +48,7 @@ object Sampling {
     """SELECT doc_id, lang, source FROM (
       |  SELECT doc_id, lang, source,
       |    row_number() OVER (PARTITION BY lang
-      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)||':strat'), doc_id) AS rk
       |  FROM documents)
       |WHERE rk <= 20 ORDER BY lang, doc_id""".stripMargin
 
@@ -48,8 +56,8 @@ object Sampling {
     * 15 hex chars as a long over 16^15. Both engines round the long →
     * double conversion and divide identically (IEEE), so the value — and
     * every threshold decision on it — is bit-identical. */
-  private def hashUniform(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+  private def hashUniform(key: Column, salt: String): Column =
+    conv(substring(hashKey(key, salt), 1, 15), 16, 10)
       .cast("long").cast("double") / lit(1152921504606846976.0) // 16^15
 
   /** Rate-based weighted stratified sampling: keep a row iff its
@@ -70,7 +78,7 @@ object Sampling {
                        defaultRate: Double = 0.0): DataFrame = {
     val rateMap = map(rates.toSeq.sortBy(_._1).flatMap {
       case (s, r) => Seq(lit(s), lit(r)) }: _*)
-    df.filter(hashUniform(key) <
+    df.filter(hashUniform(key, "rate") <
       coalesce(element_at(rateMap, stratum.cast("string")), lit(defaultRate)))
   }
 
@@ -85,7 +93,7 @@ object Sampling {
   val qSampleRateSql: String =
     """SELECT doc_id, lang, source FROM (
       |  SELECT doc_id, lang, source,
-      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':rate'),1,15))::BIGINT
       |      / 1152921504606846976.0 AS u
       |  FROM documents)
       |WHERE u < CASE lang WHEN 'en' THEN 0.1 WHEN 'fr' THEN 1.0
@@ -101,14 +109,18 @@ object Sampling {
     * The hash order makes budget increases SUPERSETS, like the rate
     * sampler. */
   def tokenBudget(df: DataFrame, stratum: Column, key: Column,
-                  tokens: Column, budget: Long): DataFrame = {
+                  tokens: Column, budget: Long,
+                  tieBreak: Seq[Column] = Nil): DataFrame = {
     // ROWS, not the default RANGE frame: with duplicate (hash, key)
     // ordering values (e.g. repeated keys from epochWeighted) RANGE sums
     // all peers at once — every copy would see the combined total and
     // all of them drop together, instead of taking rows until the
-    // budget trips
+    // budget trips. Reproducibility requires (key, tieBreak*) unique per
+    // row — pass e.g. the epoch column when feeding epochWeighted output,
+    // else which duplicate survives at the budget boundary is
+    // partition-order-dependent.
     val w = Window.partitionBy(stratum)
-      .orderBy(md5(key.cast("string")), key)
+      .orderBy(hashKey(key, "budget") +: key +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_cum", sum(tokens).over(w))
       .filter(col("_cum") <= budget)
@@ -126,7 +138,7 @@ object Sampling {
     """SELECT doc_id, lang, n_chars FROM (
       |  SELECT doc_id, lang, n_chars,
       |    sum(n_chars) OVER (PARTITION BY lang
-      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)||':budget'), doc_id
       |      ROWS UNBOUNDED PRECEDING) AS cum
       |  FROM documents)
       |WHERE cum <= 20000 ORDER BY lang, doc_id""".stripMargin
@@ -145,7 +157,7 @@ object Sampling {
       case (s, r) => Seq(lit(s), lit(r)) }: _*)
     val wCol = coalesce(element_at(wMap, stratum.cast("string")), lit(defaultWeight))
     val copies = (floor(wCol).cast("int") +
-      when(hashUniform(key) < (wCol - floor(wCol)), 1).otherwise(0)).as("_n")
+      when(hashUniform(key, "epoch") < (wCol - floor(wCol)), 1).otherwise(0)).as("_n")
     df.withColumn("_n", copies)
       .select(col("*"), posexplode(array_repeat(lit(1), col("_n"))))
       .withColumnRenamed("pos", "epoch")
@@ -163,7 +175,7 @@ object Sampling {
     """WITH wts AS (
       |  SELECT doc_id, lang,
       |    CASE lang WHEN 'fr' THEN 2.5 WHEN 'en' THEN 0.5 ELSE 1.0 END AS w,
-      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':epoch'),1,15))::BIGINT
       |      / 1152921504606846976.0 AS u
       |  FROM documents),
       |cnt AS (

@@ -316,9 +316,10 @@ object Similarity {
     val all = normed(emb)
     val cent = centroids(emb)
     // single-scalar action on the raw label column (no explode, no
-    // vector collect) just to pick the physical assignment path
-    val nlist = emb.select(countDistinct(col("label"))).head.getLong(0)
-    val literal = nlist <= maxLiteralCells
+    // vector collect) just to pick the physical assignment path —
+    // skipped entirely when maxLiteralCells <= 0 already decides it
+    val literal = maxLiteralCells > 0 &&
+      emb.select(countDistinct(col("label"))).head.getLong(0) <= maxLiteralCells
     lazy val cvecs = centroidVectors(cent)
     val cells =
       if (literal) assignCellsLiteral(all, cent)
@@ -404,9 +405,14 @@ object Similarity {
     * in any engine. */
   def quantizeInt8(emb: DataFrame): DataFrame = {
     val v = col("embedding").cast(ArrayType(DoubleType))
+    // fused kernel: one max-abs pass produces both outputs (two separate
+    // expressions would each rescan the vector — codegen can't CSE
+    // across distinct expression classes)
     emb.select(col("vec_id"),
-      org.apache.spark.sql.graft.VectorExprs.quantizeInt8(v).as("qv"),
-      org.apache.spark.sql.graft.VectorExprs.int8Scale(v).as("scale"))
+      org.apache.spark.sql.graft.VectorExprs.quantizeInt8Pair(v).as("_q"))
+      .select(col("vec_id"),
+        col("_q").getField("qv").as("qv"),
+        col("_q").getField("scale").as("scale"))
   }
 
   /** Exact top-k under the int8-quantized cosine — the memory-bandwidth-
@@ -417,8 +423,12 @@ object Similarity {
     * vs the float baseline is asserted in OperatorsSpec. */
   def int8TopK(emb: DataFrame, isQuery: Column, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.graft.VectorExprs.dotInt8
+    // n2q > 0 drops zero vectors: their cosine is 0/0 = NaN, which both
+    // engines order ABOVE 1.0 under desc — a single zero embedding would
+    // otherwise sit at rank 1 of every query's neighbor list
     val all = quantizeInt8(emb)
       .withColumn("n2q", dotInt8(col("qv"), col("qv")))
+      .filter(col("n2q") > 0)
     val queries = all.filter(isQuery)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosq").desc, col("vec_id"))
@@ -449,7 +459,9 @@ object Similarity {
       |        list_transform(v, x -> floor(x *
       |          (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END) + 0.5)) AS qv
       |      FROM m),
-      |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM q),
+      |n AS (SELECT * FROM (
+      |        SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM q)
+      |      WHERE n2 > 0),
       |qs AS (SELECT vec_id AS q_id, qv AS qa, n2 AS qn2 FROM n WHERE vec_id < 10),
       |scored AS (
       |  SELECT q_id, n.vec_id,

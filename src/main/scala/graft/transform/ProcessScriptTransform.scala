@@ -77,9 +77,6 @@ object ProcessScriptTransform {
         |    compile(tree, "<transform>", "exec")
         |except SyntaxError as e:
         |    sys.stderr.write("syntax error: %s (line %s)" % (e.msg, e.lineno)); sys.exit(1)
-        |defs = [n for n in tree.body
-        |        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
-        |        and n.name == "transform"]
         |def _binds_transform(n):
         |    # transform = functools.partial(...), transform: Callable = f,
         |    # from mod import transform, import transform — all run fine
@@ -97,13 +94,21 @@ object ProcessScriptTransform {
         |    if isinstance(n, ast.Import):
         |        return any(a.asname == "transform" for a in n.names)
         |    return False
-        |if not defs and any(_binds_transform(n) for n in tree.body):
-        |    sys.exit(0)
-        |if not defs:
+        |# exec semantics are last-binding-wins: only the LAST top-level
+        |# binding of `transform` (def OR assignment/import) is effective,
+        |# so a def followed by `transform = partial(...)` must not be
+        |# arity-checked against the shadowed def
+        |bindings = [n for n in tree.body
+        |            if (isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        |                and n.name == "transform") or _binds_transform(n)]
+        |if not bindings:
         |    sys.stderr.write("script must bind transform(record, emitter, context) at module top level (def or assignment)"); sys.exit(1)
-        |if isinstance(defs[-1], ast.AsyncFunctionDef):
+        |last = bindings[-1]
+        |if not isinstance(last, (ast.FunctionDef, ast.AsyncFunctionDef)):
+        |    sys.exit(0)  # non-def binding: arity unknowable statically
+        |if isinstance(last, ast.AsyncFunctionDef):
         |    sys.stderr.write("transform must be a plain def, not async def (it is called synchronously)"); sys.exit(1)
-        |a = defs[-1].args
+        |a = last.args
         |n = len(a.posonlyargs) + len(a.args)
         |if n != 3 and not (a.vararg is not None and n < 3):
         |    sys.stderr.write("transform must take 3 parameters (record, emitter, context), got %d" % n); sys.exit(1)

@@ -416,6 +416,20 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "def impl(record, emitter, context):\n    emitter.emit(record)\n" +
         "transform = impl\n")
     ProcessScriptTransform.validate("from json import loads as transform\n")
+    // last-binding-wins: a 1-arg def shadowed by a later assignment is
+    // valid (the worker calls the assignment), so no arity error
+    ProcessScriptTransform.validate(
+      "import functools\n" +
+        "def transform(record):\n    pass\n" +
+        "def adapter(cfg, record, emitter, context):\n    emitter.emit(record)\n" +
+        "transform = functools.partial(adapter, {})\n")
+    // and the reverse: an assignment shadowed by a final bad def fails
+    val shadowedDef = intercept[IllegalArgumentException] {
+      ProcessScriptTransform.validate(
+        "transform = 1\n" +
+          "def transform(record):\n    pass\n")
+    }
+    assert(shadowedDef.getMessage.contains("3 parameters"))
     // but a transform bound only inside a nested scope stays rejected —
     // its existence would depend on executing the module
     val nested = intercept[IllegalArgumentException] {
