@@ -2,8 +2,9 @@ package graft.core
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If, IsNull, Literal, Or}
 import org.apache.spark.sql.graft.{DotInt8, DotProduct, Int8Scale, NearestCell, QuantizeInt8}
+import org.apache.spark.sql.types.LongType
 
 /** Session factory with the engine's standard configuration.
   *
@@ -22,8 +23,15 @@ object GraftSession {
           ext.injectFunction((FunctionIdentifier(name),
             new ExpressionInfo(cls.getName, name), build))
         fn("graft_dot", classOf[DotProduct])(c => DotProduct(c.head, c(1)))
+        // the raw kernel is non-nullable by contract (callers in the
+        // operator layer filter nulls to keep the codegen win); the SQL
+        // surface guards it with an If that constant-folds away for
+        // non-nullable inputs, so ad-hoc SQL over nullable columns gets
+        // NULL instead of an NPE
         fn("graft_nearest_cell", classOf[NearestCell])(c =>
-          NearestCell(c.head, c(1), c(2)))
+          If(Or(Or(IsNull(c.head), IsNull(c(1))), IsNull(c(2))),
+            Literal.create(null, LongType),
+            NearestCell(c.head, c(1), c(2))))
         fn("graft_quantize_int8", classOf[QuantizeInt8])(c => QuantizeInt8(c.head))
         fn("graft_int8_scale", classOf[Int8Scale])(c => Int8Scale(c.head))
         fn("graft_dot_int8", classOf[DotInt8])(c => DotInt8(c.head, c(1)))

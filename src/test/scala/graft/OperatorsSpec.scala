@@ -314,6 +314,13 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Double]("s") === 127.0)
     assert(row.getAs[Long]("d") === 64L * 64L + 127L * 127L)
     assert(row.getAs[Long]("cell") === 7L)
+    // SQL surface is null-guarded (the raw kernel is non-nullable by
+    // contract): NULL argument -> NULL result, not an NPE
+    val nullCell = spark.sql(
+      """SELECT graft_nearest_cell(CAST(NULL AS ARRAY<DOUBLE>), 0.0D,
+        |  array(named_struct('label', 0L, 'cvec', array(1.0D), 'c2', 1.0D))) AS c
+        |""".stripMargin).collect()(0)
+    assert(nullCell.isNullAt(0))
   }
 
   test("approx_count_distinct stays within 5% of exact") {
