@@ -79,6 +79,43 @@ object ScaleCheck {
           em.emit(Map("doc_id" -> r("doc_id"), "n_a" -> n))
         }.out.count()
       },
+      // the ACTUAL out-of-process python path at corpus scale: one
+      // worker per partition, JSON-lines protocol — must scale linearly
+      // with rows like the in-JVM script path above it
+      t("xf_pyscript") {
+        val out = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.IntegerType)))
+        graft.transform.ProcessScriptTransform.python(
+          docs.select(col("doc_id"), col("text")), out,
+          "def transform(record, emitter, context):\n" +
+            "    emitter.emit({'doc_id': record['doc_id'], 'n': len(record['text'])})\n",
+          parallelism = cpus.toInt).out.count()
+      },
+      // the schema-driven BINARY/timestamp wire codec on that path:
+      // base64 + ISO-8601 conversion per record both directions
+      t("xf_pybytes") {
+        val out = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("head",
+            org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.types.StructField("shifted",
+            org.apache.spark.sql.types.TimestampType)))
+        graft.transform.ProcessScriptTransform.python(
+          docs.select(col("doc_id"),
+            col("text").cast(org.apache.spark.sql.types.BinaryType).as("payload"),
+            timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts")),
+          out,
+          "import datetime\n" +
+            "def transform(record, emitter, context):\n" +
+            "    emitter.emit({'doc_id': record['doc_id'],\n" +
+            "                  'head': record['payload'][:8],\n" +
+            "                  'shifted': record['ts'] + datetime.timedelta(hours=1)})\n",
+          parallelism = cpus.toInt).out.count()
+      },
       t("dd_exact")(Dedup.exact(docs).count()),
       t("dd_simhash_sigs")(Dedup.simhash(docs).count()),
       // candidate-pair generation, the quadratic-risk step: rows here is
