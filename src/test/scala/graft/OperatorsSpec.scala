@@ -154,6 +154,11 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p3 = pairs(Similarity.ivfTopK(emb, v => v < 10, nProbe = 3))
     val r3 = brute.count(p3.contains).toDouble / brute.size
     assert(r3 >= r1, s"nProbe=3 recall $r3 below nProbe=1 recall $r1")
+    // multi-probe composes with the broadcast assignment path too, and
+    // the two physical paths agree under nProbe just as they do at 1
+    val p3b = pairs(Similarity.ivfTopK(emb, v => v < 10,
+      maxLiteralCells = 0, nProbe = 3))
+    assert(p3b === p3, "broadcast-path multi-probe diverged from literal path")
   }
 
   test("token-budget selection: per-stratum sums within budget, budget increases are supersets") {

@@ -391,6 +391,28 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r3.getAs[Timestamp]("ts") === Timestamp.valueOf("1969-12-31 23:59:59.5"))
   }
 
+  test("python scripts may emit pre-encoded wire values (base64 str / ISO str)") {
+    import java.sql.Timestamp
+    // the worker's _enc passes strings through untouched, so a script
+    // that already holds base64/ISO text needn't round-trip through
+    // bytes/datetime objects first
+    val in = Seq((1L, "x")).toDF("id", "ignore")
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType),
+      StructField("ts", TimestampType)))
+    val script =
+      """def transform(record, emitter, context):
+        |    emitter.emit({"id": record["id"],
+        |                  "payload": "AQID",                    # [1,2,3]
+        |                  "ts": "2026-05-04T03:02:01.000001+00:00"})
+        |""".stripMargin
+    val got = ProcessScriptTransform.python(in, out, script).out.collect()(0)
+    assert(got.getAs[Array[Byte]]("payload").toSeq === Seq[Byte](1, 2, 3))
+    assert(got.getAs[Timestamp]("ts") ===
+      Timestamp.from(java.time.Instant.parse("2026-05-04T03:02:01.000001Z")))
+  }
+
   test("python script validation never executes the module top level") {
     // under an exec-based check this would hang configuration for 600 s
     // and run the side effect on the driver host; the AST check returns
