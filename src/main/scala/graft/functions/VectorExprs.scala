@@ -340,6 +340,11 @@ case class NearestCell(first: Expression, second: Expression, third: Expression)
     var j = 0
     while (j < m) {
       val cell = cents.getStruct(j, 3)
+      // skip malformed entries (null struct / null cvec) instead of
+      // NPEing: the operator layer never produces them, but the SQL
+      // surface can hand in arbitrary arrays
+      if (cell == null || cell.isNullAt(1)) { j += 1 }
+      else {
       val cv = cell.getArray(1)
       val n = math.min(v.numElements(), cv.numElements())
       var acc = 0.0
@@ -356,6 +361,7 @@ case class NearestCell(first: Expression, second: Expression, third: Expression)
         best = d2; bestLbl = lbl; found = true
       }
       j += 1
+      }
     }
     bestLbl
   }
@@ -382,6 +388,7 @@ case class NearestCell(first: Expression, second: Expression, third: Expression)
          |boolean $found = false;
          |for (int $j = 0; $j < $m; $j++) {
          |  InternalRow $cell = $cents.getStruct($j, 3);
+         |  if ($cell == null || $cell.isNullAt(1)) { continue; }
          |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $cell.getArray(1);
          |  int $n = java.lang.Math.min($v.numElements(), $cv.numElements());
          |  double $acc = 0.0;

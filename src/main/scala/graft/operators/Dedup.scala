@@ -446,7 +446,12 @@ object Dedup {
     * its distinct shingle set BROADCASTS: the sweep is one scan of
     * corpus shingles + a broadcast hash join — no shuffle of text, no
     * corpus x benchmark pairs, cost linear in corpus shingles at 100 TB.
-    * Returns (doc_id, shared, n_shingles, frac). */
+    * Returns (doc_id, shared, n_shingles, frac).
+    *
+    * Inputs must be deterministic DataFrames (the repo-wide recompute
+    * convention): the shingle table is recomputed for its two consumers,
+    * so a nondeterministic source (e.g. an unseeded sample()) could feed
+    * them inconsistent snapshots. */
   def contamination(docs: DataFrame, bench: DataFrame,
                     minFrac: Double = 0.2): DataFrame = {
     // 60-bit hashed shingles, same trade as ngramJaccard: the corpus-wide

@@ -423,12 +423,17 @@ object Similarity {
     * vs the float baseline is asserted in OperatorsSpec. */
   def int8TopK(emb: DataFrame, isQuery: Column, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.graft.VectorExprs.dotInt8
-    // n2q > 0 drops zero vectors: their cosine is 0/0 = NaN, which both
-    // engines order ABOVE 1.0 under desc — a single zero embedding would
-    // otherwise sit at rank 1 of every query's neighbor list
-    val all = quantizeInt8(emb)
+    // Zero-norm vectors (undefined cosine: 0/0 = NaN ranks ABOVE 1.0
+    // under desc in both engines) are excluded — from query and corpus
+    // sides alike. The filter tests the FLOAT vector BEFORE quantization
+    // (equivalent: the max element always packs to byte 127, so qv has a
+    // non-zero byte iff v does): filtering on the quantized output
+    // instead would push the predicate into the plan as extra copies of
+    // the pack kernel (measured 3 evals/row via PLANS.md).
+    val all = quantizeInt8(emb.filter(
+        dot(col("embedding").cast(ArrayType(DoubleType)),
+          col("embedding").cast(ArrayType(DoubleType))) > 0))
       .withColumn("n2q", dotInt8(col("qv"), col("qv")))
-      .filter(col("n2q") > 0)
     val queries = all.filter(isQuery)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosq").desc, col("vec_id"))
@@ -452,16 +457,15 @@ object Similarity {
     * floor(x*scale + 0.5) bytes) and the integer dots are exact, so the
     * quantized ANN hash-matches bit-for-bit. */
   val annInt8TopKSql: String =
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
       |m AS (SELECT vec_id, v,
       |        list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
       |q AS (SELECT vec_id,
       |        list_transform(v, x -> floor(x *
       |          (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END) + 0.5)) AS qv
       |      FROM m),
-      |n AS (SELECT * FROM (
-      |        SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM q)
-      |      WHERE n2 > 0),
+      |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM q),
       |qs AS (SELECT vec_id AS q_id, qv AS qa, n2 AS qn2 FROM n WHERE vec_id < 10),
       |scored AS (
       |  SELECT q_id, n.vec_id,

@@ -110,8 +110,12 @@ object ProcessScriptTransform {
         |    sys.stderr.write("transform must be a plain def, not async def (it is called synchronously)"); sys.exit(1)
         |a = last.args
         |n = len(a.posonlyargs) + len(a.args)
-        |if n != 3 and not (a.vararg is not None and n < 3):
-        |    sys.stderr.write("transform must take 3 parameters (record, emitter, context), got %d" % n); sys.exit(1)
+        |required = n - len(a.defaults)
+        |# called with exactly 3 positional args: valid iff it can ACCEPT 3
+        |# (vararg or n >= 3) and REQUIRES at most 3 (trailing defaults ok)
+        |accepts3 = a.vararg is not None or n >= 3
+        |if required > 3 or not accepts3:
+        |    sys.stderr.write("transform must be callable with 3 positional arguments (record, emitter, context): it requires %d and accepts %s" % (required, "*args" if a.vararg else str(n))); sys.exit(1)
         |required_kw = [k.arg for k, d in zip(a.kwonlyargs, a.kw_defaults) if d is None]
         |if required_kw:
         |    sys.stderr.write("transform must not require keyword-only parameters (it is called with 3 positional args): %s" % ", ".join(required_kw)); sys.exit(1)

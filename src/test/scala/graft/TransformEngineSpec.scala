@@ -296,7 +296,7 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val arity = intercept[IllegalArgumentException] {
       ProcessScriptTransform.validate("def transform(record):\n    pass\n")
     }
-    assert(arity.getMessage.contains("3 parameters"))
+    assert(arity.getMessage.contains("3 positional arguments"))
     // required keyword-only params can't be satisfied by the positional
     // call the worker makes — rejected at configure time
     val kwonly = intercept[IllegalArgumentException] {
@@ -451,7 +451,13 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         "transform = 1\n" +
           "def transform(record):\n    pass\n")
     }
-    assert(shadowedDef.getMessage.contains("3 parameters"))
+    assert(shadowedDef.getMessage.contains("3 positional arguments"))
+    // trailing defaulted params are fine: callable with 3 positional args
+    ProcessScriptTransform.validate(
+      "def transform(record, emitter, context, debug=False):\n    pass\n")
+    // as is a wider signature where the extras all default
+    ProcessScriptTransform.validate(
+      "def transform(record, emitter=None, context=None):\n    pass\n")
     // but a transform bound only inside a nested scope stays rejected —
     // its existence would depend on executing the module
     val nested = intercept[IllegalArgumentException] {
