@@ -235,7 +235,16 @@ object Similarity {
     * (d2, label) structs) — no join, no aggregate, nothing materialized
     * corpus-side. Right only while nlist x dim stays in the tens of
     * thousands of literals (codegen's 64 KB method ceiling). */
-  private[operators] def assignCellsLiteral(all: DataFrame, cent: DataFrame): DataFrame = {
+  private[operators] def assignCellsLiteral(all0: DataFrame, cent: DataFrame): DataFrame = {
+    // Null embeddings are dropped here, exactly like the broadcast path:
+    // without the filter a null v makes every per-cell struct
+    // (d2=null, label), and array_min's struct ordering sorts null FIELDS
+    // first, so the row would silently land in the minimum label —
+    // diverging from assignCellsBroadcast (which must pre-filter for
+    // NearestCell's null-free contract). One filter definition per path,
+    // same predicate, keeps the "purely physical switch" invariant true
+    // even on corpora with null vectors (parity spec covers it).
+    val all = all0.filter(col("v").isNotNull)
     // nlist x dim — tiny by contract here, ordered by (label, dim);
     // c2 = sequential self-dot, the same left-to-right fold the native
     // dotp / DuckDB list_dot_product performs
@@ -282,9 +291,9 @@ object Similarity {
     // NearestCell is non-nullable (a nullable join key would push an
     // isnotnull(argmin) condition into the quantizer-attach join —
     // codegen loss + double eval) and so requires null-free inputs;
-    // drop null-embedding rows explicitly here. End-to-end parity with
-    // the literal path holds: there, a null embedding yields a null
-    // cell, which the probe equi-join can never match either.
+    // drop null-embedding rows explicitly here. assignCellsLiteral
+    // applies the identical filter, so the two paths agree row-for-row
+    // on corpora with null vectors (parity spec covers it).
     all.filter(col("v").isNotNull)
       .crossJoin(broadcast(packed))
       .withColumn("cell", org.apache.spark.sql.graft.VectorExprs.nearestCell(
@@ -310,16 +319,26 @@ object Similarity {
     * nProbe > 1 ranks cells by the same d2 for the (tiny, broadcast)
     * query set only and probes the nProbe nearest — the standard IVF
     * recall knob; corpus vectors are never duplicated, so result rows
-    * stay unique per (q_id, neighbor_id). */
+    * stay unique per (q_id, neighbor_id).
+    *
+    * Laziness: pass `nlistHint` (the known or approximate cell count —
+    * IVF deployments always know their nlist) and composition runs NO
+    * action; `maxLiteralCells = 0` likewise skips the probe by forcing
+    * the broadcast path, which is the right call at scale regardless.
+    * Only the no-hint, literal-allowed combination falls back to a
+    * single-scalar countDistinct action at composition time — fine for
+    * materialized test tables, not for streaming/unmaterialized input
+    * (use the hint there). */
   def ivfTopK(emb: DataFrame, isQuery: Column => Column, k: Int = 5,
-              maxLiteralCells: Int = 256, nProbe: Int = 1): DataFrame = {
+              maxLiteralCells: Int = 256, nProbe: Int = 1,
+              nlistHint: Option[Long] = None): DataFrame = {
     val all = normed(emb)
     val cent = centroids(emb)
-    // single-scalar action on the raw label column (no explode, no
-    // vector collect) just to pick the physical assignment path —
-    // skipped entirely when maxLiteralCells <= 0 already decides it
-    val literal = maxLiteralCells > 0 &&
-      emb.select(countDistinct(col("label"))).head.getLong(0) <= maxLiteralCells
+    // path pick: hint if given (lazy), else one single-scalar action on
+    // the raw label column (no explode, no vector collect) — skipped
+    // entirely when maxLiteralCells <= 0 already decides it
+    val literal = maxLiteralCells > 0 && nlistHint.map(_ <= maxLiteralCells)
+      .getOrElse(emb.select(countDistinct(col("label"))).head.getLong(0) <= maxLiteralCells)
     lazy val cvecs = centroidVectors(cent)
     val cells =
       if (literal) assignCellsLiteral(all, cent)
@@ -425,14 +444,21 @@ object Similarity {
     import org.apache.spark.sql.graft.VectorExprs.dotInt8
     // Zero-norm vectors (undefined cosine: 0/0 = NaN ranks ABOVE 1.0
     // under desc in both engines) are excluded — from query and corpus
-    // sides alike. The filter tests the FLOAT vector BEFORE quantization
-    // (equivalent: the max element always packs to byte 127, so qv has a
-    // non-zero byte iff v does): filtering on the quantized output
-    // instead would push the predicate into the plan as extra copies of
-    // the pack kernel (measured 3 evals/row via PLANS.md).
+    // sides alike. Non-finite vectors too: NaN passes a bare `> 0` in
+    // BOTH engines (NaN compares greater than everything), but Spark's
+    // quantizer maps NaN components to byte 0 ((byte)floor(NaN) == 0)
+    // while a double engine keeps the NaN — so NaN/Inf inputs are out
+    // of contract and filtered identically here and in the oracle
+    // (`n2 < infinity` is false for NaN and Inf under the shared
+    // NaN-is-greatest ordering). The filter tests the FLOAT vector
+    // BEFORE quantization (equivalent: the max element always packs to
+    // byte 127, so qv has a non-zero byte iff v does): filtering on the
+    // quantized output instead would push the predicate into the plan as
+    // extra copies of the pack kernel (measured 3 evals/row via PLANS.md).
+    val n2f = dot(col("embedding").cast(ArrayType(DoubleType)),
+      col("embedding").cast(ArrayType(DoubleType)))
     val all = quantizeInt8(emb.filter(
-        dot(col("embedding").cast(ArrayType(DoubleType)),
-          col("embedding").cast(ArrayType(DoubleType))) > 0))
+        n2f > 0 && n2f < lit(Double.PositiveInfinity)))
       .withColumn("n2q", dotInt8(col("qv"), col("qv")))
     val queries = all.filter(isQuery)
     val w = Window.partitionBy(col("q_id"))
@@ -458,7 +484,9 @@ object Similarity {
     * quantized ANN hash-matches bit-for-bit. */
   val annInt8TopKSql: String =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      |           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+      |           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+      |             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+      |                 < 'infinity'::DOUBLE),
       |m AS (SELECT vec_id, v,
       |        list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
       |q AS (SELECT vec_id,

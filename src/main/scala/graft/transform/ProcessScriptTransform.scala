@@ -77,6 +77,17 @@ object ProcessScriptTransform {
         |    compile(tree, "<transform>", "exec")
         |except SyntaxError as e:
         |    sys.stderr.write("syntax error: %s (line %s)" % (e.msg, e.lineno)); sys.exit(1)
+        |def _target_names(t):
+        |    # unpacking targets bind too: `transform, helper = make()`,
+        |    # `[a, transform] = pair`, `first, *transform = seq` — walk
+        |    # Tuple/List elements and through Starred wrappers
+        |    if isinstance(t, ast.Name):
+        |        yield t.id
+        |    elif isinstance(t, (ast.Tuple, ast.List)):
+        |        for e in t.elts:
+        |            yield from _target_names(e)
+        |    elif isinstance(t, ast.Starred):
+        |        yield from _target_names(t.value)
         |def _binds_transform(n):
         |    # transform = functools.partial(...), transform: Callable = f,
         |    # from mod import transform, import transform — all run fine
@@ -84,8 +95,7 @@ object ProcessScriptTransform {
         |    # (arity can't be checked statically; a mismatch fails in the
         |    # worker with the normal per-record error surface)
         |    if isinstance(n, ast.Assign):
-        |        return any(isinstance(t, ast.Name) and t.id == "transform"
-        |                   for t in n.targets)
+        |        return any("transform" in _target_names(t) for t in n.targets)
         |    if isinstance(n, ast.AnnAssign):
         |        return isinstance(n.target, ast.Name) and n.target.id == "transform" \
         |            and n.value is not None

@@ -137,6 +137,50 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bcast === literal)
   }
 
+  test("IVF assignment paths agree on corpora containing null embeddings") {
+    import spark.implicits._
+    // pre-fix divergence: the literal path's array_min sorted the
+    // (d2=null, label) structs null-field-FIRST, silently assigning a
+    // null embedding to the minimum label, while the broadcast path
+    // dropped the row — both paths must now drop it identically,
+    // including when the null row is itself a query
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val withNull = base.unionByName(
+      Seq((5L + 1000000L, null.asInstanceOf[Seq[Float]], 0))
+        .toDF("vec_id", "embedding", "label"))
+    val isQ = (v: org.apache.spark.sql.Column) => v < 10 || v === 1000005L
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val literal = rows(Similarity.ivfTopK(withNull, isQ, maxLiteralCells = 256))
+    val bcast = rows(Similarity.ivfTopK(withNull, isQ, maxLiteralCells = 0))
+    assert(literal === bcast, "null-embedding corpus broke path parity")
+    assert(!literal.exists(t => t._1 == 1000005L || t._2 == 1000005L),
+      "null-embedding row surfaced in IVF results")
+    assert(literal.nonEmpty)
+  }
+
+  test("int8 ANN excludes non-finite vectors from query and corpus sides") {
+    import spark.implicits._
+    val dim = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).head.getInt(0)
+    val nanVec = Seq.tabulate(dim)(i => if (i == 0) Float.NaN else 0.5f)
+    val infVec = Seq.tabulate(dim)(i =>
+      if (i == 0) Float.PositiveInfinity else 0.5f) // dot(v,v) = Inf
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val withBad = base.unionByName(
+      Seq((1000001L, nanVec, 0), (2L + 1000000L, infVec, 0))
+        .toDF("vec_id", "embedding", "label"))
+    val res = Similarity.int8TopK(withBad, col("vec_id") < 10, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(res.nonEmpty)
+    assert(!res.exists(t => t._2 == 1000001L || t._2 == 1000002L),
+      "non-finite vector surfaced as a neighbor")
+    assert(res.forall(t => !t._3.isNaN), "NaN cosq in int8 results")
+  }
+
   test("IVF multi-probe (nProbe) raises recall toward brute force, default stays 1-cell") {
     val emb = Tables.embeddings(spark, dir)
     def pairs(df: org.apache.spark.sql.DataFrame) =

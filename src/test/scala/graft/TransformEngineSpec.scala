@@ -438,6 +438,15 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "def impl(record, emitter, context):\n    emitter.emit(record)\n" +
         "transform = impl\n")
     ProcessScriptTransform.validate("from json import loads as transform\n")
+    // unpacking assignments bind too: tuple, list, and starred targets
+    // all create the name under exec, so configure-time must accept them
+    ProcessScriptTransform.validate(
+      "def make():\n    return (lambda r, e, c: e.emit(r)), 1\n" +
+        "transform, helper = make()\n")
+    ProcessScriptTransform.validate(
+      "pair = (1, 2)\n[helper, transform] = pair\n")
+    ProcessScriptTransform.validate(
+      "seq = [1, 2, 3]\nfirst, *transform = seq\n")
     // last-binding-wins: a 1-arg def shadowed by a later assignment is
     // valid (the worker calls the assignment), so no arity error
     ProcessScriptTransform.validate(
