@@ -161,6 +161,18 @@ object ScaleCheck {
         graft.operators.Dedup.contamination(
           docs.filter(pmod(col("doc_id"), lit(1000L)) =!= 0),
           docs.filter(pmod(col("doc_id"), lit(1000L)) === 0)).count()
+      },
+      // token-budget selection with the WHOLE corpus in ONE stratum —
+      // the skew case the two-phase prefix sum exists for ("en" is half
+      // the web): per-task window input is bounded by the hash-range
+      // bucket split, never the stratum size, and buckets past the
+      // budget are pruned before any sort
+      t("token_budget_1str") {
+        graft.operators.Sampling.tokenBudget(
+          docs.select(col("doc_id"), lit("en").as("lang"),
+            length(col("text")).as("n_chars")),
+          col("lang"), col("doc_id"), col("n_chars"),
+          budget = 20L * rows).count() // ~10% of corpus chars
       }).flatten
     // the end-to-end pipeline (anti-join on the corpus-scale drop set)
     // only says something new under planted dup density

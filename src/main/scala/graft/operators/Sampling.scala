@@ -103,14 +103,50 @@ object Sampling {
   /** Token-budget selection: within each stratum, take documents in the
     * deterministic hash order until the running token total reaches the
     * budget — how a data-mixing recipe fills "N tokens of language X"
-    * slots. One shuffle on the stratum key; the running sum is a window
-    * per stratum, parallel across strata (strata are languages/sources/
-    * quality buckets — thousands of independent partitions at 100 TB).
-    * The hash order makes budget increases SUPERSETS, like the rate
-    * sampler. */
+    * slots. The hash order makes budget increases SUPERSETS, like the
+    * rate sampler.
+    *
+    * Scale shape — a TWO-PHASE prefix sum, not one window per stratum. A
+    * single `Window.partitionBy(stratum)` running sum routes every row of
+    * a stratum through ONE task (rank top-k gets the WindowGroupLimit
+    * pushdown; running sums get nothing), and real mixtures are skewed —
+    * "en" is half the web, so at 100 TB that one reducer sorts tens of
+    * TB. Instead the per-stratum hash order is range-split by the leading
+    * `bucketChars` hex digits of the ordering hash itself (buckets are
+    * CONTIGUOUS ranges of the hash order, so the global order is the
+    * bucket order then the within-bucket order):
+    *   1. per-(stratum, bucket) token totals — a tiny map-side-combined
+    *      aggregate, <= strata x 16^bucketChars rows;
+    *   2. exclusive cumulative offsets across each stratum's buckets — a
+    *      window over that tiny table (<= 16^bucketChars rows per
+    *      partition, whatever the corpus size);
+    *   3. offsets join back (broadcast-sized side) and buckets whose
+    *      offset already exceeds the budget are PRUNED before any sort —
+    *      when budget << stratum mass, almost all of the corpus never
+    *      reaches a window;
+    *   4. the running sum windows over (stratum, bucket) — per-task
+    *      input bounded by 16^-bucketChars of the largest stratum —
+    *      and adds the bucket offset.
+    * Identical output to the single-window formulation (the oracle IS
+    * that formulation). Token counts must be non-negative (true of any
+    * token/char/byte count) — the bucket prune relies on the running sum
+    * being monotone. */
   def tokenBudget(df: DataFrame, stratum: Column, key: Column,
                   tokens: Column, budget: Long,
-                  tieBreak: Seq[Column] = Nil): DataFrame = {
+                  tieBreak: Seq[Column] = Nil,
+                  bucketChars: Int = 4): DataFrame = {
+    val tagged = df
+      .withColumn("_h", hashKey(key, "budget"))
+      .withColumn("_bkt",
+        conv(substring(col("_h"), 1, bucketChars), 16, 10).cast("long"))
+    // phase 1+2: per-bucket totals, then exclusive running offsets over
+    // each stratum's bucket list (tiny: strata x occupied buckets)
+    val wOff = Window.partitionBy(col("_s")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tagged.groupBy(stratum.as("_s"), col("_bkt").as("_b"))
+      .agg(sum(tokens).as("_bsum"))
+      .withColumn("_off", coalesce(sum(col("_bsum")).over(wOff), lit(0L)))
+      .select(col("_s"), col("_b"), col("_off"))
     // ROWS, not the default RANGE frame: with duplicate (hash, key)
     // ordering values (e.g. repeated keys from epochWeighted) RANGE sums
     // all peers at once — every copy would see the combined total and
@@ -118,13 +154,17 @@ object Sampling {
     // budget trips. Reproducibility requires (key, tieBreak*) unique per
     // row — pass e.g. the epoch column when feeding epochWeighted output,
     // else which duplicate survives at the budget boundary is
-    // partition-order-dependent.
-    val w = Window.partitionBy(stratum)
-      .orderBy(hashKey(key, "budget") +: key +: tieBreak: _*)
+    // partition-order-dependent. Same-key rows share `_h`, so they land
+    // in the same bucket and the split never reorders them.
+    val wIn = Window.partitionBy(stratum, col("_bkt"))
+      .orderBy(col("_h") +: key +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_cum", sum(tokens).over(w))
+    tagged
+      .join(offsets, stratum <=> col("_s") && col("_bkt") === col("_b"))
+      .filter(col("_off") <= budget) // phase-3 prune (nonneg tokens)
+      .withColumn("_cum", col("_off") + sum(tokens).over(wIn))
       .filter(col("_cum") <= budget)
-      .drop("_cum")
+      .drop("_h", "_bkt", "_s", "_b", "_off", "_cum")
   }
 
   /** q_token_budget: up to 20k chars per language, hash-ordered. */

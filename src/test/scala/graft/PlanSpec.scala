@@ -124,6 +124,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rank filter not pushed down map-side:\n$ex")
   }
 
+  test("token budget: corpus-side window is bucket-split, never per-stratum single-partition") {
+    val df = graft.operators.Sampling.qTokenBudget(spark, dir)
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    val winLines = ex.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, s"no window in token-budget plan:\n$ex")
+    // the running sum over corpus rows must partition by (stratum,
+    // bucket) — a stratum-only partition spec is the single-reducer
+    // scale cliff this operator's two-phase design forbids. The only
+    // stratum-alone window allowed is the offsets pass over the tiny
+    // per-bucket totals table (its partition key is the _s alias).
+    assert(winLines.exists(_.contains("_bkt")),
+      s"no bucket-split window found:\n$ex")
+    assert(winLines.filter(_.contains("lang#")).forall(_.contains("_bkt")),
+      s"corpus window partitions by stratum alone:\n$ex")
+  }
+
   test("embed-cosine dedup is a bucket equi-join, not an all-pairs product") {
     val df = Dedup.embedCosinePairs(Tables.embeddings(spark, dir))
     df.collect()
