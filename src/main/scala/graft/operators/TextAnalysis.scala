@@ -336,7 +336,196 @@ object TextAnalysis {
       |SELECT doc_id, rank, term, tf, df, score FROM s WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** Model-based quality scoring: a hashed bag-of-words LINEAR scorer —
+    * the fastText-classifier shape of modern pre-training quality
+    * filters (tx_quality's rule ratios are the 2015 story; production
+    * pipelines score with a trained model). The model here is a
+    * deterministic stand-in — weights are md5-derived constants over a
+    * `dims`-bucket feature-hashing space — but the *execution shape* is
+    * the real contract: tokenize → hash each token to a feature bucket →
+    * look the bucket's weight up arithmetically (no weights table to
+    * join; the "model" lives in the expression) → mean weight per doc.
+    * One map-side-combined (doc_id, partial) shuffle at any corpus size,
+    * exactly like [[tfidf]]'s tf stage; swapping in trained weights
+    * means broadcasting a dims-sized double array, nothing else changes.
+    *
+    * Weights are summed as RAW 40-bit md5 integers (exact, order-free —
+    * double summation would be accumulation-order-dependent and break
+    * cross-engine hashing, the q_corr lesson) and mapped to [-1, 1] once
+    * per doc: score = (S/n)/2^40*2 - 1. 40 bits, not 60: a per-doc sum
+    * of 40-bit weights stays under 2^53 up to ~8k tokens/doc, so the
+    * integer→double conversion is EXACT in both engines (a 60-bit-weight
+    * sum needs a DECIMAL accumulator whose double cast rounds differently
+    * across engines — measured last-ulp drift); 2^-40 weight resolution
+    * is far beyond any trained model's. */
+  def mlQuality(docs: DataFrame, dims: Int = 64): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val j = pmod(conv(substring(md5(col("term")), 1, 15), 16, 10)
+      .cast(LongType), lit(dims.toLong))
+    val wInt = conv(substring(md5(concat(lit("w:"), j.cast(StringType))), 1, 10),
+      16, 10).cast(LongType)
+    tok.select(col("doc_id"), wInt.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("w")).as("s"))
+      .select(col("doc_id"), col("n_terms"),
+        (((col("s").cast(DoubleType) / col("n_terms").cast(DoubleType)) /
+          lit(1099511627776.0)) * lit(2.0) - lit(1.0)).as("ml_score"))
+      .withColumn("ml_keep", col("ml_score") > 0)
+  }
+
+  def txMlQuality(spark: SparkSession, dir: String): DataFrame =
+    mlQuality(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val txMlQualitySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    ('0x'||substr(md5('w:'||CAST(
+      |      ('0x'||substr(md5(term),1,15))::BIGINT % 64 AS VARCHAR)),1,10))::BIGINT AS w
+      |  FROM tok WHERE term <> ''),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_terms, sum(w) AS s FROM f GROUP BY doc_id)
+      |SELECT doc_id, n_terms,
+      |  CAST(s AS DOUBLE) / CAST(n_terms AS DOUBLE)
+      |    / 1099511627776.0 * 2.0 - 1.0 AS ml_score,
+      |  CAST(s AS DOUBLE) / CAST(n_terms AS DOUBLE)
+      |    / 1099511627776.0 * 2.0 - 1.0 > 0 AS ml_keep
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** URL canonicalization — the first pass of web-corpus curation (dedup
+    * by canonical URL before any content dedup). Pure regexp projection:
+    * strip the fragment, lowercase scheme+authority (path/query case is
+    * MEANINGFUL and preserved), drop scheme-default ports (:443 https /
+    * :80 http — :8080 stays), drop tracking params (utm_*, gclid,
+    * fbclid) wherever they sit in the query string. No lookaheads —
+    * both regex engines here (Java, RE2) must accept every pattern.
+    * Shuffle-free, codegen'd, linear at any corpus size. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val lowered = concat(
+      lower(regexp_extract(noFrag, "^([^/?#]*://[^/?#]*)", 1)),
+      regexp_replace(noFrag, "^[^/?#]*://[^/?#]*", ""))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2"),
+      "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
+    val trk = "(utm_[a-z]+|gclid|fbclid)"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(noPort, s"&$trk=[^&]*", ""),
+        s"\\?$trk=[^&]*&", "?"),
+      s"\\?$trk=[^&]*$$", "")
+  }
+
+  /** Registrable domain off a canonical URL (www. stripped). */
+  def urlDomain(urlNorm: Column): Column =
+    regexp_replace(regexp_extract(urlNorm, "^[a-z]+://([^/:?#]+)", 1),
+      "^www\\.", "")
+
+  /** The documents table carries no URL column, so tx_urlnorm synthesizes
+    * one deterministically from (doc_id, source) — mixed-case host,
+    * rotating default/nonstandard/absent ports, tracking params in
+    * leading/only/absent positions, fragments — exercising every
+    * normalization branch; the oracle rebuilds the identical input and
+    * replays the identical replacement chain byte-for-byte (the tx_pii
+    * pattern). */
+  private def synthUrl: Column = {
+    val d = col("doc_id")
+    concat(
+      when(pmod(d, lit(2)) === 0, lit("HTTPS://WWW.")).otherwise(lit("http://")),
+      col("source"), lit(".Example.COM"),
+      when(pmod(d, lit(3)) === 0,
+          when(pmod(d, lit(2)) === 0, lit(":443")).otherwise(lit(":80")))
+        .when(pmod(d, lit(3)) === 1, lit(":8080"))
+        .otherwise(lit("")),
+      lit("/Docs/"), d.cast(StringType),
+      when(pmod(d, lit(5)) < 3,
+          concat(lit("?utm_source=news&ref="), col("source"),
+            lit("&gclid=g"), d.cast(StringType)))
+        .when(pmod(d, lit(5)) === 3, lit("?utm_campaign=x"))
+        .otherwise(lit("")),
+      when(pmod(d, lit(2)) === 0,
+          concat(lit("#S"), pmod(d, lit(7)).cast(StringType)))
+        .otherwise(lit("")))
+  }
+
+  def txUrlnorm(spark: SparkSession, dir: String): DataFrame = {
+    val withUrl = Tables.documents(spark, dir)
+      .select(col("doc_id"), synthUrl.as("url"))
+    withUrl.withColumn("url_norm", normalizeUrl(col("url")))
+      .withColumn("domain", urlDomain(col("url_norm")))
+      .orderBy("doc_id")
+  }
+
+  val txUrlnormSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END)
+      |    || source || '.Example.COM'
+      |    || (CASE WHEN doc_id % 3 = 0
+      |             THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+      |             WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+      |    || '/Docs/' || doc_id
+      |    || (CASE WHEN doc_id % 5 < 3
+      |             THEN '?utm_source=news&ref=' || source || '&gclid=g' || doc_id
+      |             WHEN doc_id % 5 = 3 THEN '?utm_campaign=x' ELSE '' END)
+      |    || (CASE WHEN doc_id % 2 = 0 THEN '#S' || (doc_id % 7) ELSE '' END)
+      |    AS url
+      |  FROM documents),
+      |nf AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS x FROM u),
+      |lo AS (SELECT doc_id, url,
+      |  lower(regexp_extract(x, '^([^/?#]*://[^/?#]*)', 1)) ||
+      |    regexp_replace(x, '^[^/?#]*://[^/?#]*', '') AS x
+      |  FROM nf),
+      |np AS (SELECT doc_id, url,
+      |  regexp_replace(
+      |    regexp_replace(x, '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2'),
+      |    '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2') AS x
+      |  FROM lo),
+      |nt AS (SELECT doc_id, url,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(x, '&(utm_[a-z]+|gclid|fbclid)=[^&]*', '', 'g'),
+      |      '\?(utm_[a-z]+|gclid|fbclid)=[^&]*&', '?'),
+      |    '\?(utm_[a-z]+|gclid|fbclid)=[^&]*$', '') AS url_norm
+      |  FROM np)
+      |SELECT doc_id, url, url_norm,
+      |  regexp_replace(regexp_extract(url_norm, '^[a-z]+://([^/:?#]+)', 1),
+      |    '^www\.', '') AS domain
+      |FROM nt ORDER BY doc_id""".stripMargin
+
+  /** q_domain_cap: per-domain document caps — web corpora cap documents
+    * per registrable domain before content dedup (one SEO-spam domain
+    * must not dominate a language's token budget). Canonicalize, extract
+    * the domain, then keep at most `cap` docs per domain in the
+    * deterministic hash order — the stratified top-k machinery
+    * ([[Sampling.stratified]]: WindowGroupLimit pushes the rank below
+    * the shuffle, so ~cap rows per domain per mapper move). */
+  def txDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), synthUrl.as("url"))
+      .select(col("doc_id"), urlDomain(normalizeUrl(col("url"))).as("domain"))
+    Sampling.stratified(d, col("domain"), col("doc_id"), 10)
+      .orderBy("doc_id")
+  }
+
+  val txDomainCapSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, lower(source) || '.example.com' AS domain
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, domain,
+      |    row_number() OVER (PARTITION BY domain
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)||':strat'), doc_id) AS rk
+      |  FROM u)
+      |SELECT doc_id, domain FROM r WHERE rk <= 10 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_mlquality" -> (txMlQuality _),
+    "tx_urlnorm" -> (txUrlnorm _),
+    "q_domain_cap" -> (txDomainCap _),
     "tx_tfidf" -> (txTfidf _),
     "tx_topterms" -> (txTopterms _),
     "tx_tokens" -> (txTokens _),
@@ -348,6 +537,9 @@ object TextAnalysis {
     "tx_fingerprint" -> (txFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "tx_mlquality" -> txMlQualitySql,
+    "tx_urlnorm" -> txUrlnormSql,
+    "q_domain_cap" -> txDomainCapSql,
     "tx_tfidf" -> txTfidfSql,
     "tx_topterms" -> txToptermsSql,
     "tx_tokens" -> txTokensSql,

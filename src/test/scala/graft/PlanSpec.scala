@@ -153,6 +153,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no equi-join on the LSH bucket key:\n$ex")
   }
 
+  test("ml-quality scorer: codegen'd hash-agg, no HOFs, no sort aggregate") {
+    val df = graft.operators.TextAnalysis.mlQuality(Tables.documents(spark, dir))
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    // feature hashing + weight lookup are arithmetic inside codegen; the
+    // per-doc mean is a map-side-combined HashAggregate (long buffer) —
+    // a SortAggregate or interpreted lambda here would be the scale bug
+    assert(ex.contains("HashAggregate") && !ex.contains("SortAggregate"),
+      s"ml-quality aggregation not hash-based:\n$ex")
+    assert(ex.contains("partial_"), s"no map-side combine:\n$ex")
+    assert(!ex.contains("LambdaFunction"), s"HOF crept into scoring:\n$ex")
+    assert(ex.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("*(")),
+      s"aggregation fell out of codegen:\n$ex")
+  }
+
+  test("url normalization is shuffle-free whole-stage codegen") {
+    val docs = Tables.documents(spark, dir)
+    val df = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      graft.operators.TextAnalysis.normalizeUrl(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("https://Ex.COM:443/p/"),
+          org.apache.spark.sql.functions.col("doc_id"))).as("u"))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"url canonicalization introduced a shuffle:\n$p")
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    assert(ex.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"url projection fell out of codegen:\n$ex")
+  }
+
   test("PII scrub is shuffle-free whole-stage codegen") {
     // the masking chain itself (driver query minus its presentation
     // sort) must be a single codegen'd projection
