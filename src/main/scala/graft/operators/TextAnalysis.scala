@@ -336,6 +336,59 @@ object TextAnalysis {
       |SELECT doc_id, rank, term, tf, df, score FROM s WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** Deterministic corpus vocabulary: the k most frequent terms (ties by
+    * term). One map-side-combined (term, count) aggregate — vocabulary-
+    * sized shuffle — then a driver-side top-k. A production pipeline
+    * trains its vocab once and reuses the table; here it derives
+    * reproducibly from the corpus so the oracle can rebuild it. */
+  def vocabulary(docs: DataFrame, k: Int = 50): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(k)
+      .select(col("term"))
+
+  /** Vocab-table tokenization: token counts against a broadcast
+    * vocabulary instead of whitespace heuristics — token budgets
+    * ([[Sampling.tokenBudget]]) meter real tokenizer tokens, and a
+    * tokenizer is a vocab lookup: an in-vocab word is ONE token, an OOV
+    * word falls back to per-character pieces (the BPE fallback shape), so
+    * `n_tok_vocab` = hits + sum(length) over misses. The vocab table is
+    * bounded (limit k) and BROADCAST: the join adds zero shuffle on the
+    * corpus side; the only corpus shuffle is the map-side-combined
+    * per-doc aggregate. */
+  def tokensVocab(docs: DataFrame, k: Int = 50): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val voc = broadcast(vocabulary(docs, k).withColumn("_v", lit(1)))
+    tok.join(voc, Seq("term"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("_v").isNotNull, 1).otherwise(0)).as("n_vocab"),
+        sum(when(col("_v").isNotNull, lit(1))
+          .otherwise(length(col("term")))).as("n_tok_vocab"))
+  }
+
+  def txTokensVocab(spark: SparkSession, dir: String): DataFrame =
+    tokensVocab(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val txTokensVocabSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tok AS (SELECT doc_id, term FROM t WHERE term <> ''),
+      |voc AS (
+      |  SELECT term FROM (
+      |    SELECT term, count(*) AS n FROM tok GROUP BY term
+      |    ORDER BY n DESC, term LIMIT 50)),
+      |j AS (
+      |  SELECT tok.doc_id, tok.term, v.term IS NOT NULL AS hit
+      |  FROM tok LEFT JOIN voc v ON tok.term = v.term)
+      |SELECT doc_id, count(*) AS n_words,
+      |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab,
+      |  CAST(sum(CASE WHEN hit THEN 1 ELSE length(term) END) AS BIGINT) AS n_tok_vocab
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Model-based quality scoring: a hashed bag-of-words LINEAR scorer —
     * the fastText-classifier shape of modern pre-training quality
     * filters (tx_quality's rule ratios are the 2015 story; production
@@ -523,6 +576,7 @@ object TextAnalysis {
       |SELECT doc_id, domain FROM r WHERE rk <= 10 ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_tokens_vocab" -> (txTokensVocab _),
     "tx_mlquality" -> (txMlQuality _),
     "tx_urlnorm" -> (txUrlnorm _),
     "q_domain_cap" -> (txDomainCap _),
@@ -537,6 +591,7 @@ object TextAnalysis {
     "tx_fingerprint" -> (txFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "tx_tokens_vocab" -> txTokensVocabSql,
     "tx_mlquality" -> txMlQualitySql,
     "tx_urlnorm" -> txUrlnormSql,
     "q_domain_cap" -> txDomainCapSql,

@@ -205,6 +205,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p3b === p3, "broadcast-path multi-probe diverged from literal path")
   }
 
+  test("vocab tokenization meters the token budget (counts compose end to end)") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, dir)
+    val counted = TextAnalysis.tokensVocab(docs)
+    // every OOV word costs at least one piece, so the vocab-aware count
+    // is bounded below by the word count
+    val bad = counted.filter(col("n_tok_vocab") < col("n_words")).count()
+    assert(bad === 0, "vocab token count below word count")
+    // the budget meter consumes the vocab counts directly: per-stratum
+    // token sums stay within budget, and reruns select identical rows
+    val metered = docs.select("doc_id", "lang").join(counted, "doc_id")
+    def sel() = Sampling.tokenBudget(metered, col("lang"), col("doc_id"),
+      col("n_tok_vocab"), 30000L)
+    val sums = sel().groupBy("lang").agg(sum("n_tok_vocab").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums.nonEmpty)
+    sums.foreach { case (l, s) => assert(s <= 30000L, s"$l over budget: $s") }
+    val a = sel().select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = sel().select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "vocab-metered budget selection not deterministic")
+  }
+
   test("token-budget selection: per-stratum sums within budget, budget increases are supersets") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, dir)
