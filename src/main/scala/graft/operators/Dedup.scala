@@ -314,7 +314,18 @@ object Dedup {
     // materialize: the band self-join would otherwise run the whole
     // tokenize + 64-bit-sum pipeline once per side
     val sim = simhash(docs).localCheckpoint()
-    val banded = sim.select(col("doc_id"), col("sh_lo"), col("sh_hi"), posexplode(array(
+    bandedHammingPairs(sim, maxHamming, maxBucket)
+  }
+
+  /** The 4 x 16-bit band join shared by [[simhashPairs]] (text SimHash)
+    * and [[mediaPairs]] (perceptual media dHash): any 64-bit signature
+    * carried as positive halves (doc_id, sh_lo, sh_hi) goes through the
+    * same banding, hot-bucket sub-split, self-join, and verified-hamming
+    * filter. Callers materialize `sig` (localCheckpoint) so the signature
+    * pipeline doesn't run once per join side. */
+  private[operators] def bandedHammingPairs(sig: DataFrame, maxHamming: Int,
+                                            maxBucket: Int): DataFrame = {
+    val banded = sig.select(col("doc_id"), col("sh_lo"), col("sh_hi"), posexplode(array(
       shiftright(col("sh_lo"), 0).bitwiseAND(65535),
       shiftright(col("sh_lo"), 16).bitwiseAND(65535),
       shiftright(col("sh_hi"), 0).bitwiseAND(65535),
@@ -368,6 +379,54 @@ object Dedup {
       |    CASE b2 WHEN 0 THEN sh_lo & 65535 WHEN 1 THEN (sh_lo >> 16) & 65535
       |            WHEN 2 THEN sh_hi & 65535 ELSE (sh_hi >> 16) & 65535 END AS bk
       |  FROM sim CROSS JOIN (SELECT unnest([0,1,2,3]) AS b2)),
+      |pairs AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    bit_count(xor(x.sh_lo, y.sh_lo)) + bit_count(xor(x.sh_hi, y.sh_hi)) AS hamming
+      |  FROM bands x JOIN bands y ON x.b2 = y.b2 AND x.bk = y.bk AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Perceptual near-duplicate media pairs — the multimodal half of
+    * training-data dedup: [[Multimodal.phash]] dHash fingerprints over
+    * the decoded-payload bytes, pushed through the SAME 4 x 16-bit band
+    * machinery as text SimHash ([[bandedHammingPairs]]). Candidate
+    * generation shuffles 24-byte signatures (never payload bytes);
+    * pigeonhole over 4 bands guarantees every pair within hamming 3 —
+    * which covers the one-byte-perturbation law (≤2 bits moved) — and
+    * md5-textured luma keeps unrelated fingerprints independent, so
+    * buckets stay birthday-bounded (~n/65536 per band) at corpus scale. */
+  def mediaPairs(docs: DataFrame, maxHamming: Int = 3,
+                 maxBucket: Int = 100000): DataFrame = {
+    val sig = Multimodal.phash(Multimodal.synthMedia(docs))
+      .toDF("doc_id", "sh_lo", "sh_hi").localCheckpoint()
+    bandedHammingPairs(sig, maxHamming, maxBucket)
+  }
+
+  def ddMedia(spark: SparkSession, dir: String): DataFrame =
+    mediaPairs(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
+
+  val ddMediaSql: String =
+    """WITH luma AS (
+      |  SELECT doc_id, i,
+      |    xor(('0x'||substr(md5(concat(doc_id // 2, ':', i // 16)),
+      |                      (i % 16) * 2 + 1, 2))::BIGINT,
+      |        CASE WHEN doc_id % 2 = 1 AND i = (doc_id // 2) % 64
+      |             THEN 128 ELSE 0 END) AS v
+      |  FROM documents, unnest(range(0, 64)) r(i)),
+      |bits AS (
+      |  SELECT a.doc_id, a.i, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+      |  FROM luma a JOIN luma b
+      |    ON a.doc_id = b.doc_id AND b.i = (a.i + 1) % 64),
+      |ph AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END)::BIGINT AS sh_lo,
+      |    sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END)::BIGINT AS sh_hi
+      |  FROM bits GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, sh_lo, sh_hi, b2,
+      |    CASE b2 WHEN 0 THEN sh_lo & 65535 WHEN 1 THEN (sh_lo >> 16) & 65535
+      |            WHEN 2 THEN sh_hi & 65535 ELSE (sh_hi >> 16) & 65535 END AS bk
+      |  FROM ph CROSS JOIN (SELECT unnest([0,1,2,3]) AS b2)),
       |pairs AS (
       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
       |    bit_count(xor(x.sh_lo, y.sh_lo)) + bit_count(xor(x.sh_hi, y.sh_hi)) AS hamming
@@ -803,6 +862,7 @@ object Dedup {
     "dd_exact" -> (ddExact _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
+    "dd_media" -> (ddMedia _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embed_cosine" -> (ddEmbedCosine _))
 
@@ -816,6 +876,7 @@ object Dedup {
     "dd_exact" -> ddExactSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_simhash" -> ddSimhashSql,
+    "dd_media" -> ddMediaSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_embed_cosine" -> ddEmbedCosineSql)
 }

@@ -55,6 +55,110 @@ object Multimodal {
     }(Encoders.row(schema)).toDF()
   }
 
+  /** Textured media payload for perceptual hashing: same container
+    * layout as [[makePayload]] (magic by id%3 + big-endian dims) but the
+    * data section stands in for DECODED LUMA — 64 bytes drawn from md5
+    * (4 digests per doc: byte i = digest(g+":"+i/16)[i%16]), which mixes
+    * well enough that unrelated docs get independent fingerprints (the
+    * plain ramp payload is too regular: every dHash would collide and
+    * the band join would degenerate to one O(n²) bucket). Docs 2k and
+    * 2k+1 share base image g=k; the odd doc perturbs ONE luma byte
+    * (xor 0x80 at position k%64) — a planted near-duplicate law the
+    * oracle re-derives analytically. */
+  private def makeMediaPayload(id: Long): Array[Byte] = {
+    val magic = (id % 3) match {
+      case 0 => PngMagic
+      case 1 => JpegMagic
+      case _ => WavMagic
+    }
+    val width = (id % 1024 + 1).toInt
+    val height = (id % 768 + 1).toInt
+    val header = Array(
+      (width >> 24).toByte, (width >> 16).toByte, (width >> 8).toByte, width.toByte,
+      (height >> 24).toByte, (height >> 16).toByte, (height >> 8).toByte, height.toByte)
+    val g = id / 2
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val luma = new Array[Byte](DataLen)
+    var blk = 0
+    while (blk < DataLen / 16) {
+      System.arraycopy(md.digest(s"$g:$blk".getBytes("UTF-8")), 0, luma, blk * 16, 16)
+      blk += 1
+    }
+    if (id % 2 == 1) {
+      val p = (g % DataLen).toInt
+      luma(p) = (luma(p) ^ 0x80).toByte
+    }
+    magic ++ header ++ luma
+  }
+
+  /** Attach the textured (luma-bearing) payload — the input to
+    * [[phash]] / [[Dedup.mediaPairs]]. */
+  def synthMedia(docs: DataFrame): DataFrame = {
+    val schema = StructType(docs.schema.fields :+ StructField("payload", BinaryType))
+    docs.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ makeMediaPayload(r.getAs[Long]("doc_id"))))
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** 64-bit difference-hash (dHash) perceptual fingerprint over the
+    * payload's decoded-luma section: bit i = [luma[(i+1)%64] > luma[i]]
+    * — a one-byte change in the image moves at most 2 bits, so near-
+    * identical media land within the band-join hamming radius. Packed as
+    * two positive 32-bit halves (ph_lo bits 0..31, ph_hi 32..63), the
+    * same signed-safe carriage as [[Dedup.simhash]], so the band
+    * machinery and the DuckDB oracle apply unchanged. Map-only: sniffs
+    * the container magic, skips the header, reads bytes — no shuffle,
+    * and at 100 TB this is the per-file decode pass feeding a cheap
+    * 16-byte-per-item dedup index. */
+  def phash(withPayload: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ph_lo", LongType),
+      StructField("ph_hi", LongType)))
+    withPayload.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val p = r.getAs[Array[Byte]](1)
+        val headerOff =
+          if (p.length >= 4 && p.take(4).sameElements(JpegMagic)) 12 else 16
+        val luma = p.drop(headerOff)
+        var lo = 0L
+        var hi = 0L
+        var i = 0
+        while (i < 64) {
+          if ((luma((i + 1) % 64) & 0xff) > (luma(i) & 0xff)) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        Row(id, lo, hi)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  def mmPhash(spark: SparkSession, dir: String): DataFrame =
+    phash(synthMedia(Tables.documents(spark, dir))).orderBy("doc_id")
+
+  /** Oracle rebuilds every luma byte from the generator law, then the
+    * same dHash — passes only if synth, sniff, header skip, and the
+    * byte-level bit packing all round-trip exactly. */
+  val mmPhashSql: String =
+    """WITH luma AS (
+      |  SELECT doc_id, i,
+      |    xor(('0x'||substr(md5(concat(doc_id // 2, ':', i // 16)),
+      |                      (i % 16) * 2 + 1, 2))::BIGINT,
+      |        CASE WHEN doc_id % 2 = 1 AND i = (doc_id // 2) % 64
+      |             THEN 128 ELSE 0 END) AS v
+      |  FROM documents, unnest(range(0, 64)) r(i)),
+      |bits AS (
+      |  SELECT a.doc_id, a.i, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+      |  FROM luma a JOIN luma b
+      |    ON a.doc_id = b.doc_id AND b.i = (a.i + 1) % 64)
+      |SELECT doc_id,
+      |  sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END)::BIGINT AS ph_lo,
+      |  sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END)::BIGINT AS ph_hi
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Sniff container type from magic bytes and parse header metadata —
     * batched per partition (no per-row task overhead), reading only the
     * payload prefix. At scale this is a map-only stage: no shuffle, and
@@ -241,11 +345,13 @@ object Multimodal {
     "mm_meta" -> (mmMeta _),
     "mm_resize" -> (mmResize _),
     "mm_frames" -> (mmFrames _),
-    "mm_features" -> (mmFeatures _))
+    "mm_features" -> (mmFeatures _),
+    "mm_phash" -> (mmPhash _))
 
   val oracles: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
     "mm_resize" -> mmResizeSql,
     "mm_frames" -> mmFramesSql,
-    "mm_features" -> mmFeaturesSql)
+    "mm_features" -> mmFeaturesSql,
+    "mm_phash" -> mmPhashSql)
 }

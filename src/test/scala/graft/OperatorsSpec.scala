@@ -205,6 +205,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p3b === p3, "broadcast-path multi-probe diverged from literal path")
   }
 
+  test("media perceptual dedup: planted one-byte-perturbed pairs all recalled") {
+    import graft.operators.{Dedup, Multimodal}
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val pairs = Dedup.mediaPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // the generator law plants (2k, 2k+1) with one luma byte perturbed —
+    // at most 2 dHash bits move, so every planted pair must surface
+    val planted = (0L until n by 2).flatMap(a =>
+      if (a + 1 < n) Some((a, a + 1)) else None).toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(found),
+      s"missed ${(planted -- found).size} of ${planted.size} planted media pairs")
+    pairs.filter(p => planted((p._1, p._2))).foreach { case (a, b, h) =>
+      assert(h <= 2, s"planted pair ($a,$b) hamming $h > 2")
+    }
+    // md5-textured luma keeps unrelated fingerprints independent: the
+    // result should be dominated by the planted pairs, not bucket noise
+    assert(pairs.length <= planted.size + 5,
+      s"${pairs.length} pairs vs ${planted.size} planted — fingerprints not independent")
+    // fingerprint halves stay positive (signed-safe oracle carriage)
+    val ph = Multimodal.phash(Multimodal.synthMedia(docs))
+      .agg(min("ph_lo"), min("ph_hi")).collect().head
+    assert(ph.getLong(0) >= 0L && ph.getLong(1) >= 0L)
+  }
+
   test("vocab tokenization meters the token budget (counts compose end to end)") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, dir)
