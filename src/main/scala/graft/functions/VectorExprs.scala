@@ -62,6 +62,22 @@ object VectorExprs {
   def quantizeInt8Pair(v: Column): Column =
     ExpressionUtils.column(QuantizeInt8Pair(ExpressionUtils.expression(v)))
 
+  /** Elementwise vector difference a - b (clamped to the shorter length)
+    * — the residual step of IVF-PQ: r = v - centroid, fed straight into
+    * [[quantizeInt8Pair]]. Codegen'd primitive loop; null-free input
+    * contract like the other kernels. */
+  def subVec(a: Column, b: Column): Column =
+    ExpressionUtils.column(SubVec(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Inverse of [[quantizeInt8]]: byte_i / scale as array<double> (all
+    * zeros when scale == 0, the zero-vector sentinel — avoids 0/0 NaN).
+    * Pure IEEE division, so reconstruction is deterministic in any
+    * engine. */
+  def dequantizeInt8(qv: Column, scale: Column): Column =
+    ExpressionUtils.column(DequantizeInt8(
+      ExpressionUtils.expression(qv), ExpressionUtils.expression(scale)))
+
   /** nearestCell(v, n2, cents): IVF coarse-quantizer assignment as one
     * codegen'd argmin loop. `cents` is array<struct<label, cvec, c2>>
     * (attached per-row from a broadcast single-row DataFrame), and the
@@ -299,6 +315,86 @@ case class DotInt8(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotInt8 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Elementwise difference — see [[VectorExprs.subVec]]. */
+case class SubVec(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_sub_vec"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = x.getDouble(i) - y.getDouble(i); i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $a.getDouble($i) - $b.getDouble($i);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubVec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** int8 reconstruction — see [[VectorExprs.dequantizeInt8]]. */
+case class DequantizeInt8(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_dequantize_int8"
+
+  override protected def nullSafeEval(qAny: Any, sAny: Any): Any = {
+    val q = qAny.asInstanceOf[Array[Byte]]
+    val scale = sAny.asInstanceOf[Double]
+    val out = new Array[Double](q.length)
+    if (scale != 0.0) {
+      var i = 0
+      while (i < q.length) { out(i) = q(i) / scale; i += 1 }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, s) => {
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |double[] $out = new double[$q.length];
+         |if ($s != 0.0) {
+         |  for (int $i = 0; $i < $q.length; $i++) {
+         |    $out[$i] = ((double) $q[$i]) / $s;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DequantizeInt8 =
     copy(left = newLeft, right = newRight)
 }
 

@@ -590,7 +590,130 @@ object Similarity {
       |  GROUP BY cell, i)
       |SELECT cell, dim, mean_v FROM c2 ORDER BY cell, dim""".stripMargin
 
+  /** IVF-PQ: the production memory-bound ANN index — coarse IVF cells
+    * plus int8-quantized RESIDUALS (v - centroid). Residuals are an
+    * order of magnitude smaller than raw vectors, so a symmetric int8
+    * grid loses far less than quantizing v directly; the stored index
+    * row is (vec_id, cell, qr BINARY, rscale) ≈ 80 bytes vs 512 — the
+    * difference between scanning 100 TB and 15 TB. Queries stay float
+    * (asymmetric distance, ADC): each candidate is scored against the
+    * reconstruction x̃ = cvec + qr/rscale via the algebraic split
+    * dot(q,x̃) = dot(q,c) + dot(q,r̃) and |x̃|² = c² + 2·dot(c,r̃) + |r̃|²,
+    * so the scan reads only index bytes and the per-cell dot(q,c) terms
+    * come from the broadcast (nlist-row) quantizer. Every step —
+    * broadcast argmin assignment, SubVec residual, the fused int8 pack,
+    * IEEE dequantization, sequential-fold dots — is deterministic, so
+    * the full SQL oracle replays it bit-for-bit. The quantizer is
+    * cache()'d (lazy, nlist rows): composition stays action-free and
+    * the three uses share one materialization. */
+  def ivfPqTopK(emb: DataFrame, isQuery: Column => Column, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExprs.{dequantizeInt8, quantizeInt8Pair, subVec}
+    // zero-norm / non-finite vectors out of contract — same guard and
+    // rationale as int8TopK, applied before anything else
+    val n2f = dot(col("embedding").cast(ArrayType(DoubleType)),
+      col("embedding").cast(ArrayType(DoubleType)))
+    val femb = emb.filter(n2f > 0 && n2f < lit(Double.PositiveInfinity))
+    val all = normed(femb)
+    val cvecs = centroidVectors(centroids(femb)).cache()
+    val assigned = assignCellsBroadcast(all, cvecs)
+    // the stored index: quantized residual per row, nothing float-wide
+    val index = assigned
+      .join(broadcast(cvecs), col("cell") === col("c_label"))
+      .withColumn("_rq", quantizeInt8Pair(subVec(col("v"), col("cvec"))))
+      .select(col("vec_id"), col("cell"),
+        col("_rq").getField("qv").as("qr"),
+        col("_rq").getField("scale").as("rscale"))
+    val queries = assigned.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv2"),
+        col("n2").as("qn2"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cospq").desc, col("vec_id"))
+    broadcast(queries)
+      .join(index, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(broadcast(cvecs), col("cell") === col("c_label"))
+      .withColumn("rt", dequantizeInt8(col("qr"), col("rscale")))
+      .select(col("q_id"), col("vec_id"),
+        ((dot(col("qv2"), col("cvec")) + dot(col("qv2"), col("rt"))) /
+          (sqrt(col("qn2")) * sqrt(col("c2") +
+            lit(2.0) * dot(col("cvec"), col("rt")) + dot(col("rt"), col("rt")))))
+          .as("cospq"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cospq"))
+  }
+
+  def annIvfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopK(Tables.embeddings(spark, dir), v => v < 10).orderBy("q_id", "rk")
+
+  /** Replays the whole IVF-PQ chain: integer-sum centroids, (d2, label)
+    * argmin assignment, elementwise residual, max-abs int8 pack, IEEE
+    * reconstruction, and the ADC cosine with the identical operation
+    * order — hash-matches Spark bit-for-bit. */
+  val annIvfPqTopKSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+      |  FROM embeddings
+      |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+      |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+      |        < 'infinity'::DOUBLE),
+      |tall AS (
+      |  SELECT label, i - 1 AS dim, CAST(v[i] AS DOUBLE) AS val
+      |  FROM n, unnest(range(1, len(v) + 1)) r(i)),
+      |cent AS (
+      |  SELECT label, dim,
+      |    (CAST(sum(CAST(floor(val * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+      |      / count(*)) / 1099511627776.0 AS mean_v
+      |  FROM tall GROUP BY label, dim),
+      |cv AS (SELECT label, list(mean_v ORDER BY dim) AS cvec FROM cent GROUP BY label),
+      |cv2 AS (SELECT label, cvec, list_dot_product(cvec, cvec) AS c2 FROM cv),
+      |dists AS (
+      |  SELECT n.vec_id, n.v, n.n2, c.label,
+      |    n.n2 - 2.0 * list_dot_product(n.v, c.cvec)
+      |      + list_dot_product(c.cvec, c.cvec) AS d2
+      |  FROM n CROSS JOIN cv2 c),
+      |assign AS (
+      |  SELECT vec_id, v, n2, label AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+      |    FROM dists) WHERE rn = 1),
+      |rq AS (
+      |  SELECT a.vec_id, a.cell,
+      |    [a.v[i + 1] - c.cvec[i + 1] for i in range(0, 64)] AS r
+      |  FROM assign a JOIN cv2 c ON a.cell = c.label),
+      |rs AS (
+      |  SELECT vec_id, cell, r,
+      |    list_max(list_transform(r, x -> abs(x))) AS mx
+      |  FROM rq),
+      |rb AS (
+      |  SELECT vec_id, cell,
+      |    CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS rscale,
+      |    list_transform(r, x ->
+      |      floor(x * (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END) + 0.5)) AS qr
+      |  FROM rs),
+      |rt AS (
+      |  SELECT vec_id, cell,
+      |    list_transform(qr, b ->
+      |      CASE WHEN rscale = 0 THEN 0.0 ELSE b / rscale END) AS rv
+      |  FROM rb),
+      |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, cell
+      |      FROM assign WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q_id, t.vec_id,
+      |    (list_dot_product(qv, c.cvec) + list_dot_product(qv, t.rv)) /
+      |    (sqrt(qn2) * sqrt(c.c2 + 2.0 * list_dot_product(c.cvec, t.rv)
+      |       + list_dot_product(t.rv, t.rv))) AS cospq
+      |  FROM q JOIN rt t ON q.cell = t.cell AND q.q_id <> t.vec_id
+      |  JOIN cv2 c ON t.cell = c.label),
+      |ranked AS (
+      |  SELECT q_id, vec_id AS neighbor_id, cospq,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cospq DESC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT q_id, neighbor_id, rk, cospq FROM ranked WHERE rk <= 5
+      |ORDER BY q_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_kmeans" -> (annKmeans _),
     "ann_int8_topk" -> (annInt8TopK _),
     "ann_brute_topk" -> (annBruteTopK _),
@@ -600,6 +723,7 @@ object Similarity {
     "ann_centroids" -> (annCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "ann_ivfpq_topk" -> annIvfPqTopKSql,
     "ann_kmeans" -> annKmeansSql,
     "ann_int8_topk" -> annInt8TopKSql,
     "ann_brute_topk" -> annBruteTopKSql,

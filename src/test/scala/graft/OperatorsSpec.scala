@@ -124,6 +124,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf.size <= brute.size)
   }
 
+  test("IVF-PQ: quantized-residual ranking tracks the exact same-cell ranking") {
+    val emb = Tables.embeddings(spark, dir)
+    // same candidate set as exact IVF (identical cells), only the
+    // ranking runs on int8 residual reconstructions — so recall vs the
+    // exact-IVF top-5 isolates the quantization loss, which for
+    // residuals (an order of magnitude smaller than raw vectors on a
+    // symmetric 127-step grid) should be near-lossless
+    val exact = Similarity.ivfTopK(emb, v => v < 10)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ivfPqTopK(emb, v => v < 10)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"IVF-PQ recall vs exact IVF $recall")
+    assert(pq.size === exact.size, "PQ candidate set diverged from IVF cells")
+  }
+
   test("IVF broadcast-join assignment path matches the literal-fold path exactly") {
     val emb = Tables.embeddings(spark, dir)
     def rows(df: org.apache.spark.sql.DataFrame) =
