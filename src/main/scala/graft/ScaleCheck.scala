@@ -155,6 +155,22 @@ object ScaleCheck {
         val emb = synthEmb(docs).localCheckpoint()
         Similarity.kmeans(emb, k = 256, iters = 2).count()
       },
+      // perceptual media dedup at corpus scale: payload synthesis and
+      // dHash are map-only; the band join shuffles 24-byte signatures
+      // whose md5-textured fingerprints are independent, so buckets stay
+      // birthday-bounded (~rows/65536 per band) — cost tracks planted
+      // pair mass, not rows²
+      t("dd_media")(Dedup.mediaPairs(docs).count()),
+      // IVF-PQ at production quantizer size: assignment + residual int8
+      // pack run against the broadcast nlist=1024 quantizer (zero
+      // shuffle); scoring reads ~80-byte index rows — must stay linear
+      // in rows like ann_ivf_1024
+      t("ann_ivfpq_1024") {
+        val emb = synthEmb(docs).withColumn("label",
+          pmod(xxhash64(col("vec_id"), lit(4242L)), lit(1024L)).cast("int"))
+          .localCheckpoint()
+        Similarity.ivfPqTopK(emb, v => v < 10).count()
+      },
       // contamination sweep: a 1k-doc benchmark set against the corpus —
       // the bench shingle set broadcasts, the corpus is scanned once
       t("dd_contamination") {

@@ -236,6 +236,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus-side explode crept into assignment:\n$ex")
   }
 
+  test("media dedup joins band keys hash-wise, never an all-pairs product") {
+    val df = Dedup.mediaPairs(Tables.documents(spark, dir))
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    assert(!ex.contains("BroadcastNestedLoopJoin") && !ex.contains("CartesianProduct"),
+      s"media dedup degenerated into a product join:\n$ex")
+    // candidate pairs come from an equi-join on the (band, key) columns —
+    // the fingerprint payload shuffled is 24 bytes/row, never media bytes
+    assert(ex.contains("HashJoin") || ex.contains("SortMergeJoin"),
+      s"no equi-join on the band key:\n$ex")
+    assert(!ex.contains("payload#"), s"media payload bytes reached the join:\n$ex")
+  }
+
+  test("IVF-PQ: broadcast argmin + native residual kernels, no sort aggregate") {
+    val df = Similarity.annIvfPqTopK(spark, dir)
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    // assignment must be the broadcast-quantizer native argmin (the
+    // 100 TB path — PQ has no literal variant), residual pack and ADC
+    // reconstruction must be the native kernels, and nothing may fall
+    // back to a sort-based aggregate or a corpus-side explode
+    assert(ex.contains("graft_nearest_cell"),
+      s"native argmin assignment missing:\n$ex")
+    assert(ex.contains("graft_quantize_int8_pair") && ex.contains("graft_sub_vec"),
+      s"fused residual quantization kernel missing:\n$ex")
+    assert(ex.contains("graft_dequantize_int8"),
+      s"ADC reconstruction kernel missing:\n$ex")
+    assert(!ex.contains("SortAggregate"),
+      s"sort-based aggregate crept into the PQ plan:\n$ex")
+    assert(!ex.contains("Generate explode"),
+      s"corpus-side explode crept into the PQ plan:\n$ex")
+  }
+
   test("salted join stays an equi-join and spreads keys over salt shards") {
     val li = Tables.lineitem(spark, dir)
       .select(org.apache.spark.sql.functions.col("l_partkey").as("partkey"),
