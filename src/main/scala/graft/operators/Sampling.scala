@@ -226,13 +226,55 @@ object Sampling {
       |FROM cnt, unnest(range(0, n)) r(e)
       |ORDER BY doc_id, epoch""".stripMargin
 
+  /** Deterministic global shuffle + sharding — the LAST step of a
+    * training-data pipeline: the curated corpus must reach the trainer in
+    * a fixed pseudo-random order, split into shard files, and the order
+    * must be reproducible run-to-run and engine-to-engine (restarts,
+    * data-parallel readers, and audits all depend on it). The shuffle
+    * key is a salted 60-bit md5 of the row key — uniform, so shard sizes
+    * balance (corpus/nShards each) and the within-shard hash order IS
+    * the global pseudo-random order restricted to that shard.
+    *
+    * Scale: one hash-partition shuffle on `shard` + a per-shard sort.
+    * nShards is chosen so a shard ≈ one output file (256 MB–1 GB) —
+    * thousands of shards at 100 TB — so the per-task sort input is
+    * bounded by the FILE size contract, not the corpus; there is no
+    * global sort and no single-reducer stage anywhere. */
+  def shuffleExport(df: DataFrame, key: Column, nShards: Int = 16): DataFrame = {
+    val k = conv(substring(hashKey(key, "export"), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("_shard")).orderBy(col("_k"), key)
+    df.withColumn("_k", k)
+      .withColumn("_shard", pmod(col("_k"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumnRenamed("_shard", "shard")
+      .drop("_k")
+  }
+
+  def qShuffleExport(spark: SparkSession, dir: String): DataFrame =
+    shuffleExport(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang")), col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+
+  val qShuffleExportSql: String =
+    """WITH k AS (
+      |  SELECT doc_id, lang,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':export'),1,15))::BIGINT AS _k
+      |  FROM documents)
+      |SELECT doc_id, lang, CAST(_k % 16 AS INTEGER) AS shard,
+      |  row_number() OVER (PARTITION BY _k % 16 ORDER BY _k, doc_id) AS pos
+      |FROM k ORDER BY shard, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shuffle_export" -> (qShuffleExport _),
     "q_sample" -> (qSample _),
     "q_sample_rate" -> (qSampleRate _),
     "q_token_budget" -> (qTokenBudget _),
     "q_sample_epochs" -> (qSampleEpochs _))
 
   val oracles: Map[String, String] = Map(
+    "q_shuffle_export" -> qShuffleExportSql,
     "q_sample" -> qSampleSql,
     "q_sample_rate" -> qSampleRateSql,
     "q_token_budget" -> qTokenBudgetSql,

@@ -389,6 +389,75 @@ object TextAnalysis {
       |  CAST(sum(CASE WHEN hit THEN 1 ELSE length(term) END) AS BIGINT) AS n_tok_vocab
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Cross-document boilerplate span removal — the C4/RefinedWeb "remove
+    * any span that repeats across the corpus" curation step (nav bars,
+    * cookie banners, license footers): non-overlapping `span`-word
+    * chunks, a corpus document-frequency count per chunk, and docs
+    * reassembled (in order, tail words always kept) from the chunks
+    * whose df stays within `maxDf`.
+    *
+    * Scale: chunking is a projection; the df count shuffles 16-byte
+    * md5(chunk) keys with map-side combine, never chunk text; the
+    * hot-chunk join is a left anti on the same hash (the hot set is
+    * tiny — boilerplate is few DISTINCT strings however many
+    * occurrences); reassembly is the one unavoidable corpus-text
+    * shuffle, keyed on doc_id. No per-doc quadratics anywhere. */
+  def boilerplate(docs: DataFrame, span: Int = 8, maxDf: Int = 1): DataFrame = {
+    val words = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    def nc = floor(size(col("ws")) / span).cast("long")
+    val chunks = words.filter(size(col("ws")) >= span)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L), nc - 1)).as("ci"))
+      .select(col("doc_id"), col("ci"),
+        array_join(slice(col("ws"), (col("ci") * span + 1).cast("int"),
+          lit(span)), " ").as("chunk"))
+      .withColumn("_h", md5(col("chunk")))
+    val hot = chunks.groupBy(col("_h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("_h"), lit(true).as("_hot"))
+    val body = chunks.join(hot, Seq("_h"), "left_outer")
+      .filter(col("_hot").isNull)
+      .groupBy(col("doc_id")).agg(
+        array_join(array_sort(collect_list(struct(col("ci"), col("chunk"))))
+          .getField("chunk"), " ").as("body"),
+        count(lit(1)).as("n_kept"))
+    words.select(col("doc_id"), nc.as("nc"),
+        array_join(slice(col("ws"), (nc * span + 1).cast("int"),
+          (size(col("ws")) - nc * span).cast("int")), " ").as("tail"))
+      .join(body, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        trim(concat(coalesce(col("body"), lit("")), lit(" "), col("tail")))
+          .as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("nc") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  def txBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplate(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val txBoilerplateSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (
+      |  SELECT doc_id, i AS ci, array_to_string(ws[i*8+1:i*8+8], ' ') AS chunk
+      |  FROM w, unnest(range(0, len(ws) // 8)) r(i)),
+      |df AS (SELECT chunk, count(*) AS df FROM c GROUP BY chunk),
+      |kept AS (
+      |  SELECT c.doc_id, c.ci, c.chunk
+      |  FROM c JOIN df USING (chunk) WHERE df.df <= 1),
+      |body AS (
+      |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS body,
+      |    count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id),
+      |t AS (
+      |  SELECT doc_id, len(ws) // 8 AS nc,
+      |    array_to_string(ws[(len(ws) // 8) * 8 + 1 : len(ws)], ' ') AS tail
+      |  FROM w)
+      |SELECT t.doc_id,
+      |  trim(concat(coalesce(b.body, ''), ' ', t.tail)) AS clean_text,
+      |  coalesce(b.n_kept, 0) AS n_kept,
+      |  t.nc - coalesce(b.n_kept, 0) AS n_dropped
+      |FROM t LEFT JOIN body b USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Model-based quality scoring: a hashed bag-of-words LINEAR scorer —
     * the fastText-classifier shape of modern pre-training quality
     * filters (tx_quality's rule ratios are the 2015 story; production
@@ -577,6 +646,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_tokens_vocab" -> (txTokensVocab _),
+    "tx_boilerplate" -> (txBoilerplate _),
     "tx_mlquality" -> (txMlQuality _),
     "tx_urlnorm" -> (txUrlnorm _),
     "q_domain_cap" -> (txDomainCap _),
@@ -592,6 +662,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "tx_tokens_vocab" -> txTokensVocabSql,
+    "tx_boilerplate" -> txBoilerplateSql,
     "tx_mlquality" -> txMlQualitySql,
     "tx_urlnorm" -> txUrlnormSql,
     "q_domain_cap" -> txDomainCapSql,

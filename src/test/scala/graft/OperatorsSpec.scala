@@ -249,6 +249,58 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ph.getLong(0) >= 0L && ph.getLong(1) >= 0L)
   }
 
+  test("shuffle export: a balanced deterministic permutation into shards") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    def run() = Sampling.shuffleExport(docs, col("doc_id"))
+    val a = run().collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val b = run().collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq, "export order not deterministic")
+    // a permutation: every doc exactly once, positions dense per shard
+    assert(a.map(_._1).distinct.length === a.length)
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // uniform hash → no shard more than ~3x the mean at this corpus size
+    val sizes = a.groupBy(_._2).values.map(_.length)
+    assert(sizes.max <= 3 * (a.length / 16 + 1), s"shard skew: ${sizes.toSeq.sorted}")
+  }
+
+  test("boilerplate removal: repeated spans dropped, word accounting exact") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, dir)
+    val out = TextAnalysis.boilerplate(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // double-entry check: recompute the chunk-df policy in plain Scala
+    // collections and demand identical per-doc keep/drop decisions
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val chunksOf = raw.map { case (id, t) =>
+      id -> t.split(" ").grouped(8).filter(_.length == 8)
+        .map(_.mkString(" ")).toSeq
+    }.toMap
+    val dfCount = chunksOf.values.flatten.toSeq
+      .groupBy(identity).map { case (c, o) => c -> o.size }
+    chunksOf.foreach { case (id, cs) =>
+      val kept = cs.count(c => dfCount(c) <= 1).toLong
+      assert(out(id)._2 === kept, s"doc $id kept ${out(id)._2}, expected $kept")
+      assert(out(id)._3 === cs.size - kept)
+    }
+    assert(out.values.exists(_._3 > 0L), "corpus has no repeated spans to drop")
+    // word accounting: clean words = span * n_kept + tail words
+    val words = docs.select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { case (id, (txt, kept, dropped)) =>
+      val nClean = if (txt.isEmpty) 0 else txt.split(" ").length
+      val tailWords = words(id) % 8
+      assert(nClean === 8 * kept + tailWords, s"doc $id word accounting off")
+      assert(kept + dropped === words(id) / 8)
+    }
+    // something must survive too — the op is a filter, not a deleter
+    assert(out.values.exists(_._2 > 0))
+  }
+
   test("vocab tokenization meters the token budget (counts compose end to end)") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, dir)
