@@ -155,6 +155,20 @@ object ScaleCheck {
         val emb = synthEmb(docs).localCheckpoint()
         Similarity.kmeans(emb, k = 256, iters = 2).count()
       },
+      // cross-doc boilerplate removal at corpus scale: chunk df shuffles
+      // 16-byte hashes (map-side combined); the reassembly shuffle is the
+      // one corpus-text exchange — cost must stay linear in rows
+      // summed output length (not count): count() would let Catalyst
+      // prune the reassembly concat and undercount the real work
+      t("tx_boilerplate")(TextAnalysis.boilerplate(docs)
+        .agg(sum(length(col("clean_text")))).head.getLong(0)),
+      // deterministic shard export: nShards scales with the corpus so the
+      // per-shard sort input is bounded by the file-size contract — 128
+      // shards at 2M rows ≈ 16k rows/shard. max(pos) (not count) keeps
+      // the window from being pruned as cardinality-neutral
+      t("q_shuffle_export")(graft.operators.Sampling.shuffleExport(
+        docs.select(col("doc_id")), col("doc_id"), nShards = 128)
+        .agg(max(col("pos"))).head.getLong(0)),
       // perceptual media dedup at corpus scale: payload synthesis and
       // dHash are map-only; the band join shuffles 24-byte signatures
       // whose md5-textured fingerprints are independent, so buckets stay
