@@ -644,7 +644,85 @@ object TextAnalysis {
       |  FROM u)
       |SELECT doc_id, domain FROM r WHERE rk <= 10 ORDER BY doc_id""".stripMargin
 
+  /** q_curation_e2e: the WHOLE web-curation pipeline as ONE composed
+    * query — the flagship "a reference user runs their entire flow here"
+    * showcase. Stages, each individually oracle-verified elsewhere:
+    *
+    *   1. URL canonicalize → registrable domain  (tx_urlnorm, projection)
+    *   2. per-domain cap, 10 docs                (q_domain_cap, WindowGroupLimit)
+    *   3. model quality filter, score > 0        (tx_mlquality, one agg)
+    *   4. exact content dedup, keep min doc_id   (dd_exact, hash window)
+    *   5. per-language token budget, 20k chars   (q_token_budget, two-phase)
+    *   6. deterministic shard export, 4 shards   (q_shuffle_export)
+    *
+    * Every stage is deterministic, so the composition hash-matches the
+    * replayed DuckDB chain end to end. Scale: the stages shuffle
+    * (domain), (doc_id), (md5(text)), (lang,bucket), (shard) — five
+    * bounded exchanges, no stage widens the data, caps/filters shrink
+    * it monotonically; each stage's 100 TB behavior is argued (and
+    * rehearsed) at its own §2 row. */
+  def qCurationE2e(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .withColumn("domain", urlDomain(normalizeUrl(synthUrl)))
+    val capped = Sampling.stratified(docs, col("domain"), col("doc_id"), 10)
+    val scored = capped
+      .join(mlQuality(capped).select(col("doc_id"), col("ml_score")), Seq("doc_id"))
+      .filter(col("ml_score") > 0)
+    val deduped = scored
+      .withColumn("_keep", min(col("doc_id")).over(
+        Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("_keep")).drop("_keep")
+    val budgeted = Sampling.tokenBudget(deduped, col("lang"), col("doc_id"),
+      col("n_chars"), 20000L)
+    Sampling.shuffleExport(
+        budgeted.select(col("doc_id"), col("lang"), col("domain"), col("ml_score")),
+        col("doc_id"), nShards = 4)
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val qCurationE2eSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, text, lang, n_chars,
+      |    lower(source) || '.example.com' AS domain
+      |  FROM documents),
+      |cap AS (
+      |  SELECT doc_id, text, lang, n_chars, domain FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY domain
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)||':strat'), doc_id) AS rk
+      |    FROM u) WHERE rk <= 10),
+      |f AS (
+      |  SELECT doc_id,
+      |    ('0x'||substr(md5('w:'||CAST(
+      |      ('0x'||substr(md5(term),1,15))::BIGINT % 64 AS VARCHAR)),1,10))::BIGINT AS w
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM cap)
+      |  WHERE term <> ''),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |      / 1099511627776.0 * 2.0 - 1.0 AS ml_score
+      |  FROM f GROUP BY doc_id),
+      |q AS (
+      |  SELECT cap.*, sc.ml_score FROM cap JOIN sc USING (doc_id)
+      |  WHERE sc.ml_score > 0),
+      |d AS (
+      |  SELECT * FROM q WHERE doc_id IN (
+      |    SELECT min(doc_id) FROM q GROUP BY md5(text))),
+      |b AS (
+      |  SELECT doc_id, lang, domain, ml_score FROM (
+      |    SELECT *, sum(n_chars) OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)||':budget'), doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |    FROM d) WHERE cum <= 20000),
+      |k AS (
+      |  SELECT *, ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':export'),1,15))::BIGINT AS _k
+      |  FROM b)
+      |SELECT doc_id, lang, domain, ml_score, CAST(_k % 4 AS INTEGER) AS shard,
+      |  row_number() OVER (PARTITION BY _k % 4 ORDER BY _k, doc_id) AS pos
+      |FROM k ORDER BY shard, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_e2e" -> (qCurationE2e _),
     "tx_tokens_vocab" -> (txTokensVocab _),
     "tx_boilerplate" -> (txBoilerplate _),
     "tx_mlquality" -> (txMlQuality _),
@@ -661,6 +739,7 @@ object TextAnalysis {
     "tx_fingerprint" -> (txFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_curation_e2e" -> qCurationE2eSql,
     "tx_tokens_vocab" -> txTokensVocabSql,
     "tx_boilerplate" -> txBoilerplateSql,
     "tx_mlquality" -> txMlQualitySql,

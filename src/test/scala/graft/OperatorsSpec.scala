@@ -249,6 +249,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ph.getLong(0) >= 0L && ph.getLong(1) >= 0L)
   }
 
+  test("curation pipeline: every stage's invariant holds on the composed output") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.qCurationE2e(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3),
+        r.getInt(4), r.getLong(5)))
+    assert(out.nonEmpty, "pipeline selected nothing")
+    // stage 2: no domain exceeds its cap
+    out.groupBy(_._3).foreach { case (dom, rows) =>
+      assert(rows.length <= 10, s"domain $dom over cap: ${rows.length}")
+    }
+    // stage 3: only positive-scored docs survive
+    assert(out.forall(_._4 > 0), "negative-score doc leaked through")
+    // stage 5: per-language char budget holds on the ORIGINAL doc sizes
+    val chars = Tables.documents(spark, dir).select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val total = rows.map(r => chars(r._1)).sum
+      assert(total <= 20000L, s"$lang over budget: $total")
+    }
+    // stage 6: positions dense per shard, permutation intact
+    assert(out.map(_._1).distinct.length === out.length)
+    out.groupBy(_._5).foreach { case (shard, rows) =>
+      assert(rows.map(_._6).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+  }
+
   test("shuffle export: a balanced deterministic permutation into shards") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
