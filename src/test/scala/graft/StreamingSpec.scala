@@ -297,6 +297,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing: ${(1L to 150L).toSet.diff(got.toSet)}")
   }
 
+  test("streaming near-dup pairs equal the batch band join, across micro-batches") {
+    import graft.streaming.DedupStream
+    import spark.implicits._
+    // split the corpus into 2 files → 2 micro-batches, so pairs spanning
+    // the boundary prove the per-bucket signature state carries over
+    val d = Files.createTempDirectory("graft-docs-stream")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val half = docs.count() / 2
+    docs.filter(col("doc_id") < half).coalesce(1)
+      .write.parquet(d.resolve("p1").toString)
+    docs.filter(col("doc_id") >= half).coalesce(1)
+      .write.parquet(d.resolve("p2").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(d.toString + "/*")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val (lo, hi) = DedupStream.signature(t)
+        DedupStream.DocSig(id, lo, hi)
+      }
+    val q = DedupStream.nearDupPairs(DedupStream.bandDocs(stream))
+      .writeStream.format("memory").queryName("ndp")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ndp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = graft.operators.Dedup.simhashPairs(Tables.documents(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batch.nonEmpty, "corpus has no near-dup pairs to find")
+    assert(streamed === batch,
+      s"streamed pairs diverged: missing=${(batch -- streamed).size} " +
+        s"extra=${(streamed -- batch).size}")
+  }
+
   test("mapGroupsWithState running totals converge to batch per-user totals") {
     val q = EventStreams.runningUserTotals(EventStreams.readEvents(spark, eventsDir))
       .writeStream.format("memory").queryName("ut")
