@@ -434,6 +434,112 @@ object Dedup {
       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** SemDeDup-style SEMANTIC dedup: near-dup pairs by embedding cosine
+    * within cells of a TRAINED quantizer — [[Similarity.kmeans]] clusters
+    * the corpus, every vector is assigned by the broadcast argmin, and
+    * the quadratic cosine comparison runs only INSIDE a cell. This is
+    * the published SemDeDup recipe (cluster first, compare within
+    * clusters): k scales with the corpus (k ~ N/cellSize), so per-cell
+    * work is bounded and total cost is N x cellSize, never N². Near-
+    * identical vectors land in the same cell by construction (argmin of
+    * a shared quantizer), so within-cell blocking loses only pairs that
+    * straddle a cell boundary — the standard, documented SemDeDup trade.
+    * Deterministic end to end (deterministic training, assignment,
+    * sequential-fold cosine) → the full SQL oracle replays training +
+    * assignment + pairing bit-for-bit. */
+  def semanticPairs(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                    minCos: Double = 0.4): DataFrame = {
+    val dvec = col("embedding").cast(ArrayType(DoubleType))
+    val n2f = Similarity.dot(dvec, dvec)
+    // zero-norm / non-finite vectors out of contract (cos undefined /
+    // NaN-ranking divergence) — same guard as int8TopK/ivfPqTopK
+    val femb = emb.filter(n2f > 0 && n2f < lit(Double.PositiveInfinity))
+    val all = femb.select(col("vec_id"), dvec.as("v"))
+      .withColumn("n2", Similarity.dot(col("v"), col("v")))
+    val cvecs = Similarity.centroidVectors(
+      Similarity.kmeans(femb, k, iters)
+        .select(col("cell").as("label"), col("dim"), col("mean_v"))).cache()
+    val assigned = Similarity.assignCellsBroadcast(all, cvecs)
+      .select(col("vec_id"), col("v"), col("n2"), col("cell"))
+    assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        (Similarity.dot(col("x.v"), col("y.v")) /
+          (sqrt(col("x.n2")) * sqrt(col("y.n2")))).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  def ddSemantic(spark: SparkSession, dir: String): DataFrame =
+    semanticPairs(Tables.embeddings(spark, dir)).orderBy("vec_a", "vec_b")
+
+  /** Replays kmeans training (2 Lloyd iterations, md5 seeds), the
+    * (d2, label) argmin assignment, and the within-cell cosine join —
+    * hash-matches Spark bit-for-bit. */
+  val ddSemanticSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+      |  FROM embeddings
+      |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+      |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+      |        < 'infinity'::DOUBLE),
+      |ranked AS (
+      |  SELECT vec_id, v,
+      |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS label
+      |  FROM n),
+      |c0 AS (
+      |  SELECT label, i - 1 AS dim, CAST(v[i] AS DOUBLE) AS mean_v
+      |  FROM ranked, unnest(range(1, len(v) + 1)) r(i)
+      |  WHERE label < 8),
+      |cv0 AS (SELECT label, list(mean_v ORDER BY dim) AS cvec FROM c0 GROUP BY label),
+      |d0 AS (
+      |  SELECT n.vec_id, n.v, c.label,
+      |    n.n2 - 2.0 * list_dot_product(n.v, c.cvec)
+      |      + list_dot_product(c.cvec, c.cvec) AS d2
+      |  FROM n CROSS JOIN cv0 c),
+      |a0 AS (
+      |  SELECT vec_id, v, label AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+      |    FROM d0) WHERE rn = 1),
+      |c1 AS (
+      |  SELECT cell AS label, i - 1 AS dim,
+      |    (CAST(sum(CAST(floor(v[i] * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+      |      / count(*)) / 1099511627776.0 AS mean_v
+      |  FROM a0, unnest(range(1, len(v) + 1)) r(i)
+      |  GROUP BY cell, i),
+      |cv1 AS (SELECT label, list(mean_v ORDER BY dim) AS cvec FROM c1 GROUP BY label),
+      |d1 AS (
+      |  SELECT n.vec_id, n.v, c.label,
+      |    n.n2 - 2.0 * list_dot_product(n.v, c.cvec)
+      |      + list_dot_product(c.cvec, c.cvec) AS d2
+      |  FROM n CROSS JOIN cv1 c),
+      |a1 AS (
+      |  SELECT vec_id, v, label AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |c2 AS (
+      |  SELECT cell, i - 1 AS dim,
+      |    (CAST(sum(CAST(floor(v[i] * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+      |      / count(*)) / 1099511627776.0 AS mean_v
+      |  FROM a1, unnest(range(1, len(v) + 1)) r(i)
+      |  GROUP BY cell, i),
+      |cvf AS (SELECT cell AS label, list(mean_v ORDER BY dim) AS cvec FROM c2 GROUP BY cell),
+      |dfin AS (
+      |  SELECT n.vec_id, n.v, n.n2, c.label,
+      |    n.n2 - 2.0 * list_dot_product(n.v, c.cvec)
+      |      + list_dot_product(c.cvec, c.cvec) AS d2
+      |  FROM n CROSS JOIN cvf c),
+      |afin AS (
+      |  SELECT vec_id, v, n2, label AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+      |    FROM dfin) WHERE rn = 1),
+      |pairs AS (
+      |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+      |    list_dot_product(x.v, y.v) / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+      |  FROM afin x JOIN afin y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+      |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   /** Word-3-gram Jaccard pair similarity via an inverted-index join on
     * shared shingles: pairs are generated only where at least one shingle
     * is shared (never the full cross product), counted per pair, then
@@ -863,6 +969,7 @@ object Dedup {
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
     "dd_media" -> (ddMedia _),
+    "dd_semantic" -> (ddSemantic _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embed_cosine" -> (ddEmbedCosine _))
 
@@ -877,6 +984,7 @@ object Dedup {
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_media" -> ddMediaSql,
+    "dd_semantic" -> ddSemanticSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_embed_cosine" -> ddEmbedCosineSql)
 }
