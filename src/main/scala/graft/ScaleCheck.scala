@@ -185,6 +185,15 @@ object ScaleCheck {
           .localCheckpoint()
         Similarity.ivfPqTopK(emb, v => v < 10).count()
       },
+      // SemDeDup at production shape: k=1024 trained cells bound the
+      // within-cell quadratic at (rows/1024)² per cell; training +
+      // assignment are the proven broadcast-argmin passes. High minCos:
+      // uniform positive synthetic vectors concentrate near cos 0.75,
+      // so 0.95 isolates the near-dup tail the operator exists for
+      t("dd_semantic_1024") {
+        val emb = synthEmb(docs).localCheckpoint()
+        Dedup.semanticPairs(emb, k = 1024, minCos = 0.95).count()
+      },
       // contamination sweep: a 1k-doc benchmark set against the corpus —
       // the bench shingle set broadcasts, the corpus is scanned once
       t("dd_contamination") {

@@ -269,6 +269,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus-side explode crept into the PQ plan:\n$ex")
   }
 
+  test("semantic dedup: within-cell equi-join, broadcast argmin assignment") {
+    val df = Dedup.ddSemantic(spark, dir)
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    // the pair join must be an equi-join on the cell id — an all-pairs
+    // product here would be the N² SemDeDup explicitly avoids; the only
+    // nested-loop joins allowed are the broadcast quantizer attaches
+    assert(ex.contains("graft_nearest_cell"),
+      s"native argmin assignment missing:\n$ex")
+    assert(!ex.contains("CartesianProduct"),
+      s"semantic pairing degenerated into a product join:\n$ex")
+    assert(ex.contains("SortMergeJoin") || ex.contains("ShuffledHashJoin") ||
+      ex.contains("BroadcastHashJoin"),
+      s"no equi-join on the cell id:\n$ex")
+    assert(!ex.contains("SortAggregate"),
+      s"sort-based aggregate crept into the semantic plan:\n$ex")
+  }
+
   test("salted join stays an equi-join and spreads keys over salt shards") {
     val li = Tables.lineitem(spark, dir)
       .select(org.apache.spark.sql.functions.col("l_partkey").as("partkey"),
