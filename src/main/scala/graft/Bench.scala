@@ -125,9 +125,12 @@ object Bench {
       val cap = prior.get(name).filter(_ > 0).map(_ * 3)
       var noisy = false
       if (ok && cap.exists(c => best > c && best > 0.5)) {
+        // the retry can only IMPROVE the time, never flip a query that
+        // already passed its two contractual runs to failed — a transient
+        // error on this extra run under contention would otherwise make
+        // the failed set load-dependent
         val (t3, _, ok3) = runOnce(name)
-        ok &&= ok3
-        best = math.min(best, t3)
+        if (ok3) best = math.min(best, t3)
         noisy = best > cap.get && best > 0.5
       }
       (name, best, shuffle, ok, noisy)

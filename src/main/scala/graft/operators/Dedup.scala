@@ -456,9 +456,12 @@ object Dedup {
     val femb = emb.filter(n2f > 0 && n2f < lit(Double.PositiveInfinity))
     val all = femb.select(col("vec_id"), dvec.as("v"))
       .withColumn("n2", Similarity.dot(col("v"), col("v")))
+    // lazy localCheckpoint, not cache(): k rows, shared by both join
+    // sides, blocks freed on GC (no CacheManager entry leak)
     val cvecs = Similarity.centroidVectors(
       Similarity.kmeans(femb, k, iters)
-        .select(col("cell").as("label"), col("dim"), col("mean_v"))).cache()
+        .select(col("cell").as("label"), col("dim"), col("mean_v")))
+      .localCheckpoint(false)
     val assigned = Similarity.assignCellsBroadcast(all, cvecs)
       .select(col("vec_id"), col("v"), col("n2"), col("cell"))
     assigned.as("x").join(assigned.as("y"),

@@ -160,7 +160,9 @@ object Sampling {
       .orderBy(col("_h") +: key +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
-      .join(offsets, stratum <=> col("_s") && col("_bkt") === col("_b"))
+      // <=> on the bucket too: a null key hashes to a null bucket, and a
+      // plain === would silently DROP such rows instead of budgeting them
+      .join(offsets, stratum <=> col("_s") && col("_bkt") <=> col("_b"))
       .filter(col("_off") <= budget) // phase-3 prune (nonneg tokens)
       .withColumn("_cum", col("_off") + sum(tokens).over(wIn))
       .filter(col("_cum") <= budget)

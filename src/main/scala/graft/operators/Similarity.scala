@@ -604,8 +604,11 @@ object Similarity {
     * broadcast argmin assignment, SubVec residual, the fused int8 pack,
     * IEEE dequantization, sequential-fold dots — is deterministic, so
     * the full SQL oracle replays it bit-for-bit. The quantizer is
-    * cache()'d (lazy, nlist rows): composition stays action-free and
-    * the three uses share one materialization. */
+    * lazily localCheckpoint'ed (nlist rows, tiny): composition stays
+    * action-free, the three uses share one materialization, and the
+    * blocks are freed when the plan is GC'd — unlike cache(), whose
+    * CacheManager entries would accumulate across invocations in a
+    * long-lived session. */
   def ivfPqTopK(emb: DataFrame, isQuery: Column => Column, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.graft.VectorExprs.{dequantizeInt8, quantizeInt8Pair, subVec}
     // zero-norm / non-finite vectors out of contract — same guard and
@@ -614,7 +617,7 @@ object Similarity {
       col("embedding").cast(ArrayType(DoubleType)))
     val femb = emb.filter(n2f > 0 && n2f < lit(Double.PositiveInfinity))
     val all = normed(femb)
-    val cvecs = centroidVectors(centroids(femb)).cache()
+    val cvecs = centroidVectors(centroids(femb)).localCheckpoint(false)
     val assigned = assignCellsBroadcast(all, cvecs)
     // the stored index: quantized residual per row, nothing float-wide
     val index = assigned

@@ -412,7 +412,11 @@ object TextAnalysis {
         array_join(slice(col("ws"), (col("ci") * span + 1).cast("int"),
           lit(span)), " ").as("chunk"))
       .withColumn("_h", md5(col("chunk")))
-    val hot = chunks.groupBy(col("_h")).agg(count(lit(1)).as("df"))
+    // countDistinct(doc_id), not count(*): df is DOCUMENT frequency — a
+    // span repeated within one doc (a refrain) is not cross-doc
+    // boilerplate and must survive
+    val hot = chunks.groupBy(col("_h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > maxDf).select(col("_h"), lit(true).as("_hot"))
     val body = chunks.join(hot, Seq("_h"), "left_outer")
       .filter(col("_hot").isNull)
@@ -425,8 +429,10 @@ object TextAnalysis {
           (size(col("ws")) - nc * span).cast("int")), " ").as("tail"))
       .join(body, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
-        trim(concat(coalesce(col("body"), lit("")), lit(" "), col("tail")))
-          .as("clean_text"),
+        // tail coalesced: Spark concat is null-propagating while DuckDB's
+        // skips nulls — a null-text doc must yield '' in both engines
+        trim(concat(coalesce(col("body"), lit("")), lit(" "),
+          coalesce(col("tail"), lit("")))).as("clean_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("nc") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
@@ -439,7 +445,7 @@ object TextAnalysis {
       |c AS (
       |  SELECT doc_id, i AS ci, array_to_string(ws[i*8+1:i*8+8], ' ') AS chunk
       |  FROM w, unnest(range(0, len(ws) // 8)) r(i)),
-      |df AS (SELECT chunk, count(*) AS df FROM c GROUP BY chunk),
+      |df AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM c GROUP BY chunk),
       |kept AS (
       |  SELECT c.doc_id, c.ci, c.chunk
       |  FROM c JOIN df USING (chunk) WHERE df.df <= 1),
@@ -533,7 +539,9 @@ object TextAnalysis {
     val noPort = regexp_replace(
       regexp_replace(lowered, "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2"),
       "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
-    val trk = "(utm_[a-z]+|gclid|fbclid)"
+    // (?i:...) — tracker NAMES match case-insensitively (CMSes emit
+    // UTM_Source/Gclid variants) while query case stays preserved
+    val trk = "((?i:utm_[a-z]+|gclid|fbclid))"
     regexp_replace(
       regexp_replace(
         regexp_replace(noPort, s"&$trk=[^&]*", ""),
@@ -609,9 +617,9 @@ object TextAnalysis {
       |nt AS (SELECT doc_id, url,
       |  regexp_replace(
       |    regexp_replace(
-      |      regexp_replace(x, '&(utm_[a-z]+|gclid|fbclid)=[^&]*', '', 'g'),
-      |      '\?(utm_[a-z]+|gclid|fbclid)=[^&]*&', '?'),
-      |    '\?(utm_[a-z]+|gclid|fbclid)=[^&]*$', '') AS url_norm
+      |      regexp_replace(x, '&((?i:utm_[a-z]+|gclid|fbclid))=[^&]*', '', 'g'),
+      |      '\?((?i:utm_[a-z]+|gclid|fbclid))=[^&]*&', '?'),
+      |    '\?((?i:utm_[a-z]+|gclid|fbclid))=[^&]*$', '') AS url_norm
       |  FROM np)
       |SELECT doc_id, url, url_norm,
       |  regexp_replace(regexp_extract(url_norm, '^[a-z]+://([^/:?#]+)', 1),
@@ -660,7 +668,11 @@ object TextAnalysis {
     * (domain), (doc_id), (md5(text)), (lang,bucket), (shard) — five
     * bounded exchanges, no stage widens the data, caps/filters shrink
     * it monotonically; each stage's 100 TB behavior is argued (and
-    * rehearsed) at its own §2 row. */
+    * rehearsed) at its own §2 row. `capped` is deliberately recomputed
+    * on both branches of the quality join (recompute-by-design: the
+    * corpus-scale localCheckpoint alternative measured SLOWER at 2M
+    * docs — see dd_contamination's rationale); a production pipeline
+    * materializes stage outputs to storage between stages anyway. */
   def qCurationE2e(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)

@@ -77,18 +77,32 @@ object DedupStream {
     * compared against the bucket's retained signatures and pairs within
     * `maxHamming` emit immediately (append mode — a pair, once found,
     * is final). Pairs surfacing in multiple bands dedup downstream,
-    * exactly like the batch operator's `distinct`. */
+    * exactly like the batch operator's `distinct`. A re-delivered docId
+    * (source replay after recovery) still emits its pairs — idempotent
+    * under the downstream dedup — but is NOT re-added to state, so
+    * replays neither inflate state nor burn the cap.
+    *
+    * `maxBucket` defaults to the batch operator's occupancy bound; note
+    * the mechanisms differ past the cap: batch sub-splits a hot bucket
+    * with a secondary key (keeps comparing, bounded recall loss), while
+    * the stream stops RETAINING new signatures in that bucket — pairs
+    * among docs that BOTH arrive after the cap go unseen in that band.
+    * A documented trade: template-flooded buckets are precisely where
+    * unbounded streaming state would otherwise grow without limit. */
   def nearDupPairs(banded: Dataset[BandDoc], maxHamming: Int = 3,
-                   maxBucket: Int = 10000): Dataset[NearPair] = {
+                   maxBucket: Int = 100000): Dataset[NearPair] = {
     import banded.sparkSession.implicits._
     banded.groupByKey(d => (d.b, d.bk))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
         (_: (Int, Long), docs: Iterator[BandDoc], state: GroupState[BucketState]) => {
           var hist = state.getOption.map(_.docs).getOrElse(Nil)
+          var n = hist.size // once per group call, not per doc
           val out = List.newBuilder[NearPair]
           docs.foreach { d =>
+            var seen = false
             hist.foreach { s =>
-              if (s.docId != d.docId) {
+              if (s.docId == d.docId) seen = true
+              else {
                 val h = java.lang.Long.bitCount(s.shLo ^ d.shLo) +
                   java.lang.Long.bitCount(s.shHi ^ d.shHi)
                 if (h <= maxHamming)
@@ -96,8 +110,10 @@ object DedupStream {
                           else NearPair(d.docId, s.docId, h))
               }
             }
-            if (hist.size < maxBucket)
+            if (!seen && n < maxBucket) {
               hist = DocSig(d.docId, d.shLo, d.shHi) :: hist
+              n += 1
+            }
           }
           state.update(BucketState(hist))
           out.result().iterator

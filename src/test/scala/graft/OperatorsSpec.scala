@@ -307,8 +307,11 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       id -> t.split(" ").grouped(8).filter(_.length == 8)
         .map(_.mkString(" ")).toSeq
     }.toMap
-    val dfCount = chunksOf.values.flatten.toSeq
-      .groupBy(identity).map { case (c, o) => c -> o.size }
+    // document frequency: distinct docs containing the chunk (within-doc
+    // repeats are not boilerplate)
+    val dfCount = chunksOf.toSeq
+      .flatMap { case (id, cs) => cs.distinct.map(c => (c, id)) }
+      .groupBy(_._1).map { case (c, o) => c -> o.map(_._2).distinct.size }
     chunksOf.foreach { case (id, cs) =>
       val kept = cs.count(c => dfCount(c) <= 1).toLong
       assert(out(id)._2 === kept, s"doc $id kept ${out(id)._2}, expected $kept")
