@@ -185,6 +185,21 @@ object ScaleCheck {
           .localCheckpoint()
         Similarity.ivfPqTopK(emb, v => v < 10).count()
       },
+      // the WHOLE curation pipeline at corpus scale: domain cap, quality
+      // score, exact dedup, token budget, shard export. The generator's
+      // source column is near-constant, so widen it to 10k pseudo-domains
+      // first — web-realistic domain cardinality, cap 1000 docs each
+      // (a handful of mega-domains would otherwise funnel the cap window
+      // through single tasks, which is a data property, not a plan one).
+      // Budget keeps ~10% of corpus chars; max(pos) forces the export
+      // window to actually run
+      t("curation_e2e") {
+        TextAnalysis.curationPipeline(
+            docs.withColumn("source",
+              concat(lit("s"), pmod(col("doc_id"), lit(10000L)))),
+            domainCap = 1000, charBudget = 6L * rows, nShards = 128)
+          .agg(max(col("pos"))).head.getLong(0)
+      },
       // SemDeDup at production shape: k=1024 trained cells bound the
       // within-cell quadratic at (rows/1024)² per cell; training +
       // assignment are the proven broadcast-argmin passes. High minCos:

@@ -673,11 +673,11 @@ object TextAnalysis {
     * corpus-scale localCheckpoint alternative measured SLOWER at 2M
     * docs — see dd_contamination's rationale); a production pipeline
     * materializes stage outputs to storage between stages anyway. */
-  def qCurationE2e(spark: SparkSession, dir: String): DataFrame = {
+  def curationPipeline(docs0: DataFrame, domainCap: Int = 10,
+                       charBudget: Long = 20000L, nShards: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
-      .withColumn("domain", urlDomain(normalizeUrl(synthUrl)))
-    val capped = Sampling.stratified(docs, col("domain"), col("doc_id"), 10)
+    val docs = docs0.withColumn("domain", urlDomain(normalizeUrl(synthUrl)))
+    val capped = Sampling.stratified(docs, col("domain"), col("doc_id"), domainCap)
     val scored = capped
       .join(mlQuality(capped).select(col("doc_id"), col("ml_score")), Seq("doc_id"))
       .filter(col("ml_score") > 0)
@@ -686,12 +686,14 @@ object TextAnalysis {
         Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("_keep")).drop("_keep")
     val budgeted = Sampling.tokenBudget(deduped, col("lang"), col("doc_id"),
-      col("n_chars"), 20000L)
+      col("n_chars"), charBudget)
     Sampling.shuffleExport(
-        budgeted.select(col("doc_id"), col("lang"), col("domain"), col("ml_score")),
-        col("doc_id"), nShards = 4)
-      .orderBy(col("shard"), col("pos"))
+      budgeted.select(col("doc_id"), col("lang"), col("domain"), col("ml_score")),
+      col("doc_id"), nShards)
   }
+
+  def qCurationE2e(spark: SparkSession, dir: String): DataFrame =
+    curationPipeline(Tables.documents(spark, dir)).orderBy(col("shard"), col("pos"))
 
   val qCurationE2eSql: String =
     """WITH u AS (
