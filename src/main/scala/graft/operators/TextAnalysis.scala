@@ -652,6 +652,59 @@ object TextAnalysis {
       |  FROM u)
       |SELECT doc_id, domain FROM r WHERE rk <= 10 ORDER BY doc_id""".stripMargin
 
+  /** dd_urldup: exact dedup by CANONICAL URL — the first dedup pass of a
+    * web corpus (same page crawled via tracking-link / fragment / case
+    * variants collapses to one canonical form BEFORE any content
+    * comparison). Group by [[normalizeUrl]] output, keep the smallest
+    * doc_id; the shuffle carries canonical-URL strings (bounded, no
+    * text). The synthetic URL law plants collisions: docs i, i+M, i+2M…
+    * share a path and differ only in tracking params, fragments, and
+    * authority case — exactly the variants canonicalization must erase. */
+  private def synthDupUrl(m: Int): Column = {
+    val d = col("doc_id")
+    concat(
+      when(pmod(d, lit(2)) === 0, lit("HTTPS://Ex.COM")).otherwise(lit("https://ex.com")),
+      lit("/page/"), pmod(d, lit(m.toLong)).cast(StringType),
+      lit("?utm_source=crawl&gclid=g"), d.cast(StringType),
+      lit("#frag"), d.cast(StringType))
+  }
+
+  def urlDedup(docs: DataFrame, m: Int = 100): DataFrame =
+    docs.select(col("doc_id"), normalizeUrl(synthDupUrl(m)).as("url_norm"))
+      .groupBy(col("url_norm"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_variants"))
+
+  def ddUrldup(spark: SparkSession, dir: String): DataFrame =
+    urlDedup(Tables.documents(spark, dir)).orderBy("keep_id")
+
+  val ddUrldupSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Ex.COM' ELSE 'https://ex.com' END)
+      |    || '/page/' || (doc_id % 100)
+      |    || '?utm_source=crawl&gclid=g' || doc_id
+      |    || '#frag' || doc_id AS url
+      |  FROM documents),
+      |nf AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS x FROM u),
+      |lo AS (SELECT doc_id,
+      |  lower(regexp_extract(x, '^([^/?#]*://[^/?#]*)', 1)) ||
+      |    regexp_replace(x, '^[^/?#]*://[^/?#]*', '') AS x
+      |  FROM nf),
+      |np AS (SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(x, '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2'),
+      |    '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2') AS x
+      |  FROM lo),
+      |nt AS (SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(x, '&((?i:utm_[a-z]+|gclid|fbclid))=[^&]*', '', 'g'),
+      |      '\?((?i:utm_[a-z]+|gclid|fbclid))=[^&]*&', '?'),
+      |    '\?((?i:utm_[a-z]+|gclid|fbclid))=[^&]*$', '') AS url_norm
+      |  FROM np)
+      |SELECT url_norm, min(doc_id) AS keep_id, count(*) AS n_variants
+      |FROM nt GROUP BY url_norm ORDER BY keep_id""".stripMargin
+
   /** q_curation_e2e: the WHOLE web-curation pipeline as ONE composed
     * query — the flagship "a reference user runs their entire flow here"
     * showcase. Stages, each individually oracle-verified elsewhere:
@@ -737,6 +790,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_e2e" -> (qCurationE2e _),
+    "dd_urldup" -> (ddUrldup _),
     "tx_tokens_vocab" -> (txTokensVocab _),
     "tx_boilerplate" -> (txBoilerplate _),
     "tx_mlquality" -> (txMlQuality _),
@@ -754,6 +808,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_curation_e2e" -> qCurationE2eSql,
+    "dd_urldup" -> ddUrldupSql,
     "tx_tokens_vocab" -> txTokensVocabSql,
     "tx_boilerplate" -> txBoilerplateSql,
     "tx_mlquality" -> txMlQualitySql,
