@@ -907,6 +907,74 @@ object Dedup {
        |SELECT doc_id, cc.cluster, cluster_size FROM cc JOIN sizes USING (cluster)
        |ORDER BY doc_id""".stripMargin
 
+  /** Cross-source retention policy: when near-duplicates of the same
+    * content exist in SEVERAL sources, a curation pipeline keeps the copy
+    * from the most trusted source, not an arbitrary one — e.g. the
+    * curated-encyclopedia copy beats the web-crawl copy of the same
+    * article. Sources are ranked by a priority (here the synthetic
+    * source's numeric suffix: src0 is most trusted); within each verified
+    * near-dup cluster the keeper is argmin by (priority, doc_id).
+    *
+    * Scale: cluster discovery is the [[minhashLsh]] + [[connectedComponents]]
+    * machinery (banded candidates, no all-pairs); the policy itself is one
+    * window over (cluster) — near-dup clusters are small by construction
+    * (they are sets of ~identical documents), so per-task window input is
+    * bounded by cluster size, never the corpus. */
+  def priorityRetention(docs: DataFrame, priority: Column,
+                        minJaccard: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashLsh(docs).filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val members = connectedComponents(pairs)
+      .join(docs.select(col("doc_id"), col("source"), priority.as("_prio")),
+        Seq("doc_id"))
+    val wSize = Window.partitionBy(col("cluster"))
+    val wRank = Window.partitionBy(col("cluster"))
+      .orderBy(col("_prio"), col("doc_id"))
+    members
+      .withColumn("cluster_size", count(lit(1)).over(wSize))
+      .withColumn("_rk", row_number().over(wRank))
+      .filter(col("_rk") === 1)
+      .select(col("cluster"), col("doc_id").as("kept_doc"),
+        col("source").as("kept_source"), col("cluster_size"))
+  }
+
+  def ddPriority(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    priorityRetention(docs, substring(col("source"), 4, 8).cast("int"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Oracle: the dd_cluster transitive closure plus the argmin policy. */
+  val ddPrioritySql: String =
+    s"""${minhashPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |vpairs AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |        CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.9),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+       |  UNION SELECT doc_b, doc_a FROM vpairs
+       |  UNION SELECT doc_a, doc_a FROM vpairs
+       |  UNION SELECT doc_b, doc_b FROM vpairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cc AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+       |mem AS (
+       |  SELECT cc.cluster, cc.doc_id, d.source,
+       |    CAST(substr(d.source, 4) AS INT) AS prio
+       |  FROM cc JOIN documents d USING (doc_id))
+       |SELECT cluster, doc_id AS kept_doc, source AS kept_source, cluster_size
+       |FROM (
+       |  SELECT cluster, doc_id, source,
+       |    count(*) OVER (PARTITION BY cluster) AS cluster_size,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY prio, doc_id) AS rk
+       |  FROM mem)
+       |WHERE rk = 1 ORDER BY cluster""".stripMargin
+
   /** Dedup applied end-to-end: find verified near-dups (J >= 0.9), drop
     * the higher doc_id of each pair, report the surviving corpus profile —
     * the full curation-pipeline composition (candidate generation →
@@ -963,6 +1031,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_cluster" -> (ddCluster _),
+    "dd_priority" -> (ddPriority _),
     "dd_incremental" -> (ddIncremental _),
     "dd_incr_near" -> (ddIncrNear _),
     "dd_pipeline" -> (ddPipeline _),
@@ -978,6 +1047,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dd_cluster" -> ddClusterSql,
+    "dd_priority" -> ddPrioritySql,
     "dd_incremental" -> ddIncrementalSql,
     "dd_incr_near" -> ddIncrNearSql,
     "dd_pipeline" -> ddPipelineSql,

@@ -228,6 +228,152 @@ object Sampling {
       |FROM cnt, unnest(range(0, n)) r(e)
       |ORDER BY doc_id, epoch""".stripMargin
 
+  /** Sequence packing (concat-and-chunk): lay the whole corpus out on one
+    * deterministic pseudo-random "token tape" and cut fixed-length training
+    * sequences from it — the step between a curated corpus and a trainer
+    * that consumes fixed-context batches. Each document gets its global
+    * tape offset (`start_off`), the sequence its first token lands in
+    * (`seq_id = start_off DIV ctxLen`), and its position within that
+    * sequence (`seq_off`); a document may straddle a boundary, exactly as
+    * concat-and-chunk packing does.
+    *
+    * Scale shape: the same TWO-PHASE prefix sum as [[tokenBudget]], but
+    * global instead of per-stratum. A naive global running sum is a
+    * single-reducer sort of the corpus — the worst plan Spark can produce.
+    * Here the hash order is range-split by the leading `bucketChars` hex
+    * digits of the ordering hash: per-bucket totals are a tiny map-side-
+    * combined aggregate (<= 16^bucketChars rows), the exclusive bucket
+    * offsets are a window over THAT tiny table (single partition by
+    * design — its size is the constant 16^bucketChars, not the corpus),
+    * offsets broadcast back, and the corpus-side running sum windows over
+    * `_bkt` so per-task input is ~16^-bucketChars of the corpus. Token
+    * counts must be non-negative. */
+  def packSequences(df: DataFrame, key: Column, tokens: Column, ctxLen: Long,
+                    bucketChars: Int = 4): DataFrame = {
+    val tagged = df
+      .withColumn("_h", hashKey(key, "pack"))
+      .withColumn("_bkt",
+        conv(substring(col("_h"), 1, bucketChars), 16, 10).cast("long"))
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tagged.groupBy(col("_bkt").as("_b"))
+      .agg(sum(tokens).as("_bsum"))
+      .withColumn("_off", coalesce(sum(col("_bsum")).over(wOff), lit(0L)))
+      .select(col("_b"), col("_off"))
+    // exclusive within-bucket running sum: a doc's start offset is the
+    // mass strictly before it in the (hash, key) order
+    val wIn = Window.partitionBy(col("_bkt")).orderBy(col("_h"), key)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged.join(broadcast(offsets), col("_bkt") === col("_b"))
+      .withColumn("start_off",
+        col("_off") + coalesce(sum(tokens).over(wIn), lit(0L)))
+      .withColumn("seq_id", expr(s"start_off DIV ${ctxLen}"))
+      .withColumn("seq_off", pmod(col("start_off"), lit(ctxLen)))
+      .drop("_h", "_bkt", "_b", "_off")
+  }
+
+  /** q_pack: pack the documents corpus into 2048-char training sequences. */
+  def qPack(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir), col("doc_id"),
+        col("n_chars"), 2048L)
+      .select(col("doc_id"), col("n_chars"), col("start_off"),
+        col("seq_id"), col("seq_off"))
+      .orderBy(col("start_off"))
+
+  /** Oracle IS the single-window formulation the two-phase design must
+    * reproduce bit-for-bit. */
+  val qPackSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(coalesce(sum(n_chars) OVER (
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)||':pack'), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start_off
+      |  FROM documents)
+      |SELECT doc_id, n_chars, start_off,
+      |  start_off // 2048 AS seq_id, start_off % 2048 AS seq_off
+      |FROM s ORDER BY start_off""".stripMargin
+
+  /** Mixture solving: turn a target mixture recipe (per-stratum corpus
+    * shares + a global token budget) into per-stratum deterministic
+    * sampling rates, apply them with the zero-shuffle hash-threshold
+    * sampler, and report plan vs achieved — the step that PRODUCES the
+    * rates [[stratifiedByRate]] consumes. rate_s = min(1,
+    * floor(budget*share_s) / avail_s): a stratum with less mass than its
+    * target keeps everything (rate clamps to 1); the achieved token count
+    * is binomial around the target because the rate sampler is
+    * per-document (documented, exactly how production mixtures land).
+    *
+    * Scale: one map-side-combined aggregate over the corpus (per-stratum
+    * totals — rows = #strata), the rate table broadcasts back, and the
+    * selection pass is the zero-shuffle filter + one tiny aggregate. Two
+    * linear scans, no corpus shuffle anywhere. */
+  def mixture(df: DataFrame, stratum: Column, key: Column, tokens: Column,
+              shares: Map[String, Double], budget: Long): DataFrame = {
+    val shareMap = map(shares.toSeq.sortBy(_._1).flatMap {
+      case (s, r) => Seq(lit(s), lit(r)) }: _*)
+    val avail = df.groupBy(stratum.as("_s"))
+      .agg(count(lit(1)).as("avail_docs"), sum(tokens).as("avail_tokens"))
+      .withColumn("_share",
+        coalesce(element_at(shareMap, col("_s").cast("string")), lit(0.0)))
+      .withColumn("target_tokens",
+        floor(lit(budget.toDouble) * col("_share")).cast("long"))
+      .withColumn("rate", least(lit(1.0),
+        col("target_tokens").cast("double") / col("avail_tokens").cast("double")))
+    val sel = df
+      .join(broadcast(avail.select(col("_s"), col("rate"))), stratum <=> col("_s"))
+      .filter(hashUniform(key, "mix") < col("rate"))
+      .groupBy(stratum.as("_s2"))
+      .agg(count(lit(1)).as("sel_docs"), sum(tokens).as("sel_tokens"))
+    avail.join(broadcast(sel), col("_s") === col("_s2"), "left_outer")
+      .select(col("_s"), col("avail_docs"), col("avail_tokens"),
+        col("target_tokens"), col("rate"),
+        coalesce(col("sel_docs"), lit(0L)).as("sel_docs"),
+        coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"))
+  }
+
+  /** q_mixture: rebalance the documents corpus toward a 40/20/20/10/10
+    * fr/en/es/zh/de character-mass recipe under a 70k-char budget (fr has
+    * less mass than its 28k target at both sf0.001 and sf0.01, so its
+    * rate clamps to 1 — the keep-everything branch is exercised; every
+    * other stratum downsamples). */
+  def qMixture(spark: SparkSession, dir: String): DataFrame =
+    mixture(Tables.documents(spark, dir), col("lang"), col("doc_id"),
+        col("n_chars"),
+        Map("fr" -> 0.4, "en" -> 0.2, "es" -> 0.2, "zh" -> 0.1, "de" -> 0.1),
+        70000L)
+      .select(col("_s").as("lang"), col("avail_docs"), col("avail_tokens"),
+        col("target_tokens"), col("rate"), col("sel_docs"), col("sel_tokens"))
+      .orderBy(col("lang"))
+
+  val qMixtureSql: String =
+    """WITH avail AS (
+      |  SELECT lang, count(*) AS avail_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS avail_tokens
+      |  FROM documents GROUP BY lang),
+      |rates AS (
+      |  SELECT lang, avail_docs, avail_tokens,
+      |    CAST(floor(70000.0 * CASE lang
+      |      WHEN 'fr' THEN 0.4 WHEN 'en' THEN 0.2 WHEN 'es' THEN 0.2
+      |      WHEN 'zh' THEN 0.1 WHEN 'de' THEN 0.1 ELSE 0.0 END) AS BIGINT)
+      |      AS target_tokens
+      |  FROM avail),
+      |plan AS (
+      |  SELECT *, least(1.0,
+      |    CAST(target_tokens AS DOUBLE) / CAST(avail_tokens AS DOUBLE)) AS rate
+      |  FROM rates),
+      |sel AS (
+      |  SELECT d.lang, count(*) AS sel_docs,
+      |    CAST(sum(d.n_chars) AS BIGINT) AS sel_tokens
+      |  FROM documents d JOIN plan p ON d.lang = p.lang
+      |  WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||':mix'),1,15))::BIGINT
+      |        / 1152921504606846976.0 < p.rate
+      |  GROUP BY d.lang)
+      |SELECT p.lang, avail_docs, avail_tokens, target_tokens, rate,
+      |  CAST(coalesce(sel_docs, 0) AS BIGINT) AS sel_docs,
+      |  CAST(coalesce(sel_tokens, 0) AS BIGINT) AS sel_tokens
+      |FROM plan p LEFT JOIN sel USING (lang) ORDER BY lang""".stripMargin
+
   /** Deterministic global shuffle + sharding — the LAST step of a
     * training-data pipeline: the curated corpus must reach the trainer in
     * a fixed pseudo-random order, split into shard files, and the order
@@ -273,12 +419,16 @@ object Sampling {
     "q_sample" -> (qSample _),
     "q_sample_rate" -> (qSampleRate _),
     "q_token_budget" -> (qTokenBudget _),
-    "q_sample_epochs" -> (qSampleEpochs _))
+    "q_sample_epochs" -> (qSampleEpochs _),
+    "q_pack" -> (qPack _),
+    "q_mixture" -> (qMixture _))
 
   val oracles: Map[String, String] = Map(
     "q_shuffle_export" -> qShuffleExportSql,
     "q_sample" -> qSampleSql,
     "q_sample_rate" -> qSampleRateSql,
     "q_token_budget" -> qTokenBudgetSql,
-    "q_sample_epochs" -> qSampleEpochsSql)
+    "q_sample_epochs" -> qSampleEpochsSql,
+    "q_pack" -> qPackSql,
+    "q_mixture" -> qMixtureSql)
 }

@@ -705,6 +705,51 @@ object TextAnalysis {
       |SELECT url_norm, min(doc_id) AS keep_id, count(*) AS n_variants
       |FROM nt GROUP BY url_norm ORDER BY keep_id""".stripMargin
 
+  /** Sliding-window chunking — the preprocessing step of embedding /
+    * retrieval indexing: split each document into fixed-width character
+    * windows with overlap (`win` chars every `stride`, stride < win), so
+    * downstream encoders see bounded inputs and boundary-straddling
+    * content appears in at least one intact chunk. Emits (chunk_id,
+    * chunk_start, chunk_len, chunk_hash) — the hash stands in for the
+    * chunk payload so the verified result doesn't haul text.
+    *
+    * Scale: a pure projection + generator (sequence/posexplode) — ZERO
+    * shuffle, embarrassingly parallel, output bounded by corpus_chars /
+    * stride. The chunk count is arithmetic on length(text), never a
+    * loop. */
+  def chunks(docs: DataFrame, win: Int = 200, stride: Int = 150): DataFrame = {
+    val n = length(col("text"))
+    val nChunks = when(n <= win, lit(1L)).otherwise(
+      lit(1L) + ceil((n - lit(win)).cast("double") / lit(stride.toDouble)).cast("long"))
+    val exploded = docs
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0L), nChunks - 1)))
+    val start = col("col") * stride
+    exploded.select(
+        col("doc_id"),
+        col("col").as("chunk_id"),
+        start.as("chunk_start"),
+        length(col("text").substr(start + 1, lit(win))).as("chunk_len"),
+        md5(col("text").substr(start + 1, lit(win))).as("chunk_hash"))
+  }
+
+  def txChunks(spark: SparkSession, dir: String): DataFrame =
+    chunks(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val txChunksSql: String =
+    """WITH n AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(text) <= 200 THEN 1
+      |         ELSE 1 + CAST(ceil((length(text) - 200) / 150.0) AS BIGINT)
+      |    END AS nc
+      |  FROM documents)
+      |SELECT doc_id, i AS chunk_id, i * 150 AS chunk_start,
+      |  length(substr(text, CAST(i * 150 + 1 AS BIGINT), 200)) AS chunk_len,
+      |  md5(substr(text, CAST(i * 150 + 1 AS BIGINT), 200)) AS chunk_hash
+      |FROM n, unnest(range(0, nc)) r(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   /** q_curation_e2e: the WHOLE web-curation pipeline as ONE composed
     * query — the flagship "a reference user runs their entire flow here"
     * showcase. Stages, each individually oracle-verified elsewhere:
@@ -790,6 +835,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_e2e" -> (qCurationE2e _),
+    "tx_chunks" -> (txChunks _),
     "dd_urldup" -> (ddUrldup _),
     "tx_tokens_vocab" -> (txTokensVocab _),
     "tx_boilerplate" -> (txBoilerplate _),
@@ -808,6 +854,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_curation_e2e" -> qCurationE2eSql,
+    "tx_chunks" -> txChunksSql,
     "dd_urldup" -> ddUrldupSql,
     "tx_tokens_vocab" -> txTokensVocabSql,
     "tx_boilerplate" -> txBoilerplateSql,

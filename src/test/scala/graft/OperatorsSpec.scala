@@ -649,4 +649,123 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(survivors === Set(11L, 12L, 13L),
       s"expected within-batch dups to survive and the historical near-dup to drop, got $survivors")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("sequence packing: gapless tape, bucket-split result equals the single-window order") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, dir)
+    val out = Sampling.packSequences(docs, col("doc_id"), col("n_chars"), 2048L)
+      .select("doc_id", "n_chars", "start_off", "seq_id", "seq_off").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the tape is gapless and zero-based: sorted by offset, each document
+    // starts exactly where the previous one ended
+    val sorted = out.sortBy(_._3)
+    assert(sorted.head._3 === 0L)
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 === a._3 + a._2, s"tape gap between docs ${a._1} and ${b._1}")
+    case _ => }
+    // sequence bookkeeping is pure arithmetic on the offset
+    out.foreach { case (_, _, s, id, off) =>
+      assert(id === s / 2048 && off === s % 2048) }
+    // double-entry vs the single-window formulation the two-phase plan
+    // must reproduce: same (hash, key) order, same exclusive prefix sums
+    val ref = out.map(t => (t._1, t._2))
+      .sortBy { case (id, _) => (md5hex(s"$id:pack"), id) }
+    val refStart = ref.map(_._1)
+      .zip(ref.scanLeft(0L)(_ + _._2).init).toMap
+    out.foreach { case (id, _, s, _, _) =>
+      assert(s === refStart(id), s"doc $id offset $s != single-window ${refStart(id)}") }
+  }
+
+  test("mixture solver: rates solve the recipe, clamp at 1, selection matches the hash threshold") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, dir)
+    // recipe chosen so at sf0.001 fr clamps (28k target > 27.1k avail) and
+    // every other stratum downsamples — both solver branches exercised
+    val out = Sampling.mixture(docs, col("lang"), col("doc_id"), col("n_chars"),
+        Map("fr" -> 0.4, "en" -> 0.2, "es" -> 0.2, "zh" -> 0.1, "de" -> 0.1),
+        70000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
+    assert(out.exists { case (_, ad, _, _, rate, sd, _) => rate == 1.0 && sd == ad },
+      s"no stratum clamped to keep-everything: ${out.mkString(", ")}")
+    assert(out.exists(_._5 < 1.0), "no stratum actually downsampled")
+    out.foreach { case (lang, availDocs, availToks, target, rate, selDocs, selToks) =>
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(rate === math.min(1.0, target.toDouble / availToks.toDouble))
+      assert(selDocs <= availDocs && selToks <= availToks)
+    }
+    // double-entry: recompute each stratum's selection with the same
+    // hash-uniform threshold in plain Scala
+    val perDoc = docs.select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rates = out.map(t => t._1 -> t._5).toMap
+    val expectSel = perDoc.groupBy(_._2).map { case (lang, rows) =>
+      val kept = rows.filter { case (id, _, _) =>
+        val u = java.lang.Long.parseLong(md5hex(s"$id:mix").take(15), 16)
+          .toDouble / 1152921504606846976.0
+        u < rates(lang)
+      }
+      lang -> ((kept.length.toLong, kept.map(_._3).sum))
+    }
+    out.foreach { case (lang, _, _, _, _, selDocs, selToks) =>
+      assert((selDocs, selToks) === expectSel(lang), s"selection mismatch for $lang") }
+  }
+
+  test("chunking: dense ids, full coverage, hashes match the real substrings") {
+    val out = TextAnalysis.chunks(Tables.documents(spark, dir), 200, 150)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4)))
+    val text = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.map(_._1).toSet === text.keySet, "every document chunked")
+    out.groupBy(_._1).foreach { case (id, cs) =>
+      val t = text(id)
+      // dense chunk ids at stride spacing
+      assert(cs.map(_._2).sorted.toSeq === (0L until cs.length).toSeq)
+      cs.foreach { case (_, cid, start, len, hash) =>
+        assert(start === cid * 150)
+        val s = t.substring(start.toInt, math.min(start.toInt + 200, t.length))
+        assert(len === s.length, s"doc $id chunk $cid length")
+        assert(hash === md5hex(s), s"doc $id chunk $cid hash")
+      }
+      // coverage: the last chunk reaches the end of the document
+      val (_, _, lastStart, lastLen, _) = cs.maxBy(_._2)
+      assert(lastStart + lastLen === t.length.toLong, s"doc $id tail uncovered")
+      // overlap: consecutive chunks share win - stride chars (or the doc ended)
+      assert(cs.length === (if (t.length <= 200) 1
+        else 1 + math.ceil((t.length - 200) / 150.0).toInt))
+    }
+  }
+
+  test("priority retention keeps the most-trusted source, not the smallest doc_id") {
+    import spark.implicits._
+    // planted cluster: three near-identical docs where the SMALLEST id has
+    // the WORST source — min-id retention and priority retention disagree
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val other = "one two three four five six seven eight nine ten " * 3
+    val docs = Seq(
+      (1L, base, "src9"),            // worst source, smallest id
+      (2L, base + "lambda", "src2"), // best source — must win
+      (3L, base + "mu", "src5"),
+      (10L, other, "src7"),          // second cluster: tie on source number
+      (11L, other, "src7"),          //   → doc_id tiebreak keeps 10
+      (20L, "red orange yellow green blue indigo violet umber black white " * 3, "src0"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.priorityRetention(docs,
+        substring(col("source"), 4, 8).cast("int"), minJaccard = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byCluster = out.map(t => t._1 -> t).toMap
+    assert(byCluster(1L) === ((1L, 2L, "src2", 3L)),
+      s"cluster 1 must keep the src2 copy: ${out.mkString(", ")}")
+    assert(byCluster(10L) === ((10L, 10L, "src7", 2L)),
+      s"cluster 10 must tiebreak by doc_id: ${out.mkString(", ")}")
+    // unique doc 20 forms no pair, so it is not a cluster row at all
+    assert(out.length === 2)
+  }
 }

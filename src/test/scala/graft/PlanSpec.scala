@@ -142,6 +142,49 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus window partitions by stratum alone:\n$ex")
   }
 
+  test("sequence packing: corpus-side window is bucket-split; bucket offsets broadcast") {
+    val df = graft.operators.Sampling.qPack(spark, dir)
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    val winLines = ex.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, s"no window in pack plan:\n$ex")
+    // the per-document running sum must partition by the hash-range
+    // bucket — a global (empty-partition-spec) window over corpus rows is
+    // the single-reducer sort this design exists to avoid. The one
+    // unpartitioned window allowed is the offsets pass over the tiny
+    // per-bucket aggregate (its ordering key is the _b alias).
+    assert(winLines.exists(_.contains("_bkt")),
+      s"no bucket-split window found:\n$ex")
+    assert(winLines.filter(l => !l.contains("_bkt")).forall(_.contains("_b#")),
+      s"corpus-side window is not bucket-partitioned:\n$ex")
+    // offsets rejoin the corpus by broadcast, not a corpus shuffle
+    assert(ex.contains("BroadcastHashJoin"),
+      s"bucket offsets not broadcast:\n$ex")
+  }
+
+  test("mixture solver: rate table broadcasts back; no corpus sort-merge join") {
+    val df = graft.operators.Sampling.qMixture(spark, dir)
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    assert(ex.contains("BroadcastHashJoin"),
+      s"per-stratum rates not broadcast:\n$ex")
+    assert(!ex.contains("SortMergeJoin"),
+      s"corpus shuffled for a #strata-row rate table:\n$ex")
+    // both corpus passes pre-aggregate map-side before their exchange
+    assert(ex.contains("partial_count") || ex.contains("partial_sum"),
+      s"no map-side combine before the totals shuffle:\n$ex")
+  }
+
+  test("chunking is a shuffle-free generator") {
+    val df = graft.operators.TextAnalysis.chunks(Tables.documents(spark, dir))
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    assert(!ex.contains("Exchange"),
+      s"chunk explode introduced a shuffle:\n$ex")
+    assert(ex.contains("Generate"), s"no generator in chunk plan:\n$ex")
+  }
+
   test("embed-cosine dedup is a bucket equi-join, not an all-pairs product") {
     val df = Dedup.embedCosinePairs(Tables.embeddings(spark, dir))
     df.collect()
