@@ -227,6 +227,16 @@ object ScaleCheck {
             length(col("text")).as("n_chars")),
           col("lang"), col("doc_id"), col("n_chars"),
           budget = 20L * rows).count() // ~10% of corpus chars
+      },
+      // sequence packing at corpus scale: the GLOBAL two-phase prefix
+      // sum (whole corpus is one implicit stratum) — per-task window
+      // input is bounded by the 16^4 hash-range bucket split, never the
+      // corpus; max(seq_id) forces every window to actually run
+      t("q_pack") {
+        graft.operators.Sampling.packSequences(
+          docs.select(col("doc_id"), length(col("text")).as("n_chars")),
+          col("doc_id"), col("n_chars"), ctxLen = 2048L)
+          .agg(max(col("seq_id"))).head.getLong(0)
       }).flatten
     // the end-to-end pipeline (anti-join on the corpus-scale drop set)
     // only says something new under planted dup density
