@@ -264,7 +264,10 @@ object Sampling {
     // mass strictly before it in the (hash, key) order
     val wIn = Window.partitionBy(col("_bkt")).orderBy(col("_h"), key)
       .rowsBetween(Window.unboundedPreceding, -1)
-    tagged.join(broadcast(offsets), col("_bkt") === col("_b"))
+    // <=> not ===: a null key hashes to a null bucket, and a plain equi
+    // join would silently DROP such rows from the tape instead of packing
+    // them (same invariant as tokenBudget's offsets join)
+    tagged.join(broadcast(offsets), col("_bkt") <=> col("_b"))
       .withColumn("start_off",
         col("_off") + coalesce(sum(tokens).over(wIn), lit(0L)))
       .withColumn("seq_id", expr(s"start_off DIV ${ctxLen}"))

@@ -680,6 +680,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(s === refStart(id), s"doc $id offset $s != single-window ${refStart(id)}") }
   }
 
+  test("sequence packing keeps null-key rows on the tape") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // a null key hashes to a null bucket: the offsets join must be
+    // null-safe or the row silently vanishes from the tape
+    val docs = Seq((Some(1L), 10L), (None, 7L), (Some(3L), 5L))
+      .toDF("doc_id", "n_chars")
+    val out = Sampling.packSequences(docs, col("doc_id"), col("n_chars"), 16L)
+      .collect()
+    assert(out.length === 3, s"null-key row dropped: ${out.mkString(", ")}")
+    // and the tape is still gapless over all three rows
+    val spans = out.map(r => (r.getLong(r.fieldIndex("start_off")),
+      r.getLong(r.fieldIndex("n_chars")))).sortBy(_._1)
+    assert(spans.head._1 === 0L)
+    spans.sliding(2).foreach { case Array(a, b) =>
+      assert(b._1 === a._1 + a._2)
+    case _ => }
+  }
+
   test("mixture solver: rates solve the recipe, clamp at 1, selection matches the hash threshold") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, dir)
