@@ -705,6 +705,86 @@ object TextAnalysis {
       |SELECT url_norm, min(doc_id) AS keep_id, count(*) AS n_variants
       |FROM nt GROUP BY url_norm ORDER BY keep_id""".stripMargin
 
+  /** Filter-cascade audit: run an ORDERED list of named keep-predicates
+    * over the corpus and report the removal funnel — for each filter, how
+    * many documents arrived, how many it dropped (first-failing-filter
+    * attribution, so every document is counted exactly once), and how
+    * many survived to the next stage. This is the per-filter accounting
+    * table curation teams publish with a dataset ("data card" removal
+    * stats) and watch across crawl snapshots for drift.
+    *
+    * Scale: ONE corpus scan computing the first-failing stage as a nested
+    * codegen'd conditional, one map-side-combined count aggregate over
+    * <= #filters+1 groups; all funnel arithmetic (suffix sums) happens on
+    * that #filters-row table. */
+  def filterFunnel(df: DataFrame,
+                   filters: Seq[(String, Column)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = filters.length
+    // first failing filter index; n = passed everything
+    val stage = filters.zipWithIndex.foldRight(lit(n): Column) {
+      case (((_, keep), i), acc) => when(!keep, lit(i)).otherwise(acc)
+    }
+    val counts = df.select(stage.as("_stage"))
+      .groupBy(col("_stage")).agg(count(lit(1)).as("_n"))
+    val names = filters.zipWithIndex
+      .map { case ((name, _), i) => (i, name) }.toDF("stage", "filter")
+    // total + per-stage drops on the tiny side; arrived_i = total minus
+    // everything dropped at earlier stages
+    val wBefore = Window.orderBy(col("stage"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wThrough = Window.orderBy(col("stage"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    names
+      .join(counts, col("stage") === col("_stage"), "left_outer")
+      .withColumn("n_dropped", coalesce(col("_n"), lit(0L)))
+      .crossJoin(broadcast(counts.agg(sum(col("_n")).as("_total"))))
+      .withColumn("n_in",
+        col("_total") - coalesce(sum(col("n_dropped")).over(wBefore), lit(0L)))
+      .withColumn("n_out", col("_total") - sum(col("n_dropped")).over(wThrough))
+      .select(col("stage"), col("filter"), col("n_in"), col("n_dropped"),
+        col("n_out"))
+  }
+
+  /** tx_filter_funnel: a four-stage quality cascade over documents —
+    * length bounds, minimum word count, distinct-word ratio. */
+  def txFilterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    filterFunnel(Tables.documents(spark, dir), Seq(
+      "min_chars" -> (col("n_chars") >= 100),
+      "max_chars" -> (col("n_chars") <= 20000),
+      "min_words" -> (size(words) >= 20),
+      "distinct_ratio" ->
+        (size(array_distinct(words)).cast("double") / size(words) >= 0.3)))
+      .orderBy(col("stage"))
+  }
+
+  val txFilterFunnelSql: String =
+    """WITH staged AS (
+      |  SELECT CASE
+      |    WHEN NOT (n_chars >= 100) THEN 0
+      |    WHEN NOT (n_chars <= 20000) THEN 1
+      |    WHEN NOT (len(string_split(text, ' ')) >= 20) THEN 2
+      |    WHEN NOT (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |              / len(string_split(text, ' ')) >= 0.3) THEN 3
+      |    ELSE 4 END AS stage
+      |  FROM documents),
+      |cnt AS (SELECT stage, count(*) AS n FROM staged GROUP BY stage),
+      |f AS (SELECT * FROM (VALUES (0, 'min_chars'), (1, 'max_chars'),
+      |  (2, 'min_words'), (3, 'distinct_ratio')) t(stage, filter)),
+      |j AS (SELECT f.stage, f.filter, coalesce(n, 0) AS n_dropped
+      |      FROM f LEFT JOIN cnt USING (stage)),
+      |tot AS (SELECT count(*) AS total FROM documents)
+      |SELECT CAST(stage AS INT) AS stage, filter,
+      |  CAST(total - coalesce(sum(n_dropped) OVER (ORDER BY stage
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in,
+      |  CAST(n_dropped AS BIGINT) AS n_dropped,
+      |  CAST(total - sum(n_dropped) OVER (ORDER BY stage
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_out
+      |FROM j, tot ORDER BY stage""".stripMargin
+
   /** Sliding-window chunking — the preprocessing step of embedding /
     * retrieval indexing: split each document into fixed-width character
     * windows with overlap (`win` chars every `stride`, stride < win), so
@@ -836,6 +916,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_e2e" -> (qCurationE2e _),
     "tx_chunks" -> (txChunks _),
+    "tx_filter_funnel" -> (txFilterFunnel _),
     "dd_urldup" -> (ddUrldup _),
     "tx_tokens_vocab" -> (txTokensVocab _),
     "tx_boilerplate" -> (txBoilerplate _),
@@ -855,6 +936,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q_curation_e2e" -> qCurationE2eSql,
     "tx_chunks" -> txChunksSql,
+    "tx_filter_funnel" -> txFilterFunnelSql,
     "dd_urldup" -> ddUrldupSql,
     "tx_tokens_vocab" -> txTokensVocabSql,
     "tx_boilerplate" -> txBoilerplateSql,

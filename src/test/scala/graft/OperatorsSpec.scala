@@ -761,6 +761,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("filter funnel: first-failing attribution, counts conserve the corpus") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.txFilterFunnel(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = Tables.documents(spark, dir).count()
+    // funnel plumbing: stage i+1 receives exactly stage i's survivors,
+    // and every row satisfies in - dropped = out
+    assert(out.head._3 === total)
+    out.foreach { case (_, f, nIn, nDrop, nOut) =>
+      assert(nIn - nDrop === nOut, s"$f not conservative") }
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 === a._5, s"${b._2} n_in != ${a._2} n_out")
+    case _ => }
+    // double-entry: recompute first-failing attribution per doc in Scala
+    val docs = Tables.documents(spark, dir)
+      .select("text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = docs.groupBy { case (t, nc) =>
+      val w = t.split(" ", -1)
+      if (nc < 100) 0
+      else if (nc > 20000) 1
+      else if (w.length < 20) 2
+      else if (w.distinct.length.toDouble / w.length < 0.3) 3
+      else 4
+    }.map { case (s, rows) => s -> rows.length.toLong }
+    out.foreach { case (stage, f, _, nDrop, _) =>
+      assert(nDrop === expected.getOrElse(stage, 0L), s"$f drop count") }
+    // the cascade must actually drop something AND let something through
+    assert(out.map(_._4).sum > 0, "no filter fired on the test corpus")
+    assert(out.last._5 > 0, "cascade dropped the whole corpus")
+  }
+
   test("priority retention keeps the most-trusted source, not the smallest doc_id") {
     import spark.implicits._
     // planted cluster: three near-identical docs where the SMALLEST id has
