@@ -761,6 +761,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("two-stage rerank: any true neighbor surviving candidates is kept; recall >= raw ADC") {
+    val emb = Tables.embeddings(spark, dir)
+    def sets(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = sets(Similarity.bruteTopK(emb, col("vec_id") < 10)
+      .select("q_id", "neighbor_id").collect())
+    val pq = sets(Similarity.ivfPqTopK(emb, v => v < 10)
+      .select("q_id", "neighbor_id").collect())
+    val cand = sets(Similarity.ivfPqTopK(emb, v => v < 10, k = 20)
+      .select("q_id", "neighbor_id").collect())
+    val rr = sets(Similarity.ivfPqRerank(emb, v => v < 10)
+      .select("q_id", "neighbor_id").collect())
+    // the pointwise guarantee: a true top-5 neighbor inside the candidate
+    // set is necessarily in the reranked top-5 (at most 4 others beat it
+    // anywhere, so at most 4 beat it among candidates)
+    truth.foreach { case (q, ts) =>
+      val survived = ts.intersect(cand.getOrElse(q, Set.empty))
+      assert(survived.subsetOf(rr.getOrElse(q, Set.empty)),
+        s"query $q: true neighbors $survived in candidates but not reranked")
+    }
+    val pqRecall = truth.map { case (q, ts) =>
+      ts.intersect(pq.getOrElse(q, Set.empty)).size }.sum.toDouble
+    val rrRecall = truth.map { case (q, ts) =>
+      ts.intersect(rr.getOrElse(q, Set.empty)).size }.sum.toDouble
+    assert(rrRecall >= pqRecall,
+      s"rerank recall $rrRecall below raw ADC recall $pqRecall")
+  }
+
   test("filter funnel: first-failing attribution, counts conserve the corpus") {
     import graft.operators.TextAnalysis
     val out = TextAnalysis.txFilterFunnel(spark, dir).collect()
