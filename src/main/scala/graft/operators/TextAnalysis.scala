@@ -830,6 +830,53 @@ object TextAnalysis {
       |FROM n, unnest(range(0, nc)) r(i)
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** q_corpus_report: the dataset "data card" profile — one row per
+    * language with document counts, character mass, length distribution,
+    * and the exact-duplicate rate. The summary table published next to a
+    * training corpus and watched across snapshots for drift.
+    *
+    * Scale: two passes, both grouped on the low-cardinality language key.
+    * The distinct-hash pass shuffles (lang, md5) with map-side partial
+    * dedup. The percentile pass sorts each language's lengths within its
+    * group — at 100 TB the percentile columns switch to the mergeable GK
+    * sketch (q_approx_quantiles' machinery and verification contract);
+    * the exact form here is what makes the report oracle-checkable
+    * bit-for-bit. The two aggregates stay SEPARATE: a count-distinct in
+    * the same agg as a percentile makes Catalyst Expand every row per
+    * distinct column and the percentile sorts the inflated input (the
+    * q_stats lesson, measured 3x). */
+  def qCorpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("n_chars_total"),
+      percentile(col("n_chars"), lit(0.5)).as("p50_chars"),
+      percentile(col("n_chars"), lit(0.9)).as("p90_chars"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"))
+    val uniq = docs.groupBy(col("lang"))
+      .agg(countDistinct(md5(col("text"))).as("n_unique"))
+    base.join(uniq, Seq("lang"))
+      .withColumn("dup_rate",
+        (col("n_docs") - col("n_unique")).cast("double") /
+          col("n_docs").cast("double"))
+      .select(col("lang"), col("n_docs"), col("n_chars_total"),
+        col("p50_chars"), col("p90_chars"), col("min_chars"),
+        col("max_chars"), col("n_unique"), col("dup_rate"))
+      .orderBy(col("lang"))
+  }
+
+  val qCorpusReportSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+      |  quantile_cont(n_chars, 0.5) AS p50_chars,
+      |  quantile_cont(n_chars, 0.9) AS p90_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  count(DISTINCT md5(text)) AS n_unique,
+      |  CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*)
+      |    AS dup_rate
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** q_curation_e2e: the WHOLE web-curation pipeline as ONE composed
     * query — the flagship "a reference user runs their entire flow here"
     * showcase. Stages, each individually oracle-verified elsewhere:
@@ -915,6 +962,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_e2e" -> (qCurationE2e _),
+    "q_corpus_report" -> (qCorpusReport _),
     "tx_chunks" -> (txChunks _),
     "tx_filter_funnel" -> (txFilterFunnel _),
     "dd_urldup" -> (ddUrldup _),
@@ -935,6 +983,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_curation_e2e" -> qCurationE2eSql,
+    "q_corpus_report" -> qCorpusReportSql,
     "tx_chunks" -> txChunksSql,
     "tx_filter_funnel" -> txFilterFunnelSql,
     "dd_urldup" -> ddUrldupSql,
