@@ -297,6 +297,63 @@ object Sampling {
       |  start_off // 2048 AS seq_id, start_off % 2048 AS seq_off
       |FROM s ORDER BY start_off""".stripMargin
 
+  /** Deterministic source interleaving: merge two corpora into one
+    * training order at a fixed wA:wB cadence (wA items of A, then wB of
+    * B, repeating) — how a trainer consumes "2 parts web, 1 part
+    * curated" WITHIN the data order rather than by global concatenation,
+    * so early training already sees the full mixture. Each side is
+    * ordered by the deterministic hash tape and its i-th item maps to
+    * slot floor(i/w)·(wA+wB) + offset + (i mod w): pure arithmetic, no
+    * coordination between sides, reproducible everywhere. When one side
+    * exhausts, its later cycle slots stay empty (the consumer compacts
+    * by slot order — documented, matches how mixtures drain).
+    *
+    * Scale: each side's dense position is the [[packSequences]] global
+    * prefix machinery with unit tokens (two-phase, bucket-bounded — no
+    * single-reducer row_number); the slot map is a projection. */
+  def interleave(a: DataFrame, b: DataFrame, key: Column,
+                 wA: Int, wB: Int, bucketChars: Int = 4): DataFrame = {
+    require(wA > 0 && wB > 0, "interleave weights must be positive")
+    val cycle = (wA + wB).toLong
+    def pos(df: DataFrame) =
+      packSequences(df, key, lit(1L), ctxLen = 1L, bucketChars)
+        .drop("seq_id", "seq_off")
+        .withColumnRenamed("start_off", "_pos")
+    val sa = pos(a).withColumn("slot",
+      expr(s"(_pos DIV $wA) * $cycle + pmod(_pos, $wA)"))
+    val sb = pos(b).withColumn("slot",
+      expr(s"(_pos DIV $wB) * $cycle + $wA + pmod(_pos, $wB)"))
+    sa.union(sb).drop("_pos")
+  }
+
+  /** q_interleave: 2 parts English, 1 part everything else. */
+  def qInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val a = docs.filter(col("lang") === "en").withColumn("grp", lit("en"))
+    val b = docs.filter(col("lang") =!= "en").withColumn("grp", lit("other"))
+    interleave(a, b, col("doc_id"), 2, 1)
+      .select(col("doc_id"), col("grp"), col("slot"))
+      .orderBy(col("slot"), col("doc_id"))
+  }
+
+  val qInterleaveSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, 'en' AS grp,
+      |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)||':pack'),
+      |      doc_id) - 1 AS p
+      |  FROM documents WHERE lang = 'en'),
+      |b AS (
+      |  SELECT doc_id, 'other' AS grp,
+      |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)||':pack'),
+      |      doc_id) - 1 AS p
+      |  FROM documents WHERE lang <> 'en'),
+      |s AS (
+      |  SELECT doc_id, grp, (p // 2) * 3 + (p % 2) AS slot FROM a
+      |  UNION ALL
+      |  SELECT doc_id, grp, p * 3 + 2 AS slot FROM b)
+      |SELECT doc_id, grp, CAST(slot AS BIGINT) AS slot FROM s
+      |ORDER BY slot, doc_id""".stripMargin
+
   /** Mixture solving: turn a target mixture recipe (per-stratum corpus
     * shares + a global token budget) into per-stratum deterministic
     * sampling rates, apply them with the zero-shuffle hash-threshold
@@ -424,7 +481,8 @@ object Sampling {
     "q_token_budget" -> (qTokenBudget _),
     "q_sample_epochs" -> (qSampleEpochs _),
     "q_pack" -> (qPack _),
-    "q_mixture" -> (qMixture _))
+    "q_mixture" -> (qMixture _),
+    "q_interleave" -> (qInterleave _))
 
   val oracles: Map[String, String] = Map(
     "q_shuffle_export" -> qShuffleExportSql,
@@ -433,5 +491,6 @@ object Sampling {
     "q_token_budget" -> qTokenBudgetSql,
     "q_sample_epochs" -> qSampleEpochsSql,
     "q_pack" -> qPackSql,
-    "q_mixture" -> qMixtureSql)
+    "q_mixture" -> qMixtureSql,
+    "q_interleave" -> qInterleaveSql)
 }

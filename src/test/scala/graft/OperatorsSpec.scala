@@ -761,6 +761,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("interleave: strict 2:1 cadence until a source drains, slots unique, sides complete") {
+    import graft.operators.Sampling
+    val out = Sampling.qInterleave(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // every document appears exactly once, in its own group
+    assert(out.length === docs.length)
+    assert(out.map(_._1).distinct.length === out.length)
+    val grpOf = out.map(t => t._1 -> t._2).toMap
+    docs.foreach { case (id, lang) =>
+      assert(grpOf(id) === (if (lang == "en") "en" else "other")) }
+    // slots are unique, and within the full cycles before the smaller
+    // side drains the cadence is exactly en,en,other
+    assert(out.map(_._3).distinct.length === out.length)
+    val nEn = docs.count(_._2 == "en")
+    val nOther = docs.length - nEn
+    val fullCycles = math.min(nEn / 2, nOther.toLong)
+    val bySlot = out.map(t => t._3 -> t._2).toMap
+    (0L until fullCycles * 3).foreach { s =>
+      val expect = if (s % 3 < 2) "en" else "other"
+      assert(bySlot(s) === expect, s"slot $s: ${bySlot.get(s)} != $expect")
+    }
+  }
+
   test("two-stage rerank: any true neighbor surviving candidates is kept; recall >= raw ADC") {
     val emb = Tables.embeddings(spark, dir)
     def sets(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
