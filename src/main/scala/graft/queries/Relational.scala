@@ -1102,6 +1102,53 @@ object Relational {
       |SELECT purchase_id, user_id, p_ts, click_id, c_ts, value
       |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin
 
+  /** Shared first-failing stage expression for the stream-quality funnel
+    * twins (st_funnel here, EventStreams.qualityFunnel on the stream):
+    * ONE definition so the batch oracle and the streaming pipeline cannot
+    * drift. Stateless projection → trivially incremental. */
+  val funnelStage: Column =
+    when(col("event_type") === "error", 0)
+      .when(col("value") < 0.1, 1)
+      .when(col("value") > 300.0, 2)
+      .otherwise(3)
+
+  def funnelFilterName(stage: Column): Column =
+    element_at(map(lit(0), lit("drop_error"), lit(1), lit("value_floor"),
+      lit(2), lit("value_cap"), lit(3), lit("kept")), stage)
+
+  /** st_funnel: windowed stream-quality monitoring — per 1-hour window,
+    * first-failing drop attribution of events through a filter cascade
+    * (drop errors, value floor, value cap), plus the kept count. The
+    * batch twin of the streaming funnel: a stateless stage projection +
+    * a windowed count, so the streaming form is a plain watermarked
+    * groupBy with identical results (StreamingSpec asserts equality). */
+  def stFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.withColumn("stage", funnelStage)
+      .groupBy(window(col("ts"), "1 hour"), col("stage"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("stage"),
+        funnelFilterName(col("stage")).as("filter"), col("n"))
+      .orderBy(col("window_start"), col("stage"))
+  }
+
+  val stFunnelSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+      |  FROM events),
+      |st AS (
+      |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+      |    CASE WHEN event_type = 'error' THEN 0
+      |         WHEN value < 0.1 THEN 1
+      |         WHEN value > 300.0 THEN 2 ELSE 3 END AS stage
+      |  FROM ev)
+      |SELECT window_start, CAST(stage AS INT) AS stage,
+      |  CASE stage WHEN 0 THEN 'drop_error' WHEN 1 THEN 'value_floor'
+      |             WHEN 2 THEN 'value_cap' ELSE 'kept' END AS filter,
+      |  count(*) AS n
+      |FROM st GROUP BY window_start, stage
+      |ORDER BY window_start, stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_attribution" -> (stAttribution _),
     "q1_agg" -> (q1Agg _),
@@ -1140,6 +1187,7 @@ object Relational {
     "st_dedup" -> (stDedup _),
     "q_skew_distinct" -> (qSkewDistinct _),
     "st_sliding" -> (stSliding _),
+    "st_funnel" -> (stFunnel _),
     "st_window_agg" -> (stWindowAgg _))
 
   val oracles: Map[String, String] = Map(
@@ -1180,5 +1228,6 @@ object Relational {
     "st_dedup" -> stDedupSql,
     "q_skew_distinct" -> qSkewDistinctSql,
     "st_sliding" -> stSlidingSql,
+    "st_funnel" -> stFunnelSql,
     "st_window_agg" -> stWindowAggSql)
 }

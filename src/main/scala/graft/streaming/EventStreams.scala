@@ -50,6 +50,21 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Windowed stream-quality funnel — streaming twin of
+    * Relational.stFunnel: per 1-hour window, first-failing drop
+    * attribution through the shared filter cascade. The stage expression
+    * is a stateless projection and the count a windowed aggregate, so
+    * the stream is exactly incremental (stream == batch asserted in
+    * StreamingSpec). */
+  def qualityFunnel(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .withColumn("stage", graft.queries.Relational.funnelStage)
+      .groupBy(window(col("ts"), "1 hour"), col("stage"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("stage"),
+        graft.queries.Relational.funnelFilterName(col("stage")).as("filter"),
+        col("n"))
+
   /** Session windows (10-minute gap) per user — streaming twin of
     * Relational.qSessionize. */
   def sessionWindows(events: DataFrame, watermark: String = "10 seconds"): DataFrame =

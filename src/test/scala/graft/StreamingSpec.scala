@@ -47,6 +47,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream.map(_.toSeq) === batch.map(_.toSeq))
   }
 
+  test("streaming quality funnel equals the batch drop attribution") {
+    val q = EventStreams.qualityFunnel(EventStreams.readEvents(spark, eventsDir))
+      .writeStream.format("memory").queryName("qf")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stream = spark.table("qf").orderBy("window_start", "stage").collect()
+    val batch = Relational.stFunnel(spark, dir).collect()
+    assert(stream.length === batch.length)
+    assert(stream.map(_.toSeq) === batch.map(_.toSeq))
+  }
+
   test("streaming session windows (append + watermark) match batch sessions") {
     val q = EventStreams.sessionWindows(EventStreams.readEvents(spark, eventsDir))
       .writeStream.format("memory").queryName("sw")
