@@ -82,6 +82,28 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("training export: shard-partitioned files carry the tape order in-file") {
+    import graft.operators.Sampling
+    // the trainer contract: each shard is one file whose physical row
+    // order IS the deterministic tape order — a data-parallel reader
+    // streams its shard sequentially with no sort at read time
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val out = Sampling.shuffleExport(docs, col("doc_id"), nShards = 4)
+    val d = tmp()
+    out.repartition(col("shard")).sortWithinPartitions("shard", "pos")
+      .write.partitionBy("shard").mode("overwrite").parquet(d)
+    val total = (0 until 4).map { s =>
+      val rows = spark.read.parquet(s"$d/shard=$s")
+        .select("pos", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // positions arrive 1..n in file order, no read-time sort
+      assert(rows.map(_._1).toSeq === (1L to rows.length).toSeq,
+        s"shard $s not in tape order on disk")
+      rows.length
+    }.sum
+    assert(total === docs.count(), "export lost rows")
+  }
+
   test("bucketed tables join with no exchange (co-located join)") {
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_quantity", "l_extendedprice")
