@@ -830,6 +830,66 @@ object TextAnalysis {
       |FROM n, unnest(range(0, nc)) r(i)
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Markup removal — the first stage of every web-crawl pipeline:
+    * drop head/script/style blocks wholesale, strip remaining tags,
+    * decode the common entities, collapse whitespace. Pure regexp
+    * projection, zero shuffle.
+    *
+    * Like tx_pii, the input is synthesized deterministically (the corpus
+    * has no real HTML): each document is wrapped in a full page — head
+    * with title + style, an inline script, a paragraph body; every third
+    * document additionally has its spaces entity-encoded as `&nbsp;`.
+    * Stripping must recover the original text BYTE-EXACTLY, which the
+    * spec asserts against the raw parquet column (and the oracle replays
+    * the same build+strip chain). */
+  private def synthHtml: Column = {
+    val d = col("doc_id")
+    concat(
+      lit("<html><head><title>t"), d.cast(StringType),
+      lit("</title><style>.c{color:red}</style></head><body><script>var x="),
+      d.cast(StringType), lit(";</script><p class=\"a\">"),
+      when(pmod(d, lit(3)) === 0,
+        replace(col("text"), lit(" "), lit("&nbsp;")))
+        .otherwise(col("text")),
+      lit("</p><br/></body></html>"))
+  }
+
+  def stripMarkup(html: Column): Column = {
+    val noHead = regexp_replace(html, "<head>.*?</head>", "")
+    val noScript = regexp_replace(noHead, "<script[^>]*>.*?</script>", "")
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(noTags, "&nbsp;", " "),
+      "&amp;", "&"), "&lt;", "<"), "&gt;", ">")
+    trim(regexp_replace(decoded, " +", " "))
+  }
+
+  def txHtmlStrip(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), stripMarkup(synthHtml).as("clean_text"))
+      .orderBy(col("doc_id"))
+
+  val txHtmlStripSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>t' || doc_id ||
+      |    '</title><style>.c{color:red}</style></head><body><script>var x=' ||
+      |    doc_id || ';</script><p class="a">' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN replace(text, ' ', '&nbsp;')
+      |         ELSE text END ||
+      |    '</p><br/></body></html>' AS html
+      |  FROM documents),
+      |s1 AS (SELECT doc_id,
+      |  regexp_replace(html, '<head>.*?</head>', '', 'g') AS x FROM h),
+      |s2 AS (SELECT doc_id,
+      |  regexp_replace(x, '<script[^>]*>.*?</script>', '', 'g') AS x FROM s1),
+      |s3 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s2),
+      |s4 AS (SELECT doc_id,
+      |  replace(replace(replace(replace(x, '&nbsp;', ' '), '&amp;', '&'),
+      |    '&lt;', '<'), '&gt;', '>') AS x FROM s3)
+      |SELECT doc_id, trim(regexp_replace(x, ' +', ' ', 'g')) AS clean_text
+      |FROM s4 ORDER BY doc_id""".stripMargin
+
   /** q_corpus_report: the dataset "data card" profile — one row per
     * language with document counts, character mass, length distribution,
     * and the exact-duplicate rate. The summary table published next to a
@@ -963,6 +1023,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_e2e" -> (qCurationE2e _),
     "q_corpus_report" -> (qCorpusReport _),
+    "tx_html_strip" -> (txHtmlStrip _),
     "tx_chunks" -> (txChunks _),
     "tx_filter_funnel" -> (txFilterFunnel _),
     "dd_urldup" -> (ddUrldup _),
@@ -984,6 +1045,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q_curation_e2e" -> qCurationE2eSql,
     "q_corpus_report" -> qCorpusReportSql,
+    "tx_html_strip" -> txHtmlStripSql,
     "tx_chunks" -> txChunksSql,
     "tx_filter_funnel" -> txFilterFunnelSql,
     "dd_urldup" -> ddUrldupSql,

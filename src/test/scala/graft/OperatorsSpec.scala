@@ -735,6 +735,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert((selDocs, selToks) === expectSel(lang), s"selection mismatch for $lang") }
   }
 
+  test("markup strip recovers the original text byte-exactly") {
+    val clean = TextAnalysis.txHtmlStrip(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val raw = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean.keySet === raw.keySet)
+    raw.foreach { case (id, t) =>
+      assert(clean(id) === t, s"doc $id not restored byte-exactly") }
+  }
+
   test("chunking: dense ids, full coverage, hashes match the real substrings") {
     val out = TextAnalysis.chunks(Tables.documents(spark, dir), 200, 150)
       .collect()
