@@ -252,6 +252,17 @@ object ScaleCheck {
             .filter(col("doc_id") =!= col("rep"))
             .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
           Dedup.connectedComponents(pairs).count()
+        } ++
+        // cross-source priority retention end-to-end at planted dup
+        // density: LSH candidates + CC + the per-cluster argmin window —
+        // the window's per-task input is bounded by cluster size, so the
+        // cost must track the (already-rehearsed) minhash verification,
+        // not add a new corpus-scale stage
+        t("dd_priority") {
+          Dedup.priorityRetention(
+            docs.withColumn("source",
+              concat(lit("src"), pmod(col("doc_id"), lit(10L)))),
+            substring(col("source"), 4, 8).cast("int")).count()
         }
     else base
     // dd_ngram_jaccard is deliberately absent: the default docgen corpus
