@@ -372,6 +372,11 @@ object Sampling {
               shares: Map[String, Double], budget: Long): DataFrame = {
     val shareMap = map(shares.toSeq.sortBy(_._1).flatMap {
       case (s, r) => Seq(lit(s), lit(r)) }: _*)
+    // lazily checkpointed (#strata rows): the rate table feeds BOTH the
+    // selection join and the final report join — without it the corpus
+    // totals aggregate runs twice (the documented cost is two linear
+    // scans: one for totals, one for selection). Lazy, not eager, so
+    // composition stays action-free (the ivfTopK round-5 lesson).
     val avail = df.groupBy(stratum.as("_s"))
       .agg(count(lit(1)).as("avail_docs"), sum(tokens).as("avail_tokens"))
       .withColumn("_share",
@@ -380,6 +385,7 @@ object Sampling {
         floor(lit(budget.toDouble) * col("_share")).cast("long"))
       .withColumn("rate", least(lit(1.0),
         col("target_tokens").cast("double") / col("avail_tokens").cast("double")))
+      .localCheckpoint(false)
     val sel = df
       .join(broadcast(avail.select(col("_s"), col("rate"))), stratum <=> col("_s"))
       .filter(hashUniform(key, "mix") < col("rate"))
