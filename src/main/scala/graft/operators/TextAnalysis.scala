@@ -830,6 +830,94 @@ object TextAnalysis {
       |FROM n, unnest(range(0, nc)) r(i)
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** BPE tokenizer MERGE TRAINING — the build step of the subword
+    * tokenizer whose vocab [[tokensVocab]] consumes and whose counts
+    * [[graft.operators.Sampling.tokenBudget]] meters. Each iteration
+    * counts adjacent symbol pairs (weighted by word frequency), picks
+    * the most frequent pair (count desc, pair asc — deterministic), and
+    * merges it corpus-wide; the chosen merges ARE the trained artifact.
+    *
+    * Scale: the load-bearing fact of real BPE training — it runs on the
+    * WORD-FREQUENCY table, not the corpus. One corpus scan builds
+    * (word, f); every merge iteration touches only that vocab-sized
+    * table (lazily checkpointed), with the chosen pair broadcast back.
+    * Production trains tens of thousands of merges with the same
+    * per-iteration plan (driver loop, artifact checkpoint every N
+    * merges, exactly like ann_kmeans' fixed-iters contract); the
+    * 2-merge form here is what keeps the full SQL oracle.
+    *
+    * Merge application is string replace on the spaced symbol form
+    * (" a b " → " ab "), non-overlapping left-to-right in both engines;
+    * for a RUN of the same pair ("a a a a") the shared delimiter means
+    * alternate occurrences merge per pass, a documented simplification
+    * vs canonical BPE's pairwise-array walk — deterministic and
+    * identical cross-engine, which is the property the oracle checks. */
+  def bpeTrain(docs: DataFrame, merges: Int = 2): DataFrame = {
+    val wf0 = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .withColumn("sym", concat(lit(" "),
+        concat_ws(" ", split(col("word"), "")), lit(" ")))
+      .localCheckpoint(false)
+    def pairCounts(wf: DataFrame): DataFrame = {
+      val a = split(trim(col("sym")), " ")
+      wf.select(col("f"),
+          explode(arrays_zip(a, slice(a, lit(2), size(a)))).as("z"))
+        .filter(col("z.1").isNotNull)
+        .groupBy(concat_ws(" ", col("z.0"), col("z.1")).as("pair"))
+        .agg(sum(col("f")).as("cnt"))
+    }
+    var wf = wf0
+    var out: DataFrame = null
+    for (i <- 1 to merges) {
+      val top = pairCounts(wf)
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(lit(i).as("rank"), col("pair"), col("cnt"))
+        .localCheckpoint(false) // feeds both the output and the next merge
+      out = if (out == null) top else out.union(top)
+      wf = wf.crossJoin(broadcast(top.select(col("pair").as("_p"))))
+        .withColumn("sym", replace(col("sym"),
+          concat(lit(" "), col("_p"), lit(" ")),
+          concat(lit(" "), replace(col("_p"), lit(" "), lit("")), lit(" "))))
+        .drop("_p")
+    }
+    out
+  }
+
+  def txBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables.documents(spark, dir)).orderBy(col("rank"))
+
+  /** Replays both merge iterations CTE-by-CTE (the ann_kmeans pattern). */
+  val txBpeTrainSql: String =
+    """WITH wf AS (
+      |  SELECT word, count(*) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> '' GROUP BY word),
+      |s0 AS (SELECT f,
+      |  ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sym
+      |  FROM wf),
+      |p1 AS (
+      |  SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+      |    SELECT f, unnest([s[i]||' '||s[i+1] for i in range(1, len(s))]) AS pair
+      |    FROM (SELECT f, string_split(trim(sym), ' ') AS s FROM s0)
+      |    WHERE len(s) >= 2)
+      |  GROUP BY pair),
+      |t1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+      |s1 AS (
+      |  SELECT f, replace(sym, ' ' || t1.pair || ' ',
+      |    ' ' || replace(t1.pair, ' ', '') || ' ') AS sym
+      |  FROM s0 CROSS JOIN t1),
+      |p2 AS (
+      |  SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+      |    SELECT f, unnest([s[i]||' '||s[i+1] for i in range(1, len(s))]) AS pair
+      |    FROM (SELECT f, string_split(trim(sym), ' ') AS s FROM s1)
+      |    WHERE len(s) >= 2)
+      |  GROUP BY pair),
+      |t2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1)
+      |SELECT CAST(1 AS INT) AS rank, pair, cnt FROM t1
+      |UNION ALL SELECT CAST(2 AS INT), pair, cnt FROM t2
+      |ORDER BY rank""".stripMargin
+
   /** Markup removal — the first stage of every web-crawl pipeline:
     * drop head/script/style blocks wholesale, strip remaining tags,
     * decode the common entities, collapse whitespace. Pure regexp
@@ -1024,6 +1112,7 @@ object TextAnalysis {
     "q_curation_e2e" -> (qCurationE2e _),
     "q_corpus_report" -> (qCorpusReport _),
     "tx_html_strip" -> (txHtmlStrip _),
+    "tx_bpe_train" -> (txBpeTrain _),
     "tx_chunks" -> (txChunks _),
     "tx_filter_funnel" -> (txFilterFunnel _),
     "dd_urldup" -> (ddUrldup _),
@@ -1046,6 +1135,7 @@ object TextAnalysis {
     "q_curation_e2e" -> qCurationE2eSql,
     "q_corpus_report" -> qCorpusReportSql,
     "tx_html_strip" -> txHtmlStripSql,
+    "tx_bpe_train" -> txBpeTrainSql,
     "tx_chunks" -> txChunksSql,
     "tx_filter_funnel" -> txFilterFunnelSql,
     "dd_urldup" -> ddUrldupSql,

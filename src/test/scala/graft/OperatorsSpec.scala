@@ -735,6 +735,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert((selDocs, selToks) === expectSel(lang), s"selection mismatch for $lang") }
   }
 
+  test("BPE training picks the top pair and later merges build on merged symbols") {
+    import spark.implicits._
+    // hand-computed: words abc x3, abd x3, xy x1
+    //  pass 1 pairs: "a b"=6, "b c"=3, "b d"=3, "x y"=1 → merge "a b"
+    //  pass 2 (on " ab c ", " ab d "): "ab c"=3, "ab d"=3, "x y"=1
+    //    → count tie broken by pair asc → "ab c" (proves pass 2 sees the
+    //    MERGED symbol, not the original chars)
+    val docs = Seq((1L, "abc abc abd"), (2L, "abc abd abd xy"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1, "a b", 6L), (2, "ab c", 3L)))
+  }
+
   test("markup strip recovers the original text byte-exactly") {
     val clean = TextAnalysis.txHtmlStrip(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
