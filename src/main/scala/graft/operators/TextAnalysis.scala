@@ -978,6 +978,64 @@ object TextAnalysis {
       |SELECT doc_id, trim(regexp_replace(x, ' +', ' ', 'g')) AS clean_text
       |FROM s4 ORDER BY doc_id""".stripMargin
 
+  /** Changeset application (upsert/merge): fold a batch of updates,
+    * deletes, and inserts into a corpus snapshot — how a maintained
+    * corpus table advances between crawl snapshots without a rewrite
+    * from scratch. ONE full-outer join on the key applies all three
+    * operations: changeset side wins where present, `delete` rows are
+    * filtered, unmatched changeset rows are the inserts.
+    *
+    * Scale: a single key shuffle join (both sides hash on doc_id). No
+    * broadcast hint — real changesets can be a large fraction of the
+    * snapshot (AQE still broadcasts genuinely small ones); the
+    * de-broadcast lesson from the dedup drop-set joins applies. */
+  def upsert(snap: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val ch = changes.select(col(key), col("op"),
+      col("lang").as("_l"), col("n_chars").as("_n"))
+    snap.join(ch, Seq(key), "full_outer")
+      .filter(coalesce(col("op"), lit("keep")) =!= "delete")
+      .select(col(key),
+        coalesce(col("_l"), col("lang")).as("lang"),
+        coalesce(col("_n"), col("n_chars")).as("n_chars"))
+  }
+
+  /** q_upsert: a deterministic synthetic changeset over documents —
+    * doc_id%10: 0 → update (n_chars+1000), 1 → delete, 2 → insert a new
+    * doc at id+1,000,000 with n_chars=42. */
+  def qUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val m = pmod(col("doc_id"), lit(10))
+    val changes = snap.filter(m <= 2).select(
+      when(m === 2, col("doc_id") + lit(1000000L))
+        .otherwise(col("doc_id")).as("doc_id"),
+      when(m === 0, lit("update")).when(m === 1, lit("delete"))
+        .otherwise(lit("insert")).as("op"),
+      col("lang"),
+      when(m === 0, col("n_chars") + lit(1000L))
+        .when(m === 2, lit(42L)).otherwise(col("n_chars")).as("n_chars"))
+    upsert(snap, changes, "doc_id").orderBy(col("doc_id"))
+  }
+
+  val qUpsertSql: String =
+    """WITH snap AS (SELECT doc_id, lang, n_chars FROM documents),
+      |ch AS (
+      |  SELECT CASE WHEN m = 2 THEN orig + 1000000 ELSE orig END AS doc_id,
+      |    CASE m WHEN 0 THEN 'update' WHEN 1 THEN 'delete'
+      |           ELSE 'insert' END AS op,
+      |    lang,
+      |    CASE m WHEN 0 THEN n_chars + 1000 WHEN 2 THEN 42
+      |           ELSE n_chars END AS n_chars
+      |  FROM (SELECT doc_id AS orig, doc_id % 10 AS m, lang, n_chars
+      |        FROM snap WHERE doc_id % 10 <= 2)),
+      |j AS (
+      |  SELECT coalesce(ch.doc_id, snap.doc_id) AS doc_id, op,
+      |    coalesce(ch.lang, snap.lang) AS lang,
+      |    coalesce(ch.n_chars, snap.n_chars) AS n_chars
+      |  FROM snap FULL OUTER JOIN ch ON snap.doc_id = ch.doc_id)
+      |SELECT doc_id, lang, n_chars FROM j
+      |WHERE coalesce(op, 'keep') <> 'delete' ORDER BY doc_id""".stripMargin
+
   /** q_corpus_report: the dataset "data card" profile — one row per
     * language with document counts, character mass, length distribution,
     * and the exact-duplicate rate. The summary table published next to a
@@ -1111,6 +1169,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_e2e" -> (qCurationE2e _),
     "q_corpus_report" -> (qCorpusReport _),
+    "q_upsert" -> (qUpsert _),
     "tx_html_strip" -> (txHtmlStrip _),
     "tx_bpe_train" -> (txBpeTrain _),
     "tx_chunks" -> (txChunks _),
@@ -1134,6 +1193,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q_curation_e2e" -> qCurationE2eSql,
     "q_corpus_report" -> qCorpusReportSql,
+    "q_upsert" -> qUpsertSql,
     "tx_html_strip" -> txHtmlStripSql,
     "tx_bpe_train" -> txBpeTrainSql,
     "tx_chunks" -> txChunksSql,

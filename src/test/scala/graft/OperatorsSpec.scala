@@ -735,6 +735,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert((selDocs, selToks) === expectSel(lang), s"selection mismatch for $lang") }
   }
 
+  test("upsert applies updates, deletes, and inserts in one pass") {
+    val before = Tables.documents(spark, dir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = TextAnalysis.qUpsert(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .map(t => t._1 -> t).toMap
+    before.foreach { case (id, nc) =>
+      (id % 10) match {
+        case 0 => assert(after(id)._3 === nc + 1000L, s"update missed $id")
+        case 1 => assert(!after.contains(id), s"delete missed $id")
+        case 2 => assert(after(id)._3 === nc, s"insert source $id changed")
+          assert(after(id + 1000000L)._3 === 42L, s"insert missing for $id")
+        case _ => assert(after(id)._3 === nc, s"untouched row $id changed")
+      }
+    }
+    assert(after.size === before.size -
+      before.keys.count(_ % 10 == 1) + before.keys.count(_ % 10 == 2))
+  }
+
   test("BPE training picks the top pair and later merges build on merged symbols") {
     import spark.implicits._
     // hand-computed: words abc x3, abd x3, xy x1
