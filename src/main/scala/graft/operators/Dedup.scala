@@ -701,6 +701,35 @@ object Dedup {
       |WHERE CAST(shared AS DOUBLE) / CAST(len(sa.shingles) + len(sb.shingles) - shared AS DOUBLE) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Dedup-threshold calibration: the histogram of verified pair
+    * similarities in 0.05-wide Jaccard bins — the table a curation team
+    * reads to PICK its near-dup threshold (where does the pair mass sit;
+    * what does moving 0.9 → 0.85 sweep in). Same inverted-index pair
+    * machinery as [[ngramJaccard]]; the histogram adds one tiny
+    * aggregate over the verified pairs. */
+  def ddThresholdHist(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccard(Tables.documents(spark, dir), minJaccard = 0.5)
+      .select(floor(col("jaccard") * 20).cast(LongType).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("bin_lo", col("bin").cast(DoubleType) / lit(20.0))
+      .select(col("bin"), col("bin_lo"), col("n_pairs"))
+      .orderBy(col("bin"))
+
+  /** Same pair CTEs as ddNgramJaccardSql, bucketed instead of listed. */
+  val ddThresholdHistSql: String = {
+    val tail = ddNgramJaccardSql.indexOf("SELECT doc_a, doc_b, shared,")
+    ddNgramJaccardSql.substring(0, tail).stripTrailing.stripSuffix(",") + ",\n" +
+      """jac AS (
+        |  SELECT CAST(shared AS DOUBLE) /
+        |    CAST(len(sa.shingles) + len(sb.shingles) - shared AS DOUBLE) AS j
+        |  FROM shared JOIN sh sa ON doc_a = sa.doc_id
+        |  JOIN sh sb ON doc_b = sb.doc_id)
+        |SELECT CAST(floor(j * 20) AS BIGINT) AS bin,
+        |  CAST(CAST(floor(j * 20) AS BIGINT) AS DOUBLE) / 20.0 AS bin_lo,
+        |  count(*) AS n_pairs
+        |FROM jac WHERE j >= 0.5 GROUP BY 1, 2 ORDER BY bin""".stripMargin
+  }
+
   /** Embedding-cosine near-dup pairs above a threshold, LSH-blocked.
     *
     * Candidate pairs come from `nTables` independent random-hyperplane
@@ -1043,6 +1072,7 @@ object Dedup {
     "dd_media" -> (ddMedia _),
     "dd_semantic" -> (ddSemantic _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_threshold_hist" -> (ddThresholdHist _),
     "dd_embed_cosine" -> (ddEmbedCosine _))
 
   val oracles: Map[String, String] = Map(
@@ -1059,5 +1089,6 @@ object Dedup {
     "dd_media" -> ddMediaSql,
     "dd_semantic" -> ddSemanticSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_threshold_hist" -> ddThresholdHistSql,
     "dd_embed_cosine" -> ddEmbedCosineSql)
 }

@@ -735,6 +735,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert((selDocs, selToks) === expectSel(lang), s"selection mismatch for $lang") }
   }
 
+  test("threshold histogram conserves the verified pair count") {
+    val hist = Dedup.ddThresholdHist(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val pairs = Dedup.ngramJaccard(Tables.documents(spark, dir), 0.5).count()
+    assert(hist.map(_._2).sum === pairs, "histogram lost pairs")
+    // bins are within the [0.5, 1.0] sweep range (bin 20 = exactly 1.0)
+    hist.foreach { case (bin, _) => assert(bin >= 10L && bin <= 20L) }
+  }
+
   test("upsert applies updates, deletes, and inserts in one pass") {
     val before = Tables.documents(spark, dir)
       .select("doc_id", "n_chars").collect()
