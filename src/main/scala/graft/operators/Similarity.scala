@@ -715,6 +715,73 @@ object Similarity {
       |SELECT q_id, neighbor_id, rk, cospq FROM ranked WHERE rk <= 5
       |ORDER BY q_id, rk""".stripMargin
 
+  /** Random-projection dimensionality reduction + search: project 64-dim
+    * embeddings onto `rDim` deterministic ±1 hyperplanes (disjoint md5
+    * plane family, offset 100) and run the exact sweep in the REDUCED
+    * space — the Johnson-Lindenstrauss preprocessing that cuts ANN scan
+    * bytes 4x (16 doubles/row instead of 64) while approximately
+    * preserving angles. At corpus scale the reduced table is
+    * materialized once and every downstream stage (LSH tables, IVF
+    * training, brute rerank candidates) reads it instead of the full
+    * vectors. The reduction is a pure projection (zero shuffle); the
+    * sweep is the broadcast-queries scan-once shape of [[bruteTopK]].
+    *
+    * What 16 dims preserves (and what not): genuine near-dups keep their
+    * margin (planted cos≈0.999 partners surface at the top of the
+    * reduced sweep — OperatorsSpec asserts >= 0.9 recall), while
+    * near-tie background orderings (this corpus's random positive
+    * vectors sit at cos 0.75 ± 0.02) are NOT preserved — measured 0.14-
+    * 0.16 top-5 agreement regardless of rDim, which is the data regime,
+    * not the operator: no projection can rank ties. Use it as the
+    * near-dup / candidate-generation front end, not as a ranker. */
+  def rpTopK(emb: DataFrame, isQuery: Column, k: Int = 5, rDim: Int = 16,
+             dim: Int = 64, planeOffset: Int = 100): DataFrame = {
+    val reduced = emb.select(col("vec_id"),
+        array((0 until rDim).map { p =>
+          dot(col("embedding").cast(ArrayType(DoubleType)),
+            array(planeWeights(planeOffset + p, dim).map(lit): _*))
+        }: _*).as("rv"))
+      .withColumn("rn2", dot(col("rv"), col("rv")))
+    val queries = reduced.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("rv").as("qv"), col("rn2").as("qn2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rcos").desc, col("vec_id"))
+    broadcast(queries).join(reduced, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qv"), col("rv")) / (sqrt(col("qn2")) * sqrt(col("rn2")))).as("rcos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("rcos"))
+  }
+
+  def annRp(spark: SparkSession, dir: String): DataFrame =
+    rpTopK(Tables.embeddings(spark, dir), col("vec_id") < 10)
+      .orderBy("q_id", "rk")
+
+  val annRpSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |planes AS (
+      |  SELECT p,
+      |    [CASE WHEN ('0x'||substr(md5((100 + p)::VARCHAR||','||d::VARCHAR),1,2))::INT % 2 = 0
+      |          THEN 1.0 ELSE -1.0 END for d in range(0, 64)] AS pw
+      |  FROM (SELECT unnest(range(0, 16)) AS p)),
+      |r0 AS (
+      |  SELECT vec_id, p, list_dot_product(v, pw) AS x
+      |  FROM v CROSS JOIN planes),
+      |r AS (SELECT vec_id, list(x ORDER BY p) AS rv FROM r0 GROUP BY vec_id),
+      |rn AS (SELECT vec_id, rv, list_dot_product(rv, rv) AS rn2 FROM r),
+      |q AS (SELECT vec_id AS q_id, rv AS qv, rn2 AS qn2 FROM rn WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q_id, vec_id,
+      |    list_dot_product(qv, rv) / (sqrt(qn2) * sqrt(rn2)) AS rcos
+      |  FROM q JOIN rn ON q_id <> vec_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id AS neighbor_id, rcos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY rcos DESC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT q_id, neighbor_id, rk, rcos FROM ranked WHERE rk <= 5
+      |ORDER BY q_id, rk""".stripMargin
+
   /** Two-stage retrieval: IVF-PQ candidate generation + exact float
     * rerank — the production ANN serving shape. The ADC scan over ~80-byte
     * index rows overfetches `overfetch` candidates per query (cheap, reads
@@ -775,6 +842,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_rerank" -> (annRerank _),
+    "ann_rp" -> (annRp _),
     "ann_kmeans" -> (annKmeans _),
     "ann_int8_topk" -> (annInt8TopK _),
     "ann_brute_topk" -> (annBruteTopK _),
@@ -786,6 +854,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ann_ivfpq_topk" -> annIvfPqTopKSql,
     "ann_rerank" -> annRerankSql,
+    "ann_rp" -> annRpSql,
     "ann_kmeans" -> annKmeansSql,
     "ann_int8_topk" -> annInt8TopKSql,
     "ann_brute_topk" -> annBruteTopKSql,

@@ -839,6 +839,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("random projection preserves genuine near-duplicates in the reduced space") {
+    import spark.implicits._
+    // the regime RP reduction exists for: real neighbors with a margin.
+    // On this corpus's random positive vectors the background cosines
+    // are near-ties (~0.75 ± 0.02) — no projection can rank THOSE — but
+    // a planted cos≈0.999 near-dup must survive 64→16 reduction and
+    // surface at the top of the reduced-space sweep.
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val planted = base.map { case (id, v) =>
+      val w = v.clone(); w(0) += 0.01 * math.abs(w(0)) + 1e-3; (id + 1000000L, w)
+    }
+    val all = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    val top = Similarity.rpTopK(all, col("vec_id") >= 1000000L, k = 5)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = planted.count { case (q, _) =>
+      top.getOrElse(q, Set.empty).contains(q - 1000000L) }.toDouble / planted.length
+    assert(recall >= 0.9, s"planted near-dup recall in reduced space: $recall")
+  }
+
   test("two-stage rerank: any true neighbor surviving candidates is kept; recall >= raw ADC") {
     val emb = Tables.embeddings(spark, dir)
     def sets(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
