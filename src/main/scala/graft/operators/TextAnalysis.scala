@@ -978,6 +978,61 @@ object TextAnalysis {
       |SELECT doc_id, trim(regexp_replace(x, ' +', ' ', 'g')) AS clean_text
       |FROM s4 ORDER BY doc_id""".stripMargin
 
+  /** Cross-snapshot drift detection: compare the term distributions of
+    * two corpus snapshots and surface the terms whose corpus share moved
+    * most — the monitoring table a curation team watches between crawl
+    * snapshots (a term surging from 0.1% to 2% of tokens usually means
+    * spam, a template flood, or a scraper change). Shares are plain
+    * count/total ratios and the ranking key is |share_a − share_b|:
+    * rational arithmetic only, NO ln/log (libm last-ulp drift would
+    * break the oracle — the tx_tfidf lesson), bit-exact cross-engine.
+    *
+    * Scale: one map-side-combined (snapshot, term) count — vocabulary-
+    * sized shuffle — a two-row totals aggregate broadcast back, and a
+    * TakeOrdered top-k. Nothing corpus-scale past the first scan. */
+  def drift(docs: DataFrame, isSnapshotB: Column, k: Int = 20): DataFrame = {
+    val terms = docs
+      .select(isSnapshotB.cast("int").as("snap"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val counts = terms.groupBy(col("snap"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // feeds totals AND the share join
+    val totals = counts.groupBy(col("snap")).agg(sum(col("n")).as("tot"))
+    val wide = counts.join(broadcast(totals), Seq("snap"))
+      .withColumn("share", col("n").cast("double") / col("tot").cast("double"))
+      .groupBy(col("term"))
+      .agg(sum(when(col("snap") === 0, col("share")).otherwise(0.0)).as("share_a"),
+        sum(when(col("snap") === 1, col("share")).otherwise(0.0)).as("share_b"))
+    wide
+      .withColumn("drift", abs(col("share_a") - col("share_b")))
+      .orderBy(col("drift").desc, col("term"))
+      .limit(k)
+      .select(col("term"), col("share_a"), col("share_b"), col("drift"))
+  }
+
+  /** tx_drift: even doc_ids play snapshot A, odd play snapshot B. */
+  def txDrift(spark: SparkSession, dir: String): DataFrame =
+    drift(Tables.documents(spark, dir), pmod(col("doc_id"), lit(2)) === 1)
+
+  val txDriftSql: String =
+    """WITH t AS (
+      |  SELECT CAST(doc_id % 2 AS INT) AS snap,
+      |    unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |c AS (SELECT snap, term, count(*) AS n FROM t
+      |      WHERE term <> '' GROUP BY snap, term),
+      |tot AS (SELECT snap, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY snap),
+      |sh AS (
+      |  SELECT term,
+      |    sum(CASE WHEN snap = 0
+      |        THEN CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) ELSE 0.0 END) AS share_a,
+      |    sum(CASE WHEN snap = 1
+      |        THEN CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) ELSE 0.0 END) AS share_b
+      |  FROM c JOIN tot USING (snap) GROUP BY term)
+      |SELECT term, share_a, share_b, abs(share_a - share_b) AS drift
+      |FROM sh ORDER BY drift DESC, term LIMIT 20""".stripMargin
+
   /** Changeset application (upsert/merge): fold a batch of updates,
     * deletes, and inserts into a corpus snapshot — how a maintained
     * corpus table advances between crawl snapshots without a rewrite
@@ -1170,6 +1225,7 @@ object TextAnalysis {
     "q_curation_e2e" -> (qCurationE2e _),
     "q_corpus_report" -> (qCorpusReport _),
     "q_upsert" -> (qUpsert _),
+    "tx_drift" -> (txDrift _),
     "tx_html_strip" -> (txHtmlStrip _),
     "tx_bpe_train" -> (txBpeTrain _),
     "tx_chunks" -> (txChunks _),
@@ -1194,6 +1250,7 @@ object TextAnalysis {
     "q_curation_e2e" -> qCurationE2eSql,
     "q_corpus_report" -> qCorpusReportSql,
     "q_upsert" -> qUpsertSql,
+    "tx_drift" -> txDriftSql,
     "tx_html_strip" -> txHtmlStripSql,
     "tx_bpe_train" -> txBpeTrainSql,
     "tx_chunks" -> txChunksSql,
