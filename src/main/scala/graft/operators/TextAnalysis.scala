@@ -978,6 +978,51 @@ object TextAnalysis {
       |SELECT doc_id, trim(regexp_replace(x, ' +', ' ', 'g')) AS clean_text
       |FROM s4 ORDER BY doc_id""".stripMargin
 
+  /** Cross-corpus fluency/novelty signal: the share of a document's
+    * bigrams that are RARE in the whole corpus (occur <= 1 time
+    * anywhere, i.e. nowhere else) — a cheap LM-free stand-in for
+    * perplexity filtering: garbled or machine-generated text is full of
+    * bigrams no other document produces, while templated text sits at
+    * the other extreme. Complements [[repetition]] (within-doc) and
+    * [[mlQuality]] (lexical model): this one is the only signal that
+    * compares each document against the REST of the corpus. Pure count
+    * ratios — no log smoothing (the libm oracle lesson).
+    *
+    * Scale: same shape as [[tfidf]] — one corpus-sized bigram shuffle
+    * (map-side combined count + the tall-table join on the bigram key);
+    * per-doc aggregation is the second bounded shuffle. */
+  def fluency(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val tall = docs
+      .select(col("doc_id"),
+        explode(arrays_zip(w, slice(w, lit(2), size(w)))).as("z"))
+      .filter(col("z.1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("z.0"), col("z.1")).as("bg"))
+    val cnt = tall.groupBy(col("bg")).agg(count(lit(1)).as("n"))
+    tall.join(cnt, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("n") <= 1, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ratio",
+        col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"), col("rare_ratio"))
+  }
+
+  def txFluency(spark: SparkSession, dir: String): DataFrame =
+    fluency(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  val txFluencySql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |b AS (
+      |  SELECT doc_id, unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS bg
+      |  FROM toks WHERE len(w) >= 2),
+      |cnt AS (SELECT bg, count(*) AS n FROM b GROUP BY bg)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CASE WHEN n <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |  CAST(sum(CASE WHEN n <= 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |    AS rare_ratio
+      |FROM b JOIN cnt USING (bg) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Cross-snapshot drift detection: compare the term distributions of
     * two corpus snapshots and surface the terms whose corpus share moved
     * most — the monitoring table a curation team watches between crawl
@@ -1226,6 +1271,7 @@ object TextAnalysis {
     "q_corpus_report" -> (qCorpusReport _),
     "q_upsert" -> (qUpsert _),
     "tx_drift" -> (txDrift _),
+    "tx_fluency" -> (txFluency _),
     "tx_html_strip" -> (txHtmlStrip _),
     "tx_bpe_train" -> (txBpeTrain _),
     "tx_chunks" -> (txChunks _),
@@ -1251,6 +1297,7 @@ object TextAnalysis {
     "q_corpus_report" -> qCorpusReportSql,
     "q_upsert" -> qUpsertSql,
     "tx_drift" -> txDriftSql,
+    "tx_fluency" -> txFluencySql,
     "tx_html_strip" -> txHtmlStripSql,
     "tx_bpe_train" -> txBpeTrainSql,
     "tx_chunks" -> txChunksSql,
