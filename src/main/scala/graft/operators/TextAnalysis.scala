@@ -727,8 +727,12 @@ object TextAnalysis {
     val stage = filters.zipWithIndex.foldRight(lit(n): Column) {
       case (((_, keep), i), acc) => when(!keep, lit(i)).otherwise(acc)
     }
+    // lazily checkpointed (<= #filters+1 rows): feeds both the name join
+    // and the grand-total aggregate — without it the corpus stage scan
+    // runs twice (the doc'd contract is ONE corpus scan)
     val counts = df.select(stage.as("_stage"))
       .groupBy(col("_stage")).agg(count(lit(1)).as("_n"))
+      .localCheckpoint(false)
     val names = filters.zipWithIndex
       .map { case ((name, _), i) => (i, name) }.toDF("stage", "filter")
     // total + per-stage drops on the tiny side; arrived_i = total minus
@@ -853,6 +857,7 @@ object TextAnalysis {
     * vs canonical BPE's pairwise-array walk — deterministic and
     * identical cross-engine, which is the property the oracle checks. */
   def bpeTrain(docs: DataFrame, merges: Int = 2): DataFrame = {
+    require(merges >= 1, "bpeTrain needs at least one merge")
     val wf0 = docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("f"))
