@@ -1104,6 +1104,57 @@ object TextAnalysis {
         coalesce(col("_n"), col("n_chars")).as("n_chars"))
   }
 
+  /** Snapshot diff — the INVERSE of [[upsert]]: compare two corpus
+    * snapshots and emit the minimal changeset (update/delete/insert)
+    * that transforms the first into the second. The pair gives the
+    * incremental-maintenance algebra: `upsert(a, snapshotDiff(a, b))
+    * == b` exactly (asserted in spec), which is how a pipeline ships
+    * snapshot deltas instead of full corpora. Presence markers (not
+    * value nulls) distinguish "row absent" from "null value", and
+    * unchanged rows vanish from the changeset.
+    *
+    * Scale: one full-outer key join, same cost envelope as upsert. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String = "doc_id"): DataFrame = {
+    val ao = a.select(col(key), col("lang").as("_al"),
+      col("n_chars").as("_an"), lit(1).as("_ap"))
+    val bo = b.select(col(key), col("lang").as("_bl"),
+      col("n_chars").as("_bn"), lit(1).as("_bp"))
+    ao.join(bo, Seq(key), "full_outer")
+      .withColumn("op",
+        when(col("_bp").isNull, lit("delete"))
+          .when(col("_ap").isNull, lit("insert"))
+          .when(col("_al") <=> col("_bl") && col("_an") <=> col("_bn"),
+            lit("same"))
+          .otherwise(lit("update")))
+      .filter(col("op") =!= "same")
+      .select(col(key), col("op"),
+        when(col("op") =!= "delete", col("_bl")).as("lang"),
+        when(col("op") =!= "delete", col("_bn")).as("n_chars"))
+  }
+
+  /** q_snapshot_diff: diff the raw snapshot against the upsert-applied
+    * one — must recover exactly the effective synthetic changeset. */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    snapshotDiff(snap, qUpsert(spark, dir)).orderBy(col("doc_id"))
+  }
+
+  /** Oracle IS the effective changeset definition (every synthetic
+    * update changes n_chars, so none are no-ops). */
+  val qSnapshotDiffSql: String =
+    """WITH snap AS (SELECT doc_id, lang, n_chars FROM documents)
+      |SELECT doc_id, op, lang, n_chars FROM (
+      |  SELECT doc_id, 'update' AS op, lang, n_chars + 1000 AS n_chars
+      |  FROM snap WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 'delete', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+      |  FROM snap WHERE doc_id % 10 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'insert', lang, CAST(42 AS BIGINT)
+      |  FROM snap WHERE doc_id % 10 = 2)
+      |ORDER BY doc_id""".stripMargin
+
   /** q_upsert: a deterministic synthetic changeset over documents —
     * doc_id%10: 0 → update (n_chars+1000), 1 → delete, 2 → insert a new
     * doc at id+1,000,000 with n_chars=42. */
@@ -1275,6 +1326,7 @@ object TextAnalysis {
     "q_curation_e2e" -> (qCurationE2e _),
     "q_corpus_report" -> (qCorpusReport _),
     "q_upsert" -> (qUpsert _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "tx_drift" -> (txDrift _),
     "tx_fluency" -> (txFluency _),
     "tx_html_strip" -> (txHtmlStrip _),
@@ -1301,6 +1353,7 @@ object TextAnalysis {
     "q_curation_e2e" -> qCurationE2eSql,
     "q_corpus_report" -> qCorpusReportSql,
     "q_upsert" -> qUpsertSql,
+    "q_snapshot_diff" -> qSnapshotDiffSql,
     "tx_drift" -> txDriftSql,
     "tx_fluency" -> txFluencySql,
     "tx_html_strip" -> txHtmlStripSql,

@@ -744,6 +744,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     hist.foreach { case (bin, _) => assert(bin >= 10L && bin <= 20L) }
   }
 
+  test("snapshot diff inverts upsert: apply(a, diff(a, b)) == b") {
+    val a = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val b = TextAnalysis.qUpsert(spark, dir)
+    val ch = TextAnalysis.snapshotDiff(a, b)
+    val restored = TextAnalysis.upsert(a, ch, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val target = b.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(restored.toSeq === target.toSeq)
+    // and the diff is minimal: unchanged rows produce no changeset row
+    val ops = ch.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = a.count()
+    assert(ops("update") === a.filter(pmod(col("doc_id"), lit(10)) === 0).count())
+    assert(ops("delete") === a.filter(pmod(col("doc_id"), lit(10)) === 1).count())
+    assert(ops("insert") === a.filter(pmod(col("doc_id"), lit(10)) === 2).count())
+    assert(ops.values.sum < n, "diff not minimal")
+  }
+
   test("upsert applies updates, deletes, and inserts in one pass") {
     val before = Tables.documents(spark, dir)
       .select("doc_id", "n_chars").collect()
