@@ -447,6 +447,44 @@ object Dedup {
     * Deterministic end to end (deterministic training, assignment,
     * sequential-fold cosine) → the full SQL oracle replays training +
     * assignment + pairing bit-for-bit. */
+  /** Media dedup END-TO-END: perceptual dHash pairs → connected
+    * components → one keeper per cluster — the multimodal half of
+    * curation applied, not just pair discovery. Output is the cluster
+    * representative table (kept_doc = min member, cluster_size); the
+    * drop set is every clustered doc except its keeper. Same machinery
+    * as [[mediaPairs]] + [[connectedComponents]], so the scale
+    * arguments (24-byte signature shuffles, |E|-bounded CC iterations)
+    * carry over unchanged. */
+  def mmDedupE2e(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = mediaPairs(Tables.documents(spark, dir))
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    connectedComponents(pairs)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("cluster").as("kept_doc"), col("cluster_size"))
+      .orderBy(col("kept_doc"))
+  }
+
+  /** ddMediaSql's CTE chain + the recursive-CTE closure + keep-min. */
+  val mmDedupE2eSql: String = {
+    val tail = ddMediaSql.indexOf("SELECT doc_a, doc_b, hamming FROM pairs")
+    ddMediaSql.substring(0, tail).stripTrailing
+      .replaceFirst("^WITH ", "WITH RECURSIVE ") + ",\n" +
+      """vp AS (SELECT doc_a, doc_b FROM pairs WHERE hamming <= 3),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM vp
+        |  UNION SELECT doc_b, doc_a FROM vp
+        |  UNION SELECT doc_a, doc_a FROM vp
+        |  UNION SELECT doc_b, doc_b FROM vp),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |cc AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src)
+        |SELECT cluster AS kept_doc, count(*) AS cluster_size
+        |FROM cc GROUP BY cluster ORDER BY kept_doc""".stripMargin
+  }
+
   def semanticPairs(emb: DataFrame, k: Int = 8, iters: Int = 2,
                     minCos: Double = 0.4): DataFrame = {
     val dvec = col("embedding").cast(ArrayType(DoubleType))
@@ -1070,6 +1108,7 @@ object Dedup {
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
     "dd_media" -> (ddMedia _),
+    "mm_dedup_e2e" -> (mmDedupE2e _),
     "dd_semantic" -> (ddSemantic _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_threshold_hist" -> (ddThresholdHist _),
@@ -1087,6 +1126,7 @@ object Dedup {
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_media" -> ddMediaSql,
+    "mm_dedup_e2e" -> mmDedupE2eSql,
     "dd_semantic" -> ddSemanticSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_threshold_hist" -> ddThresholdHistSql,
