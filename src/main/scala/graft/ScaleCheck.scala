@@ -237,7 +237,11 @@ object ScaleCheck {
           docs.select(col("doc_id"), length(col("text")).as("n_chars")),
           col("doc_id"), col("n_chars"), ctxLen = 2048L)
           .agg(max(col("seq_id"))).head.getLong(0)
-      }).flatten
+      },
+      // cross-corpus fluency at scale: the tall bigram table shuffles
+      // once on the bigram key (map-side-combined count + join) — the
+      // tfidf cost shape; must stay linear in corpus bigrams
+      t("tx_fluency")(TextAnalysis.fluency(docs).count())).flatten
     // the end-to-end pipeline (anti-join on the corpus-scale drop set)
     // only says something new under planted dup density
     val results = if (dupPct > 0)
