@@ -680,6 +680,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(s === refStart(id), s"doc $id offset $s != single-window ${refStart(id)}") }
   }
 
+  test("vocab token counts feed sequence packing (tokenize -> pack composes)") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, dir)
+    val counted = TextAnalysis.tokensVocab(docs).select("doc_id", "n_tok_vocab")
+    val packed = Sampling.packSequences(counted, col("doc_id"),
+        col("n_tok_vocab"), 512L)
+      .select("doc_id", "n_tok_vocab", "start_off", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the tape meters REAL tokenizer tokens: gapless, and each sequence
+    // holds at most 512 tokens' worth of starts
+    val sorted = packed.sortBy(_._3)
+    assert(sorted.head._3 === 0L)
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 === a._3 + a._2)
+    case _ => }
+    packed.foreach { case (_, _, s, id) => assert(id === s / 512) }
+  }
+
   test("sequence packing keeps null-key rows on the tape") {
     import spark.implicits._
     import graft.operators.Sampling
