@@ -1104,6 +1104,97 @@ object TextAnalysis {
         coalesce(col("_n"), col("n_chars")).as("n_chars"))
   }
 
+  /** Host-graph centrality (fixed-iteration PageRank) — the host-level
+    * quality prior of web curation: a page on a well-linked host gets a
+    * different prior than one on a link-farm island, and host rank is a
+    * standard feature in crawl frontier + quality filtering. Fixed 3
+    * iterations of r' = (1-d)/N + d·Σ(r_in/outdeg), damping 0.85.
+    *
+    * Determinism: the in-rank Σ is a FLOAT sum over an unordered group —
+    * the one place iterative graph math usually diverges cross-engine —
+    * so contributions go through the scaled-integer trick (floor(x·1e12
+    * +0.5) summed as BIGINT, divided back; the Relational.dsum pattern):
+    * order-independent, bit-identical in both engines. (1-d)/N is
+    * written as the literal 0.15 in BOTH (computing 1.0-0.85 in doubles
+    * yields 0.15000000000000002 — a real cross-engine trap.)
+    *
+    * Scale: per-iteration cost is one rank⋈edges join + one map-side-
+    * combined aggregate — |E|-bounded, the connectedComponents shape;
+    * the rank table is #hosts-sized (millions at web scale, never the
+    * corpus). Each iteration lazily checkpoints so lineage stays flat.
+    * The edge list here derives from the synthetic source law
+    * (host s links host (s²+1) mod 20 — quadratic, NOT a bijection, so
+    * in-degrees range 0..4 and ranks spread 22x rather than staying
+    * uniform), making the full SQL oracle replay all three
+    * iterations. */
+  def pageRank(edges: DataFrame, iters: Int = 3, d: Double = 0.85): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct().localCheckpoint(false)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var ranks = nodes
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).as("_n"))))
+      .select(col("node"), (lit(1.0) / col("_n").cast("double")).as("r"),
+        col("_n"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(edges, col("node") === col("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("_dst"),
+          (col("r") / col("deg").cast("double")).as("c"))
+        .groupBy(col("_dst"))
+        .agg((sum(floor(col("c") * lit(1.0e12) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1.0e12)).as("cin"))
+      ranks = ranks.select(col("node"), col("_n"))
+        .join(contrib, col("node") === col("_dst"), "left_outer")
+        .select(col("node"),
+          (lit(0.15) / col("_n").cast("double") +
+            lit(d) * coalesce(col("cin"), lit(0.0))).as("r"),
+          col("_n"))
+        .localCheckpoint(false)
+    }
+    ranks.select(col("node"), col("r"))
+  }
+
+  def qHostrank(spark: SparkSession, dir: String): DataFrame = {
+    val s = substring(col("source"), 4, 8).cast("int")
+    val edges = Tables.documents(spark, dir)
+      .select(concat(lit("src"), s.cast("string")).as("src"),
+        concat(lit("src"), pmod(s * s + 1, lit(20)).cast("string")).as("dst"))
+      .distinct()
+    pageRank(edges).orderBy(col("node"))
+  }
+
+  val qHostrankSql: String =
+    """WITH d0 AS (SELECT CAST(substr(source, 4) AS INT) AS s FROM documents),
+      |edges AS (
+      |  SELECT DISTINCT 'src'||s AS src, 'src'||((s * s + 1) % 20) AS dst
+      |  FROM d0),
+      |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      |r0 AS (SELECT node, 1.0 / n AS r FROM nodes, nn),
+      |c1 AS (
+      |  SELECT dst, CAST(sum(CAST(floor(r / deg * 1e12 + 0.5) AS BIGINT))
+      |    AS DOUBLE) / 1e12 AS cin
+      |  FROM r0 JOIN edges ON node = src JOIN deg USING (src) GROUP BY dst),
+      |r1 AS (
+      |  SELECT node, 0.15 / n + 0.85 * coalesce(cin, 0.0) AS r
+      |  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON node = c1.dst),
+      |c2 AS (
+      |  SELECT dst, CAST(sum(CAST(floor(r / deg * 1e12 + 0.5) AS BIGINT))
+      |    AS DOUBLE) / 1e12 AS cin
+      |  FROM r1 JOIN edges ON node = src JOIN deg USING (src) GROUP BY dst),
+      |r2 AS (
+      |  SELECT node, 0.15 / n + 0.85 * coalesce(cin, 0.0) AS r
+      |  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON node = c2.dst),
+      |c3 AS (
+      |  SELECT dst, CAST(sum(CAST(floor(r / deg * 1e12 + 0.5) AS BIGINT))
+      |    AS DOUBLE) / 1e12 AS cin
+      |  FROM r2 JOIN edges ON node = src JOIN deg USING (src) GROUP BY dst),
+      |r3 AS (
+      |  SELECT node, 0.15 / n + 0.85 * coalesce(cin, 0.0) AS r
+      |  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON node = c3.dst)
+      |SELECT node, r FROM r3 ORDER BY node""".stripMargin
+
   /** Snapshot diff — the INVERSE of [[upsert]]: compare two corpus
     * snapshots and emit the minimal changeset (update/delete/insert)
     * that transforms the first into the second. The pair gives the
@@ -1327,6 +1418,7 @@ object TextAnalysis {
     "q_corpus_report" -> (qCorpusReport _),
     "q_upsert" -> (qUpsert _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_hostrank" -> (qHostrank _),
     "tx_drift" -> (txDrift _),
     "tx_fluency" -> (txFluency _),
     "tx_html_strip" -> (txHtmlStrip _),
@@ -1354,6 +1446,7 @@ object TextAnalysis {
     "q_corpus_report" -> qCorpusReportSql,
     "q_upsert" -> qUpsertSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
+    "q_hostrank" -> qHostrankSql,
     "tx_drift" -> txDriftSql,
     "tx_fluency" -> txFluencySql,
     "tx_html_strip" -> txHtmlStripSql,

@@ -762,6 +762,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     hist.foreach { case (bin, _) => assert(bin >= 10L && bin <= 20L) }
   }
 
+  test("host rank: 3-iteration PageRank matches a hand-rolled replay bit-for-bit") {
+    val out = TextAnalysis.qHostrank(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val edges = (0 until 20).map(s => (s, (s * s + 1) % 20)).distinct
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var r = (0 until 20).map(n => n -> 1.0 / 20).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).view.mapValues { es =>
+        es.map { case (s, _) =>
+          math.floor(r(s) / outdeg(s) * 1.0e12 + 0.5).toLong
+        }.sum.toDouble / 1.0e12
+      }.toMap
+      r = (0 until 20).map(n =>
+        n -> (0.15 / 20 + 0.85 * contrib.getOrElse(n, 0.0))).toMap
+    }
+    (0 until 20).foreach { n =>
+      assert(out(s"src$n") === r(n), s"node src$n rank mismatch") }
+    // the quadratic link law must actually differentiate hosts
+    assert(out.values.max / out.values.min > 5.0, "ranks did not spread")
+  }
+
   test("snapshot diff inverts upsert: apply(a, diff(a, b)) == b") {
     val a = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
