@@ -1102,6 +1102,44 @@ object Relational {
       |SELECT purchase_id, user_id, p_ts, click_id, c_ts, value
       |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin
 
+  /** Ordered conversion funnel: how many users performed view, then
+    * click AT OR AFTER their first view, then purchase at or after that
+    * click — the event-ORDER-aware funnel (a purchase before any view
+    * does not count), which plain per-type counts get wrong. Each stage
+    * is a per-user min-timestamp aggregate chained through a key join:
+    * three bounded (user_id) shuffles, no window over the event stream,
+    * no self-join explosion — per-user fan-in only.  */
+  def qUserFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  val qUserFunnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    make_timestamp(epoch_ns(ts) // 1000) AS ts
+      |  FROM events),
+      |v AS (SELECT user_id, min(ts) AS t1 FROM ev
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND e.ts >= t1 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND e.ts >= t2 GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_view_click,
+      |       (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin
+
   /** Shared first-failing stage expression for the stream-quality funnel
     * twins (st_funnel here, EventStreams.qualityFunnel on the stream):
     * ONE definition so the batch oracle and the streaming pipeline cannot
@@ -1188,6 +1226,7 @@ object Relational {
     "q_skew_distinct" -> (qSkewDistinct _),
     "st_sliding" -> (stSliding _),
     "st_funnel" -> (stFunnel _),
+    "q_user_funnel" -> (qUserFunnel _),
     "st_window_agg" -> (stWindowAgg _))
 
   val oracles: Map[String, String] = Map(
@@ -1229,5 +1268,6 @@ object Relational {
     "q_skew_distinct" -> qSkewDistinctSql,
     "st_sliding" -> stSlidingSql,
     "st_funnel" -> stFunnelSql,
+    "q_user_funnel" -> qUserFunnelSql,
     "st_window_agg" -> stWindowAggSql)
 }

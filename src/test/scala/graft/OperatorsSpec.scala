@@ -762,6 +762,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     hist.foreach { case (bin, _) => assert(bin >= 10L && bin <= 20L) }
   }
 
+  test("user funnel is monotone and order-aware") {
+    val row = graft.queries.Relational.qUserFunnel(spark, dir).head
+    val (v, c, p) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(v >= c && c >= p, s"funnel not monotone: $v $c $p")
+    assert(v > 0 && p > 0, "funnel stages empty on the test corpus")
+    // order-awareness: the naive per-type user counts must differ from
+    // the ordered chain somewhere, or the query proves nothing
+    val ev = Tables.events(spark, dir)
+    val naiveP = ev.filter(col("event_type") === "purchase")
+      .join(ev.filter(col("event_type") === "view").select("user_id").distinct(),
+        Seq("user_id"))
+      .select("user_id").distinct().count()
+    assert(p <= naiveP, "ordered purchases exceed unordered")
+  }
+
   test("host rank: 3-iteration PageRank matches a hand-rolled replay bit-for-bit") {
     val out = TextAnalysis.qHostrank(spark, dir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
