@@ -405,19 +405,16 @@ object Dedup {
   def ddMedia(spark: SparkSession, dir: String): DataFrame =
     mediaPairs(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
 
-  val ddMediaSql: String =
-    """WITH luma AS (
-      |  SELECT doc_id, i,
-      |    xor(('0x'||substr(md5(concat(doc_id // 2, ':', i // 16)),
-      |                      (i % 16) * 2 + 1, 2))::BIGINT,
-      |        CASE WHEN doc_id % 2 = 1 AND i = (doc_id // 2) % 64
-      |             THEN 128 ELSE 0 END) AS v
-      |  FROM documents, unnest(range(0, 64)) r(i)),
-      |bits AS (
-      |  SELECT a.doc_id, a.i, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
-      |  FROM luma a JOIN luma b
-      |    ON a.doc_id = b.doc_id AND b.i = (a.i + 1) % 64),
-      |ph AS (
+  /** The luma/bits CTE chain splices in from [[Multimodal.mmPhashSql]]
+    * so the dHash generator law lives in exactly ONE SQL text — a copy
+    * here drifting from mm_phash's would make the two oracles silently
+    * disagree about the same fingerprint. */
+  val ddMediaSql: String = {
+    // anchor on the top-level (line-initial) SELECT — the luma CTE has
+    // an indented "SELECT doc_id, i," of its own
+    val tail = Multimodal.mmPhashSql.indexOf("\nSELECT doc_id,")
+    Multimodal.mmPhashSql.substring(0, tail).stripTrailing + ",\n" +
+    """ph AS (
       |  SELECT doc_id,
       |    sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END)::BIGINT AS sh_lo,
       |    sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END)::BIGINT AS sh_hi
@@ -433,20 +430,8 @@ object Dedup {
       |  FROM bands x JOIN bands y ON x.b2 = y.b2 AND x.bk = y.bk AND x.doc_id < y.doc_id)
       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
-  /** SemDeDup-style SEMANTIC dedup: near-dup pairs by embedding cosine
-    * within cells of a TRAINED quantizer — [[Similarity.kmeans]] clusters
-    * the corpus, every vector is assigned by the broadcast argmin, and
-    * the quadratic cosine comparison runs only INSIDE a cell. This is
-    * the published SemDeDup recipe (cluster first, compare within
-    * clusters): k scales with the corpus (k ~ N/cellSize), so per-cell
-    * work is bounded and total cost is N x cellSize, never N². Near-
-    * identical vectors land in the same cell by construction (argmin of
-    * a shared quantizer), so within-cell blocking loses only pairs that
-    * straddle a cell boundary — the standard, documented SemDeDup trade.
-    * Deterministic end to end (deterministic training, assignment,
-    * sequential-fold cosine) → the full SQL oracle replays training +
-    * assignment + pairing bit-for-bit. */
   /** Media dedup END-TO-END: perceptual dHash pairs → connected
     * components → one keeper per cluster — the multimodal half of
     * curation applied, not just pair discovery. Output is the cluster
@@ -485,6 +470,19 @@ object Dedup {
         |FROM cc GROUP BY cluster ORDER BY kept_doc""".stripMargin
   }
 
+  /** SemDeDup-style SEMANTIC dedup: near-dup pairs by embedding cosine
+    * within cells of a TRAINED quantizer — [[Similarity.kmeans]] clusters
+    * the corpus, every vector is assigned by the broadcast argmin, and
+    * the quadratic cosine comparison runs only INSIDE a cell. This is
+    * the published SemDeDup recipe (cluster first, compare within
+    * clusters): k scales with the corpus (k ~ N/cellSize), so per-cell
+    * work is bounded and total cost is N x cellSize, never N². Near-
+    * identical vectors land in the same cell by construction (argmin of
+    * a shared quantizer), so within-cell blocking loses only pairs that
+    * straddle a cell boundary — the standard, documented SemDeDup trade.
+    * Deterministic end to end (deterministic training, assignment,
+    * sequential-fold cosine) → the full SQL oracle replays training +
+    * assignment + pairing bit-for-bit. */
   def semanticPairs(emb: DataFrame, k: Int = 8, iters: Int = 2,
                     minCos: Double = 0.4): DataFrame = {
     val dvec = col("embedding").cast(ArrayType(DoubleType))

@@ -736,7 +736,13 @@ object Similarity {
     * near-dup / candidate-generation front end, not as a ranker. */
   def rpTopK(emb: DataFrame, isQuery: Column, k: Int = 5, rDim: Int = 16,
              dim: Int = 64, planeOffset: Int = 100): DataFrame = {
-    val reduced = emb.select(col("vec_id"),
+    // zero-norm / non-finite vectors out of contract — same guard as
+    // int8TopK/ivfPqTopK: a zero vector's reduced norm is 0, its cosine
+    // NaN, and NaN ranks FIRST under desc in both engines
+    val n2f = dot(col("embedding").cast(ArrayType(DoubleType)),
+      col("embedding").cast(ArrayType(DoubleType)))
+    val femb = emb.filter(n2f > 0 && n2f < lit(Double.PositiveInfinity))
+    val reduced = femb.select(col("vec_id"),
         array((0 until rDim).map { p =>
           dot(col("embedding").cast(ArrayType(DoubleType)),
             array(planeWeights(planeOffset + p, dim).map(lit): _*))
@@ -759,7 +765,11 @@ object Similarity {
       .orderBy("q_id", "rk")
 
   val annRpSql: String =
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    """WITH v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+      |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+      |        < 'infinity'::DOUBLE),
       |planes AS (
       |  SELECT p,
       |    [CASE WHEN ('0x'||substr(md5((100 + p)::VARCHAR||','||d::VARCHAR),1,2))::INT % 2 = 0

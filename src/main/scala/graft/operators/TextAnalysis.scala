@@ -744,7 +744,8 @@ object TextAnalysis {
     names
       .join(counts, col("stage") === col("_stage"), "left_outer")
       .withColumn("n_dropped", coalesce(col("_n"), lit(0L)))
-      .crossJoin(broadcast(counts.agg(sum(col("_n")).as("_total"))))
+      .crossJoin(broadcast(counts.agg(
+        coalesce(sum(col("_n")), lit(0L)).as("_total"))))
       .withColumn("n_in",
         col("_total") - coalesce(sum(col("n_dropped")).over(wBefore), lit(0L)))
       .withColumn("n_out", col("_total") - sum(col("n_dropped")).over(wThrough))
@@ -1097,11 +1098,15 @@ object TextAnalysis {
   def upsert(snap: DataFrame, changes: DataFrame, key: String): DataFrame = {
     val ch = changes.select(col(key), col("op"),
       col("lang").as("_l"), col("n_chars").as("_n"))
+    // op presence (not value coalesce) decides which side wins: an
+    // update that sets a column to NULL must apply, not silently revert
+    // to the old value — the property snapshotDiff's exact-inversion
+    // contract depends on
     snap.join(ch, Seq(key), "full_outer")
       .filter(coalesce(col("op"), lit("keep")) =!= "delete")
       .select(col(key),
-        coalesce(col("_l"), col("lang")).as("lang"),
-        coalesce(col("_n"), col("n_chars")).as("n_chars"))
+        when(col("op").isNotNull, col("_l")).otherwise(col("lang")).as("lang"),
+        when(col("op").isNotNull, col("_n")).otherwise(col("n_chars")).as("n_chars"))
   }
 
   /** Host-graph centrality (fixed-iteration PageRank) — the host-level
@@ -1242,19 +1247,21 @@ object TextAnalysis {
       |  SELECT doc_id, 'delete', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
       |  FROM snap WHERE doc_id % 10 = 1
       |  UNION ALL
-      |  SELECT doc_id + 1000000, 'insert', lang, CAST(42 AS BIGINT)
+      |  SELECT doc_id + 1000000000000, 'insert', lang, CAST(42 AS BIGINT)
       |  FROM snap WHERE doc_id % 10 = 2)
       |ORDER BY doc_id""".stripMargin
 
   /** q_upsert: a deterministic synthetic changeset over documents —
     * doc_id%10: 0 → update (n_chars+1000), 1 → delete, 2 → insert a new
-    * doc at id+1,000,000 with n_chars=42. */
+    * doc at id+10^12 (far above any corpus doc_id at every rehearsed
+    * scale — a sub-corpus-size offset would silently turn inserts into
+    * overwrites) with n_chars=42. */
   def qUpsert(spark: SparkSession, dir: String): DataFrame = {
     val snap = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
     val m = pmod(col("doc_id"), lit(10))
     val changes = snap.filter(m <= 2).select(
-      when(m === 2, col("doc_id") + lit(1000000L))
+      when(m === 2, col("doc_id") + lit(1000000000000L))
         .otherwise(col("doc_id")).as("doc_id"),
       when(m === 0, lit("update")).when(m === 1, lit("delete"))
         .otherwise(lit("insert")).as("op"),
@@ -1267,7 +1274,7 @@ object TextAnalysis {
   val qUpsertSql: String =
     """WITH snap AS (SELECT doc_id, lang, n_chars FROM documents),
       |ch AS (
-      |  SELECT CASE WHEN m = 2 THEN orig + 1000000 ELSE orig END AS doc_id,
+      |  SELECT CASE WHEN m = 2 THEN orig + 1000000000000 ELSE orig END AS doc_id,
       |    CASE m WHEN 0 THEN 'update' WHEN 1 THEN 'delete'
       |           ELSE 'insert' END AS op,
       |    lang,
@@ -1277,8 +1284,9 @@ object TextAnalysis {
       |        FROM snap WHERE doc_id % 10 <= 2)),
       |j AS (
       |  SELECT coalesce(ch.doc_id, snap.doc_id) AS doc_id, op,
-      |    coalesce(ch.lang, snap.lang) AS lang,
-      |    coalesce(ch.n_chars, snap.n_chars) AS n_chars
+      |    CASE WHEN op IS NOT NULL THEN ch.lang ELSE snap.lang END AS lang,
+      |    CASE WHEN op IS NOT NULL THEN ch.n_chars ELSE snap.n_chars END
+      |      AS n_chars
       |  FROM snap FULL OUTER JOIN ch ON snap.doc_id = ch.doc_id)
       |SELECT doc_id, lang, n_chars FROM j
       |WHERE coalesce(op, 'keep') <> 'delete' ORDER BY doc_id""".stripMargin

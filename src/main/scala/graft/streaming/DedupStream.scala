@@ -36,7 +36,11 @@ object DedupStream {
   def signature(text: String): (Long, Long) = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val sums = new Array[Int](64)
-    text.split(" ", -1).foreach { t =>
+    // null text degrades like the batch twin (whose explode(split(null))
+    // silently drops the doc) instead of killing the continuous query
+    // with an NPE in the map task
+    val safe = if (text == null) "" else text
+    safe.split(" ", -1).foreach { t =>
       val d = md.digest(t.getBytes("UTF-8"))
       val lo = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)

@@ -818,6 +818,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ops.values.sum < n, "diff not minimal")
   }
 
+  test("upsert applies NULL-valued updates; diff/apply algebra survives null transitions") {
+    import spark.implicits._
+    val a = Seq((1L, Option("en"), Option(10L)), (2L, Option("fr"), Option(7L)))
+      .toDF("doc_id", "lang", "n_chars")
+    val b = Seq((1L, Option.empty[String], Option(10L)), (2L, Option("fr"), Option(7L)))
+      .toDF("doc_id", "lang", "n_chars")
+    val ch = TextAnalysis.snapshotDiff(a, b)
+    // the null transition is a real update, and applying it yields b
+    assert(ch.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "update")))
+    val restored = TextAnalysis.upsert(a, ch, "doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).sortBy(_._1)
+    assert(restored.toSeq === Seq((1L, None, 10L), (2L, Some("fr"), 7L)))
+  }
+
   test("upsert applies updates, deletes, and inserts in one pass") {
     val before = Tables.documents(spark, dir)
       .select("doc_id", "n_chars").collect()
@@ -830,7 +845,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         case 0 => assert(after(id)._3 === nc + 1000L, s"update missed $id")
         case 1 => assert(!after.contains(id), s"delete missed $id")
         case 2 => assert(after(id)._3 === nc, s"insert source $id changed")
-          assert(after(id + 1000000L)._3 === 42L, s"insert missing for $id")
+          assert(after(id + 1000000000000L)._3 === 42L, s"insert missing for $id")
         case _ => assert(after(id)._3 === nc, s"untouched row $id changed")
       }
     }
