@@ -297,6 +297,49 @@ object Sampling {
       |  start_off // 2048 AS seq_id, start_off % 2048 AS seq_off
       |FROM s ORDER BY start_off""".stripMargin
 
+  /** Deterministic train/val/test holdout split: assign every row a
+    * split by where its hash-uniform falls in [0,1) — train [0,.8),
+    * val [.8,.9), test [.9,1). The split step every training pipeline
+    * runs, with the three properties that actually matter: DISJOINT and
+    * EXHAUSTIVE by construction (the ranges partition [0,1)), and
+    * MEMBERSHIP-STABLE — a document's split depends only on its own
+    * key, so corpus growth or filtering upstream never migrates an
+    * existing doc between splits (no eval contamination on re-runs).
+    * Zero shuffle: a pure projection. Cutoffs are EXPLICIT boundary
+    * literals, not a fraction sum — 0.8 + 0.1 is 0.9000000000000001 in
+    * doubles, and an engine writing the literal 0.9 would disagree on
+    * any u in between (the q_hostrank 1-d lesson). */
+  def holdout(df: DataFrame, key: Column,
+              trainCut: Double = 0.8, valCut: Double = 0.9): DataFrame = {
+    val u = hashUniform(key, "holdout")
+    df.withColumn("split",
+      when(u < trainCut, lit("train"))
+        .when(u < valCut, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** q_holdout: per-(split, lang) doc and char counts. */
+  def qHoldout(spark: SparkSession, dir: String): DataFrame =
+    holdout(Tables.documents(spark, dir), col("doc_id"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("split"), col("lang"))
+
+  val qHoldoutSql: String =
+    """WITH u AS (
+      |  SELECT lang, n_chars,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':holdout'),1,15))::BIGINT
+      |      / 1152921504606846976.0 AS u
+      |  FROM documents),
+      |s AS (
+      |  SELECT lang, n_chars,
+      |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM u)
+      |SELECT split, lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin
+
   /** Deterministic source interleaving: merge two corpora into one
     * training order at a fixed wA:wB cadence (wA items of A, then wB of
     * B, repeating) — how a trainer consumes "2 parts web, 1 part
@@ -488,7 +531,8 @@ object Sampling {
     "q_sample_epochs" -> (qSampleEpochs _),
     "q_pack" -> (qPack _),
     "q_mixture" -> (qMixture _),
-    "q_interleave" -> (qInterleave _))
+    "q_interleave" -> (qInterleave _),
+    "q_holdout" -> (qHoldout _))
 
   val oracles: Map[String, String] = Map(
     "q_shuffle_export" -> qShuffleExportSql,
@@ -498,5 +542,6 @@ object Sampling {
     "q_sample_epochs" -> qSampleEpochsSql,
     "q_pack" -> qPackSql,
     "q_mixture" -> qMixtureSql,
-    "q_interleave" -> qInterleaveSql)
+    "q_interleave" -> qInterleaveSql,
+    "q_holdout" -> qHoldoutSql)
 }

@@ -680,6 +680,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(s === refStart(id), s"doc $id offset $s != single-window ${refStart(id)}") }
   }
 
+  test("holdout split: disjoint, exhaustive, membership stable under corpus growth") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, dir)
+    val full = Sampling.holdout(docs, col("doc_id"))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full.size === docs.count(), "split not exhaustive")
+    assert(full.values.toSet === Set("train", "val", "test"))
+    // roughly 80/10/10
+    val n = full.size.toDouble
+    assert(full.values.count(_ == "train") / n > 0.7)
+    // stability: splitting HALF the corpus assigns every shared doc the
+    // same split — upstream filtering cannot migrate docs between splits
+    val half = Sampling.holdout(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        col("doc_id"))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    half.foreach { case (id, s) =>
+      assert(full(id) === s, s"doc $id migrated on corpus change") }
+  }
+
   test("vocab token counts feed sequence packing (tokenize -> pack composes)") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, dir)
