@@ -18,10 +18,12 @@ import org.apache.spark.sql.SparkSession
   * re-measure (round 5's head artifact overstated the total 2x on a busy
   * host and only a judge re-run caught it). Two mechanisms: /proc/loadavg
   * is recorded at start and end ("loadavg"), and any query whose
-  * best-of-2 exceeds 3x its previous bench_out.json time (and 0.5 s
+  * best-of-2 exceeds 3x its bench_baseline.json time (and 0.5 s
   * absolute — sub-second queries jitter multiples naturally) gets a third
   * run; if still 3x over, it lands in "noisy" so the JSON self-identifies
-  * contention instead of masquerading as a regression.
+  * contention instead of masquerading as a regression. The baseline file
+  * is updated only by clean measurements (noisy ones keep the prior
+  * value) and resolves against the repo root, never the cwd.
   */
 object Bench {
   private def loadavg: Double =
@@ -29,20 +31,43 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  /** queries map of the PREVIOUS committed bench_out.json (empty when
-    * absent/unreadable) — the per-query baseline for the noise guard. */
-  private def priorTimes: Map[String, Double] =
-    try {
-      import org.json4s._
-      org.json4s.jackson.JsonMethods.parse(
-          new java.io.File("bench_out.json")) \ "queries" match {
-        case JObject(fs) => fs.collect {
-          case (k, JDouble(v)) => k -> v
-          case (k, JInt(v))    => k -> v.toDouble
-        }.toMap
-        case _ => Map.empty
+  /** Artifacts resolve against the repo root (SPARK_GRAFT_REPO, else the
+    * nearest ancestor of cwd containing build.sbt, else cwd) — a relative
+    * path would silently disable the noise guard whenever Bench runs from
+    * any other working directory. */
+  private val repoRoot: java.nio.file.Path = {
+    sys.env.get("SPARK_GRAFT_REPO").map(java.nio.file.Paths.get(_)).getOrElse {
+      var p = java.nio.file.Paths.get("").toAbsolutePath
+      var found: java.nio.file.Path = null
+      var cur = p
+      while (cur != null && found == null) {
+        if (java.nio.file.Files.exists(cur.resolve("build.sbt"))) found = cur
+        cur = cur.getParent
       }
-    } catch { case _: Throwable => Map.empty[String, Double] }
+      if (found != null) found else p
+    }
+  }
+
+  /** Per-query baseline for the noise guard: bench_baseline.json, which
+    * (unlike bench_out.json) never absorbs a noisy measurement — a run
+    * flagged noisy keeps the prior baseline, so one contended commit
+    * can't ratchet the 3x threshold upward. Falls back to the previous
+    * bench_out.json for first-run migration; empty when neither reads. */
+  private def priorTimes: Map[String, Double] = {
+    def read(f: java.io.File): Map[String, Double] =
+      try {
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(f) \ "queries" match {
+          case JObject(fs) => fs.collect {
+            case (k, JDouble(v)) if v >= 0 => k -> v
+            case (k, JInt(v)) if v >= 0    => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty
+        }
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    val base = read(repoRoot.resolve("bench_baseline.json").toFile)
+    if (base.nonEmpty) base else read(repoRoot.resolve("bench_out.json").toFile)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -152,8 +177,20 @@ object Bench {
     println(line)
     // the stdout tail gets truncated by capture tooling on an 80+-query
     // map — persist the full line so the artifact stays auditable
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+    java.nio.file.Files.write(repoRoot.resolve("bench_out.json"),
       (line + "\n").getBytes("UTF-8"))
+    // guard baseline: a clean measurement updates it; a noisy one keeps
+    // the prior value (no ratchet); a failed query records nothing
+    if (args.isEmpty) { // partial filtered runs must not shrink the baseline
+      val baseQs = results.collect {
+        case (k, v, _, true, noisy) =>
+          k -> (if (noisy) prior.getOrElse(k, v) else v)
+      }
+      val baseJson = baseQs.map { case (k, v) => s""""$k":$v""" }
+        .mkString("""{"queries":{""", ",", "}}")
+      java.nio.file.Files.write(repoRoot.resolve("bench_baseline.json"),
+        (baseJson + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

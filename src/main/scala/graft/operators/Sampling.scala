@@ -161,8 +161,12 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       // <=> on the bucket too: a null key hashes to a null bucket, and a
-      // plain === would silently DROP such rows instead of budgeting them
-      .join(offsets, stratum <=> col("_s") && col("_bkt") <=> col("_b"))
+      // plain === would silently DROP such rows instead of budgeting them.
+      // broadcast() explicitly (like packSequences): the offsets side is
+      // <= strata x 16^bucketChars rows by construction, and relying on
+      // AQE sizing would let a stats misestimate shuffle the corpus on
+      // (stratum, bucket) instead
+      .join(broadcast(offsets), stratum <=> col("_s") && col("_bkt") <=> col("_b"))
       .filter(col("_off") <= budget) // phase-3 prune (nonneg tokens)
       .withColumn("_cum", col("_off") + sum(tokens).over(wIn))
       .filter(col("_cum") <= budget)

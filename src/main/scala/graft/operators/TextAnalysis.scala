@@ -723,9 +723,13 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val n = filters.length
-    // first failing filter index; n = passed everything
+    // first failing filter index; n = passed everything. A NULL predicate
+    // result is NOT a pass: a doc whose keep-predicate cannot be affirmed
+    // (null text/length) attributes to the first stage that failed to
+    // affirm it, instead of falling through the whole cascade as "kept"
     val stage = filters.zipWithIndex.foldRight(lit(n): Column) {
-      case (((_, keep), i), acc) => when(!keep, lit(i)).otherwise(acc)
+      case (((_, keep), i), acc) =>
+        when(coalesce(keep, lit(false)) === false, lit(i)).otherwise(acc)
     }
     // lazily checkpointed (<= #filters+1 rows): feeds both the name join
     // and the grand-total aggregate — without it the corpus stage scan
@@ -769,11 +773,11 @@ object TextAnalysis {
   val txFilterFunnelSql: String =
     """WITH staged AS (
       |  SELECT CASE
-      |    WHEN NOT (n_chars >= 100) THEN 0
-      |    WHEN NOT (n_chars <= 20000) THEN 1
-      |    WHEN NOT (len(string_split(text, ' ')) >= 20) THEN 2
-      |    WHEN NOT (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      |              / len(string_split(text, ' ')) >= 0.3) THEN 3
+      |    WHEN NOT coalesce(n_chars >= 100, false) THEN 0
+      |    WHEN NOT coalesce(n_chars <= 20000, false) THEN 1
+      |    WHEN NOT coalesce(len(string_split(text, ' ')) >= 20, false) THEN 2
+      |    WHEN NOT coalesce(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |              / len(string_split(text, ' ')) >= 0.3, false) THEN 3
       |    ELSE 4 END AS stage
       |  FROM documents),
       |cnt AS (SELECT stage, count(*) AS n FROM staged GROUP BY stage),
@@ -948,13 +952,20 @@ object TextAnalysis {
       lit("</p><br/></body></html>"))
   }
 
+  /** Entity decode order matters: `&amp;` is decoded LAST (the standard
+    * order) so literal text containing `&amp;lt;` restores to `&lt;`
+    * instead of double-decoding to `<`. Caveat (documented, inherent to
+    * markup stripping): the final whitespace collapse means input text
+    * already containing runs of multiple spaces is not restored
+    * byte-exactly — the byte-exact recovery contract holds for
+    * single-spaced corpora like the synthetic one. */
   def stripMarkup(html: Column): Column = {
     val noHead = regexp_replace(html, "<head>.*?</head>", "")
     val noScript = regexp_replace(noHead, "<script[^>]*>.*?</script>", "")
     val noTags = regexp_replace(noScript, "<[^>]*>", " ")
     val decoded = regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(noTags, "&nbsp;", " "),
-      "&amp;", "&"), "&lt;", "<"), "&gt;", ">")
+      "&lt;", "<"), "&gt;", ">"), "&amp;", "&")
     trim(regexp_replace(decoded, " +", " "))
   }
 
@@ -979,8 +990,8 @@ object TextAnalysis {
       |  regexp_replace(x, '<script[^>]*>.*?</script>', '', 'g') AS x FROM s1),
       |s3 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s2),
       |s4 AS (SELECT doc_id,
-      |  replace(replace(replace(replace(x, '&nbsp;', ' '), '&amp;', '&'),
-      |    '&lt;', '<'), '&gt;', '>') AS x FROM s3)
+      |  replace(replace(replace(replace(x, '&nbsp;', ' '), '&lt;', '<'),
+      |    '&gt;', '>'), '&amp;', '&') AS x FROM s3)
       |SELECT doc_id, trim(regexp_replace(x, ' +', ' ', 'g')) AS clean_text
       |FROM s4 ORDER BY doc_id""".stripMargin
 

@@ -34,13 +34,12 @@ object DedupStream {
     * stateful stage, and SimHash is per-doc by definition (the batch
     * groupBy exists for codegen, not semantics). */
   def signature(text: String): (Long, Long) = {
+    require(text != null,
+      "null-text docs are dropped upstream (signatures), matching batch " +
+        "explode(split(null)) semantics — they must not reach signature()")
     val md = java.security.MessageDigest.getInstance("MD5")
     val sums = new Array[Int](64)
-    // null text degrades like the batch twin (whose explode(split(null))
-    // silently drops the doc) instead of killing the continuous query
-    // with an NPE in the map task
-    val safe = if (text == null) "" else text
-    safe.split(" ", -1).foreach { t =>
+    text.split(" ", -1).foreach { t =>
       val d = md.digest(t.getBytes("UTF-8"))
       val lo = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
@@ -62,6 +61,23 @@ object DedupStream {
       b += 1
     }
     (shLo, shHi)
+  }
+
+  /** Stream map stage: (doc_id, text) → SimHash signatures. A null-text
+    * doc emits NO DocSig — the batch twin's explode(split(null)) drops
+    * the document entirely, and mapping null to "" here would instead
+    * produce a real signature (the empty-token one), letting the doc
+    * enter bucket state and emit pairs the batch operator never produces,
+    * breaking the asserted stream==batch bit-compatibility. */
+  def signatures(docs: Dataset[(Long, String)]): Dataset[DocSig] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { case (id, t) =>
+      if (t == null) Iterator.empty
+      else {
+        val (lo, hi) = signature(t)
+        Iterator.single(DocSig(id, lo, hi))
+      }
+    }
   }
 
   /** The same 4 x 16-bit banding as the batch operator, as a stream-safe

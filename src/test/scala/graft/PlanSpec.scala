@@ -140,6 +140,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no bucket-split window found:\n$ex")
     assert(winLines.filter(_.contains("lang#")).forall(_.contains("_bkt")),
       s"corpus window partitions by stratum alone:\n$ex")
+    // phase-3 offsets rejoin the corpus by broadcast — a stats
+    // misestimate must never shuffle the corpus on (stratum, bucket)
+    assert(ex.contains("BroadcastHashJoin"),
+      s"bucket offsets not broadcast back:\n$ex")
+    assert(!ex.contains("SortMergeJoin"),
+      s"corpus shuffled for the tiny offsets table:\n$ex")
   }
 
   test("sequence packing: corpus-side window is bucket-split; bucket offsets broadcast") {

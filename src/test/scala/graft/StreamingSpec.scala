@@ -316,20 +316,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // split the corpus into 2 files → 2 micro-batches, so pairs spanning
     // the boundary prove the per-bucket signature state carries over
     val d = Files.createTempDirectory("graft-docs-stream")
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val half = docs.count() / 2
+    val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val maxId = docs0.agg(max(col("doc_id"))).head().getLong(0)
+    // adversarial extras in BOTH engines' input: two null-text docs (the
+    // batch explode(split(null)) emits no signature — the stream must
+    // likewise emit no DocSig, or null→"" would pair them hamming-0 with
+    // each other and with the empty-text doc) and one empty-text doc (one
+    // empty token = a real signature in both engines)
+    val extras = Seq((maxId + 1, null: String), (maxId + 2, null: String),
+      (maxId + 3, "")).toDF("doc_id", "text")
+    val docs = docs0.union(extras)
+    val half = docs0.count() / 2
     docs.filter(col("doc_id") < half).coalesce(1)
       .write.parquet(d.resolve("p1").toString)
     docs.filter(col("doc_id") >= half).coalesce(1)
       .write.parquet(d.resolve("p2").toString)
-    val stream = spark.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(d.toString + "/*")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, t) =>
-        val (lo, hi) = DedupStream.signature(t)
-        DedupStream.DocSig(id, lo, hi)
-      }
+    val stream = DedupStream.signatures(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d.toString + "/*")
+        .select(col("doc_id"), col("text")).as[(Long, String)])
     val q = DedupStream.nearDupPairs(DedupStream.bandDocs(stream))
       .writeStream.format("memory").queryName("ndp")
       .outputMode(OutputMode.Append())
@@ -338,7 +345,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.awaitTermination(120000)
     val streamed = spark.table("ndp").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val batch = graft.operators.Dedup.simhashPairs(Tables.documents(spark, dir))
+    val batch = graft.operators.Dedup.simhashPairs(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(batch.nonEmpty, "corpus has no near-dup pairs to find")
     assert(streamed === batch,
