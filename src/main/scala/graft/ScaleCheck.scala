@@ -30,6 +30,22 @@ object ScaleCheck {
         (pmod(xxhash64(col("doc_id"), lit(d)), lit(100000L)).cast("double") /
           lit(100000.0))): _*).as("embedding"))
 
+  /** Train `merges` BPE merges on the corpus word table, then apply the
+    * trained list corpus-wide and force full tokenization (sum, not
+    * count — count would let Catalyst prune the per-word work). The
+    * 64- and 256-merge entries together show per-merge cost stays flat
+    * (linear total, no codegen/JIT cliff past the checkpoint cadence).
+    * Returns the trained merge count (rows metric): under-256 means the
+    * vocabulary exhausted its pair supply (run with vocabMul > 1). */
+  private def bpeRehearsal(docs: org.apache.spark.sql.DataFrame,
+                           merges: Int): Long = {
+    val trained = TextAnalysis.bpeTrain(docs, merges = merges)
+      .orderBy(col("rank")).collect().map(_.getString(1)).toSeq
+    TextAnalysis.bpeApply(docs, trained)
+      .agg(sum(col("n_bpe_tokens"))).head.getLong(0)
+    trained.length.toLong
+  }
+
   def main(args: Array[String]): Unit = {
     val rows = if (args.nonEmpty) args(0).toLong else 100000L
     val dupPct = if (args.length > 1) args(1).toInt else 0
@@ -239,9 +255,19 @@ object ScaleCheck {
           .agg(max(col("seq_id"))).head.getLong(0)
       },
       // cross-corpus fluency at scale: the tall bigram table shuffles
-      // once on the bigram key (map-side-combined count + join) — the
+      // once on the bigram key (map-side combined count + join) — the
       // tfidf cost shape; must stay linear in corpus bigrams
-      t("tx_fluency")(TextAnalysis.fluency(docs).count())).flatten
+      t("tx_fluency")(TextAnalysis.fluency(docs).count()),
+      // BPE at production merge counts: train 256 merges on the real
+      // word-frequency table (per-merge cost must stay flat — the lazy
+      // checkpoint cadence truncates the replace-chain lineage; without
+      // it the fused projection blows the JIT method limit), then apply
+      // the full trained list corpus-wide and sum real token counts.
+      // Needs vocabMul > 1: the default 30-word vocab exhausts its pair
+      // supply long before 256 merges (training then stops early — the
+      // documented train-up-to-N semantics), which would under-rehearse.
+      t("tx_bpe_64")(bpeRehearsal(docs, 64)),
+      t("tx_bpe_256")(bpeRehearsal(docs, 256))).flatten
     // the end-to-end pipeline (anti-join on the corpus-scale drop set)
     // only says something new under planted dup density
     val results = if (dupPct > 0)

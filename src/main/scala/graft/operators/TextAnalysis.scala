@@ -851,18 +851,25 @@ object TextAnalysis {
     * (word, f); every merge iteration touches only that vocab-sized
     * table (lazily checkpointed), with the chosen pair broadcast back.
     * Production trains tens of thousands of merges with the same
-    * per-iteration plan (driver loop, artifact checkpoint every N
-    * merges, exactly like ann_kmeans' fixed-iters contract); the
-    * 2-merge form here is what keeps the full SQL oracle.
+    * per-iteration plan (driver loop, `wf` lineage truncated by a lazy
+    * localCheckpoint every `ckptEvery` merges — without it each merge
+    * stacks a crossJoin + nested replace() onto the plan and at
+    * production merge counts the fused projection blows HotSpot's JIT
+    * method limit, the wide-inlined-expression cliff); the 2-merge form
+    * here is what keeps the full SQL oracle. ScaleCheck rehearses
+    * merges=256 on the real word table (linear per-merge cost).
     *
     * Merge application is string replace on the spaced symbol form
     * (" a b " → " ab "), non-overlapping left-to-right in both engines;
     * for a RUN of the same pair ("a a a a") the shared delimiter means
     * alternate occurrences merge per pass, a documented simplification
     * vs canonical BPE's pairwise-array walk — deterministic and
-    * identical cross-engine, which is the property the oracle checks. */
-  def bpeTrain(docs: DataFrame, merges: Int = 2): DataFrame = {
+    * identical cross-engine, which is the property the oracle checks.
+    * When the pair supply exhausts before `merges` iterations (tiny
+    * vocabularies), training stops emitting — train-UP-TO-N semantics. */
+  def bpeTrain(docs: DataFrame, merges: Int = 2, ckptEvery: Int = 32): DataFrame = {
     require(merges >= 1, "bpeTrain needs at least one merge")
+    require(ckptEvery >= 1, "checkpoint cadence must be positive")
     val wf0 = docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("f"))
@@ -890,6 +897,11 @@ object TextAnalysis {
           concat(lit(" "), col("_p"), lit(" ")),
           concat(lit(" "), replace(col("_p"), lit(" "), lit("")), lit(" "))))
         .drop("_p")
+      // lineage truncation at production merge counts: a LAZY checkpoint
+      // (no action — composition stays action-free) that materializes the
+      // vocab-sized word table when the next pairCounts executes, keeping
+      // every codegen stage at <= ckptEvery stacked replace() projections
+      if (i % ckptEvery == 0 && i < merges) wf = wf.localCheckpoint(false)
     }
     out
   }
@@ -927,6 +939,92 @@ object TextAnalysis {
       |SELECT CAST(1 AS INT) AS rank, pair, cnt FROM t1
       |UNION ALL SELECT CAST(2 AS INT), pair, cnt FROM t2
       |ORDER BY rank""".stripMargin
+
+  /** BPE merge APPLICATION — closes the tokenizer loop [[bpeTrain]]
+    * opens: take the trained rank-ordered merge list and tokenize the
+    * corpus with it, so token budgets and packing meter the tokens a
+    * trainer actually pays for (not chars, not whitespace words).
+    *
+    * Scale: the load-bearing fact mirrors training — merges apply to the
+    * DISTINCT-WORD table, never the corpus. One corpus scan explodes
+    * (doc_id, word); the merge chain folds over the vocab-sized word
+    * table as nested replace() projections on the spaced symbol form
+    * (" a b " → " ab ", same non-overlapping left-to-right semantics as
+    * training, identical in both engines); per-word token counts join
+    * back on the word key (vocab-sized side — AQE broadcasts it at
+    * real vocab/corpus ratios) and sum per doc. Lineage is truncated
+    * every `ckptEvery` merges exactly like training — the JIT
+    * method-limit cliff is the same; ScaleCheck rehearses 256 merges.
+    *
+    * The merge list is the trained tokenizer artifact: tiny (one row per
+    * merge), trained once and shipped — passing it as a driver-side Seq
+    * is the contractual artifact handoff, not a corpus action. */
+  def bpeApplyWords(words: DataFrame, merges: Seq[String],
+                    ckptEvery: Int = 32): DataFrame = {
+    require(ckptEvery >= 1, "checkpoint cadence must be positive")
+    var wf = words.withColumn("sym", concat(lit(" "),
+      concat_ws(" ", split(col("word"), "")), lit(" ")))
+    merges.grouped(ckptEvery).foreach { grp =>
+      val sym = grp.foldLeft(col("sym")) { (c, p) =>
+        replace(c, lit(" " + p + " "), lit(" " + p.replace(" ", "") + " "))
+      }
+      wf = wf.withColumn("sym", sym)
+      if (merges.length > ckptEvery) wf = wf.localCheckpoint(false)
+    }
+    wf.withColumn("n_tokens", size(split(trim(col("sym")), " ")))
+  }
+
+  /** Per-document real-BPE token counts under a trained merge list. */
+  def bpeApply(docs: DataFrame, merges: Seq[String],
+               ckptEvery: Int = 32): DataFrame = {
+    val tall = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val wt = bpeApplyWords(tall.select(col("word")).distinct(), merges, ckptEvery)
+      .select(col("word"), col("n_tokens"))
+    tall.join(wt, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tokens")).as("n_bpe_tokens"))
+  }
+
+  def txBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // the trained artifact handoff: #merges rows, rank order
+    val merges = bpeTrain(docs).orderBy(col("rank"))
+      .select(col("pair")).collect().map(_.getString(0)).toSeq
+    bpeApply(docs, merges).orderBy(col("doc_id"))
+  }
+
+  /** Replays training (spliced from [[txBpeTrainSql]]'s CTE chain), then
+    * applies both merges to the distinct-word table and meters docs. */
+  val txBpeApplySql: String = {
+    // line-initial anchor (an indented "SELECT CAST" could match inside a
+    // CTE); everything before the final SELECT is the training chain
+    val cut = txBpeTrainSql.indexOf("\nSELECT CAST(1 AS INT)")
+    require(cut > 0, "txBpeTrainSql splice anchor moved")
+    txBpeTrainSql.substring(0, cut) + ",\n" +
+      """tall AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents)
+        |  WHERE word <> ''),
+        |ws0 AS (
+        |  SELECT word,
+        |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sym
+        |  FROM (SELECT DISTINCT word FROM tall)),
+        |ws1 AS (SELECT word, replace(sym, ' ' || t1.pair || ' ',
+        |  ' ' || replace(t1.pair, ' ', '') || ' ') AS sym
+        |  FROM ws0 CROSS JOIN t1),
+        |ws2 AS (SELECT word, replace(sym, ' ' || t2.pair || ' ',
+        |  ' ' || replace(t2.pair, ' ', '') || ' ') AS sym
+        |  FROM ws1 CROSS JOIN t2),
+        |wt AS (SELECT word,
+        |  len(string_split(trim(sym), ' ')) AS nt FROM ws2)
+        |SELECT doc_id, count(*) AS n_words,
+        |  CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
+        |FROM tall JOIN wt USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   /** Markup removal — the first stage of every web-crawl pipeline:
     * drop head/script/style blocks wholesale, strip remaining tags,
@@ -1361,26 +1459,38 @@ object TextAnalysis {
     *   6. deterministic shard export, 4 shards   (q_shuffle_export)
     *
     * Every stage is deterministic, so the composition hash-matches the
-    * replayed DuckDB chain end to end. Scale: the stages shuffle
-    * (domain), (doc_id), (md5(text)), (lang,bucket), (shard) — five
-    * bounded exchanges, no stage widens the data, caps/filters shrink
-    * it monotonically; each stage's 100 TB behavior is argued (and
-    * rehearsed) at its own §2 row. `capped` is deliberately recomputed
-    * on both branches of the quality join (recompute-by-design: the
-    * corpus-scale localCheckpoint alternative measured SLOWER at 2M
-    * docs — see dd_contamination's rationale); a production pipeline
-    * materializes stage outputs to storage between stages anyway. */
+    * replayed DuckDB chain end to end.
+    *
+    * Scale — the load-bearing property: NO exchange in the composed plan
+    * carries the `text` column (PlanSpec walks every shuffle and asserts
+    * it). Text is consumed entirely at the SCAN side: one projection
+    * derives the slim row (doc_id, md5(text), n_chars, lang, domain),
+    * and the model score comes from [[mlQuality]]'s map-side-combined
+    * word-hash aggregate (longs, keyed by doc_id). Scoring runs BEFORE
+    * the cap — per-doc scores are membership-independent (a pure
+    * function of the doc's own words), so restricting afterwards gives
+    * bit-identical results to scoring the capped subset (the oracle
+    * replays score-from-capped), and it keeps text out of the cap
+    * window, the dedup window, the budget windows and the export
+    * shuffle: all five exchanges move ~60-byte key rows. The trade
+    * (documented): the whole corpus is scored, not just cap survivors —
+    * scan-side compute bought with zero corpus-text network; a
+    * production pipeline with very aggressive caps can restrict the
+    * scoring scan by the capped id set instead (one slim semi-join). */
   def curationPipeline(docs0: DataFrame, domainCap: Int = 10,
                        charBudget: Long = 20000L, nShards: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = docs0.withColumn("domain", urlDomain(normalizeUrl(synthUrl)))
-    val capped = Sampling.stratified(docs, col("domain"), col("doc_id"), domainCap)
-    val scored = capped
-      .join(mlQuality(capped).select(col("doc_id"), col("ml_score")), Seq("doc_id"))
-      .filter(col("ml_score") > 0)
+    val slim = docs0
+      .withColumn("domain", urlDomain(normalizeUrl(synthUrl)))
+      .select(col("doc_id"), md5(col("text")).as("_h"),
+        col("n_chars"), col("lang"), col("domain"))
+    val scores = mlQuality(docs0).select(col("doc_id"), col("ml_score"))
+    val capped = Sampling.stratified(slim, col("domain"), col("doc_id"), domainCap)
+    // inner join AFTER the cap: a wordless doc has no score row, and it
+    // must still consume its cap slot first (the oracle's stage order)
+    val scored = capped.join(scores, Seq("doc_id")).filter(col("ml_score") > 0)
     val deduped = scored
-      .withColumn("_keep", min(col("doc_id")).over(
-        Window.partitionBy(md5(col("text")))))
+      .withColumn("_keep", min(col("doc_id")).over(Window.partitionBy(col("_h"))))
       .filter(col("doc_id") === col("_keep")).drop("_keep")
     val budgeted = Sampling.tokenBudget(deduped, col("lang"), col("doc_id"),
       col("n_chars"), charBudget)
@@ -1391,6 +1501,127 @@ object TextAnalysis {
 
   def qCurationE2e(spark: SparkSession, dir: String): DataFrame =
     curationPipeline(Tables.documents(spark, dir)).orderBy(col("shard"), col("pos"))
+
+  /** q_curation_incr: the STEADY-STATE production loop the one-shot
+    * [[curationPipeline]] doesn't cover — a curated snapshot absorbs a
+    * new document batch incrementally:
+    *
+    *   1. snapshot = the exact-deduped corpus (what a previous full run
+    *      curated; only its slim hash rows are retained),
+    *   2. a synthetic batch arrives (re-keyed at +10^12): half are
+    *      content-duplicates of snapshot docs (MUST drop), half carry
+    *      genuinely new text (MUST survive),
+    *   3. incremental dedup — the new batch anti-joins the snapshot's
+    *      stored hashes ([[graft.operators.Dedup.incrementalExact]]'s
+    *      shape) plus an in-batch keep-min pass; the historical corpus
+    *      is never re-deduped or even re-read beyond its hash column,
+    *   4. the per-language token budget re-solves on the merged corpus,
+    *   5. the output is the DELTA CHANGESET of the curated selection:
+    *      op = keep / add (newly selected, with shard+pos on the merged
+    *      export tape) / retract (previously selected, now pushed past
+    *      the budget by new arrivals) — what actually ships downstream.
+    *
+    * The incremental path equals full recomputation on the merged
+    * snapshot bit-for-bit (spec-asserted): batch ids sit above every
+    * snapshot id, so keep-min dedup always prefers the historical doc,
+    * and budget membership depends only on the merged corpus content.
+    *
+    * Scale: every exchange carries slim (id, hash, n_chars, lang) rows —
+    * text is consumed at the scan; the anti-join shuffles 16-byte hashes;
+    * both budget passes are the two-phase bucket-split prefix sum. */
+  def qCurationIncr(spark: SparkSession, dir: String,
+                    charBudget: Long = 20000L, nShards: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    def keepMin(df: DataFrame): DataFrame = df
+      .withColumn("_keep", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") === col("_keep")).drop("_keep")
+    val slim = docs.select(col("doc_id"), md5(col("text")).as("h"),
+      length(col("text")).cast("long").as("n_chars"), col("lang"))
+    val hist = keepMin(slim)
+    // the arriving batch: docs with id%10==2 re-keyed; id%20==2 keeps its
+    // text verbatim (a content-dup of the snapshot), the rest append a
+    // unique suffix (new content)
+    val nt = when(pmod(col("doc_id"), lit(20)) === 2, col("text"))
+      .otherwise(concat(col("text"), lit(" b"), col("doc_id").cast("string")))
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 2)
+      .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
+        md5(nt).as("h"), length(nt).cast("long").as("n_chars"), col("lang"))
+    val fresh = keepMin(batch.join(hist.select(col("h")), Seq("h"), "left_anti"))
+    val merged = hist.unionByName(fresh)
+    def budget(df: DataFrame): DataFrame =
+      Sampling.tokenBudget(df, col("lang"), col("doc_id"),
+          col("n_chars"), charBudget)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    val selM = budget(merged)
+    val selH = budget(hist)
+    val exported = Sampling.shuffleExport(selM, col("doc_id"), nShards)
+    val marked = exported
+      .join(selH.select(col("doc_id").as("_pid")),
+        col("doc_id") === col("_pid"), "left_outer")
+      .withColumn("op", when(col("_pid").isNull, lit("add"))
+        .otherwise(lit("keep")))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("op"),
+        col("shard"), col("pos"))
+    val retracts = selH
+      .join(selM.select(col("doc_id").as("_mid")),
+        col("doc_id") === col("_mid"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        lit("retract").as("op"), lit(null).cast("int").as("shard"),
+        lit(null).cast("long").as("pos"))
+    marked.unionByName(retracts).orderBy(col("doc_id"))
+  }
+
+  val qCurationIncrSql: String =
+    """WITH all0 AS (
+      |  SELECT doc_id, md5(text) AS h,
+      |    CAST(length(text) AS BIGINT) AS n_chars, lang
+      |  FROM documents),
+      |hist AS (
+      |  SELECT * FROM all0 WHERE doc_id IN (
+      |    SELECT min(doc_id) FROM all0 GROUP BY h)),
+      |bt AS (
+      |  SELECT doc_id + 1000000000000 AS doc_id, md5(nt) AS h,
+      |    CAST(length(nt) AS BIGINT) AS n_chars, lang
+      |  FROM (SELECT doc_id, lang,
+      |          CASE WHEN doc_id % 20 = 2 THEN text
+      |               ELSE text || ' b' || CAST(doc_id AS VARCHAR) END AS nt
+      |        FROM documents WHERE doc_id % 10 = 2)),
+      |fresh0 AS (
+      |  SELECT * FROM bt WHERE NOT EXISTS
+      |    (SELECT 1 FROM hist WHERE hist.h = bt.h)),
+      |fresh AS (
+      |  SELECT * FROM fresh0 WHERE doc_id IN (
+      |    SELECT min(doc_id) FROM fresh0 GROUP BY h)),
+      |merged AS (SELECT * FROM hist UNION ALL SELECT * FROM fresh),
+      |selm AS (
+      |  SELECT doc_id, lang, n_chars FROM (
+      |    SELECT *, sum(n_chars) OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)||':budget'), doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |    FROM merged) WHERE cum <= 20000),
+      |selh AS (
+      |  SELECT doc_id, lang, n_chars FROM (
+      |    SELECT *, sum(n_chars) OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)||':budget'), doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |    FROM hist) WHERE cum <= 20000),
+      |exp AS (
+      |  SELECT doc_id, lang, n_chars, CAST(_k % 4 AS INTEGER) AS shard,
+      |    row_number() OVER (PARTITION BY _k % 4 ORDER BY _k, doc_id) AS pos
+      |  FROM (SELECT *,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':export'),1,15))::BIGINT
+      |      AS _k FROM selm))
+      |SELECT doc_id, lang, n_chars,
+      |  CASE WHEN doc_id IN (SELECT doc_id FROM selh) THEN 'keep'
+      |       ELSE 'add' END AS op,
+      |  shard, pos
+      |FROM exp
+      |UNION ALL
+      |SELECT doc_id, lang, n_chars, 'retract',
+      |  CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
+      |FROM selh WHERE doc_id NOT IN (SELECT doc_id FROM selm)
+      |ORDER BY doc_id""".stripMargin
 
   val qCurationE2eSql: String =
     """WITH u AS (
@@ -1434,6 +1665,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_e2e" -> (qCurationE2e _),
+    "q_curation_incr" -> ((s: SparkSession, d: String) => qCurationIncr(s, d)),
     "q_corpus_report" -> (qCorpusReport _),
     "q_upsert" -> (qUpsert _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
@@ -1442,6 +1674,7 @@ object TextAnalysis {
     "tx_fluency" -> (txFluency _),
     "tx_html_strip" -> (txHtmlStrip _),
     "tx_bpe_train" -> (txBpeTrain _),
+    "tx_bpe_apply" -> (txBpeApply _),
     "tx_chunks" -> (txChunks _),
     "tx_filter_funnel" -> (txFilterFunnel _),
     "dd_urldup" -> (ddUrldup _),
@@ -1462,6 +1695,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_curation_e2e" -> qCurationE2eSql,
+    "q_curation_incr" -> qCurationIncrSql,
     "q_corpus_report" -> qCorpusReportSql,
     "q_upsert" -> qUpsertSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
@@ -1470,6 +1704,7 @@ object TextAnalysis {
     "tx_fluency" -> txFluencySql,
     "tx_html_strip" -> txHtmlStripSql,
     "tx_bpe_train" -> txBpeTrainSql,
+    "tx_bpe_apply" -> txBpeApplySql,
     "tx_chunks" -> txChunksSql,
     "tx_filter_funnel" -> txFilterFunnelSql,
     "dd_urldup" -> ddUrldupSql,

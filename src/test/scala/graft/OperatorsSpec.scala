@@ -888,6 +888,96 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq === Seq((1, "a b", 6L), (2, "ab c", 3L)))
   }
 
+  test("BPE apply tokenizes with the trained merges, rank order respected") {
+    import spark.implicits._
+    // same corpus as the training spec; trained merges "a b" then "ab c":
+    //  abc → " a b c " → " ab c " → " abc "   = 1 token
+    //  abd → " a b d " → " ab d "             = 2 tokens (merge 2 inert)
+    //  xy  → " x y "                           = 2 tokens (no merge hits)
+    val docs = Seq((1L, "abc abc abd"), (2L, "abc abd abd xy"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs).orderBy("rank")
+      .collect().map(_.getString(1)).toSeq
+    assert(merges === Seq("a b", "ab c"))
+    val out = TextAnalysis.bpeApply(docs, merges).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 3L, 4L), (2L, 4L, 7L)))
+    // checkpoint cadence must not change the result: force a lineage
+    // truncation after every single merge and compare
+    val ck = TextAnalysis.bpeApply(docs, merges, ckptEvery = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ck.toSeq === out.toSeq)
+  }
+
+  test("real-BPE token counts meter the token budget (tokenizer loop closes)") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, dir)
+    val merges = TextAnalysis.bpeTrain(docs).orderBy("rank")
+      .collect().map(_.getString(1)).toSeq
+    val counted = TextAnalysis.bpeApply(docs, merges)
+    // merging only ever shrinks a word's symbol count, and a word is at
+    // least one symbol — so chars >= bpe tokens >= words, per doc
+    val joined = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(counted, "doc_id")
+    assert(joined.filter(col("n_bpe_tokens") < col("n_words")).count() === 0,
+      "BPE token count fell below word count")
+    assert(joined.filter(col("n_bpe_tokens") > col("n_chars")).count() === 0,
+      "BPE token count exceeded char count")
+    // the budget meter consumes real BPE counts directly: per-stratum
+    // sums stay within budget, and reruns select identical rows (the
+    // tx_tokens_vocab composition contract, now on trained-merge tokens)
+    def sel() = Sampling.tokenBudget(joined, col("lang"), col("doc_id"),
+      col("n_bpe_tokens"), 30000L)
+    val sums = sel().groupBy("lang").agg(sum("n_bpe_tokens").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums.nonEmpty)
+    sums.foreach { case (l, s) => assert(s <= 30000L, s"$l over budget: $s") }
+    val a = sel().select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = sel().select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "BPE-metered budget selection not deterministic")
+  }
+
+  test("incremental curation equals full recomputation on the merged snapshot") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Sampling
+    val out = TextAnalysis.qCurationIncr(spark, dir)
+    val incr = out.filter(col("op") =!= "retract")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // FULL recompute, no stored hashes anywhere: union the raw corpus
+    // with the synthetic batch, one global keep-min dedup, budget, export
+    val docs = Tables.documents(spark, dir)
+    val nt = when(pmod(col("doc_id"), lit(20)) === 2, col("text"))
+      .otherwise(concat(col("text"), lit(" b"), col("doc_id").cast("string")))
+    val slimAll = docs.select(col("doc_id"), md5(col("text")).as("h"),
+        length(col("text")).cast("long").as("n_chars"), col("lang"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 2)
+        .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
+          md5(nt).as("h"), length(nt).cast("long").as("n_chars"), col("lang")))
+    val dedupFull = slimAll
+      .withColumn("_k", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") === col("_k")).drop("_k")
+    val sel = Sampling.tokenBudget(dedupFull, col("lang"), col("doc_id"),
+        col("n_chars"), 20000L)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val full = Sampling.shuffleExport(sel, col("doc_id"), 4)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(incr === full,
+      s"incremental diverged from full recompute: " +
+        s"missing=${(full -- incr).size} extra=${(incr -- full).size}")
+    // content-dup batch docs (unchanged text) must never surface
+    val dupBatchSurvivors = out.collect().map(_.getLong(0))
+      .filter(id => id >= 1000000000000L && (id - 1000000000000L) % 20 == 2)
+    assert(dupBatchSurvivors.isEmpty,
+      s"content-duplicate batch docs leaked: ${dupBatchSurvivors.take(5).toSeq}")
+    // retracted docs are exactly the previously-selected ones now absent
+    val retracts = out.filter(col("op") === "retract")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(retracts.intersect(incr.map(_._1)).isEmpty)
+  }
+
   test("markup strip recovers the original text byte-exactly") {
     val clean = TextAnalysis.txHtmlStrip(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

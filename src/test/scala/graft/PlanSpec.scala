@@ -351,6 +351,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.contains("_salt"), s"salt key missing from the join:\n$ex")
   }
 
+  test("curation pipeline: no exchange carries the text column") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val df = graft.operators.TextAnalysis.qCurationE2e(spark, dir)
+    df.collect()
+    // walk through AQE wrappers (their children are empty, hiding the
+    // real tree from TreeNode.collect)
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(nodes)
+    }
+    val exchanges = nodes(df.queryExecution.executedPlan)
+      .collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty, "expected the pipeline's bounded exchanges")
+    // text is consumed at the scan (md5 + score projection); every
+    // shuffle and broadcast must move slim key rows only — a corpus-text
+    // exchange here is the 100 TB regression this test exists to catch
+    exchanges.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"exchange carries raw text: ${e.simpleStringWithNodeId()} " +
+          s"output=${e.child.output.map(_.name).mkString(",")}")
+    }
+  }
+
   test("minhash signature aggregation is partial (map-side combine)") {
     val p = Dedup.minhashLsh(Tables.documents(spark, dir))
       .queryExecution.executedPlan.toString
