@@ -321,24 +321,24 @@ object Similarity {
     * recall knob; corpus vectors are never duplicated, so result rows
     * stay unique per (q_id, neighbor_id).
     *
-    * Laziness: pass `nlistHint` (the known or approximate cell count —
-    * IVF deployments always know their nlist) and composition runs NO
-    * action; `maxLiteralCells = 0` likewise skips the probe by forcing
-    * the broadcast path, which is the right call at scale regardless.
-    * Only the no-hint, literal-allowed combination falls back to a
-    * single-scalar countDistinct action at composition time — fine for
-    * materialized test tables, not for streaming/unmaterialized input
-    * (use the hint there). */
+    * Laziness: composition NEVER runs an action (PlanSpec asserts zero
+    * jobs). The literal path is opt-in via `nlistHint` (the known cell
+    * count — IVF deployments always know their nlist): with a hint
+    * <= maxLiteralCells the quantizer folds into the projection;
+    * without one the broadcast-argmin path is the default — it needs no
+    * nlist at all (the packed-quantizer aggregate sizes itself), and it
+    * is the right call at scale regardless. Earlier rounds derived the
+    * path from an eager countDistinct when the hint was absent; that
+    * made every no-hint composition run a corpus job — wrong for
+    * streaming/unmaterialized input and useless work everywhere else. */
   def ivfTopK(emb: DataFrame, isQuery: Column => Column, k: Int = 5,
               maxLiteralCells: Int = 256, nProbe: Int = 1,
               nlistHint: Option[Long] = None): DataFrame = {
     val all = normed(emb)
     val cent = centroids(emb)
-    // path pick: hint if given (lazy), else one single-scalar action on
-    // the raw label column (no explode, no vector collect) — skipped
-    // entirely when maxLiteralCells <= 0 already decides it
-    val literal = maxLiteralCells > 0 && nlistHint.map(_ <= maxLiteralCells)
-      .getOrElse(emb.select(countDistinct(col("label"))).head.getLong(0) <= maxLiteralCells)
+    // path pick is pure: literal only on an explicit small hint; the
+    // no-hint default is the broadcast path, which never needs the count
+    val literal = maxLiteralCells > 0 && nlistHint.exists(_ <= maxLiteralCells)
     lazy val cvecs = centroidVectors(cent)
     val cells =
       if (literal) assignCellsLiteral(all, cent)
@@ -375,7 +375,11 @@ object Similarity {
   }
 
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
-    ivfTopK(Tables.embeddings(spark, dir), v => v < 10).orderBy("q_id", "rk")
+    // nlist is part of the index contract (10 trained labels in the test
+    // tables at every SF) — the hint keeps this query on the literal
+    // showcase path without any composition-time action
+    ivfTopK(Tables.embeddings(spark, dir), v => v < 10, nlistHint = Some(10L))
+      .orderBy("q_id", "rk")
 
   /** IVF oracle: rebuild the integer-sum centroids, assign each vector
     * to its nearest cell with the same (d2, label) tie-break, probe the

@@ -259,6 +259,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"aggregate-based cell assignment crept back into the probe plan:\n$ex")
   }
 
+  test("IVF composition is action-free: no Spark job runs before the caller's action") {
+    // reading a fresh parquet table runs a footer-listing job — that is
+    // the source's cost, not the operator's; warm it before listening
+    val emb = Tables.embeddings(spark, dir)
+    emb.schema
+    emb.count()
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // no hint, no maxLiteralCells override — the default composition
+      // must not fall back to an eager corpus count to pick its path
+      val df = Similarity.ivfTopK(emb, v => v < 3)
+      assert(df.columns.contains("neighbor_id")) // analysis only
+      Thread.sleep(500) // let any stray job-start event land
+      assert(jobs === 0,
+        s"composing ivfTopK launched $jobs job(s) before any action")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("IVF broadcast assignment: no literal fold, map-side combined, linear shuffle") {
     val emb = Tables.embeddings(spark, dir)
     // maxLiteralCells = 0 forces the large-nlist path
