@@ -225,6 +225,37 @@ object ScaleCheck {
         val emb = synthEmb(docs).localCheckpoint()
         Dedup.semanticPairs(emb, k = 1024, minCos = 0.95).count()
       },
+      // SemDeDup at its SCALE CONTRACT: k grows with the corpus
+      // (cellSize target ~1000 → k = rows/1000, 2048 at the 2M
+      // rehearsal), so pair cost is N x cellSize, never N². Run at
+      // 200k and 2M: time must scale ~linearly with rows
+      t("dd_semantic_kscaled") {
+        val emb = synthEmb(docs).localCheckpoint()
+        Dedup.semanticPairs(emb, k = math.max(64, (rows / 1000L).toInt),
+          minCos = 0.95).count()
+      },
+      // the PRODUCTION shape of the same operator: quantizer trained on
+      // a ~200k deterministic hash sample (training is iters x N x k
+      // otherwise — the measured dominant term at 2M/k=2048) and
+      // two-level assignment (~2·sqrt(k)·dim per row instead of k·dim).
+      // Cost must scale ~linearly with rows where the flat variant
+      // above cannot (its assignment term is N²/cellSize)
+      t("dd_semantic_prod") {
+        val kk = math.max(64, (rows / 1000L).toInt)
+        val emb = synthEmb(docs).localCheckpoint()
+        Dedup.semanticPairs(emb, k = kk, minCos = 0.95,
+          branch = Some(math.max(8, math.ceil(math.sqrt(kk.toDouble)).toInt)),
+          trainSample = Some(math.min(1.0, 200000.0 / rows))).count()
+      },
+      // cell-occupancy telemetry for the same trained quantizer: the
+      // rows metric is the LARGEST cell — it bounds the per-cell
+      // quadratic the k ~ N/cellSize claim rests on
+      t("dd_semantic_maxcell") {
+        val emb = synthEmb(docs).localCheckpoint()
+        Dedup.semanticCells(emb, k = math.max(64, (rows / 1000L).toInt))
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).head.getLong(0)
+      },
       // contamination sweep: a 1k-doc benchmark set against the corpus —
       // the bench shingle set broadcasts, the corpus is scanned once
       t("dd_contamination") {

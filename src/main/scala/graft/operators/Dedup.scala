@@ -483,8 +483,23 @@ object Dedup {
     * Deterministic end to end (deterministic training, assignment,
     * sequential-fold cosine) → the full SQL oracle replays training +
     * assignment + pairing bit-for-bit. */
-  def semanticPairs(emb: DataFrame, k: Int = 8, iters: Int = 2,
-                    minCos: Double = 0.4): DataFrame = {
+  /** Trained-quantizer cell assignment shared by [[semanticPairs]] and
+    * the scale rehearsal's cell-occupancy telemetry: kmeans training +
+    * argmin assignment, (vec_id, v, n2, cell) out.
+    *
+    * Defaults replay the oracle exactly (full-corpus training, flat
+    * broadcast assignment). The two production-scale knobs — both
+    * standard FAISS/SemDeDup practice, both approximate-by-design and
+    * therefore NOT on the oracle path:
+    *  - `trainSample`: train the quantizer on a deterministic hash
+    *    sample of the corpus instead of all of it (training is
+    *    iters x N x k otherwise — the dominant term once k ~ N/cellSize);
+    *  - `branch`: two-level assignment via
+    *    [[Similarity.assignCellsTwoLevel]] (~2·sqrt(k)·dim per row
+    *    instead of k·dim). */
+  def semanticCells(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                    branch: Option[Int] = None,
+                    trainSample: Option[Double] = None): DataFrame = {
     val dvec = col("embedding").cast(ArrayType(DoubleType))
     val n2f = Similarity.dot(dvec, dvec)
     // zero-norm / non-finite vectors out of contract (cos undefined /
@@ -492,14 +507,32 @@ object Dedup {
     val femb = emb.filter(n2f > 0 && n2f < lit(Double.PositiveInfinity))
     val all = femb.select(col("vec_id"), dvec.as("v"))
       .withColumn("n2", Similarity.dot(col("v"), col("v")))
+    val trainIn = trainSample match {
+      case Some(f) if f < 1.0 =>
+        // deterministic hash-uniform (the Sampling machinery's form):
+        // same sample every run, every engine
+        femb.filter(conv(substring(md5(concat(col("vec_id").cast("string"),
+          lit(":semtrain"))), 1, 15), 16, 10).cast(LongType).cast(DoubleType)
+          / lit(1.152921504606846976e18) < f)
+      case _ => femb
+    }
     // lazy localCheckpoint, not cache(): k rows, shared by both join
     // sides, blocks freed on GC (no CacheManager entry leak)
     val cvecs = Similarity.centroidVectors(
-      Similarity.kmeans(femb, k, iters)
+      Similarity.kmeans(trainIn, k, iters)
         .select(col("cell").as("label"), col("dim"), col("mean_v")))
       .localCheckpoint(false)
-    val assigned = Similarity.assignCellsBroadcast(all, cvecs)
-      .select(col("vec_id"), col("v"), col("n2"), col("cell"))
+    val assigned = branch match {
+      case Some(b) => Similarity.assignCellsTwoLevel(all, cvecs, b)
+      case None => Similarity.assignCellsBroadcast(all, cvecs)
+    }
+    assigned.select(col("vec_id"), col("v"), col("n2"), col("cell"))
+  }
+
+  def semanticPairs(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                    minCos: Double = 0.4, branch: Option[Int] = None,
+                    trainSample: Option[Double] = None): DataFrame = {
+    val assigned = semanticCells(emb, k, iters, branch, trainSample)
     assigned.as("x").join(assigned.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),

