@@ -1127,7 +1127,76 @@ object Dedup {
        |WHERE doc_id >= 200 AND doc_id NOT IN (SELECT doc_id FROM dropids)
        |ORDER BY doc_id""".stripMargin
 
+  /** Paragraph-block exact dedup — the span-level rule of the C4 /
+    * RefinedWeb pipelines (drop any repeated span corpus-wide, keeping
+    * only its first occurrence), where doc-level [[exact]] keeps whole
+    * documents. Documents are segmented into consecutive `blockWords`-
+    * word blocks; a block survives iff its content is unique OR this
+    * occurrence is the globally-first one (smallest packed
+    * `doc_id * 65536 + pos` — a single-long key so the argmin stays a
+    * HashAggregate; `min(struct(...))` would fall back to the
+    * SortAggregate path). Surviving text is rebuilt per document in
+    * block order; a document whose every block is dropped exits the
+    * corpus (the RefinedWeb empty-doc rule), as do null-text documents
+    * (no blocks to segment).
+    *
+    * Scale shape (100 TB): block text is consumed AT THE SCAN — the
+    * count stage shuffles `(16-byte md5, packed long)` per block, the
+    * decision join moves only `(hash, keep_key)` for duplicated hashes
+    * (dup mass, not corpus mass), and the kept-position aggregation
+    * shuffles ints. Corpus text crosses the wire exactly once, at the
+    * final rebuild join on doc_id (zero times if the source is bucketed
+    * by doc_id — see Sources bucketing); PlanSpec asserts no exchange
+    * carries a block column and at most one carries text. */
+  def paragraphDedup(docs: DataFrame, blockWords: Int = 8): DataFrame = {
+    val words = split(col("text"), " ")
+    val nb = ceil(size(words).cast(DoubleType) / lit(blockWords.toDouble))
+      .cast(LongType)
+    val blocksArr = transform(sequence(lit(0L), nb - 1), i =>
+      concat_ws(" ", slice(words, (i * blockWords + 1).cast(IntegerType),
+        lit(blockWords))))
+    val slim = docs
+      .select(col("doc_id"), posexplode(blocksArr).as(Seq("pos", "block")))
+      .select(col("doc_id"), col("pos"), md5(col("block")).as("h"),
+        (col("doc_id") * 65536 + col("pos")).as("k"))
+    val dups = slim.groupBy(col("h"))
+      .agg(min(col("k")).as("keep_k"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("h"), col("keep_k"))
+    val keptPos = slim.join(dups, Seq("h"), "left")
+      .filter(col("keep_k").isNull || col("k") === col("keep_k"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("kept_pos"),
+        count(lit(1)).as("n_kept"))
+    docs.join(keptPos, Seq("doc_id"))
+      .select(col("doc_id"), nb.as("n_blocks"), col("n_kept"),
+        concat_ws(" ", transform(col("kept_pos"), p =>
+          element_at(blocksArr, (p + 1).cast(IntegerType)))).as("clean_text"))
+  }
+
+  def ddParagraphs(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedup(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val ddParagraphsSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |blocks AS (
+      |  SELECT doc_id, nb AS n_blocks, i AS pos,
+      |    array_to_string(w[(i*8+1):(i*8+8)], ' ') AS block
+      |  FROM (SELECT doc_id, w, CAST(ceil(len(w) / 8.0) AS BIGINT) AS nb
+      |        FROM w)
+      |  CROSS JOIN (SELECT unnest(range(0, 256)) AS i) WHERE i < nb),
+      |keyed AS (SELECT doc_id, n_blocks, pos, block, md5(block) AS h,
+      |                 doc_id*65536 + pos AS k FROM blocks),
+      |g AS (SELECT h, min(k) AS keep_k, count(*) AS n FROM keyed GROUP BY h),
+      |kept AS (
+      |  SELECT doc_id, n_blocks, pos, block FROM keyed JOIN g USING (h)
+      |  WHERE n = 1 OR k = keep_k)
+      |SELECT doc_id, n_blocks, count(*) AS n_kept,
+      |  array_to_string(list(block ORDER BY pos), ' ') AS clean_text
+      |FROM kept GROUP BY doc_id, n_blocks ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_paragraphs" -> (ddParagraphs _),
     "dd_cluster" -> (ddCluster _),
     "dd_priority" -> (ddPriority _),
     "dd_incremental" -> (ddIncremental _),
@@ -1146,6 +1215,7 @@ object Dedup {
     "dd_embed_cosine" -> (ddEmbedCosine _))
 
   val oracles: Map[String, String] = Map(
+    "dd_paragraphs" -> ddParagraphsSql,
     "dd_cluster" -> ddClusterSql,
     "dd_priority" -> ddPrioritySql,
     "dd_incremental" -> ddIncrementalSql,

@@ -335,6 +335,90 @@ object Relational {
       |    <= quantile_cont(l_extendedprice, 0.9) * 0.02 AS p90_within_2pct
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Exact per-group order statistics WITHOUT a per-group sort: the
+    * classic distributed selection algorithm. `percentile(...)` (and
+    * q_approx_quantiles' exact verification half) funnels every group's
+    * rows through one sort-aggregate buffer — the single-reducer shape
+    * that dies at 100 TB. Selection instead does:
+    *
+    *   pass 1  per-group (count, min, max) — a tiny hash aggregate;
+    *   pass 2  histogram: each row hashed into one of `buckets`
+    *           value-range buckets → (group, bucket, count), ≤ |G|·B
+    *           rows; a prefix sum over that constant-size table (the
+    *           designed single-partition-per-group window) locates the
+    *           bucket holding each target rank k = (n-1)·num div den + 1
+    *           (integer arithmetic — no double rounding cross-engine);
+    *   probe   rows of the target buckets only (~n/B per target,
+    *           broadcast semi-join on (group, bucket)) get a row_number
+    *           and the k-th smallest VALUE is read off exactly.
+    *
+    * Output values are raw column doubles — order statistics, no
+    * interpolation — so the DuckDB oracle (row_number window) matches
+    * bit-for-bit; with value ties the k-th smallest is still a unique
+    * multiset statistic. The corpus is scanned twice rather than
+    * cached (corpus-scale localCheckpoint loses — see §4 notes); B
+    * scales with n so a probe partition fits one task (recurse the same
+    * machinery inside a bucket for extreme n/B). */
+  def quantileSelect(rows: DataFrame, groupCol: String, valCol: String,
+                     qs: Seq[(String, Int, Int)],
+                     buckets: Int = 1024): DataFrame = {
+    val g = col(groupCol)
+    val v = col(valCol)
+    val stats = rows.groupBy(g.as("_g"))
+      .agg(count(lit(1)).as("n"), min(v).as("_mn"), max(v).as("_mx"))
+    def bucketed = rows.join(broadcast(stats), g === col("_g"))
+      .select(g, v,
+        when(col("_mx") > col("_mn"),
+          least(floor((v - col("_mn")) / (col("_mx") - col("_mn")) * buckets),
+            lit(buckets - 1L)))
+          .otherwise(lit(0L)).cast(LongType).as("_b"))
+    val hist = bucketed.groupBy(g.as("_g"), col("_b"))
+      .agg(count(lit(1)).as("_cnt"))
+    val off = hist.withColumn("_lo",
+      sum(col("_cnt")).over(Window.partitionBy(col("_g")).orderBy(col("_b")))
+        - col("_cnt"))
+    val targets = stats.select(col("_g"), col("n"),
+        explode(array(qs.map { case (lbl, num, den) =>
+          struct(lit(lbl).as("ql"),
+            expr(s"((n - 1) * $num) div $den + 1").as("k"))
+        }: _*)).as("_t"))
+      .select(col("_g"), col("n"), col("_t.ql").as("_ql"), col("_t.k").as("_k"))
+    val targetBuckets = targets.join(off, Seq("_g"))
+      .filter(col("_k") > col("_lo") && col("_k") <= col("_lo") + col("_cnt"))
+      .select(col("_g").as("_tg"), col("n"), col("_ql"), col("_k"),
+        col("_b").as("_tb"), (col("_k") - col("_lo")).as("_rib"))
+    val probed = bucketed.join(broadcast(targetBuckets),
+        g === col("_tg") && col("_b") === col("_tb"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(g, col("_ql")).orderBy(v)))
+      .filter(col("_rn") === col("_rib"))
+    probed.groupBy(g).agg(
+      max(col("n")).as("n"),
+      qs.flatMap { case (lbl, _, _) =>
+        Seq(max(when(col("_ql") === lbl, col("_k"))).as(s"k_$lbl"),
+          max(when(col("_ql") === lbl, v)).as(s"${lbl}_disc"))
+      }: _*)
+  }
+
+  def qQuantileSelect(spark: SparkSession, dir: String): DataFrame =
+    quantileSelect(Tables.lineitem(spark, dir), "l_returnflag",
+      "l_extendedprice", Seq(("p50", 1, 2), ("p90", 9, 10)))
+      .orderBy(col("l_returnflag"))
+
+  val qQuantileSelectSql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag, l_extendedprice AS v,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY l_extendedprice) AS rk,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag, n,
+      |  (n-1)//2 + 1 AS k_p50,
+      |  max(CASE WHEN rk = (n-1)//2 + 1 THEN v END) AS p50_disc,
+      |  ((n-1)*9)//10 + 1 AS k_p90,
+      |  max(CASE WHEN rk = ((n-1)*9)//10 + 1 THEN v END) AS p90_disc
+      |FROM r GROUP BY l_returnflag, n ORDER BY l_returnflag""".stripMargin
+
   /** CUBE aggregation: all grouping-set combinations of flag x status. */
   def qCube(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -1200,6 +1284,7 @@ object Relational {
     "q_stats" -> (qStats _),
     "q_approx" -> (qApprox _),
     "q_approx_quantiles" -> (qApproxQuantiles _),
+    "q_quantile_select" -> (qQuantileSelect _),
     "q_setops" -> (qSetops _),
     "q_semijoin" -> (qSemiJoin _),
     "q_gsets" -> (qGsets _),
@@ -1233,6 +1318,7 @@ object Relational {
     "st_attribution" -> stAttributionSql,
     "q_approx" -> qApproxSql,
     "q_approx_quantiles" -> qApproxQuantilesSql,
+    "q_quantile_select" -> qQuantileSelectSql,
     "q1_agg" -> q1AggSql,
     "q3_join_agg" -> q3JoinAggSql,
     "q5_multijoin" -> q5MultiJoinSql,

@@ -1175,4 +1175,41 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unique doc 20 forms no pair, so it is not a cluster row at all
     assert(out.length === 2)
   }
+
+  test("paragraph dedup drops repeated blocks, keeps first occurrence, " +
+    "rebuilds text") {
+    import spark.implicits._
+    val shared = "a b c d e f g h" // one exact 8-word block
+    val docs = Seq(
+      (1L, s"$shared i j k l m n o p"),          // first occurrence — kept whole
+      (2L, s"$shared x1 x2 x3 x4 x5 x6 x7 x8"),  // block 0 is a repeat — dropped
+      (3L, shared),                              // exact repeat only — doc exits
+      (4L, "z1 z2 z3")).toDF("doc_id", "text")   // short unique doc
+    val out = Dedup.paragraphDedup(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out === Array(
+      (1L, 2L, 2L, s"$shared i j k l m n o p"),
+      (2L, 2L, 1L, "x1 x2 x3 x4 x5 x6 x7 x8"),
+      (4L, 1L, 1L, "z1 z2 z3")),
+      s"unexpected paragraph-dedup output: ${out.mkString("; ")}")
+  }
+
+  test("quantile selection equals the sorted order statistic, with ties") {
+    import spark.implicits._
+    // group "a": 10 values incl. duplicates; "b": a single row
+    val va = Seq(5.0, 1.0, 3.0, 3.0, 9.0, 3.0, 7.0, 1.0, 8.0, 2.0)
+    val rows = (va.map(("a", _)) :+ (("b", 42.0))).toDF("g", "v")
+    val out = graft.queries.Relational
+      .quantileSelect(rows, "g", "v", Seq(("p50", 1, 2), ("p90", 9, 10)),
+        buckets = 4) // tiny B forces multi-row probe buckets
+      .orderBy("g").collect()
+    val sa = va.sorted
+    val (k50, k90) = ((va.size - 1) / 2 + 1, ((va.size - 1) * 9) / 10 + 1)
+    assert(out(0).getLong(1) === va.size)
+    assert(out(0).getLong(2) === k50 && out(0).getDouble(3) === sa(k50 - 1))
+    assert(out(0).getLong(4) === k90 && out(0).getDouble(5) === sa(k90 - 1))
+    // n=1 group: min==max degenerate bucketing, both quantiles = the row
+    assert(out(1).getLong(1) === 1L)
+    assert(out(1).getDouble(3) === 42.0 && out(1).getDouble(5) === 42.0)
+  }
 }

@@ -403,6 +403,65 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("paragraph dedup: block text never shuffles, doc text at most once") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val df = Dedup.ddParagraphs(spark, dir)
+    df.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(nodes)
+    }
+    val exchanges = nodes(df.queryExecution.executedPlan)
+      .collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    // the count + decision + position stages move (hash, packed-long)
+    // rows only; block content is consumed at the scan projection
+    assert(!exchanges.exists(_.child.output.exists(_.name == "block")),
+      "an exchange carries block text")
+    // corpus text crosses the wire once at most (the rebuild join; zero
+    // when AQE broadcasts the kept-position side at this sf)
+    val textEx = exchanges.filter(_.child.output.exists(_.name == "text"))
+    assert(textEx.size <= 1,
+      s"doc text shuffled ${textEx.size}x: ${textEx.map(_.simpleStringWithNodeId())}")
+  }
+
+  test("quantile selection: corpus rows never shuffle, probes broadcast") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val df = Relational.qQuantileSelect(spark, dir)
+    df.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(nodes)
+    }
+    val ex = nodes(df.queryExecution.executedPlan)
+      .collect { case e: Exchange => e }
+    // histogram/offset/target exchanges move (group, bucket, count) rows;
+    // value rows reach an exchange only AFTER the probe join pinned them
+    // to a target bucket (marked by _ql) — a corpus-wide value shuffle
+    // here is the global-sort regression this operator exists to avoid
+    val corpusEx = ex.filter { e =>
+      val names = e.child.output.map(_.name)
+      names.contains("l_extendedprice") && !names.contains("_ql")
+    }
+    assert(corpusEx.isEmpty,
+      s"corpus value rows shuffled pre-probe: ${corpusEx.map(_.simpleStringWithNodeId())}")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "probe join is not broadcast")
+    assert(!p.contains("SortAggregate"), "selection fell into a sort aggregate")
+  }
+
   test("minhash signature aggregation is partial (map-side combine)") {
     val p = Dedup.minhashLsh(Tables.documents(spark, dir))
       .queryExecution.executedPlan.toString
