@@ -289,6 +289,23 @@ object ScaleCheck {
       // once on the bigram key (map-side combined count + join) — the
       // tfidf cost shape; must stay linear in corpus bigrams
       t("tx_fluency")(TextAnalysis.fluency(docs).count()),
+      // paragraph-block dedup at corpus scale: count/decision/position
+      // stages shuffle (md5, packed long) rows only; the one text
+      // exchange is the rebuild join. Sum of rebuilt length (not count)
+      // keeps Catalyst from pruning the reassembly — cost must stay
+      // linear in corpus blocks, tracking dd_exact's shape
+      t("dd_paragraphs")(Dedup.paragraphDedup(docs)
+        .agg(sum(length(col("clean_text")))).head.getLong(0)),
+      // distributed exact selection at corpus scale: two scans + a
+      // G x B histogram + ~n/B probe rows per target — no per-group
+      // sort anywhere. sum(p50_disc) forces the probe windows to run
+      t("q_quantile_select") {
+        graft.queries.Relational.quantileSelect(
+          docs.select(pmod(col("doc_id"), lit(4L)).as("g"),
+            length(col("text")).cast("double").as("v")),
+          "g", "v", Seq(("p50", 1, 2), ("p99", 99, 100)))
+          .agg(sum(col("p50_disc"))).head.getDouble(0).toLong
+      },
       // BPE at production merge counts: train 256 merges on the real
       // word-frequency table (per-merge cost must stay flat — the lazy
       // checkpoint cadence truncates the replace-chain lineage; without

@@ -1168,10 +1168,17 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("kept_pos"),
         count(lit(1)).as("n_kept"))
-    docs.join(keptPos, Seq("doc_id"))
-      .select(col("doc_id"), nb.as("n_blocks"), col("n_kept"),
+    // Materialize the block array ONCE per row before the rebuild join:
+    // element_at(blocksArr, ...) inside the transform lambda would
+    // re-evaluate the whole split+slice construction per kept position
+    // (higher-order functions are CodegenFallback — no subexpression
+    // reuse), turning the rebuild O(blocks^2) per doc.
+    docs.select(col("doc_id"), nb.as("n_blocks"), blocksArr.as("blocks"))
+      .join(keptPos, Seq("doc_id"))
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
         concat_ws(" ", transform(col("kept_pos"), p =>
-          element_at(blocksArr, (p + 1).cast(IntegerType)))).as("clean_text"))
+          element_at(col("blocks"), (p + 1).cast(IntegerType))))
+          .as("clean_text"))
   }
 
   def ddParagraphs(spark: SparkSession, dir: String): DataFrame =
