@@ -308,10 +308,15 @@ object TextAnalysis {
         explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("th", xxhash64(col("term")))
+    // df aggregation + join keyed on the 64-bit term hash: the
+    // vocabulary-sized df table and the join exchange move longs, not
+    // term strings (the tf shuffle above still carries the term — it is
+    // the output column and the rank tie-break, so it must survive).
+    val df = tf.groupBy(col("th")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(df, Seq("term"))
+    tf.join(df, Seq("th"))
       .withColumn("score", col("tf").cast(DoubleType) / col("df").cast(DoubleType))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -1103,24 +1108,42 @@ object TextAnalysis {
     * compares each document against the REST of the corpus. Pure count
     * ratios — no log smoothing (the libm oracle lesson).
     *
-    * Scale: same shape as [[tfidf]] — one corpus-sized bigram shuffle
-    * (map-side combined count + the tall-table join on the bigram key);
-    * per-doc aggregation is the second bounded shuffle. */
+    * Scale: same shape as [[tfidf]] — one corpus-sized bigram-keyed
+    * shuffle (map-side combined count + the tall-table join), but fully
+    * de-texted: the key is xxhash64(first, second), so no string ever
+    * crosses an exchange; per-doc aggregation is the second bounded
+    * shuffle. */
   def fluency(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
+    // De-texted shuffle: bigram identity is xxhash64(first, second) —
+    // Spark chains the per-column hashes (the second word is hashed
+    // with the first's hash as seed), so ("ab","c") != ("a","bc") and
+    // no separator string is built. Both corpus-wide exchanges (count
+    // groupBy + the count join) move (long, long) rows instead of
+    // bigram strings — same shape dd_exact uses for text identity; a
+    // 64-bit collision merging two distinct bigrams is ~N^2/2^64.
     val tall = docs
       .select(col("doc_id"),
         explode(arrays_zip(w, slice(w, lit(2), size(w)))).as("z"))
       .filter(col("z.1").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("z.0"), col("z.1")).as("bg"))
-    val cnt = tall.groupBy(col("bg")).agg(count(lit(1)).as("n"))
-    tall.join(cnt, Seq("bg"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(when(col("n") <= 1, 1L).otherwise(0L)).as("n_rare"))
-      .withColumn("rare_ratio",
-        col("n_rare").cast("double") / col("n_bigrams").cast("double"))
-      .select(col("doc_id"), col("n_bigrams"), col("n_rare"), col("rare_ratio"))
+      .select(col("doc_id"), xxhash64(col("z.0"), col("z.1")).as("bg"))
+    // No count-join back to the tall table: a corpus-unique bigram
+    // (n == 1) occurs in exactly one document, so min(doc_id) of its
+    // count group IS that document — per-doc rare counts come from the
+    // count groups directly. One corpus-scale exchange (the bg-keyed
+    // count) instead of two; the doc-keyed bigram count combines
+    // map-side to one row per doc (each doc's bigrams are co-located
+    // at the scan), and the final join is doc-count-sized both sides.
+    val perDoc = tall.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bigrams"))
+    val rare = tall.groupBy(col("bg"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("owner"))
+      .filter(col("n") === 1)
+      .groupBy(col("owner")).agg(count(lit(1)).as("n_rare"))
+    perDoc.join(rare, perDoc("doc_id") === rare("owner"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        (coalesce(col("n_rare"), lit(0L)).cast("double") /
+          col("n_bigrams").cast("double")).as("rare_ratio"))
   }
 
   def txFluency(spark: SparkSession, dir: String): DataFrame =
