@@ -499,7 +499,16 @@ object Dedup {
     *    instead of k·dim). */
   def semanticCells(emb: DataFrame, k: Int = 8, iters: Int = 2,
                     branch: Option[Int] = None,
-                    trainSample: Option[Double] = None): DataFrame = {
+                    trainSample: Option[Double] = None): DataFrame =
+    semanticCellsWithCentroids(emb, k, iters, branch, trainSample)._1
+
+  /** [[semanticCells]] plus the trained centroid table
+    * (c_label, cvec, c2) — consumers that score rows against their
+    * assigned centroid (diversity selection) re-join it broadcast. */
+  private[operators] def semanticCellsWithCentroids(
+      emb: DataFrame, k: Int = 8, iters: Int = 2,
+      branch: Option[Int] = None,
+      trainSample: Option[Double] = None): (DataFrame, DataFrame) = {
     val dvec = col("embedding").cast(ArrayType(DoubleType))
     val n2f = Similarity.dot(dvec, dvec)
     // zero-norm / non-finite vectors out of contract (cos undefined /
@@ -526,7 +535,75 @@ object Dedup {
       case Some(b) => Similarity.assignCellsTwoLevel(all, cvecs, b)
       case None => Similarity.assignCellsBroadcast(all, cvecs)
     }
-    assigned.select(col("vec_id"), col("v"), col("n2"), col("cell"))
+    (assigned.select(col("vec_id"), col("v"), col("n2"), col("cell")), cvecs)
+  }
+
+  /** D4-style diversity selection (SemDeDup's sibling step): within each
+    * semantic cell, rank vectors by distance to their OWN centroid
+    * DESCENDING — the most prototypical (centroid-nearest, redundant)
+    * examples rank last — and keep the `keepNum/keepDen` most diverse
+    * fraction, never fewer than one per cell. This is the SSL-prototypes
+    * pruning of the D4 pipeline (arXiv:2308.12284): semantic dedup drops
+    * near-identical pairs, this drops the dense prototypical core.
+    *
+    * Scale shape: cells come from [[semanticCells]] (same production
+    * knobs: `trainSample`, `branch`); scoring re-joins the k-row
+    * centroid table broadcast (one dot product per row, zero shuffle);
+    * the rank window is cell-keyed and cell sizes are bounded by
+    * construction (k ~ N/cellSize), so the window sort is the bounded
+    * per-cell kind, not a corpus sort. The window input is the slim
+    * (vec_id, cell, d2) projection — no vectors cross the exchange.
+    * Deterministic: same trained quantizer + assignment as dd_semantic
+    * (oracle splices that CTE chain), d2 recomputed with the identical
+    * operation order, (d2 DESC, vec_id) tie-break. */
+  def diversitySample(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                      keepNum: Int = 1, keepDen: Int = 2,
+                      branch: Option[Int] = None,
+                      trainSample: Option[Double] = None): DataFrame = {
+    val (assigned, cvecs) = semanticCellsWithCentroids(
+      emb, k, iters, branch, trainSample)
+    val scored = assigned
+      .join(broadcast(cvecs), col("cell") === col("c_label"))
+      .withColumn("d2",
+        col("n2") - lit(2.0) * Similarity.dot(col("v"), col("cvec"))
+          + col("c2"))
+      .select(col("vec_id"), col("cell"), col("d2"))
+    val byCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+    val ranked = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("d2").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(ranked))
+      .withColumn("cell_size", count(lit(1)).over(byCell))
+      .filter(col("rk") <= greatest(lit(1L),
+        floor(col("cell_size") * lit(keepNum) / lit(keepDen))))
+      .select(col("cell"), col("vec_id"), col("rk"), col("cell_size"),
+        col("d2"))
+  }
+
+  def qDiversitySample(spark: SparkSession, dir: String): DataFrame =
+    diversitySample(Tables.embeddings(spark, dir)).orderBy("cell", "rk")
+
+  /** dd_semantic's training/assignment CTE chain (through afin + cvf),
+    * then per-cell scoring and the diverse-fraction keep. */
+  // lazy: ddSemanticSql is declared later in this object (initialization
+  // order), and the splice must see it initialized
+  lazy val qDiversitySampleSql: String = {
+    val cut = ddSemanticSql.indexOf(",\npairs AS (")
+    ddSemanticSql.substring(0, cut) + ",\n" +
+      """scored AS (
+        |  SELECT a.vec_id, a.cell,
+        |    a.n2 - 2.0 * list_dot_product(a.v, c.cvec)
+        |      + list_dot_product(c.cvec, c.cvec) AS d2
+        |  FROM afin a JOIN cvf c ON a.cell = c.label),
+        |r AS (
+        |  SELECT vec_id, cell, d2,
+        |    row_number() OVER (PARTITION BY cell ORDER BY d2 DESC, vec_id) AS rk,
+        |    count(*) OVER (PARTITION BY cell) AS cell_size
+        |  FROM scored)
+        |SELECT cell, vec_id, rk, cell_size, d2 FROM r
+        |WHERE rk <= greatest(1, cell_size // 2)
+        |ORDER BY cell, rk""".stripMargin
   }
 
   def semanticPairs(emb: DataFrame, k: Int = 8, iters: Int = 2,
@@ -1217,6 +1294,7 @@ object Dedup {
     "dd_media" -> (ddMedia _),
     "mm_dedup_e2e" -> (mmDedupE2e _),
     "dd_semantic" -> (ddSemantic _),
+    "q_diversity_sample" -> (qDiversitySample _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_threshold_hist" -> (ddThresholdHist _),
     "dd_embed_cosine" -> (ddEmbedCosine _))
@@ -1236,6 +1314,7 @@ object Dedup {
     "dd_media" -> ddMediaSql,
     "mm_dedup_e2e" -> mmDedupE2eSql,
     "dd_semantic" -> ddSemanticSql,
+    "q_diversity_sample" -> qDiversitySampleSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_threshold_hist" -> ddThresholdHistSql,
     "dd_embed_cosine" -> ddEmbedCosineSql)

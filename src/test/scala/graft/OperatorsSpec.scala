@@ -963,6 +963,49 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.nonEmpty)
   }
 
+  test("diversity selection keeps the farthest-from-centroid fraction, at least one per cell") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val emb = (0L until 500L).map { i =>
+      (i, (0 until 8).map(d =>
+        ((i * 37 + d * 101) % 997).toDouble / 997.0).toArray)
+    }.toDF("vec_id", "embedding")
+    def rows(keepNum: Int, keepDen: Int) =
+      Dedup.diversitySample(emb, k = 8, keepNum = keepNum, keepDen = keepDen)
+        .select(col("cell").cast("long"), col("vec_id"), col("rk"),
+          col("cell_size"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3)))
+    // keepNum/keepDen = 1 ranks the whole corpus (nothing dropped):
+    // the reference ranking the fractional run must be a prefix of
+    val full = rows(1, 1)
+    val cells = full.map(_._1).toSet
+    assert(cells.size > 1, "degenerate quantizer: one cell")
+    assert(full.length === 500, "full ranking dropped rows")
+    val half = rows(1, 2)
+    val expected = full.filter { case (_, _, rk, n) =>
+      rk <= math.max(1L, n / 2L)
+    }.map(t => (t._1, t._2)).toSet
+    assert(half.map(t => (t._1, t._2)).toSet === expected,
+      "fractional keep is not the top-of-ranking prefix")
+    // every cell survives selection (the >= 1 floor)
+    assert(half.map(_._1).toSet === cells, "a cell lost all members")
+    // deterministic end to end (trained quantizer + tie-break)
+    assert(rows(1, 2).toSeq === half.toSeq, "selection not deterministic")
+    // the production knobs (sampled training, two-level assignment)
+    // keep the same contracts: full cell coverage, per-cell floor
+    val prod = Dedup.diversitySample(emb, k = 16, keepNum = 1, keepDen = 2,
+        branch = Some(4), trainSample = Some(0.5))
+      .select(col("cell").cast("long"), col("rk"), col("cell_size"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(prod.nonEmpty)
+    prod.groupBy(_._1).foreach { case (c, members) =>
+      val n = members.head._3
+      assert(members.length === math.max(1L, n / 2L).toInt,
+        s"cell $c kept ${members.length} of $n")
+    }
+  }
+
   test("incremental curation equals full recomputation on the merged snapshot") {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.Sampling
