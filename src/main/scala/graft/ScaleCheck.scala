@@ -306,6 +306,18 @@ object ScaleCheck {
           "g", "v", Seq(("p50", 1, 2), ("p99", 99, 100)))
           .agg(sum(col("p50_disc"))).head.getDouble(0).toLong
       },
+      // D4 diversity selection at its scale contract: production knobs
+      // (sampled training, two-level assignment, k ~ N/cellSize), then
+      // broadcast centroid scoring + the cell-keyed rank window over
+      // slim (vec_id, cell, d2) rows — cost must track dd_semantic's
+      // assignment, with the window adding only a bounded per-cell sort
+      t("q_diversity") {
+        val emb = synthEmb(docs).localCheckpoint()
+        val k = math.max(64, (rows / 1000L).toInt)
+        Dedup.diversitySample(emb, k = k, keepNum = 1, keepDen = 2,
+          branch = Some(math.max(8, math.sqrt(k.toDouble).toInt)),
+          trainSample = Some(math.min(1.0, 100000.0 / rows))).count()
+      },
       // BPE at production merge counts: train 256 merges on the real
       // word-frequency table (per-merge cost must stay flat — the lazy
       // checkpoint cadence truncates the replace-chain lineage; without
