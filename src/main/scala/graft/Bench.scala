@@ -35,18 +35,7 @@ object Bench {
     * nearest ancestor of cwd containing build.sbt, else cwd) — a relative
     * path would silently disable the noise guard whenever Bench runs from
     * any other working directory. */
-  private val repoRoot: java.nio.file.Path = {
-    sys.env.get("SPARK_GRAFT_REPO").map(java.nio.file.Paths.get(_)).getOrElse {
-      var p = java.nio.file.Paths.get("").toAbsolutePath
-      var found: java.nio.file.Path = null
-      var cur = p
-      while (cur != null && found == null) {
-        if (java.nio.file.Files.exists(cur.resolve("build.sbt"))) found = cur
-        cur = cur.getParent
-      }
-      if (found != null) found else p
-    }
-  }
+  private def repoRoot: java.nio.file.Path = graft.core.Util.repoRoot
 
   /** Per-query baseline for the noise guard: bench_baseline.json, which
     * (unlike bench_out.json) never absorbs a noisy measurement — a run
@@ -94,16 +83,8 @@ object Bench {
     // walk through AQE wrappers (their `children` are empty, hiding the
     // real tree from TreeNode.collect)
     def nodes(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      val inner = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          Seq(a.executedPlan)
-        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          Seq(s.plan)
-        case _ => Nil
-      }
-      p +: (p.children ++ inner).flatMap(nodes)
-    }
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      graft.core.Util.planNodes(p)
     def runOnce(name: String): (Double, Long, Boolean) = {
       captured = null
       // time construction too: queries that eagerly materialize an

@@ -120,10 +120,16 @@ object BenchHeavy {
       s""""$n":"$s""""
     }.mkString("{", ",", "}")
     val dirs = heavy.map(n => s""""$n":"${dirFor(n)}"""").mkString("{", ",", "}")
+    // per-tier replication factors: a single flat "reps" misattributed
+    // the x100 queries' per-row cost by 10x in the committed artifact
+    val replication = s"""{"x10":$reps,"x100":${reps * 10}}"""
     val line =
-      s"""{"metric":"heavy_total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"failed":$failed,"loadavg":[$la0,$loadavg],"src":"$srcDir","data":"$outDir","data_for":$dirs,"oracle_sql":$sqls}"""
+      s"""{"metric":"heavy_total","value":$total,"unit":"sec","replication":$replication,"queries":$qs,"failed":$failed,"loadavg":[$la0,$loadavg],"src":"$srcDir","data":"$outDir","data_for":$dirs,"oracle_sql":$sqls}"""
     println(line)
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_heavy_spark.json"),
+    // resolve against the repo root, not cwd — a cwd-relative artifact
+    // stale-merges into bench_heavy.json when sbt runs from elsewhere
+    java.nio.file.Files.write(
+      graft.core.Util.repoRoot.resolve("bench_heavy_spark.json"),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }

@@ -590,6 +590,7 @@ object Dedup {
   // order), and the splice must see it initialized
   lazy val qDiversitySampleSql: String = {
     val cut = ddSemanticSql.indexOf(",\npairs AS (")
+    require(cut > 0, "dd_semantic oracle anchor moved; re-align the splice")
     ddSemanticSql.substring(0, cut) + ",\n" +
       """scored AS (
         |  SELECT a.vec_id, a.cell,
@@ -1210,9 +1211,10 @@ object Dedup {
     * documents. Documents are segmented into consecutive `blockWords`-
     * word blocks; a block survives iff its content is unique OR this
     * occurrence is the globally-first one (smallest packed
-    * `doc_id * 65536 + pos` — a single-long key so the argmin stays a
+    * `doc_id * 2^24 + pos` — a single-long key so the argmin stays a
     * HashAggregate; `min(struct(...))` would fall back to the
-    * SortAggregate path). Surviving text is rebuilt per document in
+    * SortAggregate path; valid while docs stay under 2^24 blocks and
+    * doc_id under 2^39). Surviving text is rebuilt per document in
     * block order; a document whose every block is dropped exits the
     * corpus (the RefinedWeb empty-doc rule), as do null-text documents
     * (no blocks to segment).
@@ -1235,7 +1237,11 @@ object Dedup {
     val slim = docs
       .select(col("doc_id"), posexplode(blocksArr).as(Seq("pos", "block")))
       .select(col("doc_id"), col("pos"), md5(col("block")).as("h"),
-        (col("doc_id") * 65536 + col("pos")).as("k"))
+        // single-long first-occurrence key: doc_id * 2^24 + pos. The
+        // shift bounds the contract at 2^24 blocks/doc (134M words at
+        // blockWords=8) and doc_id < 2^39 — beyond either, packed keys
+        // from adjacent docs alias and "globally first" can misresolve
+        (col("doc_id") * 16777216L + col("pos")).as("k"))
     val dups = slim.groupBy(col("h"))
       .agg(min(col("k")).as("keep_k"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
@@ -1267,10 +1273,9 @@ object Dedup {
       |  SELECT doc_id, nb AS n_blocks, i AS pos,
       |    array_to_string(w[(i*8+1):(i*8+8)], ' ') AS block
       |  FROM (SELECT doc_id, w, CAST(ceil(len(w) / 8.0) AS BIGINT) AS nb
-      |        FROM w)
-      |  CROSS JOIN (SELECT unnest(range(0, 256)) AS i) WHERE i < nb),
+      |        FROM w), unnest(range(0, nb)) r(i)),
       |keyed AS (SELECT doc_id, n_blocks, pos, block, md5(block) AS h,
-      |                 doc_id*65536 + pos AS k FROM blocks),
+      |                 doc_id*16777216 + pos AS k FROM blocks),
       |g AS (SELECT h, min(k) AS keep_k, count(*) AS n FROM keyed GROUP BY h),
       |kept AS (
       |  SELECT doc_id, n_blocks, pos, block FROM keyed JOIN g USING (h)

@@ -332,8 +332,20 @@ object Similarity {
         struct(col("c_label"), col("v").as("cvec"), col("n2").as("c2")).as("e"))
       .groupBy(col("_sc2")).agg(collect_list(col("e")).as("cents"))
       .localCheckpoint(false)
-    // corpus pass 1: nearest super-cell; pass 2: argmin within its subset
-    assignCellsBroadcast(all, superVecs).withColumnRenamed("cell", "_sc")
+    // Route the corpus only against LIVE super-cells (ones that own at
+    // least one trained centroid): the subsets table is keyed by a
+    // RE-assignment of the centroids to the final post-mean-update
+    // super-centroids, so a drifted super-cell can end up memberless —
+    // a corpus vector routed there would vanish through the inner join
+    // below (silent row loss on the scale path). Restricting pass 1 to
+    // live super-cells keeps every-non-null-vector-assigned true; the
+    // vector just routes to its nearest NON-EMPTY super-cell, the same
+    // boundary approximation the two-level trade already documents.
+    val liveSuper = superVecs.join(
+      subsets.select(col("_sc2")), col("c_label") === col("_sc2"), "left_semi")
+    // corpus pass 1: nearest live super-cell; pass 2: argmin within its
+    // subset (guaranteed non-empty)
+    assignCellsBroadcast(all, liveSuper).withColumnRenamed("cell", "_sc")
       .join(broadcast(subsets), col("_sc") === col("_sc2"))
       .withColumn("cell", org.apache.spark.sql.graft.VectorExprs.nearestCell(
         col("v"), col("n2"), col("cents")))

@@ -969,12 +969,17 @@ object TextAnalysis {
     require(ckptEvery >= 1, "checkpoint cadence must be positive")
     var wf = words.withColumn("sym", concat(lit(" "),
       concat_ws(" ", split(col("word"), "")), lit(" ")))
+    var applied = 0
     merges.grouped(ckptEvery).foreach { grp =>
       val sym = grp.foldLeft(col("sym")) { (c, p) =>
         replace(c, lit(" " + p + " "), lit(" " + p.replace(" ", "") + " "))
       }
       wf = wf.withColumn("sym", sym)
-      if (merges.length > ckptEvery) wf = wf.localCheckpoint(false)
+      applied += grp.length
+      // truncate lineage only BETWEEN groups: a checkpoint after the
+      // final group would materialize the vocab table once more right
+      // before the terminal projection, for no lineage benefit
+      if (applied < merges.length) wf = wf.localCheckpoint(false)
     }
     wf.withColumn("n_tokens", size(split(trim(col("sym")), " ")))
   }

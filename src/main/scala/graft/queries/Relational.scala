@@ -359,11 +359,19 @@ object Relational {
     * cached (corpus-scale localCheckpoint loses — see §4 notes); B
     * scales with n so a probe partition fits one task (recurse the same
     * machinery inside a bucket for extreme n/B). */
-  def quantileSelect(rows: DataFrame, groupCol: String, valCol: String,
+  def quantileSelect(rows0: DataFrame, groupCol: String, valCol: String,
                      qs: Seq[(String, Int, Int)],
                      buckets: Int = 1024): DataFrame = {
     val g = col(groupCol)
     val v = col(valCol)
+    // Null values are excluded from the population up front: counting
+    // them into n while they can never land in a bucket would compute
+    // target ranks against rows the probe phase cannot reach (a rank
+    // falling "inside" the phantom null mass would return no row, and
+    // every real quantile would shift). Order statistics over the
+    // non-null multiset — the same population DuckDB's row_number
+    // oracle ranks.
+    val rows = rows0.filter(v.isNotNull)
     val stats = rows.groupBy(g.as("_g"))
       .agg(count(lit(1)).as("n"), min(v).as("_mn"), max(v).as("_mx"))
     def bucketed = rows.join(broadcast(stats), g === col("_g"))

@@ -376,20 +376,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("curation pipeline: no exchange carries the text column") {
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.Exchange
     val df = graft.operators.TextAnalysis.qCurationE2e(spark, dir)
     df.collect()
     // walk through AQE wrappers (their children are empty, hiding the
     // real tree from TreeNode.collect)
-    def nodes(p: SparkPlan): Seq[SparkPlan] = {
-      val inner = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case s: QueryStageExec => Seq(s.plan)
-        case _ => Nil
-      }
-      p +: (p.children ++ inner).flatMap(nodes)
-    }
+    def nodes(p: SparkPlan): Seq[SparkPlan] = graft.core.Util.planNodes(p)
     val exchanges = nodes(df.queryExecution.executedPlan)
       .collect { case e: Exchange => e }
     assert(exchanges.nonEmpty, "expected the pipeline's bounded exchanges")
@@ -405,18 +397,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("paragraph dedup: block text never shuffles, doc text at most once") {
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.Exchange
     val df = Dedup.ddParagraphs(spark, dir)
     df.collect()
-    def nodes(p: SparkPlan): Seq[SparkPlan] = {
-      val inner = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case s: QueryStageExec => Seq(s.plan)
-        case _ => Nil
-      }
-      p +: (p.children ++ inner).flatMap(nodes)
-    }
+    def nodes(p: SparkPlan): Seq[SparkPlan] = graft.core.Util.planNodes(p)
     val exchanges = nodes(df.queryExecution.executedPlan)
       .collect { case e: Exchange => e }
     assert(exchanges.nonEmpty)
@@ -433,18 +417,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("quantile selection: corpus rows never shuffle, probes broadcast") {
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.Exchange
     val df = Relational.qQuantileSelect(spark, dir)
     df.collect()
-    def nodes(p: SparkPlan): Seq[SparkPlan] = {
-      val inner = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case s: QueryStageExec => Seq(s.plan)
-        case _ => Nil
-      }
-      p +: (p.children ++ inner).flatMap(nodes)
-    }
+    def nodes(p: SparkPlan): Seq[SparkPlan] = graft.core.Util.planNodes(p)
     val ex = nodes(df.queryExecution.executedPlan)
       .collect { case e: Exchange => e }
     // histogram/offset/target exchanges move (group, bucket, count) rows;

@@ -44,17 +44,23 @@ def main():
         duck[name] = round(best, 3)
         print(f"  {name}: duckdb {best:.2f}s vs spark {spark['queries'][name]:.2f}s",
               flush=True)
+    # totals compare the SAME query set: a Spark-side failure (-1) drops
+    # that query from BOTH sums, otherwise total_ratio silently compares
+    # mismatched denominators
+    ok = [k for k in duck if spark["queries"].get(k, -1) >= 0]
     out = {
         "metric": "bench_heavy",
-        "reps": spark["reps"],
+        # per-tier replication factors (the flat reps misattributed the
+        # x100 queries' per-row cost by 10x); older artifacts carry "reps"
+        "replication": spark.get("replication", {"x10": spark.get("reps")}),
         "data": data,
         "loadavg": spark["loadavg"],
         "spark": {k: round(v, 3) for k, v in spark["queries"].items()},
         "duckdb": duck,
         "ratio": {k: round(spark["queries"][k] / duck[k], 2)
-                  for k in duck if duck[k] > 0 and spark["queries"][k] >= 0},
-        "spark_total": round(sum(v for v in spark["queries"].values() if v >= 0), 2),
-        "duckdb_total": round(sum(duck.values()), 2),
+                  for k in ok if duck[k] > 0},
+        "spark_total": round(sum(spark["queries"][k] for k in ok), 2),
+        "duckdb_total": round(sum(duck[k] for k in ok), 2),
     }
     out["total_ratio"] = round(out["spark_total"] / out["duckdb_total"], 2)
     with open("bench_heavy.json", "w") as f:
