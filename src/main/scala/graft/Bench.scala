@@ -155,11 +155,34 @@ object Bench {
     val total = results.filter(_._4).map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$failed,"noisy":$noisyNames,"loadavg":[$la0,$loadavg],"sf":"$sfDir"}"""
+    // persist the FULL line first — the authoritative per-query artifact.
+    // Full runs only: a substring-filtered iteration run must not clobber
+    // the committed clean artifact with a partial map (the round-6 stale-
+    // artifact lesson).
+    if (args.isEmpty)
+      java.nio.file.Files.write(repoRoot.resolve("bench_out.json"),
+        (line + "\n").getBytes("UTF-8"))
+    // The capture tooling keeps only the LAST ~2000 chars of stdout (sbt
+    // appends its own "[success] Total time" line after ours), so a
+    // 120+-query map printed raw arrives truncated and unparseable —
+    // every BENCH_r{N} artifact through r7 recorded parsed:null for this
+    // reason. Print the full line for humans, then LAST a compact
+    // headline line sized to survive the window: totals + the heaviest
+    // queries (time-sorted, 3-decimal) up to a byte budget, with the
+    // full map's location and the count of omitted entries declared.
     println(line)
-    // the stdout tail gets truncated by capture tooling on an 80+-query
-    // map — persist the full line so the artifact stays auditable
-    java.nio.file.Files.write(repoRoot.resolve("bench_out.json"),
-      (line + "\n").getBytes("UTF-8"))
+    val okSorted = results.filter(_._4).sortBy(-_._2)
+    val budget = 1200 // chars for the compact queries map
+    val compactQs = new scala.collection.mutable.ArrayBuffer[String]
+    var used = 0
+    okSorted.foreach { case (k, v, _, _, _) =>
+      val ent = s""""$k":${math.rint(v * 1000) / 1000}"""
+      if (used + ent.length + 1 <= budget) { compactQs += ent; used += ent.length + 1 }
+    }
+    val tot3 = math.rint(total * 1000) / 1000
+    val compact =
+      s"""{"metric":"total","value":$tot3,"unit":"sec","queries":${compactQs.mkString("{", ",", "}")},"nqueries":${names.size},"nok":${okSorted.size},"omitted_fastest":${okSorted.size - compactQs.size},"full":"bench_out.json","failed":$failed,"noisy":$noisyNames,"loadavg":[$la0,$loadavg],"sf":"$sfDir"}"""
+    println(compact)
     // guard baseline: a clean measurement updates it; a noisy one keeps
     // the prior value (no ratchet); a failed query records nothing
     if (args.isEmpty) { // partial filtered runs must not shrink the baseline

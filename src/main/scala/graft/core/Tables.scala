@@ -25,13 +25,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set by
-    * GraftSession) it arrives as epoch-nanos LONG. Truncate (not round) to
-    * micros — the DuckDB oracle does the same via epoch_ns(ts)//1000. */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** events.parquet's `ts` physical type has shipped in two generations:
+    * TIMESTAMP(NANOS) (arrives as epoch-nanos LONG under
+    * spark.sql.legacy.parquet.nanosAsLong=true, set by GraftSession —
+    * truncate, not round, to micros) and TIMESTAMP(MICROS) (arrives as a
+    * timestamp directly — NTZ variants cast to the session-UTC
+    * TimestampType so downstream semantics are identical). The DuckDB
+    * oracle is generation-agnostic: epoch_ns(ts)//1000 yields the same
+    * micros either way. Branch on the SCANNED type, not the sf dir. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -19,7 +19,9 @@ import org.apache.spark.sql.types._
 object EventStreams {
 
   /** Raw events schema as the parquet reader sees it with
-    * nanosAsLong=true (ts arrives as epoch-nanos LONG). */
+    * nanosAsLong=true when `ts` is physically TIMESTAMP(NANOS) (it
+    * arrives as epoch-nanos LONG). Newer testdata generations write
+    * TIMESTAMP(MICROS); see [[readEvents]]. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -30,14 +32,28 @@ object EventStreams {
 
   /** File-source stream over a directory of events parquet files (the
     * file-stream source requires a directory — new files appearing in it
-    * become new micro-batches), ts truncated to micros exactly like the
-    * batch loader (Tables.events). */
+    * become new micro-batches), ts normalized to a micros TimestampType
+    * exactly like the batch loader (Tables.events). A stream needs its
+    * schema up front, so the physical `ts` generation (nanos LONG vs
+    * micros TIMESTAMP — the testdata has shipped both) is sniffed from
+    * the existing files' footers with a batch schema peek: for nanos,
+    * declare LONG and truncate (not round) to micros; for micros,
+    * declare TimestampType directly (explicit schema overrides NTZ
+    * inference, and session-UTC makes the wall-clock values identical). */
   def readEvents(spark: SparkSession, eventsDir: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val reader = spark.readStream.schema(rawSchema)
+    val tsIsNanosLong =
+      spark.read.parquet(eventsDir).schema("ts").dataType == LongType
+    val schema =
+      if (tsIsNanosLong) rawSchema
+      else StructType(rawSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+    val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = reader.parquet(eventsDir)
+    if (tsIsNanosLong)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
   }
 
   /** Tumbling 1-hour counts per event type — streaming twin of
