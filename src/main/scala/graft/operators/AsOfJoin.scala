@@ -172,11 +172,119 @@ object AsOfJoin {
       |  ON c.user_id = p.user_id AND c.ts <= p.next_purchase_ts
       |ORDER BY c.event_id""".stripMargin
 
+  /** Nearest as-of: for each left row, the right row of the same key
+    * CLOSEST in time, either direction (sensor fusion / log alignment —
+    * "attach the nearest reading"). Ties at equal distance prefer the
+    * BACKWARD match (the reading that already existed at leftTime).
+    *
+    * ONE shuffle, not two joins: both directional matches come off the
+    * same union + hash partitioning — a running `last` over the
+    * ascending sort (most recent at-or-before) and another over the
+    * descending sort (earliest at-or-after). Spark plans one Exchange
+    * with two Sorts over it; at 100 TB that halves the wire cost of the
+    * naive compose-both-as-ofs formulation. Direction choice is then a
+    * pure integer projection on epoch-micros distances. */
+  def asOfNearest(left: DataFrame, right: DataFrame,
+                  leftKey: Column, rightKey: Column,
+                  leftTime: Column, rightTime: Column,
+                  rightPayload: Seq[(String, Column)],
+                  rightTiebreak: Column = lit(0)): DataFrame = {
+    val lStruct = struct(left.columns.map(col).toSeq: _*)
+    val rStruct = struct((rightPayload.map { case (n, c) => c.as(n) } :+
+      rightTime.as("_rt")): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+    val tbType = right.select(rightTiebreak).schema.head.dataType
+
+    val lTagged = left.select(
+      leftKey.as("_k"), leftTime.as("_t"), lit(1).as("_side"),
+      lit(null).cast(tbType).as("_tb"), lStruct.as("_l"),
+      lit(null).cast(rType).as("_r"))
+    val rTagged = right.select(
+      rightKey.as("_k"), rightTime.as("_t"), lit(0).as("_side"),
+      rightTiebreak.as("_tb"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+
+    // backward: ascending scan, largest tiebreak wins (asOf semantics);
+    // forward: descending scan, smallest tiebreak wins (asOfForward) —
+    // same partitioning key, so Catalyst reuses one Exchange for both.
+    val wb = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side"), col("_tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").desc, col("_side"), col("_tb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val both = lTagged.unionByName(rTagged)
+      .withColumn("_prev", last(col("_r"), ignoreNulls = true).over(wb))
+      .withColumn("_next", last(col("_r"), ignoreNulls = true).over(wf))
+      .filter(col("_side") === 1)
+    val dPrev = unix_micros(col("_t")) - unix_micros(col("_prev._rt"))
+    val dNext = unix_micros(col("_next._rt")) - unix_micros(col("_t"))
+    val pick = when(col("_next").isNull, col("_prev"))
+      .when(col("_prev").isNull, col("_next"))
+      .when(dPrev <= dNext, col("_prev"))
+      .otherwise(col("_next"))
+    val dir = when(col("_prev").isNull && col("_next").isNull,
+        lit(null).cast(org.apache.spark.sql.types.StringType))
+      .when(col("_next").isNull, lit("b"))
+      .when(col("_prev").isNull, lit("f"))
+      .when(dPrev <= dNext, lit("b")).otherwise(lit("f"))
+    both.withColumn("_m", pick)
+      .select(col("_l.*") +:
+        (rightPayload.map { case (n, _) => col(s"_m.$n").as(n) } :+
+          col("_m._rt").as("matched_ts") :+ dir.as("matched_dir")): _*)
+  }
+
+  /** q_asof_nearest: for every click, the user's nearest purchase in
+    * time, before OR after — equidistant ties keep the earlier
+    * (backward) purchase. */
+  def qAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+    asOfNearest(clicks, purchases,
+      leftKey = col("user_id"), rightKey = col("user_id"),
+      leftTime = col("ts"), rightTime = col("ts"),
+      rightPayload = Seq("purchase_value" -> col("value")),
+      rightTiebreak = col("event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Oracle: both native ASOF directions chained, then the identical
+    * distance CASE. Interval comparison in DuckDB is exact at micros, as
+    * is the epoch-micros integer arithmetic on the Spark side. */
+  val qAsofNearestSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |    value, event_type
+      |  FROM main.events),
+      |c AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts AS pts, value AS pval FROM ev
+      |      WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT c.event_id, c.user_id, c.ts, c.value,
+      |    pb.pts AS bts, pb.pval AS bval, pf.pts AS fts, pf.pval AS fval
+      |  FROM c
+      |  ASOF LEFT JOIN p pb ON c.user_id = pb.user_id AND c.ts >= pb.pts
+      |  ASOF LEFT JOIN p pf ON c.user_id = pf.user_id AND c.ts <= pf.pts)
+      |SELECT event_id, user_id, ts, value,
+      |  CASE WHEN fts IS NULL THEN bval WHEN bts IS NULL THEN fval
+      |       WHEN ts - bts <= fts - ts THEN bval ELSE fval END AS purchase_value,
+      |  CASE WHEN fts IS NULL THEN bts WHEN bts IS NULL THEN fts
+      |       WHEN ts - bts <= fts - ts THEN bts ELSE fts END AS matched_ts,
+      |  CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+      |       WHEN fts IS NULL THEN 'b' WHEN bts IS NULL THEN 'f'
+      |       WHEN ts - bts <= fts - ts THEN 'b' ELSE 'f' END AS matched_dir
+      |FROM j ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof" -> (qAsof _),
-    "q_asof_fwd" -> (qAsofFwd _))
+    "q_asof_fwd" -> (qAsofFwd _),
+    "q_asof_nearest" -> (qAsofNearest _))
 
   val oracles: Map[String, String] = Map(
     "q_asof" -> qAsofSql,
-    "q_asof_fwd" -> qAsofFwdSql)
+    "q_asof_fwd" -> qAsofFwdSql,
+    "q_asof_nearest" -> qAsofNearestSql)
 }

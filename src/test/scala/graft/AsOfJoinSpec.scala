@@ -114,4 +114,44 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       right = Seq((1, 10, "z"), (1, 10, "a"), (1, 10, "m")))
     assert(got === Array((1, 10, "a")))
   }
+
+  private def runNearest(left: Seq[(Int, Int)], right: Seq[(Int, Int, String)]) = {
+    // asOfNearest requires timestamp times (distance is a metric on
+    // epoch micros, not just an ordering) — lift the int instants
+    val l = left.toDF("k", "ti").withColumn("t", timestamp_micros(col("ti")))
+      .select("k", "t")
+    val r = right.toDF("k", "ti", "v")
+      .withColumn("t", timestamp_micros(col("ti"))).select("k", "t", "v")
+    AsOfJoin.asOfNearest(l, r,
+        leftKey = col("k"), rightKey = col("k"),
+        leftTime = col("t"), rightTime = col("t"),
+        rightPayload = Seq("v" -> col("v")),
+        rightTiebreak = col("v"))
+      .orderBy("k", "t")
+      .collect().map(row => (row.getInt(0), row.getString(2), row.getString(4)))
+  }
+
+  test("nearest as-of picks the closer side, either direction") {
+    val got = runNearest(
+      left = Seq((1, 10), (1, 14)),
+      right = Seq((1, 4, "a"), (1, 15, "b")))
+    // t=10: prev at 4 (d=6) vs next at 15 (d=5) → forward b
+    // t=14: prev at 4 (d=10) vs next at 15 (d=1) → forward b
+    assert(got === Array((1, "b", "f"), (1, "b", "f")))
+  }
+
+  test("nearest as-of prefers the backward match on equidistant ties") {
+    val got = runNearest(
+      left = Seq((1, 10)),
+      right = Seq((1, 5, "early"), (1, 15, "late")))
+    assert(got === Array((1, "early", "b")))
+  }
+
+  test("nearest as-of falls back to the only available direction, nulls when none") {
+    val got = runNearest(
+      left = Seq((1, 10), (2, 10), (3, 10)),
+      right = Seq((1, 20, "fwd-only"), (2, 3, "back-only")))
+    assert(got === Array((1, "fwd-only", "f"), (2, "back-only", "b"),
+      (3, null, null)))
+  }
 }
