@@ -1284,7 +1284,112 @@ object Dedup {
       |  array_to_string(list(block ORDER BY pos), ' ') AS clean_text
       |FROM kept GROUP BY doc_id, n_blocks ORDER BY doc_id""".stripMargin
 
+  /** Cross-snapshot corpus overlap: how much of snapshot A's content
+    * recurs in snapshot B — the "what fraction of the new crawl is
+    * already in the corpus" table that decides whether a re-crawl is
+    * worth ingesting, and the corpus-level sibling of per-document
+    * near-dedup. Content sets are distinct word-3-gram shingle hashes
+    * per side (the dd_ngram_jaccard/minhash unit), sides split by
+    * doc_id parity here (a deployment passes two real snapshots).
+    *
+    * Exact AND estimated, in one pass: a single groupBy(h) with
+    * per-side presence flags (ONE vocab-sized shuffle of 8-byte keys,
+    * map-combined; text never leaves the scan) yields exact
+    * |A|, |B|, |A∩B|, |A∪B|; the SAME grouped table then folds into
+    * per-side k=16 Carter-Wegman minhash signatures (reusing the LSH
+    * permutation family), whose match fraction is the sketch estimate a
+    * deployment would ship instead of the exact join at 100 TB — both
+    * engines compute it bit-identically, and `mh_ok` oracle-verifies
+    * the sketch against its own exact value within 0.25 (2σ at k=16).
+    * All aggregates decompose (min/max/sum) — two map-combined stages,
+    * no sort, no join anywhere. */
+  def snapshotOverlap(docs: DataFrame, inA: Column, inB: Column): DataFrame = {
+    val k = 16
+    // tallShingles' zip-explode shape, with the side flags carried
+    // through the projection (tallShingles itself prunes to doc_id+s)
+    val w = split(col("text"), " ")
+    val tall = docs.select(inA.as("_a"), inB.as("_b"),
+        explode(arrays_zip(w, slice(w, lit(2), size(w)),
+          slice(w, lit(3), size(w)))).as("z"))
+      .filter(col("z.2").isNotNull)
+      .select(col("_a"), col("_b"),
+        concat_ws(" ", col("z.0"), col("z.1"), col("z.2")).as("s"))
+    val hashed = tall.select(
+      (conv(substring(md5(col("s")), 1, 8), 16, 10).cast(LongType) %
+        lit(MinhashP)).as("h"),
+      col("_a"), col("_b"))
+    val g = hashed.groupBy(col("h")).agg(
+      max(col("_a")).as("in_a"), max(col("_b")).as("in_b"))
+    def perm(j: Int) =
+      (lit(MinhashA(j)) * col("h") + lit(MinhashB(j))) % lit(MinhashP)
+    val aggs =
+      Seq(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("in_b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("n_inter"),
+        count(lit(1)).as("n_union")) ++
+      (0 until k).flatMap(j => Seq(
+        min(when(col("in_a"), perm(j))).as(s"ma$j"),
+        min(when(col("in_b"), perm(j))).as(s"mb$j")))
+    val row = g.agg(aggs.head, aggs.tail: _*)
+    val matches = (0 until k).map(j =>
+      when(col(s"ma$j") === col(s"mb$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    row.select(
+        col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+        (col("n_inter").cast(DoubleType) / col("n_union").cast(DoubleType))
+          .as("jaccard"),
+        (col("n_inter").cast(DoubleType) / col("n_a").cast(DoubleType))
+          .as("containment_a"),
+        matches.as("mh_matches"))
+      .withColumn("mh_est", col("mh_matches").cast(DoubleType) / lit(k.toDouble))
+      .withColumn("mh_ok", abs(col("mh_est") - col("jaccard")) <= lit(0.25))
+  }
+
+  def ddOverlap(spark: SparkSession, dir: String): DataFrame =
+    snapshotOverlap(Tables.documents(spark, dir),
+      inA = pmod(col("doc_id"), lit(2)) === 0,
+      inB = pmod(col("doc_id"), lit(2)) === 1)
+
+  val ddOverlapSql: String = {
+    val k = 16
+    val mins = (0 until k).map(j =>
+      s"min(CASE WHEN in_a THEN (${MinhashA(j)}*h + ${MinhashB(j)}) % $MinhashP END) = " +
+      s"min(CASE WHEN in_b THEN (${MinhashA(j)}*h + ${MinhashB(j)}) % $MinhashP END)")
+      .map(c => s"CASE WHEN $c THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)] AS shingles
+       |  FROM toks WHERE len(w) >= 3),
+       |tallh AS (
+       |  SELECT doc_id % 2 = 0 AS in_a, doc_id % 2 = 1 AS in_b,
+       |    ('0x'||substr(md5(unnest(shingles)),1,8))::BIGINT % $MinhashP AS h
+       |  FROM sh),
+       |g AS (
+       |  SELECT h, bool_or(in_a) AS in_a, bool_or(in_b) AS in_b
+       |  FROM tallh GROUP BY h),
+       |agg AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_inter,
+       |    count(*) AS n_union,
+       |    $mins AS mh_matches
+       |  FROM g)
+       |SELECT n_a, n_b, n_inter, n_union,
+       |  CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard,
+       |  CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment_a,
+       |  mh_matches,
+       |  CAST(mh_matches AS DOUBLE) / 16.0 AS mh_est,
+       |  abs(CAST(mh_matches AS DOUBLE) / 16.0
+       |      - CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)) <= 0.25 AS mh_ok
+       |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_overlap" -> (ddOverlap _),
     "dd_paragraphs" -> (ddParagraphs _),
     "dd_cluster" -> (ddCluster _),
     "dd_priority" -> (ddPriority _),
@@ -1305,6 +1410,7 @@ object Dedup {
     "dd_embed_cosine" -> (ddEmbedCosine _))
 
   val oracles: Map[String, String] = Map(
+    "dd_overlap" -> ddOverlapSql,
     "dd_paragraphs" -> ddParagraphsSql,
     "dd_cluster" -> ddClusterSql,
     "dd_priority" -> ddPrioritySql,
