@@ -1221,6 +1221,104 @@ object TextAnalysis {
       |SELECT term, share_a, share_b, abs(share_a - share_b) AS drift
       |FROM sh ORDER BY drift DESC, term LIMIT 20""".stripMargin
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic between two corpus
+    * snapshots' score distributions — the DISTRIBUTION-level drift gate
+    * (tx_drift ranks individual term shifts; KS answers "did the quality
+    * distribution move at all", the alarm a curation pipeline pages on).
+    * D = max over pooled values v of |F_A(v) − F_B(v)|, computed as the
+    * INTEGER max of |n_b·cumA(v) − n_a·cumB(v)| so the statistic is
+    * bit-exact cross-engine; the double form divides the exact integer
+    * once at the end, identically both sides.
+    *
+    * Scale shape: per-value counts are one map-combined vocab shuffle;
+    * the cumulative-count prefix over the value order is the
+    * tokenBudget two-phase split — value-RANGE buckets over the known
+    * score domain, per-bucket totals (constant-size table), exclusive
+    * offsets via a window over that table (≤ nBuckets rows on one task
+    * by design), offsets broadcast back, per-bucket windows bounded by
+    * ~N/nBuckets distinct values. No global sort, no single-reducer
+    * running sum. Integer bound: valid while n_a·n_b < 2^63 (samples up
+    * to ~3×10⁹ rows each — drift monitors compare bounded samples; at
+    * full-corpus scale feed it the per-value counts of a hash sample). */
+  def ksStatistic(df: DataFrame, value: Column, isA: Column,
+                  lo: Double, hi: Double, nBuckets: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perV = df.select(value.as("_v"), isA.as("_ia"))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_ia"), 1L).otherwise(0L)).as("_ca"),
+        sum(when(!col("_ia"), 1L).otherwise(0L)).as("_cb"))
+    val bkt = least(greatest(
+        floor((col("_v") - lit(lo)) / lit(hi - lo) * nBuckets), lit(0.0)),
+      lit(nBuckets - 1.0)).cast(LongType)
+    val withB = perV.withColumn("_bkt", bkt)
+    // exclusive per-bucket offsets: designed single-partition window
+    // over the <= nBuckets-row totals table (the tokenBudget pattern)
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy(col("_bkt").as("_b"))
+      .agg(sum(col("_ca")).as("_bca"), sum(col("_cb")).as("_bcb"))
+      .withColumn("_offa", coalesce(sum(col("_bca")).over(wOff), lit(0L)))
+      .withColumn("_offb", coalesce(sum(col("_bcb")).over(wOff), lit(0L)))
+      .select(col("_b"), col("_offa"), col("_offb"))
+    val wIn = Window.partitionBy(col("_bkt")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = withB
+      .join(broadcast(offsets), col("_bkt") === col("_b"))
+      .withColumn("_cuma", col("_offa") + sum(col("_ca")).over(wIn))
+      .withColumn("_cumb", col("_offb") + sum(col("_cb")).over(wIn))
+    val tot = df.select(value.as("_v"), isA.as("_ia"))
+      .agg(sum(when(col("_ia"), 1L).otherwise(0L)).as("_na"),
+        sum(when(!col("_ia"), 1L).otherwise(0L)).as("_nb"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("_na"), col("_nb"))
+      .agg(max(abs(col("_nb") * col("_cuma") - col("_na") * col("_cumb")))
+        .as("d_num"))
+      .select(col("_na").as("n_a"), col("_nb").as("n_b"), col("d_num"),
+        (col("d_num").cast(DoubleType) /
+          (col("_na").cast(DoubleType) * col("_nb").cast(DoubleType)))
+          .as("ks"))
+  }
+
+  /** tx_ks_drift: KS distance between even-doc_id (A) and odd-doc_id
+    * (B) snapshots on the model-quality score (ml_score ∈ [-1, 1]). */
+  def txKsDrift(spark: SparkSession, dir: String): DataFrame =
+    ksStatistic(
+      mlQuality(Tables.documents(spark, dir))
+        .withColumn("_even", pmod(col("doc_id"), lit(2)) === 0),
+      value = col("ml_score"), isA = col("_even"), lo = -1.0, hi = 1.0)
+
+  /** Oracle = the single-window formulation over the identical score
+    * chain (the two-phase split is plan shape, not semantics). */
+  val txKsDriftSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    ('0x'||substr(md5('w:'||CAST(
+      |      ('0x'||substr(md5(term),1,15))::BIGINT % 64 AS VARCHAR)),1,10))::BIGINT AS w
+      |  FROM tok WHERE term <> ''),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_terms, sum(w) AS s FROM f GROUP BY doc_id),
+      |sc AS (
+      |  SELECT doc_id, CAST(s AS DOUBLE) / CAST(n_terms AS DOUBLE)
+      |    / 1099511627776.0 * 2.0 - 1.0 AS v FROM agg),
+      |per AS (
+      |  SELECT v,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM sc GROUP BY v),
+      |c AS (
+      |  SELECT v, CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+      |    CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+      |  FROM per),
+      |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      |      FROM per)
+      |SELECT na AS n_a, nb AS n_b,
+      |  CAST(max(abs(nb * cuma - na * cumb)) AS BIGINT) AS d_num,
+      |  CAST(max(abs(nb * cuma - na * cumb)) AS DOUBLE)
+      |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks
+      |FROM c, t GROUP BY na, nb""".stripMargin
+
   /** Changeset application (upsert/merge): fold a batch of updates,
     * deletes, and inserts into a corpus snapshot — how a maintained
     * corpus table advances between crawl snapshots without a rewrite
@@ -1699,6 +1797,7 @@ object TextAnalysis {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_hostrank" -> (qHostrank _),
     "tx_drift" -> (txDrift _),
+    "tx_ks_drift" -> (txKsDrift _),
     "tx_fluency" -> (txFluency _),
     "tx_html_strip" -> (txHtmlStrip _),
     "tx_bpe_train" -> (txBpeTrain _),
@@ -1729,6 +1828,7 @@ object TextAnalysis {
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_hostrank" -> qHostrankSql,
     "tx_drift" -> txDriftSql,
+    "tx_ks_drift" -> txKsDriftSql,
     "tx_fluency" -> txFluencySql,
     "tx_html_strip" -> txHtmlStripSql,
     "tx_bpe_train" -> txBpeTrainSql,

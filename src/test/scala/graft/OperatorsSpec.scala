@@ -1255,4 +1255,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1).getLong(1) === 1L)
     assert(out(1).getDouble(3) === 42.0 && out(1).getDouble(5) === 42.0)
   }
+
+  test("KS statistic matches the hand-computed distance, any bucket count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A = {1,2,3,4}, B = {3,4,5,6}: D = 0.5 (at v=2), d_num = 4·2-4·0 = 8
+    val rows = (Seq(1.0, 2.0, 3.0, 4.0).map((_, true)) ++
+      Seq(3.0, 4.0, 5.0, 6.0).map((_, false))).toDF("v", "a")
+    for (nb <- Seq(1, 2, 128)) { // incl. the degenerate single bucket
+      val out = graft.operators.TextAnalysis
+        .ksStatistic(rows, col("v"), col("a"), lo = 0.0, hi = 8.0,
+          nBuckets = nb).collect()
+      assert(out.length === 1)
+      assert(out(0).getLong(0) === 4L && out(0).getLong(1) === 4L)
+      assert(out(0).getLong(2) === 8L, s"nBuckets=$nb")
+      assert(out(0).getDouble(3) === 0.5, s"nBuckets=$nb")
+    }
+    // identical samples → zero distance
+    val same = (Seq(1.0, 2.0).map((_, true)) ++
+      Seq(1.0, 2.0).map((_, false))).toDF("v", "a")
+    val z = graft.operators.TextAnalysis
+      .ksStatistic(same, col("v"), col("a"), lo = 0.0, hi = 4.0).collect()
+    assert(z(0).getLong(2) === 0L && z(0).getDouble(3) === 0.0)
+  }
 }

@@ -148,6 +148,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus shuffled for the tiny offsets table:\n$ex")
   }
 
+  test("KS drift: cumulative windows are bucket-split; bucket offsets broadcast") {
+    val df = graft.operators.TextAnalysis.txKsDrift(spark, dir)
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    val winLines = ex.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, s"no window in KS plan:\n$ex")
+    // the per-value cumulative counts must partition by the value-range
+    // bucket; the only unpartitioned window allowed is the offsets pass
+    // over the <= nBuckets-row totals table (ordering key _b alias)
+    assert(winLines.exists(_.contains("_bkt")),
+      s"no bucket-split window found:\n$ex")
+    assert(winLines.filter(l => !l.contains("_bkt")).forall(_.contains("_b#")),
+      s"per-value cumulative window is not bucket-split:\n$ex")
+    assert(ex.contains("BroadcastHashJoin"),
+      s"bucket offsets not broadcast back:\n$ex")
+    assert(!ex.contains("SortMergeJoin"),
+      s"per-value table shuffled for the tiny offsets side:\n$ex")
+  }
+
   test("sequence packing: corpus-side window is bucket-split; bucket offsets broadcast") {
     val df = graft.operators.Sampling.qPack(spark, dir)
     df.collect()
