@@ -511,6 +511,97 @@ object TextAnalysis {
   def txMlQuality(spark: SparkSession, dir: String): DataFrame =
     mlQuality(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Quality-scorer TRAINING — the other half of tx_mlquality's loop.
+    * Least-squares fit of a linear model by its NORMAL EQUATIONS: the
+    * operator computes the exact moment table (XᵀX, Xᵀy) over the
+    * corpus; the k×k solve itself is O(k³) driver arithmetic on the
+    * collected table (k = features + intercept, a constant), performed
+    * by the caller ([[OperatorsSpec]] demonstrates and checks it). This
+    * is the scale-correct decomposition: the only corpus-sized work is
+    * two map-combined aggregates — per-row feature vectors never leave
+    * their partition un-reduced, no gradient iterations re-scan the
+    * corpus, and the shuffle carries (k+2) longs per row then one
+    * (k+1)(k+2)/2 + (k+1)-cell partial per partition. Moments are exact
+    * integers in DECIMAL(38,0) accumulators (feature counts × a 40-bit
+    * label summed corpus-wide overflows BIGINT long before 100 TB;
+    * doubles would be accumulation-order-dependent — the q_corr
+    * lesson), so training is bit-reproducible cross-engine.
+    *
+    * `features` must be integer-valued columns; `label` an integer
+    * column. Output: one row per moment, (i, j, m) with i <= j the
+    * upper triangle of XᵀX and j = k+1 marking the Xᵀy column; index 0
+    * is the intercept (x₀ = 1). */
+  def scorerMoments(rows: DataFrame, features: Seq[Column], label: Column)
+      : DataFrame = {
+    val k = features.size
+    val dec = DecimalType(38, 0)
+    val xs: Seq[Column] = lit(1L) +: features // x0 = intercept
+    val moments: Seq[(Int, Int, String, Column)] =
+      (for (i <- 0 to k; j <- i to k) yield
+        (i, j, s"m_${i}_$j", sum((xs(i) * xs(j)).cast(dec)))) ++
+      (0 to k).map(i => (i, k + 1, s"v_$i", sum((xs(i) * label).cast(dec))))
+    val aggExprs = moments.map { case (_, _, n, c) => c.as(n) }
+    val aggd = rows.agg(aggExprs.head, aggExprs.tail: _*)
+    val entries = moments.map { case (i, j, n, _) =>
+      struct(lit(i).as("i"), lit(j).as("j"), col(n).as("m"))
+    }
+    // m crosses the verification boundary as a STRING: the exact
+    // 38-digit integers overflow BIGINT, and the compare harness's
+    // DECIMAL→float64 bridge would round them above 2^53 — decimal
+    // digits are the one representation both engines emit losslessly
+    aggd.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.i"), col("e.j"), col("e.m").cast(StringType).as("m"))
+  }
+
+  /** tx_scorer_fit: moments for distilling the 64-bucket ml scorer into
+    * an 8-bucket linear model — features are per-doc counts of tokens
+    * hashing into 8 coarse buckets, label is the doc's exact integer
+    * weight sum `s` from [[mlQuality]]'s chain. One (doc_id, 10-long)
+    * shuffle + one 54-cell global partial; text dies at the scan. */
+  def txScorerFit(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val base = conv(substring(md5(col("term")), 1, 15), 16, 10).cast(LongType)
+    val j64 = pmod(base, lit(64L))
+    val wInt = conv(substring(md5(concat(lit("w:"), j64.cast(StringType))), 1, 10),
+      16, 10).cast(LongType)
+    val j8 = pmod(base, lit(8L))
+    val perDoc = tok.select(col("doc_id"), j8.as("b"), wInt.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("y"),
+        (0 until 8).map(i =>
+          sum(when(col("b") === i, 1L).otherwise(0L)).as(s"c$i")): _*)
+    scorerMoments(perDoc, (0 until 8).map(i => col(s"c$i")), col("y"))
+      .orderBy("i", "j")
+  }
+
+  val txScorerFitSql: String = {
+    val cs = (0 until 8).map(i =>
+      s"CAST(sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS BIGINT) AS c$i")
+      .mkString(", ")
+    val xs = "CAST(1 AS BIGINT)" +: (0 until 8).map(i => s"c$i")
+    val sel =
+      ((for (i <- 0 to 8; j <- i to 8) yield
+        s"SELECT $i AS i, $j AS j, CAST(sum(CAST(${xs(i)} * ${xs(j)} AS HUGEINT)) AS VARCHAR) AS m FROM perdoc") ++
+       (0 to 8).map(i =>
+        s"SELECT $i AS i, 9 AS j, CAST(sum(CAST(${xs(i)} * y AS HUGEINT)) AS VARCHAR) AS m FROM perdoc"))
+        .mkString("\nUNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    ('0x'||substr(md5(term),1,15))::BIGINT % 8 AS b,
+       |    ('0x'||substr(md5('w:'||CAST(
+       |      ('0x'||substr(md5(term),1,15))::BIGINT % 64 AS VARCHAR)),1,10))::BIGINT AS w
+       |  FROM tok WHERE term <> ''),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS y, $cs
+       |  FROM f GROUP BY doc_id)
+       |SELECT i, j, m FROM ($sel)
+       |ORDER BY i, j""".stripMargin
+  }
+
   val txMlQualitySql: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -1798,6 +1889,7 @@ object TextAnalysis {
     "q_hostrank" -> (qHostrank _),
     "tx_drift" -> (txDrift _),
     "tx_ks_drift" -> (txKsDrift _),
+    "tx_scorer_fit" -> (txScorerFit _),
     "tx_fluency" -> (txFluency _),
     "tx_html_strip" -> (txHtmlStrip _),
     "tx_bpe_train" -> (txBpeTrain _),
@@ -1829,6 +1921,7 @@ object TextAnalysis {
     "q_hostrank" -> qHostrankSql,
     "tx_drift" -> txDriftSql,
     "tx_ks_drift" -> txKsDriftSql,
+    "tx_scorer_fit" -> txScorerFitSql,
     "tx_fluency" -> txFluencySql,
     "tx_html_strip" -> txHtmlStripSql,
     "tx_bpe_train" -> txBpeTrainSql,

@@ -1278,4 +1278,48 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .ksStatistic(same, col("v"), col("a"), lo = 0.0, hi = 4.0).collect()
     assert(z(0).getLong(2) === 0L && z(0).getDouble(3) === 0.0)
   }
+
+  test("scorer moments: normal-equation solve recovers a planted linear model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // exact-linear label over integer features: y = 7 + 3x1 - 2x2 + x3
+    val data = (1 to 200).map { r =>
+      val (x1, x2, x3) = (r % 5, (r / 3) % 7, (r / 2) % 3)
+      (x1.toLong, x2.toLong, x3.toLong,
+        7L + 3 * x1 - 2 * x2 + x3)
+    }
+    val df = data.toDF("x1", "x2", "x3", "y")
+    val m = graft.operators.TextAnalysis
+      .scorerMoments(df, Seq(col("x1"), col("x2"), col("x3")), col("y"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), BigDecimal(r.getString(2))))
+      .toMap
+    val k = 4 // intercept + 3 features
+    val a = Array.tabulate(k, k)((i, j) =>
+      m(if (i <= j) (i, j) else (j, i)).toDouble)
+    val b = Array.tabulate(k)(i => m((i, k)).toDouble)
+    // the caller-side O(k^3) solve the operator doc promises: Gaussian
+    // elimination with partial pivoting on the collected k x k table
+    for (p <- 0 until k) {
+      val piv = (p until k).maxBy(r => math.abs(a(r)(p)))
+      val (tr, tb) = (a(p), b(p)); a(p) = a(piv); a(piv) = tr
+      b(p) = b(piv); b(piv) = tb
+      for (r <- p + 1 until k) {
+        val f = a(r)(p) / a(p)(p)
+        for (c <- p until k) a(r)(c) -= f * a(p)(c)
+        b(r) -= f * b(p)
+      }
+    }
+    val w = new Array[Double](k)
+    for (p <- k - 1 to 0 by -1)
+      w(p) = (b(p) - (p + 1 until k).map(c => a(p)(c) * w(c)).sum) / a(p)(p)
+    val expect = Seq(7.0, 3.0, -2.0, 1.0)
+    expect.zip(w).foreach { case (e, g) =>
+      assert(math.abs(e - g) < 1e-9, s"weights $w") }
+    // and the fit predicts every training row exactly (linear data)
+    data.foreach { case (x1, x2, x3, y) =>
+      val pred = w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3
+      assert(math.abs(pred - y) < 1e-6)
+    }
+  }
 }
