@@ -527,7 +527,41 @@ object Sampling {
       |  row_number() OVER (PARTITION BY _k % 16 ORDER BY _k, doc_id) AS pos
       |FROM k ORDER BY shard, pos""".stripMargin
 
+  /** Shared ingest-time keep predicate for the stream/batch sampling
+    * twins (st_sample here and EventStreams.sampledEvents): ONE
+    * definition so the streaming filter and the batch oracle cannot
+    * drift — the stFunnel pattern. Per-event-type rates on the
+    * event_id hash-uniform: keep every purchase, downsample the
+    * view firehose to 10%, clicks to half, default 25%. Stateless →
+    * exactly incremental, zero state store, and the stream selects
+    * the IDENTICAL event set as any batch/cross-engine replay
+    * (supersets under rate increases, like stratifiedByRate). */
+  val eventSampleKeep: Column =
+    hashUniform(col("event_id"), "evrate") <
+      coalesce(element_at(
+        map(lit("purchase"), lit(1.0), lit("view"), lit(0.1),
+          lit("click"), lit(0.5)),
+        col("event_type")), lit(0.25))
+
+  /** st_sample: the batch twin — same predicate over the events table
+    * (StreamingSpec asserts the streamed set is identical). */
+  def stSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).filter(eventSampleKeep)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  val stSampleSql: String =
+    """SELECT event_id, user_id, event_type, value FROM (
+      |  SELECT event_id, user_id, event_type, value,
+      |    ('0x'||substr(md5(CAST(event_id AS VARCHAR)||':evrate'),1,15))::BIGINT
+      |      / 1152921504606846976.0 AS u
+      |  FROM events)
+      |WHERE u < CASE event_type WHEN 'purchase' THEN 1.0 WHEN 'view' THEN 0.1
+      |                          WHEN 'click' THEN 0.5 ELSE 0.25 END
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_sample" -> (stSample _),
     "q_shuffle_export" -> (qShuffleExport _),
     "q_sample" -> (qSample _),
     "q_sample_rate" -> (qSampleRate _),
@@ -539,6 +573,7 @@ object Sampling {
     "q_holdout" -> (qHoldout _))
 
   val oracles: Map[String, String] = Map(
+    "st_sample" -> stSampleSql,
     "q_shuffle_export" -> qShuffleExportSql,
     "q_sample" -> qSampleSql,
     "q_sample_rate" -> qSampleRateSql,

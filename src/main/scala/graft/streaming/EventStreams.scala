@@ -56,6 +56,17 @@ object EventStreams {
     else raw
   }
 
+  /** Ingest-time sampling — streaming twin of Sampling.stSample,
+    * filtering on the SHARED deterministic keep predicate
+    * (Sampling.eventSampleKeep; one definition, the stFunnel pattern).
+    * Stateless: no watermark, no state store, exactly incremental, and
+    * the streamed selection is bit-identical to a batch replay of the
+    * same events — the shape an ingest pipeline uses to downsample a
+    * firehose before anything stateful runs. */
+  def sampledEvents(events: DataFrame): DataFrame =
+    events.filter(graft.operators.Sampling.eventSampleKeep)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
   /** Tumbling 1-hour counts per event type — streaming twin of
     * Relational.stWindowAgg. */
   def windowedCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =

@@ -60,6 +60,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream.map(_.toSeq) === batch.map(_.toSeq))
   }
 
+  test("streaming ingest-time sampling selects the identical event set as batch") {
+    val q = EventStreams.sampledEvents(EventStreams.readEvents(spark, eventsDir))
+      .writeStream.format("memory").queryName("samp")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stream = spark.table("samp").orderBy("event_id").collect()
+    val batch = graft.operators.Sampling.stSample(spark, dir).collect()
+    assert(stream.length === batch.length)
+    assert(stream.map(_.toSeq) === batch.map(_.toSeq))
+  }
+
   test("streaming session windows (append + watermark) match batch sessions") {
     val q = EventStreams.sessionWindows(EventStreams.readEvents(spark, eventsDir))
       .writeStream.format("memory").queryName("sw")
