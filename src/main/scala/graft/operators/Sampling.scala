@@ -301,6 +301,48 @@ object Sampling {
       |  start_off // 2048 AS seq_id, start_off % 2048 AS seq_off
       |FROM s ORDER BY start_off""".stripMargin
 
+  /** q_pack_docs: DOCUMENT-BOUNDARY packing — the other packing policy
+    * trainers use. q_pack splits a document across sequences wherever
+    * the tape boundary falls; here a document contributes tokens only
+    * up to its sequence's end (n_kept = min(n, C − seq_off)) and the
+    * remainder is DROPPED, so no training sequence ever straddles a
+    * document boundary. The layout stays a pure projection off the same
+    * two-phase prefix sum (dropped tokens are charged as tape holes —
+    * the price of O(1)-depth parallelism; true next-fit with pad-to-
+    * boundary is a sequential recurrence no prefix sum expresses).
+    * Waste is explicit in the output (truncated flag + n_kept), and
+    * bounded in expectation by avgDocLen/C — the policy is for corpora
+    * where docs are much shorter than the context, exactly where
+    * trainers use it. Docs with n >= C keep at most their first
+    * C − seq_off tokens (a whole-context doc is its own truncation). */
+  def qPackDocs(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = 2048L
+    packSequences(Tables.documents(spark, dir), col("doc_id"),
+        col("n_chars"), ctx)
+      .withColumn("n_kept", least(col("n_chars"), lit(ctx) - col("seq_off")))
+      .withColumn("truncated", col("n_kept") < col("n_chars"))
+      .select(col("doc_id"), col("n_chars"), col("start_off"),
+        col("seq_id"), col("seq_off"), col("n_kept"), col("truncated"))
+      .orderBy(col("start_off"))
+  }
+
+  val qPackDocsSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(coalesce(sum(n_chars) OVER (
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)||':pack'), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start_off
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, n_chars, start_off,
+      |    start_off // 2048 AS seq_id, start_off % 2048 AS seq_off
+      |  FROM s)
+      |SELECT doc_id, n_chars, start_off, seq_id, seq_off,
+      |  CAST(least(n_chars, 2048 - seq_off) AS BIGINT) AS n_kept,
+      |  least(n_chars, 2048 - seq_off) < n_chars AS truncated
+      |FROM p ORDER BY start_off""".stripMargin
+
   /** Deterministic train/val/test holdout split: assign every row a
     * split by where its hash-uniform falls in [0,1) — train [0,.8),
     * val [.8,.9), test [.9,1). The split step every training pipeline
@@ -562,6 +604,7 @@ object Sampling {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_sample" -> (stSample _),
+    "q_pack_docs" -> (qPackDocs _),
     "q_shuffle_export" -> (qShuffleExport _),
     "q_sample" -> (qSample _),
     "q_sample_rate" -> (qSampleRate _),
@@ -574,6 +617,7 @@ object Sampling {
 
   val oracles: Map[String, String] = Map(
     "st_sample" -> stSampleSql,
+    "q_pack_docs" -> qPackDocsSql,
     "q_shuffle_export" -> qShuffleExportSql,
     "q_sample" -> qSampleSql,
     "q_sample_rate" -> qSampleRateSql,

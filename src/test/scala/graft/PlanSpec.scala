@@ -106,6 +106,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("runtime bloom-filter join injection prunes the probe side at the scan") {
+    // Spark's runtime row-level filtering: a selective filter on one
+    // join side gets compiled into a bloom_filter_agg subquery whose
+    // might_contain() is injected into the OTHER side's scan stage —
+    // the shuffle then carries only probable matches. At 100 TB this is
+    // the difference between shuffling the whole fact table and
+    // shuffling the join's actual footprint; the production thresholds
+    // (10 GB probe scan) exist so small joins skip the sketch cost, so
+    // the test pins the MECHANISM with the thresholds lowered to fire
+    // on test data, and restores them after.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // broadcasts bypass runtime filters
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(spark, dir)
+      val ord = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+      val p = plan(joined)
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter") ||
+        p.contains("might_contain"),
+        s"no runtime bloom filter injected into the probe side:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("range join executes as a bucket equi-join, not a theta join") {
     val df = graft.operators.RangeJoin.qRange(spark, dir)
     df.collect()
