@@ -343,6 +343,57 @@ object Sampling {
       |  least(n_chars, 2048 - seq_off) < n_chars AS truncated
       |FROM p ORDER BY start_off""".stripMargin
 
+  /** Rendezvous (highest-random-weight) sharding — stable routing of
+    * documents to export shards such that growing the shard count moves
+    * only the docs the NEW shard wins: shard(d) = argmax_s h(d, s).
+    * Plain mod-N sharding reshuffles ~everything when N changes (every
+    * doc's residue moves); HRW moves exactly 1/(S+1) of the corpus in
+    * expectation, and every mover lands on the added shard — the
+    * property that makes incremental re-export / cache-friendly
+    * delivery possible. Zero shuffle for the assignment itself (a pure
+    * projection of S md5 scores + argmax via greatest; ties broken by
+    * lowest shard, vanishing at 60-bit scores); the driver query
+    * aggregates the 8→9 migration matrix, whose shape IS the law:
+    * off-diagonal mass only in the new-shard column.
+    *
+    * [[rendezvousShard]] is the reusable assignment expression. */
+  def rendezvousShard(key: Column, shards: Int): Column = {
+    def score(s: Int): Column =
+      conv(substring(md5(concat(key.cast("string"), lit(s":shard:$s"))),
+        1, 15), 16, 10).cast("long")
+    val g = greatest((0 until shards).map(score): _*)
+    (0 until shards).foldLeft(lit(-1)) { (acc, s) =>
+      when(acc >= 0, acc).otherwise(when(score(s) === g, s).otherwise(lit(-1)))
+    }
+  }
+
+  def qRendezvous(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        rendezvousShard(col("doc_id"), 8).as("shard8"),
+        rendezvousShard(col("doc_id"), 9).as("shard9"))
+      .groupBy(col("shard8"), col("shard9"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("shard8"), col("shard9"))
+
+  val qRendezvousSql: String = {
+    def scores(n: Int) = (0 until n).map(s =>
+      s"('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':shard:$s'),1,15))::BIGINT")
+    def assign(n: Int): String = {
+      val ss = scores(n)
+      val g = s"greatest(${ss.mkString(", ")})"
+      val cases = ss.zipWithIndex
+        .map { case (e, s) => s"WHEN $e = $g THEN $s" }.mkString(" ")
+      s"CASE $cases END"
+    }
+    s"""WITH a AS (
+       |  SELECT doc_id, ${assign(8)} AS shard8, ${assign(9)} AS shard9
+       |  FROM documents)
+       |SELECT CAST(shard8 AS INT) AS shard8, CAST(shard9 AS INT) AS shard9,
+       |  count(*) AS n_docs
+       |FROM a GROUP BY shard8, shard9 ORDER BY shard8, shard9""".stripMargin
+  }
+
   /** Deterministic train/val/test holdout split: assign every row a
     * split by where its hash-uniform falls in [0,1) — train [0,.8),
     * val [.8,.9), test [.9,1). The split step every training pipeline
@@ -605,6 +656,7 @@ object Sampling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_sample" -> (stSample _),
     "q_pack_docs" -> (qPackDocs _),
+    "q_rendezvous" -> (qRendezvous _),
     "q_shuffle_export" -> (qShuffleExport _),
     "q_sample" -> (qSample _),
     "q_sample_rate" -> (qSampleRate _),
@@ -618,6 +670,7 @@ object Sampling {
   val oracles: Map[String, String] = Map(
     "st_sample" -> stSampleSql,
     "q_pack_docs" -> qPackDocsSql,
+    "q_rendezvous" -> qRendezvousSql,
     "q_shuffle_export" -> qShuffleExportSql,
     "q_sample" -> qSampleSql,
     "q_sample_rate" -> qSampleRateSql,

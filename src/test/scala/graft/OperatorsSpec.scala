@@ -1279,6 +1279,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z(0).getLong(2) === 0L && z(0).getDouble(3) === 0.0)
   }
 
+  test("rendezvous sharding: growing the ring moves only new-shard winners") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ids = (0L until 2000L).toDF("doc_id")
+    val a = ids.select(col("doc_id"),
+        graft.operators.Sampling.rendezvousShard(col("doc_id"), 8).as("s8"),
+        graft.operators.Sampling.rendezvousShard(col("doc_id"), 9).as("s9"))
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(a.forall { case (s8, s9) => s8 >= 0 && s8 < 8 && s9 >= 0 && s9 < 9 })
+    // the HRW law: a doc moves iff the NEW shard outranks its old one —
+    // every mover lands on shard 8, nothing migrates between old shards
+    val movers = a.filter { case (s8, s9) => s8 != s9 }
+    assert(movers.nonEmpty && movers.forall(_._2 === 8),
+      s"movers to old shards: ${movers.filter(_._2 != 8).take(5).toSeq}")
+    // expected movement 1/9 of the corpus (binomial, generous band)
+    assert(movers.length > 2000 / 9 / 2 && movers.length < 2000 / 9 * 2,
+      s"moved ${movers.length} of 2000")
+  }
+
   test("scorer moments: normal-equation solve recovers a planted linear model") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
