@@ -327,7 +327,54 @@ object ScaleCheck {
       // supply long before 256 merges (training then stops early — the
       // documented train-up-to-N semantics), which would under-rehearse.
       t("tx_bpe_64")(bpeRehearsal(docs, 64)),
-      t("tx_bpe_256")(bpeRehearsal(docs, 256))).flatten
+      t("tx_bpe_256")(bpeRehearsal(docs, 256)),
+      // exact two-sample KS at corpus scale: per-value counts shuffle
+      // once (map-combined), the cumulative prefix is the value-range
+      // bucket split — no global sort; must stay linear in rows.
+      // A doc_id-parity score perturbation keeps D nonzero (rows metric
+      // carries d_num so the whole plan must run)
+      t("tx_ks_drift") {
+        TextAnalysis.ksStatistic(
+          docs.select(
+            ((pmod(xxhash64(col("doc_id")), lit(100000L)).cast("double") /
+              lit(100000.0)) +
+              when(pmod(col("doc_id"), lit(2)) === 0, 0.02).otherwise(0.0))
+              .as("v"),
+            (pmod(col("doc_id"), lit(2)) === 0).as("ia")),
+          col("v"), col("ia"), lo = 0.0, hi = 1.1, nBuckets = 4096)
+          .head.getLong(2)
+      },
+      // cross-snapshot overlap at corpus scale: one shingle-hash shuffle
+      // with per-side flags + a 36-aggregate global fold — the dd_exact
+      // cost shape; must stay linear in corpus shingles
+      t("dd_overlap") {
+        Dedup.snapshotOverlap(docs,
+          inA = pmod(col("doc_id"), lit(2)) === 0,
+          inB = pmod(col("doc_id"), lit(2)) === 1).head.getLong(3)
+      },
+      // scorer training moments at corpus scale: (doc_id, 10-long)
+      // shuffle + one 54-cell DECIMAL partial — gradient-free training
+      // cost must track the tfidf/tf shape, linear in tokens
+      t("tx_scorer_fit") {
+        val tok = docs.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val base = conv(substring(md5(col("term")), 1, 15), 16, 10)
+          .cast("long")
+        val perDoc = tok.select(col("doc_id"),
+            pmod(base, lit(8L)).as("b"),
+            pmod(base, lit(1024L)).as("w"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("w")).as("y"),
+            (0 until 8).map(i =>
+              sum(when(col("b") === i, 1L).otherwise(0L)).as(s"c$i")): _*)
+        // max(length(m)), not count(): the 54-row explode's cardinality
+        // is schema-constant, so count() lets Catalyst prune the moment
+        // aggregates themselves — forcing m makes the sums actually run
+        TextAnalysis.scorerMoments(perDoc,
+          (0 until 8).map(i => col(s"c$i")), col("y"))
+          .agg(max(length(col("m")))).head.getInt(0).toLong
+      }).flatten
     // the end-to-end pipeline (anti-join on the corpus-scale drop set)
     // only says something new under planted dup density
     val results = if (dupPct > 0)
