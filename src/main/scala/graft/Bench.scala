@@ -172,17 +172,21 @@ object Bench {
     // full map's location and the count of omitted entries declared.
     println(line)
     val okSorted = results.filter(_._4).sortBy(-_._2)
-    val budget = 1200 // chars for the compact queries map
+    val tot3 = math.rint(total * 1000) / 1000
+    def render(qs: Seq[String], omitted: Int) =
+      s"""{"metric":"total","value":$tot3,"unit":"sec","queries":${qs.mkString("{", ",", "}")},"nqueries":${names.size},"nok":${okSorted.size},"omitted_fastest":$omitted,"full":"bench_out.json","failed":$failed,"noisy":$noisyNames,"loadavg":[$la0,$loadavg],"sf":"$sfDir"}"""
+    // budget the WHOLE line (fixed fields included), not just the map —
+    // the window is 2000 chars minus sbt's trailing "[success]" line
+    val lineBudget = 1800 - render(Nil, 0).length
     val compactQs = new scala.collection.mutable.ArrayBuffer[String]
     var used = 0
     okSorted.foreach { case (k, v, _, _, _) =>
       val ent = s""""$k":${math.rint(v * 1000) / 1000}"""
-      if (used + ent.length + 1 <= budget) { compactQs += ent; used += ent.length + 1 }
+      if (used + ent.length + 1 <= lineBudget) {
+        compactQs += ent; used += ent.length + 1
+      }
     }
-    val tot3 = math.rint(total * 1000) / 1000
-    val compact =
-      s"""{"metric":"total","value":$tot3,"unit":"sec","queries":${compactQs.mkString("{", ",", "}")},"nqueries":${names.size},"nok":${okSorted.size},"omitted_fastest":${okSorted.size - compactQs.size},"full":"bench_out.json","failed":$failed,"noisy":$noisyNames,"loadavg":[$la0,$loadavg],"sf":"$sfDir"}"""
-    println(compact)
+    println(render(compactQs.toSeq, okSorted.size - compactQs.size))
     // guard baseline: a clean measurement updates it; a noisy one keeps
     // the prior value (no ratchet); a failed query records nothing
     if (args.isEmpty) { // partial filtered runs must not shrink the baseline
