@@ -1112,6 +1112,80 @@ object Relational {
     * event; dedup restores exactly-once. Duplicate rows are bitwise
     * identical, so distinct() is deterministic; the shuffle carries the
     * event key space once, never payloads twice. */
+  /** st_late_audit: the late-arrival audit a streaming deployment runs
+    * to size its watermark — for each event, how far its EVENT time
+    * lags the maximum event time already seen in ARRIVAL order
+    * (event_id = the ingest sequence), then per-type counts of events
+    * later than the 1-hour watermark and the worst lag observed. An
+    * event with lag > watermark is exactly the event
+    * withWatermark would drop; this table says how many and how bad.
+    *
+    * Scale shape: the running max over arrival order is the two-phase
+    * split again with max instead of sum — per-bucket maxima over
+    * contiguous event_id ranges (max is associative, so bucket order +
+    * within-bucket order compose), exclusive prefix max via a window
+    * over the tiny bucket table, broadcast back, within-bucket running
+    * max bounded by the bucket size. No global sort, no single-reducer
+    * window. Lags are exact epoch-micros integers. */
+  def stLateAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the generator's events arrive in perfect event-time order
+    // (event_id order == ts order), which would make the audit
+    // trivially all-zero — so ARRIVAL order is a deterministic md5
+    // permutation of the ingest sequence, the standard planted stand-in
+    // (the tx_pii pattern) for an out-of-order feed. A deployment
+    // passes its real arrival sequence instead.
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("_tm"))
+      .withColumn("_h", md5(concat(col("event_id").cast("string"), lit(":arr"))))
+      .withColumn("_bkt", conv(substring(col("_h"), 1, 2), 16, 10).cast("long"))
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ev.groupBy(col("_bkt").as("_b")).agg(max(col("_tm")).as("_bm"))
+      .withColumn("_pmax", max(col("_bm")).over(wOff)) // null for 1st bucket
+      .select(col("_b"), col("_pmax"))
+    val wIn = Window.partitionBy(col("_bkt")).orderBy(col("_h"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lagged = ev.join(broadcast(offsets), col("_bkt") === col("_b"))
+      .withColumn("_prevmax",
+        greatest(coalesce(max(col("_tm")).over(wIn), lit(Long.MinValue)),
+          coalesce(col("_pmax"), lit(Long.MinValue))))
+      // first arrival overall: no predecessor → lag 0 by definition
+      .withColumn("lag_us",
+        greatest(when(col("_prevmax") === Long.MinValue, 0L)
+          .otherwise(col("_prevmax") - col("_tm")), lit(0L)))
+    lagged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("lag_us") > 3600L * 1000000L, 1L).otherwise(0L))
+          .as("n_late"),
+        max(col("lag_us")).as("max_lag_us"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle = the single running-max window over the same arrival
+    * permutation, which the two-phase split must reproduce bit-for-bit
+    * (the md5 bucket prefix is a contiguous range of the md5 order, so
+    * bucket order + within-bucket order composes — the tokenBudget
+    * invariant with max for sum). */
+  val stLateAuditSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |    epoch_us(make_timestamp(epoch_ns(ts) // 1000)) AS tm,
+      |    md5(CAST(event_id AS VARCHAR)||':arr') AS h
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type,
+      |    greatest(coalesce(max(tm) OVER (ORDER BY h, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - tm, 0), 0)
+      |      AS lag_us
+      |  FROM ev)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN lag_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late,
+      |  CAST(max(lag_us) AS BIGINT) AS max_lag_us
+      |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def stDedup(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -1316,6 +1390,7 @@ object Relational {
     "q_unpivot" -> (qUnpivot _),
     "q_collections" -> (qCollections _),
     "st_dedup" -> (stDedup _),
+    "st_late_audit" -> (stLateAudit _),
     "q_skew_distinct" -> (qSkewDistinct _),
     "st_sliding" -> (stSliding _),
     "st_funnel" -> (stFunnel _),
@@ -1359,6 +1434,7 @@ object Relational {
     "q_unpivot" -> qUnpivotSql,
     "q_collections" -> qCollectionsSql,
     "st_dedup" -> stDedupSql,
+    "st_late_audit" -> stLateAuditSql,
     "q_skew_distinct" -> qSkewDistinctSql,
     "st_sliding" -> stSlidingSql,
     "st_funnel" -> stFunnelSql,
