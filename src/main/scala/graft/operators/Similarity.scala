@@ -101,6 +101,74 @@ object Similarity {
       |WHERE list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) >= 0.3
       |ORDER BY q_id, neighbor_id""".stripMargin
 
+  /** Offline ANN evaluation: per-query recall of an approximate top-k
+    * list against the exact ground truth — the table a production
+    * retrieval deployment computes on a sampled query set before
+    * shipping an index configuration (and the generic form of the
+    * recall assertions SimilaritySpec makes pointwise). Both inputs are
+    * (q_id, neighbor_id[, ...]) result sets; the join is per-query and
+    * k-bounded, so evaluation cost is |Q|·k however large the corpus
+    * behind the candidates was. */
+  def recallEval(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hit = exact.select(col("q_id"), col("neighbor_id"))
+      .join(approx.select(col("q_id"), col("neighbor_id"))
+          .withColumn("_hit", lit(1L)),
+        Seq("q_id", "neighbor_id"), "left_outer")
+    hit.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_true"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_true").cast(DoubleType))
+          .as("recall"))
+  }
+
+  /** ann_recall_eval: LSH top-5 measured against brute-force truth. */
+  def annRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    recallEval(lshTopK(emb, col("vec_id") < 10),
+        bruteTopK(emb, col("vec_id") < 10))
+      .orderBy("q_id")
+  }
+
+  /** Oracle splices the brute and LSH CTE chains (identical cosine and
+    * tie-break text) and replays the same hit join. */
+  val annRecallEvalSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM v),
+      |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id < 10),
+      |exact AS (
+      |  SELECT q_id, neighbor_id FROM (
+      |    SELECT q_id, vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY
+      |        list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) DESC, vec_id) AS rk
+      |    FROM q JOIN n ON q_id <> vec_id)
+      |  WHERE rk <= 5),
+      |planes AS (
+      |  SELECT p,
+      |    [CASE WHEN ('0x'||substr(md5(p::VARCHAR||','||d::VARCHAR),1,2))::INT % 2 = 0
+      |          THEN 1.0 ELSE -1.0 END for d in range(0, 64)] AS pw
+      |  FROM (SELECT unnest([0,1,2,3]) AS p)),
+      |b AS (
+      |  SELECT vec_id, any_value(v) AS v, any_value(n2) AS n2,
+      |    sum(CASE WHEN list_dot_product(v, pw) > 0 THEN 1 << p ELSE 0 END) AS bk
+      |  FROM n CROSS JOIN planes GROUP BY vec_id),
+      |qb AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, bk FROM b WHERE vec_id < 10),
+      |approx AS (
+      |  SELECT q_id, neighbor_id FROM (
+      |    SELECT q_id, b.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY
+      |        list_dot_product(qv, b.v) / (sqrt(qn2) * sqrt(b.n2)) DESC, b.vec_id) AS rk
+      |    FROM qb JOIN b ON qb.bk = b.bk AND qb.q_id <> b.vec_id)
+      |  WHERE rk <= 5)
+      |SELECT e.q_id, count(*) AS n_true,
+      |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hit,
+      |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS recall
+      |FROM exact e LEFT JOIN approx a
+      |  ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+      |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+
   /** Deterministic ±1 hyperplane weights derived from md5 — no RNG, so
     * every engine (and every test run) builds the same planes. */
   private[operators] def planeWeights(plane: Int, dim: Int): Seq[Double] =
@@ -905,6 +973,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall_eval" -> (annRecallEval _),
     "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_rerank" -> (annRerank _),
     "ann_rp" -> (annRp _),
@@ -917,6 +986,7 @@ object Similarity {
     "ann_centroids" -> (annCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "ann_recall_eval" -> annRecallEvalSql,
     "ann_ivfpq_topk" -> annIvfPqTopKSql,
     "ann_rerank" -> annRerankSql,
     "ann_rp" -> annRpSql,
