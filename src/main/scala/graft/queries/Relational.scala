@@ -1112,6 +1112,68 @@ object Relational {
     * event; dedup restores exactly-once. Duplicate rows are bitwise
     * identical, so distinct() is deterministic; the shuffle carries the
     * event key space once, never payloads twice. */
+  /** q_zorder: Z-ORDER (Morton) layout planning — the multi-dimensional
+    * clustering pass a lakehouse runs so file-level min/max statistics
+    * prune scans on EITHER predicate dimension. Each dim buckets to 4
+    * bits over its observed range, the bits interleave into an 8-bit
+    * Morton key, and rows land in 64 files by key range; the output is
+    * the per-file stats table itself (n_rows + both dims' min/max) —
+    * the artifact data skipping actually consults, and the proof the
+    * layout works: every file's span is ~1/8 of each dimension, where a
+    * single-dim sort gives perfect custkey spans but full-range date
+    * spans. Cost: one tiny min/max agg (broadcast back) + one pure
+    * projection + a 64-group aggregate — no sort, no window; at 100 TB
+    * the same plan writes files with repartitionByRange(zkey). All
+    * arithmetic is nonnegative integer division, bit-exact both
+    * engines. */
+  def qZorder(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      (unix_micros(col("o_orderdate")
+        .cast(org.apache.spark.sql.types.TimestampType)) / lit(86400000000L))
+        .cast(LongType).as("_day"))
+    val rng = o.agg(min(col("o_custkey")).as("_minc"),
+      max(col("o_custkey")).as("_maxc"),
+      min(col("_day")).as("_mind"), max(col("_day")).as("_maxd"))
+    val z = o.crossJoin(broadcast(rng))
+      .withColumn("_bx", least(lit(15L),
+        expr("((o_custkey - _minc) * 16) DIV (_maxc - _minc + 1)")))
+      .withColumn("_by", least(lit(15L),
+        expr("((_day - _mind) * 16) DIV (_maxd - _mind + 1)")))
+      .withColumn("zkey", (0 until 4).map(b =>
+        shiftleft(shiftright(col("_bx"), b).bitwiseAND(lit(1L)), 2 * b + 1) +
+          shiftleft(shiftright(col("_by"), b).bitwiseAND(lit(1L)), 2 * b))
+        .reduce(_ + _))
+    z.withColumn("file_id", expr("zkey DIV 4"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+        min(col("_day")).as("min_day"), max(col("_day")).as("max_day"))
+      .orderBy(col("file_id"))
+  }
+
+  val qZorderSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day
+      |  FROM orders),
+      |r AS (SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
+      |             min(day) AS mind, max(day) AS maxd FROM o),
+      |b AS (
+      |  SELECT o_custkey, day,
+      |    least(15, (o_custkey - minc) * 16 // (maxc - minc + 1)) AS bx,
+      |    least(15, (day - mind) * 16 // (maxd - mind + 1)) AS by
+      |  FROM o, r),
+      |z AS (
+      |  SELECT o_custkey, day,
+      |    ((bx & 1) << 1) | ((by & 1) << 0)
+      |      | (((bx >> 1) & 1) << 3) | (((by >> 1) & 1) << 2)
+      |      | (((bx >> 2) & 1) << 5) | (((by >> 2) & 1) << 4)
+      |      | (((bx >> 3) & 1) << 7) | (((by >> 3) & 1) << 6) AS zkey
+      |  FROM b)
+      |SELECT zkey // 4 AS file_id, count(*) AS n_rows,
+      |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+      |  CAST(min(day) AS BIGINT) AS min_day, CAST(max(day) AS BIGINT) AS max_day
+      |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin
+
   /** st_late_audit: the late-arrival audit a streaming deployment runs
     * to size its watermark — for each event, how far its EVENT time
     * lags the maximum event time already seen in ARRIVAL order
@@ -1391,6 +1453,7 @@ object Relational {
     "q_collections" -> (qCollections _),
     "st_dedup" -> (stDedup _),
     "st_late_audit" -> (stLateAudit _),
+    "q_zorder" -> (qZorder _),
     "q_skew_distinct" -> (qSkewDistinct _),
     "st_sliding" -> (stSliding _),
     "st_funnel" -> (stFunnel _),
@@ -1435,6 +1498,7 @@ object Relational {
     "q_collections" -> qCollectionsSql,
     "st_dedup" -> stDedupSql,
     "st_late_audit" -> stLateAuditSql,
+    "q_zorder" -> qZorderSql,
     "q_skew_distinct" -> qSkewDistinctSql,
     "st_sliding" -> stSlidingSql,
     "st_funnel" -> stFunnelSql,
