@@ -36,7 +36,8 @@ object BenchHeavy {
     * bigrams) these are still scheduler-floor-bound in Spark while DuckDB
     * finishes in tens of ms — the ratio measures the floor, not the
     * engine. 100x (500k docs) puts real work on both sides. */
-  val heavyX100: Seq[String] = Seq("tx_tfidf", "tx_fluency", "dd_paragraphs")
+  val heavyX100: Seq[String] = Seq("tx_tfidf", "tx_fluency", "dd_paragraphs",
+    "dd_overlap", "tx_ks_drift", "tx_scorer_fit")
   val heavy: Seq[String] = heavyX10 ++ heavyX100
 
   private def loadavg: Double =

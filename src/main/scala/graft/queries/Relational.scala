@@ -1112,6 +1112,75 @@ object Relational {
     * event; dedup restores exactly-once. Duplicate rows are bitwise
     * identical, so distinct() is deterministic; the shuffle carries the
     * event key space once, never payloads twice. */
+  /** q_inc_stats: INCREMENTAL statistics maintenance — the property that
+    * lets a 100 TB deployment keep profile/correlation tables fresh by
+    * folding in each day's delta instead of re-scanning history. The
+    * exact scaled-integer moment vectors (n, Σx, Σy, Σx², Σy², Σxy —
+    * the q_corr machinery) form a commutative monoid: the query
+    * computes them separately over a "historical" and a "delta"
+    * partition of lineitem, MERGES by plain addition, and finalizes
+    * corr/covar/stddev from the merged vector. The oracle computes the
+    * same statistics over the whole table in one pass — the compare
+    * gate therefore PROVES merge == full recompute bit-for-bit (exact
+    * integer sums are associative; doubles appear only in the one
+    * shared finalization). A deployment stores the per-group vectors
+    * (#groups rows) and never re-reads history. */
+  def qIncStats(spark: SparkSession, dir: String): DataFrame = {
+    def moments(df: DataFrame): DataFrame =
+      df.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(scaled(col("l_quantity"))).as("sx"),
+          sum(scaled(col("l_extendedprice"))).as("sy"),
+          sum(scaled(col("l_quantity")) * scaled(col("l_quantity"))).as("sxx"),
+          sum(scaled(col("l_extendedprice")) * scaled(col("l_extendedprice"))).as("syy"),
+          sum(scaled(col("l_quantity")) * scaled(col("l_extendedprice"))).as("sxy"))
+    val li = Tables.lineitem(spark, dir)
+    val hist = moments(li.filter(pmod(col("l_orderkey"), lit(2)) === 0))
+    val delta = moments(li.filter(pmod(col("l_orderkey"), lit(2)) === 1))
+    val merged = hist.unionByName(delta)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+        sum(col("sy")).as("sy"), sum(col("sxx")).as("sxx"),
+        sum(col("syy")).as("syy"), sum(col("sxy")).as("sxy"))
+    def d(c: String) = col(c).cast(DoubleType)
+    val nD = col("n").cast(DoubleType)
+    merged.select(col("l_returnflag"), col("n"),
+        ((nD * d("sxy") - d("sx") * d("sy")) /
+          (sqrt(nD * d("sxx") - d("sx") * d("sx")) *
+            sqrt(nD * d("syy") - d("sy") * d("sy")))).as("corr_qty_price"),
+        ((nD * d("sxy") - d("sx") * d("sy")) / (nD * (nD - 1.0)) /
+          lit(1000000000000.0)).as("covar_qty_price"),
+        (sqrt((nD * d("sxx") - d("sx") * d("sx")) / (nD * (nD - 1.0))) /
+          lit(1000000.0)).as("stddev_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Oracle: ONE pass over the whole table — bit-equality with the
+    * merged two-partition computation is the incrementality proof. */
+  val qIncStatsSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT) AS xs,
+      |    CAST(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT) AS ys
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(xs) AS sx, sum(ys) AS sy,
+      |    sum(xs * xs) AS sxx, sum(ys * ys) AS syy, sum(xs * ys) AS sxy
+      |  FROM s GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    AS corr_qty_price,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1000000000000.0
+      |    AS covar_qty_price,
+      |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 1000000.0
+      |    AS stddev_qty
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   /** q_zorder: Z-ORDER (Morton) layout planning — the multi-dimensional
     * clustering pass a lakehouse runs so file-level min/max statistics
     * prune scans on EITHER predicate dimension. Each dim buckets to 4
@@ -1454,6 +1523,7 @@ object Relational {
     "st_dedup" -> (stDedup _),
     "st_late_audit" -> (stLateAudit _),
     "q_zorder" -> (qZorder _),
+    "q_inc_stats" -> (qIncStats _),
     "q_skew_distinct" -> (qSkewDistinct _),
     "st_sliding" -> (stSliding _),
     "st_funnel" -> (stFunnel _),
@@ -1499,6 +1569,7 @@ object Relational {
     "st_dedup" -> stDedupSql,
     "st_late_audit" -> stLateAuditSql,
     "q_zorder" -> qZorderSql,
+    "q_inc_stats" -> qIncStatsSql,
     "q_skew_distinct" -> qSkewDistinctSql,
     "st_sliding" -> stSlidingSql,
     "st_funnel" -> stFunnelSql,
