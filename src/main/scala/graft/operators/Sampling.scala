@@ -343,6 +343,62 @@ object Sampling {
       |  least(n_chars, 2048 - seq_off) < n_chars AS truncated
       |FROM p ORDER BY start_off""".stripMargin
 
+  /** WEIGHTED sampling without libm: deterministic systematic (grid)
+    * sampling on the weight tape. Each row occupies [cum, cum+w) on the
+    * exclusive prefix-sum tape (packSequences' machinery, hash order);
+    * a grid of points 0, step, 2·step, … is laid over [0, T) and a row
+    * is picked once per grid point inside its span: n_picks =
+    * ceil((cum+w)/step) − ceil(cum/step), pure nonneg integer
+    * arithmetic (the A-ES exponential-key scheme needs pow/ln, whose
+    * cross-engine ulp drift breaks exact verification — a grid pick is
+    * bit-exact). Selection probability is proportional to weight;
+    * rows with w >= step are picked with certainty (possibly multiple
+    * times — the systematic upweighting of heavy items); total picks =
+    * ceil(T/step). One tiny total agg broadcast back + the two-phase
+    * tape — no global sort, no single reducer. */
+  def weightedSystematic(df: DataFrame, key: Column, weight: Column,
+                         picks: Long): DataFrame = {
+    val base = df.withColumn("_w", weight)
+    val taped = packSequences(base, key, col("_w"), ctxLen = Long.MaxValue)
+      .withColumnRenamed("start_off", "_cum")
+      .drop("seq_id", "seq_off")
+    val tot = base.agg(sum(col("_w")).as("_t"))
+    taped.crossJoin(broadcast(tot))
+      .withColumn("_step", expr(s"_t DIV $picks"))
+      .withColumn("n_picks",
+        (expr("(_cum + _w + _step - 1) DIV _step") -
+          expr("(_cum + _step - 1) DIV _step")))
+      .filter(col("n_picks") > 0)
+      .drop("_t", "_step")
+  }
+
+  /** q_sample_weighted: ~200 picks over documents weighted by n_chars. */
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    weightedSystematic(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      col("doc_id"), col("n_chars"), picks = 200L)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("_cum").as("tape_off"), col("n_picks"))
+      .orderBy(col("tape_off"))
+
+  val qSampleWeightedSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(coalesce(sum(n_chars) OVER (
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)||':pack'), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS tape_off
+      |  FROM documents),
+      |t AS (SELECT CAST(sum(n_chars) AS BIGINT) // 200 AS step FROM documents),
+      |p AS (
+      |  SELECT doc_id, lang, n_chars, tape_off,
+      |    CAST((tape_off + n_chars + step - 1) // step
+      |      - (tape_off + step - 1) // step AS BIGINT) AS n_picks
+      |  FROM s, t)
+      |SELECT doc_id, lang, n_chars, tape_off, n_picks
+      |FROM p WHERE n_picks > 0 ORDER BY tape_off""".stripMargin
+
   /** Rendezvous (highest-random-weight) sharding — stable routing of
     * documents to export shards such that growing the shard count moves
     * only the docs the NEW shard wins: shard(d) = argmax_s h(d, s).
@@ -661,6 +717,7 @@ object Sampling {
     "st_sample" -> (stSample _),
     "q_pack_docs" -> (qPackDocs _),
     "q_rendezvous" -> (qRendezvous _),
+    "q_sample_weighted" -> (qSampleWeighted _),
     "q_shuffle_export" -> (qShuffleExport _),
     "q_sample" -> (qSample _),
     "q_sample_rate" -> (qSampleRate _),
@@ -675,6 +732,7 @@ object Sampling {
     "st_sample" -> stSampleSql,
     "q_pack_docs" -> qPackDocsSql,
     "q_rendezvous" -> qRendezvousSql,
+    "q_sample_weighted" -> qSampleWeightedSql,
     "q_shuffle_export" -> qShuffleExportSql,
     "q_sample" -> qSampleSql,
     "q_sample_rate" -> qSampleRateSql,

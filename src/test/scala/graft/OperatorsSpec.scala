@@ -1279,6 +1279,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z(0).getLong(2) === 0L && z(0).getDouble(3) === 0.0)
   }
 
+  test("weighted systematic sampling: heavy rows certain, picks = ceil(T/step)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted tape: one heavy row among light ones
+    val rows = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 100L)).toDF("k", "w")
+    val got = graft.operators.Sampling
+      .weightedSystematic(rows, col("k"), col("w"), picks = 2L)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_picks"))).toMap
+    // T = 103, step = 51: the w=100 row spans >= 1 grid point regardless
+    // of where the hash order placed it; total picks = ceil(103/51) = 3
+    assert(got.contains(4L), s"heavy row not selected: $got")
+    assert(got.values.sum === 3L, s"wrong total picks: $got")
+    // every selected row's span really contains its grid points: picks
+    // are bounded by ceil(w/step) + 1
+    got.foreach { case (k, n) =>
+      val w = if (k == 4L) 100L else 1L
+      assert(n >= 1 && n <= w / 51 + 1, s"row $k picked $n times")
+    }
+  }
+
   test("rendezvous sharding: growing the ring moves only new-shard winners") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
