@@ -399,6 +399,54 @@ object Sampling {
       |SELECT doc_id, lang, n_chars, tape_off, n_picks
       |FROM p WHERE n_picks > 0 ORDER BY tape_off""".stripMargin
 
+  /** Preference-pair construction for preference-tuning (DPO/RLHF
+    * reward data): within each prompt group, emit every
+    * (chosen, rejected) response pair whose score gap clears a margin.
+    * The self-join is GROUP-KEYED, so pair cost is Σ g² over group
+    * sizes — bounded by the responses-per-prompt a labeling pipeline
+    * produces (single digits), never corpus² — and the join shuffles
+    * (group, id, score) triples only. Deterministic: ties produce no
+    * pair (strict margin), ids break nothing because pairs are ordered
+    * by the score gap, not by id. */
+  def preferencePairs(df: DataFrame, group: Column, id: Column,
+                      score: Column, margin: Double): DataFrame = {
+    val slim = df.select(group.as("_g"), id.as("_id"), score.as("_s"))
+    slim.as("a").join(slim.as("b"),
+        col("a._g") === col("b._g") &&
+          col("a._s") > col("b._s") + lit(margin))
+      .select(col("a._g").as("group_id"),
+        col("a._id").as("chosen_id"), col("b._id").as("rejected_id"),
+        (col("a._s") - col("b._s")).as("score_gap"))
+  }
+
+  /** q_pref_pairs: 5-doc prompt groups scored by the ml scorer. */
+  def qPrefPairs(spark: SparkSession, dir: String): DataFrame =
+    preferencePairs(
+      graft.operators.TextAnalysis.mlQuality(Tables.documents(spark, dir))
+        .withColumn("_grp", expr("doc_id DIV 5")),
+      col("_grp"), col("doc_id"), col("ml_score"), margin = 0.05)
+      .orderBy(col("group_id"), col("chosen_id"), col("rejected_id"))
+
+  val qPrefPairsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    ('0x'||substr(md5('w:'||CAST(
+      |      ('0x'||substr(md5(term),1,15))::BIGINT % 64 AS VARCHAR)),1,10))::BIGINT AS w
+      |  FROM tok WHERE term <> ''),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_terms, sum(w) AS s FROM f GROUP BY doc_id),
+      |sc AS (
+      |  SELECT doc_id, doc_id // 5 AS grp,
+      |    CAST(s AS DOUBLE) / CAST(n_terms AS DOUBLE)
+      |      / 1099511627776.0 * 2.0 - 1.0 AS v
+      |  FROM agg)
+      |SELECT a.grp AS group_id, a.doc_id AS chosen_id,
+      |  b.doc_id AS rejected_id, a.v - b.v AS score_gap
+      |FROM sc a JOIN sc b ON a.grp = b.grp AND a.v > b.v + 0.05
+      |ORDER BY group_id, chosen_id, rejected_id""".stripMargin
+
   /** Rendezvous (highest-random-weight) sharding — stable routing of
     * documents to export shards such that growing the shard count moves
     * only the docs the NEW shard wins: shard(d) = argmax_s h(d, s).
@@ -718,6 +766,7 @@ object Sampling {
     "q_pack_docs" -> (qPackDocs _),
     "q_rendezvous" -> (qRendezvous _),
     "q_sample_weighted" -> (qSampleWeighted _),
+    "q_pref_pairs" -> (qPrefPairs _),
     "q_shuffle_export" -> (qShuffleExport _),
     "q_sample" -> (qSample _),
     "q_sample_rate" -> (qSampleRate _),
@@ -733,6 +782,7 @@ object Sampling {
     "q_pack_docs" -> qPackDocsSql,
     "q_rendezvous" -> qRendezvousSql,
     "q_sample_weighted" -> qSampleWeightedSql,
+    "q_pref_pairs" -> qPrefPairsSql,
     "q_shuffle_export" -> qShuffleExportSql,
     "q_sample" -> qSampleSql,
     "q_sample_rate" -> qSampleRateSql,
