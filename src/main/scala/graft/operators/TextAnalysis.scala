@@ -1410,6 +1410,67 @@ object TextAnalysis {
       |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks
       |FROM c, t GROUP BY na, nb""".stripMargin
 
+  /** SFT example construction: flatten multi-turn conversations into
+    * (context, response) training rows — one example per assistant
+    * turn, context = all prior turns with role tags. The documents
+    * table carries no conversation structure, so turns are synthesized
+    * deterministically (25-word slices, roles alternating user/
+    * assistant — the tx_pii planted-input pattern); a deployment feeds
+    * real (conv_id, turn_idx, role, text) rows to [[sftPairs]].
+    *
+    * Scale shape: posexplode + a per-conversation window whose state is
+    * bounded by TURNS PER CONVERSATION (single digits), not corpus
+    * size — the collect_list here is the dimension-bounded kind the
+    * q_listagg rule allows; one (conv_id) shuffle carrying turn texts
+    * once. */
+  def sftPairs(turns: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns
+      .withColumn("tagged",
+        concat(col("role"), lit(": "), col("turn_text")))
+      .withColumn("context",
+        coalesce(array_join(collect_list(col("tagged")).over(w), " | "),
+          lit("")))
+      .filter(col("role") === "assistant")
+      .select(col("conv_id"), col("turn_idx"), col("context"),
+        col("turn_text").as("response"))
+  }
+
+  def txSftPairs(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val turns = Tables.documents(spark, dir)
+      .select(col("doc_id").as("conv_id"),
+        posexplode(array((0 until 4).map(t =>
+          array_join(slice(words, t * 25 + 1, 25), " ")): _*)))
+      .toDF("conv_id", "turn_idx", "turn_text")
+      .filter(col("turn_text") =!= "")
+      .withColumn("role",
+        when(pmod(col("turn_idx"), lit(2)) === 0, lit("user"))
+          .otherwise(lit("assistant")))
+    sftPairs(turns).orderBy(col("conv_id"), col("turn_idx"))
+  }
+
+  val txSftPairsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id AS conv_id, string_split(text, ' ') AS w FROM documents),
+      |turns AS (
+      |  SELECT conv_id, i AS turn_idx,
+      |    array_to_string(w[i*25+1 : i*25+25], ' ') AS turn_text,
+      |    CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role
+      |  FROM t, (SELECT unnest([0,1,2,3]) AS i)
+      |  WHERE array_to_string(w[i*25+1 : i*25+25], ' ') <> ''),
+      |ctx AS (
+      |  SELECT conv_id, turn_idx, role, turn_text,
+      |    coalesce(string_agg(role || ': ' || turn_text, ' | ') OVER (
+      |      PARTITION BY conv_id ORDER BY turn_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), '') AS context
+      |  FROM turns)
+      |SELECT conv_id, turn_idx, context, turn_text AS response
+      |FROM ctx WHERE role = 'assistant'
+      |ORDER BY conv_id, turn_idx""".stripMargin
+
   /** Changeset application (upsert/merge): fold a batch of updates,
     * deletes, and inserts into a corpus snapshot — how a maintained
     * corpus table advances between crawl snapshots without a rewrite
@@ -1890,6 +1951,7 @@ object TextAnalysis {
     "tx_drift" -> (txDrift _),
     "tx_ks_drift" -> (txKsDrift _),
     "tx_scorer_fit" -> (txScorerFit _),
+    "tx_sft_pairs" -> (txSftPairs _),
     "tx_fluency" -> (txFluency _),
     "tx_html_strip" -> (txHtmlStrip _),
     "tx_bpe_train" -> (txBpeTrain _),
@@ -1922,6 +1984,7 @@ object TextAnalysis {
     "tx_drift" -> txDriftSql,
     "tx_ks_drift" -> txKsDriftSql,
     "tx_scorer_fit" -> txScorerFitSql,
+    "tx_sft_pairs" -> txSftPairsSql,
     "tx_fluency" -> txFluencySql,
     "tx_html_strip" -> txHtmlStripSql,
     "tx_bpe_train" -> txBpeTrainSql,
