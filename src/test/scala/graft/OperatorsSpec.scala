@@ -1279,6 +1279,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z(0).getLong(2) === 0L && z(0).getDouble(3) === 0.0)
   }
 
+  test("preference pairs: strict margin, no self or cross-group pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.6), (1L, 12L, 0.86), // group 1
+      (2L, 20L, 0.5), (2L, 21L, 0.5)                   // group 2: tie
+    ).toDF("g", "id", "s")
+    val got = graft.operators.Sampling
+      .preferencePairs(rows, col("g"), col("id"), col("s"), margin = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 0.9 beats 0.6 (gap .3) and 0.86 beats 0.6 (gap .26); 0.9 vs 0.86
+    // gap .04 < margin -> no pair; group-2 tie -> nothing
+    assert(got === Set((1L, 10L, 11L), (1L, 12L, 11L)))
+  }
+
+  test("SFT pairs: one example per assistant turn, context is the prior tape") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val turns = Seq(
+      (1L, 0, "hi", "user"), (1L, 1, "hello", "assistant"),
+      (1L, 2, "how", "user"), (1L, 3, "fine", "assistant"),
+      (2L, 0, "solo", "assistant") // conversation opening with assistant
+    ).toDF("conv_id", "turn_idx", "turn_text", "role")
+    val got = graft.operators.TextAnalysis.sftPairs(turns)
+      .orderBy("conv_id", "turn_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(got === Array(
+      (1L, 1, "user: hi", "hello"),
+      (1L, 3, "user: hi | assistant: hello | user: how", "fine"),
+      (2L, 0, "", "solo")))
+  }
+
   test("weighted systematic sampling: heavy rows certain, picks = ceil(T/step)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
