@@ -1345,6 +1345,17 @@ object Dedup {
       .withColumn("mh_ok", abs(col("mh_est") - col("jaccard")) <= lit(0.25))
   }
 
+  /** Two-table form — the deployment shape (snapshots live in separate
+    * tables): tag and union, then the same one-shuffle pipeline. A doc
+    * in both snapshots contributes to both sides, exactly as the
+    * predicate form would see it. */
+  def snapshotOverlap(a: DataFrame, b: DataFrame): DataFrame =
+    snapshotOverlap(
+      a.select(col("doc_id"), col("text")).withColumn("_side", lit(0))
+        .unionByName(
+          b.select(col("doc_id"), col("text")).withColumn("_side", lit(1))),
+      inA = col("_side") === 0, inB = col("_side") === 1)
+
   def ddOverlap(spark: SparkSession, dir: String): DataFrame =
     snapshotOverlap(Tables.documents(spark, dir),
       inA = pmod(col("doc_id"), lit(2)) === 0,

@@ -1279,6 +1279,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z(0).getLong(2) === 0L && z(0).getDouble(3) === 0.0)
   }
 
+  test("two-table snapshot overlap equals the predicate form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "a b c d e"), (2L, "a b c d e x"), (4L, "p q r s t"),
+      (1L, "a b c d e"), (3L, "u v w x y z")).toDF("doc_id", "text")
+    val byPred = graft.operators.Dedup.snapshotOverlap(docs,
+      pmod(col("doc_id"), lit(2)) === 0, pmod(col("doc_id"), lit(2)) === 1)
+      .collect().map(_.toSeq)
+    val byTables = graft.operators.Dedup.snapshotOverlap(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      .collect().map(_.toSeq)
+    assert(byPred === byTables)
+  }
+
   test("preference pairs: strict margin, no self or cross-group pairs") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
