@@ -410,7 +410,13 @@ object Sampling {
     * by the score gap, not by id. */
   def preferencePairs(df: DataFrame, group: Column, id: Column,
                       score: Column, margin: Double): DataFrame = {
+    // eager checkpoint: the slim scored table feeds BOTH self-join
+    // aliases, and exchange reuse does not fire across aliases — without
+    // it the upstream scoring pipeline (a corpus scan + aggregate when
+    // fed from a quality scorer) runs twice (the §4 diamond rule,
+    // same as Dedup.bandKeys)
     val slim = df.select(group.as("_g"), id.as("_id"), score.as("_s"))
+      .localCheckpoint()
     slim.as("a").join(slim.as("b"),
         col("a._g") === col("b._g") &&
           col("a._s") > col("b._s") + lit(margin))
