@@ -1410,6 +1410,87 @@ object TextAnalysis {
       |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks
       |FROM c, t GROUP BY na, nb""".stripMargin
 
+  /** Count-Min frequency sketch with verified error bounds — the
+    * mergeable FREQUENCY sketch beside q_approx's HLL (distincts) and
+    * q_approx_quantiles' GK (quantiles): at 100 TB a deployment tracks
+    * heavy hitters with a d×w integer grid (map-side combined, merged
+    * by addition across partitions/snapshots — the q_inc_stats monoid
+    * property), never a vocab-sized exact table. d=4 hash rows × w=1024
+    * buckets; est(term) = min_j sketch[j][h_j(term)], which
+    * OVER-estimates by construction. The driver query builds the sketch
+    * from the vocab-sized count table (4 projections + a 4096-row
+    * aggregate), estimates the top-20 exact heavy hitters through it,
+    * and emits the CM guarantees as oracle-checked booleans: ok_lower
+    * (est >= true, deterministic) and ok_eps (est <= true + 4N/w — the
+    * Markov band with generous slack; md5 buckets make both engines
+    * agree bit-for-bit on every boolean either way). */
+  def txCmSketch(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 1024L
+    val tok = Tables.documents(spark, dir).select(
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val termCnt = tok.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the sketch, the top-k, AND the total
+    def bucket(j: Int, term: Column): Column =
+      conv(substring(md5(concat(lit(s"cm$j:"), term)), 1, 8), 16, 10)
+        .cast(LongType) % lit(w)
+    val sketch = (0 until d).map(j =>
+        termCnt.select(lit(j).as("_j"), bucket(j, col("term")).as("_b"),
+          col("n")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("_j"), col("_b")).agg(sum(col("n")).as("_cell"))
+    val total = termCnt.agg(sum(col("n")).as("_tot"))
+    val top = termCnt.orderBy(col("n").desc, col("term")).limit(20)
+    val withB = (0 until d).foldLeft(top) { (acc, j) =>
+      acc.withColumn(s"_b$j", bucket(j, col("term")))
+    }
+    val est = (0 until d).foldLeft(withB) { (acc, j) =>
+      acc.join(broadcast(sketch.filter(col("_j") === j)
+          .select(col("_b").as(s"_sb$j"), col("_cell").as(s"_c$j"))),
+        col(s"_b$j") === col(s"_sb$j"))
+    }
+    est
+      .select(col("term"), col("n"),
+        least((0 until d).map(j => col(s"_c$j")): _*).as("est"))
+      .crossJoin(broadcast(total))
+      .withColumn("ok_lower", col("est") >= col("n"))
+      // integer arithmetic only — a double division here would round
+      // differently from the oracle's BIGINT floor division
+      .withColumn("ok_eps", col("est") <= col("n") + expr("(4 * _tot) DIV 1024"))
+      .drop("_tot")
+      .orderBy(col("n").desc, col("term"))
+  }
+
+  val txCmSketchSql: String = {
+    val d = 4
+    def bucket(j: Int, t: String) =
+      s"('0x'||substr(md5('cm$j:'||$t),1,8))::BIGINT % 1024"
+    val sketchSel = (0 until d).map(j =>
+      s"SELECT $j AS j, ${bucket(j, "term")} AS b, n FROM tc")
+      .mkString("\nUNION ALL\n")
+    val joins = (0 until d).map(j =>
+      s"JOIN sk s$j ON s$j.j = $j AND s$j.b = ${bucket(j, "t.term")}")
+      .mkString("\n")
+    val mins = (0 until d).map(j => s"s$j.cell").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+       |tc AS (
+       |  SELECT term, count(*) AS n FROM tok WHERE term <> '' GROUP BY term),
+       |sk AS (
+       |  SELECT j, b, CAST(sum(n) AS BIGINT) AS cell FROM ($sketchSel)
+       |  GROUP BY j, b),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM tc),
+       |top AS (SELECT term, n FROM tc ORDER BY n DESC, term LIMIT 20)
+       |SELECT t.term, t.n, least($mins) AS est,
+       |  least($mins) >= t.n AS ok_lower,
+       |  least($mins) <= t.n + (4 * tot) // 1024 AS ok_eps
+       |FROM top t
+       |$joins
+       |CROSS JOIN tot
+       |ORDER BY t.n DESC, t.term""".stripMargin
+  }
+
   /** SFT example construction: flatten multi-turn conversations into
     * (context, response) training rows — one example per assistant
     * turn, context = all prior turns with role tags. The documents
@@ -1952,6 +2033,7 @@ object TextAnalysis {
     "tx_ks_drift" -> (txKsDrift _),
     "tx_scorer_fit" -> (txScorerFit _),
     "tx_sft_pairs" -> (txSftPairs _),
+    "tx_cmsketch" -> (txCmSketch _),
     "tx_fluency" -> (txFluency _),
     "tx_html_strip" -> (txHtmlStrip _),
     "tx_bpe_train" -> (txBpeTrain _),
@@ -1985,6 +2067,7 @@ object TextAnalysis {
     "tx_ks_drift" -> txKsDriftSql,
     "tx_scorer_fit" -> txScorerFitSql,
     "tx_sft_pairs" -> txSftPairsSql,
+    "tx_cmsketch" -> txCmSketchSql,
     "tx_fluency" -> txFluencySql,
     "tx_html_strip" -> txHtmlStripSql,
     "tx_bpe_train" -> txBpeTrainSql,
