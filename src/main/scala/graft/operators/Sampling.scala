@@ -453,6 +453,64 @@ object Sampling {
       |FROM sc a JOIN sc b ON a.grp = b.grp AND a.v > b.v + 0.05
       |ORDER BY group_id, chosen_id, rejected_id""".stripMargin
 
+  /** Negative sampling for contrastive/embedding training: k
+    * deterministic pseudo-random corpus negatives per anchor. Every
+    * document gets a DENSE position 0..N-1 (the packSequences prefix
+    * tape with unit weights — no single-reducer row_number), and
+    * anchor a's slot-j negative is the document at position
+    * md5(a, j) mod N — reproducible across runs/engines, uniform over
+    * the corpus, and resolved by ONE position-keyed equi-join of
+    * k·|anchors| probe rows against the position table (never a
+    * per-anchor scan). Self-collisions (a drawing its own position)
+    * are filtered, not re-drawn — a documented 1/N-rate slot loss a
+    * trainer never notices, where re-drawing would need an unbounded
+    * loop. */
+  def negativeSample(df: DataFrame, key: Column, anchors: Column,
+                     k: Int): DataFrame = {
+    val pos = packSequences(df.select(key.as("_id")), col("_id"), lit(1L),
+        ctxLen = Long.MaxValue)
+      .select(col("_id").as("_nid"), col("start_off").as("_pos"))
+      .localCheckpoint() // feeds the probe join AND the count
+    val n = pos.agg(count(lit(1)).as("_n"))
+    val probes = df.filter(anchors).select(key.as("anchor_id"))
+      .crossJoin(broadcast(n))
+      .select(col("anchor_id"), explode(array((0 until k).map(lit): _*)).as("slot"),
+        col("_n"))
+      .withColumn("_tpos",
+        conv(substring(md5(concat(col("anchor_id").cast("string"),
+          lit(":neg:"), col("slot").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % col("_n"))
+    probes.join(pos, col("_tpos") === col("_pos"))
+      .filter(col("_nid") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("slot"), col("_nid").as("neg_doc_id"))
+  }
+
+  /** q_negatives: 4 negatives per anchor (every 50th doc). */
+  def qNegatives(spark: SparkSession, dir: String): DataFrame =
+    negativeSample(Tables.documents(spark, dir), col("doc_id"),
+        pmod(col("doc_id"), lit(50)) === 0, k = 4)
+      .orderBy(col("anchor_id"), col("slot"))
+
+  /** Oracle: row_number over the same hash order stands in for the
+    * tape position (the single-window formulation). */
+  val qNegativesSql: String =
+    """WITH p AS (
+      |  SELECT doc_id AS nid,
+      |    row_number() OVER (
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)||':pack'), doc_id) - 1 AS pos
+      |  FROM documents),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |a AS (
+      |  SELECT doc_id AS anchor_id, s.slot,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':neg:'||
+      |      CAST(s.slot AS VARCHAR)),1,15))::BIGINT % n.n AS tpos
+      |  FROM documents, (SELECT unnest([0,1,2,3]) AS slot) s, n
+      |  WHERE doc_id % 50 = 0)
+      |SELECT anchor_id, CAST(slot AS INT) AS slot, nid AS neg_doc_id
+      |FROM a JOIN p ON a.tpos = p.pos
+      |WHERE nid <> anchor_id
+      |ORDER BY anchor_id, slot""".stripMargin
+
   /** Rendezvous (highest-random-weight) sharding — stable routing of
     * documents to export shards such that growing the shard count moves
     * only the docs the NEW shard wins: shard(d) = argmax_s h(d, s).
@@ -773,6 +831,7 @@ object Sampling {
     "q_rendezvous" -> (qRendezvous _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_pref_pairs" -> (qPrefPairs _),
+    "q_negatives" -> (qNegatives _),
     "q_shuffle_export" -> (qShuffleExport _),
     "q_sample" -> (qSample _),
     "q_sample_rate" -> (qSampleRate _),
@@ -789,6 +848,7 @@ object Sampling {
     "q_rendezvous" -> qRendezvousSql,
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_pref_pairs" -> qPrefPairsSql,
+    "q_negatives" -> qNegativesSql,
     "q_shuffle_export" -> qShuffleExportSql,
     "q_sample" -> qSampleSql,
     "q_sample_rate" -> qSampleRateSql,
