@@ -352,6 +352,15 @@ object ScaleCheck {
           inA = pmod(col("doc_id"), lit(2)) === 0,
           inB = pmod(col("doc_id"), lit(2)) === 1).head.getLong(3)
       },
+      // negative sampling at corpus scale: dense positions off the
+      // unit-weight tape + ONE position-keyed join of k·|anchors|
+      // probes against the 2M-row position table — cost must track the
+      // pack tape, not anchors x corpus
+      t("q_negatives") {
+        graft.operators.Sampling.negativeSample(
+          docs.select(col("doc_id")), col("doc_id"),
+          pmod(col("doc_id"), lit(100L)) === 0, k = 4).count()
+      },
       // scorer training moments at corpus scale: (doc_id, 10-long)
       // shuffle + one 54-cell DECIMAL partial — gradient-free training
       // cost must track the tfidf/tf shape, linear in tokens
