@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked app's stdout must reach the terminal BARE — sbt's default
+// LoggedOutput prefixes every line with "[info] ", which breaks the
+// driver's parse of Bench's one-line JSON headline.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

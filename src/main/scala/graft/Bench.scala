@@ -178,13 +178,17 @@ object Bench {
     // budget the WHOLE line (fixed fields included), not just the map —
     // the window is 2000 chars minus sbt's trailing "[success]" line
     val lineBudget = 1800 - render(Nil, 0).length
+    // strict slowest-prefix: stop at the FIRST entry that misses the
+    // budget, so the compact map is exactly the slowest N and
+    // omitted_fastest counts precisely what was dropped
     val compactQs = new scala.collection.mutable.ArrayBuffer[String]
     var used = 0
+    var full = false
     okSorted.foreach { case (k, v, _, _, _) =>
       val ent = s""""$k":${math.rint(v * 1000) / 1000}"""
-      if (used + ent.length + 1 <= lineBudget) {
+      if (!full && used + ent.length + 1 <= lineBudget) {
         compactQs += ent; used += ent.length + 1
-      }
+      } else full = true
     }
     println(render(compactQs.toSeq, okSorted.size - compactQs.size))
     // guard baseline: a clean measurement updates it; a noisy one keeps

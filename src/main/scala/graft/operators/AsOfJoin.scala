@@ -253,21 +253,38 @@ object AsOfJoin {
 
   /** Oracle: both native ASOF directions chained, then the identical
     * distance CASE. Interval comparison in DuckDB is exact at micros, as
-    * is the epoch-micros integer arithmetic on the Spark side. */
+    * is the epoch-micros integer arithmetic on the Spark side.
+    *
+    * DuckDB's ASOF has NO tiebreak among right rows sharing (key, ts),
+    * while [[asOfNearest]] resolves them deterministically (largest
+    * event_id backward, smallest forward) — so each direction's right
+    * side is pre-deduped to exactly the row the Spark tiebreak would
+    * pick. Without this, duplicate same-micros purchases by one user
+    * would make the compare nondeterministic. */
   val qAsofNearestSql: String =
     """WITH ev AS (
       |  SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
       |    value, event_type
       |  FROM main.events),
       |c AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'click'),
-      |p AS (SELECT user_id, ts AS pts, value AS pval FROM ev
-      |      WHERE event_type = 'purchase'),
+      |pb0 AS (
+      |  SELECT user_id, ts AS pts, value AS pval,
+      |    row_number() OVER (PARTITION BY user_id, ts
+      |                       ORDER BY event_id DESC) AS rn
+      |  FROM ev WHERE event_type = 'purchase'),
+      |pb1 AS (SELECT user_id, pts, pval FROM pb0 WHERE rn = 1),
+      |pf0 AS (
+      |  SELECT user_id, ts AS pts, value AS pval,
+      |    row_number() OVER (PARTITION BY user_id, ts
+      |                       ORDER BY event_id ASC) AS rn
+      |  FROM ev WHERE event_type = 'purchase'),
+      |pf1 AS (SELECT user_id, pts, pval FROM pf0 WHERE rn = 1),
       |j AS (
       |  SELECT c.event_id, c.user_id, c.ts, c.value,
       |    pb.pts AS bts, pb.pval AS bval, pf.pts AS fts, pf.pval AS fval
       |  FROM c
-      |  ASOF LEFT JOIN p pb ON c.user_id = pb.user_id AND c.ts >= pb.pts
-      |  ASOF LEFT JOIN p pf ON c.user_id = pf.user_id AND c.ts <= pf.pts)
+      |  ASOF LEFT JOIN pb1 pb ON c.user_id = pb.user_id AND c.ts >= pb.pts
+      |  ASOF LEFT JOIN pf1 pf ON c.user_id = pf.user_id AND c.ts <= pf.pts)
       |SELECT event_id, user_id, ts, value,
       |  CASE WHEN fts IS NULL THEN bval WHEN bts IS NULL THEN fval
       |       WHEN ts - bts <= fts - ts THEN bval ELSE fval END AS purchase_value,

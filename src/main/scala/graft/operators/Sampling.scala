@@ -363,8 +363,12 @@ object Sampling {
       .withColumnRenamed("start_off", "_cum")
       .drop("seq_id", "seq_off")
     val tot = base.agg(sum(col("_w")).as("_t"))
+    // step is floored at 1: total weight < picks would make _t DIV picks
+    // zero, and Spark's DIV-by-zero yields null (silently empty result)
+    // while DuckDB's // 0 raises — greatest(.,1) on BOTH sides keeps the
+    // edge case defined and identical (every unit-weight row picked once)
     taped.crossJoin(broadcast(tot))
-      .withColumn("_step", expr(s"_t DIV $picks"))
+      .withColumn("_step", greatest(expr(s"_t DIV $picks"), lit(1L)))
       .withColumn("n_picks",
         (expr("(_cum + _w + _step - 1) DIV _step") -
           expr("(_cum + _step - 1) DIV _step")))
@@ -390,7 +394,8 @@ object Sampling {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
       |      AS tape_off
       |  FROM documents),
-      |t AS (SELECT CAST(sum(n_chars) AS BIGINT) // 200 AS step FROM documents),
+      |t AS (SELECT greatest(CAST(sum(n_chars) AS BIGINT) // 200, 1) AS step
+      |      FROM documents),
       |p AS (
       |  SELECT doc_id, lang, n_chars, tape_off,
       |    CAST((tape_off + n_chars + step - 1) // step

@@ -536,10 +536,15 @@ object TextAnalysis {
     val k = features.size
     val dec = DecimalType(38, 0)
     val xs: Seq[Column] = lit(1L) +: features // x0 = intercept
+    // operands are cast to DECIMAL BEFORE the multiply: a LongType
+    // product c_i*y with a 40-bit label wraps past 2^63 for ~2900+-term
+    // docs (silently, ANSI off) while the oracle's wide multiply doesn't —
+    // the per-row product, not just the accumulator, must be wide
     val moments: Seq[(Int, Int, String, Column)] =
       (for (i <- 0 to k; j <- i to k) yield
-        (i, j, s"m_${i}_$j", sum((xs(i) * xs(j)).cast(dec)))) ++
-      (0 to k).map(i => (i, k + 1, s"v_$i", sum((xs(i) * label).cast(dec))))
+        (i, j, s"m_${i}_$j", sum(xs(i).cast(dec) * xs(j).cast(dec)))) ++
+      (0 to k).map(i =>
+        (i, k + 1, s"v_$i", sum(xs(i).cast(dec) * label.cast(dec))))
     val aggExprs = moments.map { case (_, _, n, c) => c.as(n) }
     val aggd = rows.agg(aggExprs.head, aggExprs.tail: _*)
     val entries = moments.map { case (i, j, n, _) =>
@@ -583,9 +588,9 @@ object TextAnalysis {
     val xs = "CAST(1 AS BIGINT)" +: (0 until 8).map(i => s"c$i")
     val sel =
       ((for (i <- 0 to 8; j <- i to 8) yield
-        s"SELECT $i AS i, $j AS j, CAST(sum(CAST(${xs(i)} * ${xs(j)} AS HUGEINT)) AS VARCHAR) AS m FROM perdoc") ++
+        s"SELECT $i AS i, $j AS j, CAST(sum(CAST(${xs(i)} AS HUGEINT) * CAST(${xs(j)} AS HUGEINT)) AS VARCHAR) AS m FROM perdoc") ++
        (0 to 8).map(i =>
-        s"SELECT $i AS i, 9 AS j, CAST(sum(CAST(${xs(i)} * y AS HUGEINT)) AS VARCHAR) AS m FROM perdoc"))
+        s"SELECT $i AS i, 9 AS j, CAST(sum(CAST(${xs(i)} AS HUGEINT) * CAST(y AS HUGEINT)) AS VARCHAR) AS m FROM perdoc"))
         .mkString("\nUNION ALL\n")
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
