@@ -78,6 +78,31 @@ object VectorExprs {
     ExpressionUtils.column(DequantizeInt8(
       ExpressionUtils.expression(qv), ExpressionUtils.expression(scale)))
 
+  /** md5Long(s, start, len): the hex nibbles [start, start+len) of
+    * md5(s) as a long — bit-identical to
+    * `conv(substring(md5(s), start, len), 16, 10).cast(LongType)` (and
+    * to DuckDB's `('0x'||substr(md5(s),start,len))::BIGINT`), which is
+    * the engine's standard portable hash. That chain materializes a
+    * 32-char hex string, slices it, and PARSES it back per row — pure
+    * allocation/parse overhead on paths that hash tens of millions of
+    * shingles/tokens per pass. This kernel digests the raw UTF-8 bytes
+    * and assembles the nibbles directly (one thread-local MessageDigest,
+    * zero intermediate strings). start is 1-based like substring;
+    * len <= 15 keeps the value positive. */
+  def md5Long(s: Column, start: Int, len: Int): Column =
+    ExpressionUtils.column(Md5NibblesLong(ExpressionUtils.expression(s), start, len))
+
+  /** Order-preserving bits of a double as a signed long (the classic
+    * sortable-bits trick: flip all non-sign bits of negatives so signed
+    * long comparison reproduces IEEE total order, NaN above +Inf —
+    * Spark's own double ordering). High bits of the result are a
+    * monotone fixed-range bucketing of the ENTIRE double line, which is
+    * what lets quantile selection histogram values without a min/max
+    * pre-pass: no data-dependent bucket bounds, no broadcast-stats join,
+    * one fewer corpus scan. */
+  def sortableBits(v: Column): Column =
+    ExpressionUtils.column(SortableDoubleBits(ExpressionUtils.expression(v)))
+
   /** nearestCell(v, n2, cents): IVF coarse-quantizer assignment as one
     * codegen'd argmin loop. `cents` is array<struct<label, cvec, c2>>
     * (attached per-row from a broadcast single-row DataFrame), and the
@@ -396,6 +421,97 @@ case class DequantizeInt8(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DequantizeInt8 =
     copy(left = newLeft, right = newRight)
+}
+
+/** Direct md5-nibble-range hash — see [[VectorExprs.md5Long]]. */
+case class Md5NibblesLong(child: Expression, start: Int, len: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(start >= 1 && len >= 1 && len <= 15 && start - 1 + len <= 32,
+    s"md5Long nibble range out of bounds: start=$start len=$len")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_long"
+
+  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  override protected def nullSafeEval(sAny: Any): Any = {
+    val digest = md.get()
+    digest.reset()
+    val d = digest.digest(
+      sAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    Md5NibblesLong.nibbles(d, start, len)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mdRef = ctx.addMutableState("java.security.MessageDigest", "graftMd5",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) {
+              |  throw new RuntimeException(e);
+              |}""".stripMargin)
+    nullSafeCodeGen(ctx, ev, s => {
+      val d = ctx.freshName("d")
+      s"""
+         |$mdRef.reset();
+         |byte[] $d = $mdRef.digest($s.getBytes());
+         |${ev.value} = org.apache.spark.sql.graft.Md5NibblesLong.nibbles(
+         |  $d, $start, $len);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Md5NibblesLong =
+    copy(child = newChild)
+}
+
+object Md5NibblesLong {
+  /** Accumulate hex nibbles [start, start+len) (1-based) of a digest. */
+  def nibbles(d: Array[Byte], start: Int, len: Int): Long = {
+    var acc = 0L
+    var i = start - 1
+    val end = start - 1 + len
+    while (i < end) {
+      val b = d(i >> 1) & 0xff
+      val nib = if ((i & 1) == 0) b >> 4 else b & 0xf
+      acc = (acc << 4) | nib
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Monotone double→long bit map — see [[VectorExprs.sortableBits]].
+  * doubleToLongBits (canonical NaN) keeps every NaN payload on one
+  * bucket; -0.0 maps just below +0.0 (numerically equal — value
+  * extraction is unaffected). */
+case class SortableDoubleBits(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sortable_double_bits"
+
+  override protected def nullSafeEval(vAny: Any): Any = {
+    val b = java.lang.Double.doubleToLongBits(vAny.asInstanceOf[Double])
+    b ^ ((b >> 63) & 0x7fffffffffffffffL)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val b = ctx.freshName("b")
+      s"""
+         |long $b = java.lang.Double.doubleToLongBits($v);
+         |${ev.value} = $b ^ (($b >> 63) & 0x7fffffffffffffffL);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SortableDoubleBits =
+    copy(child = newChild)
 }
 
 /** Argmin over centroid cells — see [[VectorExprs.nearestCell]]. Children:

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
+import org.apache.spark.sql.graft.VectorExprs.md5Long
 
 /** Deduplication operators for training-data pipelines (SURVEY.md §2.C).
   *
@@ -125,7 +126,7 @@ object Dedup {
     // doc. (The per-doc HOF formulation array_min(transform(...)) is
     // interpreted per element — measured ~4x slower end-to-end.)
     val hashed = tallShingles(docs).withColumn("h",
-      conv(substring(md5(col("s")), 1, 8), 16, 10).cast(LongType) % lit(MinhashP))
+      md5Long(col("s"), 1, 8) % lit(MinhashP))
     def perm(j: Int) =
       (lit(MinhashA(j)) * col("h") + lit(MinhashB(j))) % lit(MinhashP)
     val sig = hashed.groupBy(col("doc_id")).agg(
@@ -152,14 +153,22 @@ object Dedup {
                                        tall: DataFrame): DataFrame = {
     val candIds = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val tallCand = tall.join(candIds, Seq("doc_id"), "left_semi")
+    // de-text BEFORE any exchange (the dd_ngram_jaccard trade): the
+    // semi-join, the per-doc distinct, and the intersection joins all
+    // carry a 60-bit md5-prefix long (8 bytes) instead of the ~20-byte
+    // shingle string. The oracle intersects the SAME hashes
+    // (list_transform in the hsh CTE), so even a collision — ~1e-15 per
+    // doc — would be counted identically by both engines.
+    val tallCand = tall
+      .select(col("doc_id"), md5Long(col("s"), 1, 15).as("sh"))
+      .join(candIds, Seq("doc_id"), "left_semi")
       .distinct() // set semantics for |A ∩ B| / sizes — candidate slice only
       .localCheckpoint()
     val sizes = tallCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = pairs
       .join(tallCand.as("ta"), col("doc_a") === col("ta.doc_id"))
       .join(tallCand.as("tb"),
-        col("doc_b") === col("tb.doc_id") && col("ta.s") === col("tb.s"))
+        col("doc_b") === col("tb.doc_id") && col("ta.sh") === col("tb.sh"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
@@ -252,6 +261,10 @@ object Dedup {
        |  SELECT doc_id,
        |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS shingles
        |  FROM toks WHERE len(w) >= 3),
+       |shh AS (
+       |  SELECT doc_id, list_distinct(list_transform(shingles,
+       |    x -> ('0x'||substr(md5(x),1,15))::BIGINT)) AS hsh
+       |  FROM sh),
        |tallh AS (
        |  SELECT doc_id, ('0x'||substr(md5(unnest(shingles)),1,8))::BIGINT % $MinhashP AS h FROM sh),
        |sig AS (
@@ -269,9 +282,9 @@ object Dedup {
   val ddMinhashLshSql: String =
     s"""$minhashPairsCte
        |SELECT doc_a, doc_b,
-       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-       |  CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) AS jaccard
-       |FROM pairs JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
+       |  CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE) /
+       |  CAST(len(list_distinct(sa.hsh || sb.hsh)) AS DOUBLE) AS jaccard
+       |FROM pairs JOIN shh sa ON doc_a = sa.doc_id JOIN shh sb ON doc_b = sb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** True 64-bit SimHash, carried as two 32-bit halves (`sh_lo` = bits
@@ -284,8 +297,8 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
     val h = tok.select(col("doc_id"),
-      conv(substring(md5(col("t")), 1, 8), 16, 10).cast(LongType).as("lo"),
-      conv(substring(md5(col("t")), 9, 8), 16, 10).cast(LongType).as("hi"))
+      md5Long(col("t"), 1, 8).as("lo"),
+      md5Long(col("t"), 9, 8).as("hi"))
     def bitSum(half: Column, b: Int) =
       sum(when(shiftright(half, b).bitwiseAND(1) === 1, 1).otherwise(-1))
     val bitSums = h.groupBy(col("doc_id")).agg(
@@ -520,8 +533,8 @@ object Dedup {
       case Some(f) if f < 1.0 =>
         // deterministic hash-uniform (the Sampling machinery's form):
         // same sample every run, every engine
-        femb.filter(conv(substring(md5(concat(col("vec_id").cast("string"),
-          lit(":semtrain"))), 1, 15), 16, 10).cast(LongType).cast(DoubleType)
+        femb.filter(md5Long(concat(col("vec_id").cast("string"),
+          lit(":semtrain")), 1, 15).cast(DoubleType)
           / lit(1.152921504606846976e18) < f)
       case _ => femb
     }
@@ -722,7 +735,7 @@ object Dedup {
     // same md5-derived hash, so results are identical by construction
     // (within-doc 60-bit collisions: ~1e-15 per doc, ignored).
     val tall = tallShingles(docs).select(col("doc_id"),
-      conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType).as("s"))
+      md5Long(col("s"), 1, 15).as("s"))
       .distinct()
       .localCheckpoint()
     val sizes = tall.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -774,7 +787,7 @@ object Dedup {
     // 149 s → string distinct dominated at 2M docs / ~100M shingles);
     // cross-engine by construction, collisions ~1e-15/doc ignored
     def hashed(df: DataFrame) = tallShingles(df).select(col("doc_id"),
-      conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType).as("s"))
+      md5Long(col("s"), 1, 15).as("s"))
       .distinct()
     // recompute-by-design for BOTH consumers (sizes aggregate + benchmark
     // join), per the tallShingles scaladoc rationale: the corpus-wide
@@ -837,15 +850,19 @@ object Dedup {
       |  SELECT doc_id,
       |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS shingles
       |  FROM toks WHERE len(w) >= 3),
-      |tall AS (SELECT doc_id, ('0x'||substr(md5(unnest(shingles)),1,15))::BIGINT AS s FROM sh),
+      |shh AS (
+      |  SELECT doc_id, list_distinct(list_transform(shingles,
+      |    x -> ('0x'||substr(md5(x),1,15))::BIGINT)) AS hsh
+      |  FROM sh),
+      |tall AS (SELECT doc_id, unnest(hsh) AS s FROM shh),
       |shared AS (
       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS shared
       |  FROM tall x JOIN tall y ON x.s = y.s AND x.doc_id < y.doc_id
       |  GROUP BY x.doc_id, y.doc_id)
       |SELECT doc_a, doc_b, shared,
-      |  CAST(shared AS DOUBLE) / CAST(len(sa.shingles) + len(sb.shingles) - shared AS DOUBLE) AS jaccard
-      |FROM shared JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
-      |WHERE CAST(shared AS DOUBLE) / CAST(len(sa.shingles) + len(sb.shingles) - shared AS DOUBLE) >= 0.5
+      |  CAST(shared AS DOUBLE) / CAST(len(sa.hsh) + len(sb.hsh) - shared AS DOUBLE) AS jaccard
+      |FROM shared JOIN shh sa ON doc_a = sa.doc_id JOIN shh sb ON doc_b = sb.doc_id
+      |WHERE CAST(shared AS DOUBLE) / CAST(len(sa.hsh) + len(sb.hsh) - shared AS DOUBLE) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Dedup-threshold calibration: the histogram of verified pair
@@ -868,9 +885,9 @@ object Dedup {
     ddNgramJaccardSql.substring(0, tail).stripTrailing.stripSuffix(",") + ",\n" +
       """jac AS (
         |  SELECT CAST(shared AS DOUBLE) /
-        |    CAST(len(sa.shingles) + len(sb.shingles) - shared AS DOUBLE) AS j
-        |  FROM shared JOIN sh sa ON doc_a = sa.doc_id
-        |  JOIN sh sb ON doc_b = sb.doc_id)
+        |    CAST(len(sa.hsh) + len(sb.hsh) - shared AS DOUBLE) AS j
+        |  FROM shared JOIN shh sa ON doc_a = sa.doc_id
+        |  JOIN shh sb ON doc_b = sb.doc_id)
         |SELECT CAST(floor(j * 20) AS BIGINT) AS bin,
         |  CAST(CAST(floor(j * 20) AS BIGINT) AS DOUBLE) / 20.0 AS bin_lo,
         |  count(*) AS n_pairs
@@ -967,9 +984,9 @@ object Dedup {
     s"""$minhashPairsCte,
        |vpairs AS (
        |  SELECT doc_a, doc_b FROM pairs
-       |  JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
-       |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-       |        CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.5)
+       |  JOIN shh sa ON doc_a = sa.doc_id JOIN shh sb ON doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(sa.hsh || sb.hsh)) AS DOUBLE) >= 0.5)
        |SELECT doc_a, doc_b, levenshtein(ta.text, tb.text) AS edit_dist,
        |  length(ta.text) AS len_a, length(tb.text) AS len_b
        |FROM vpairs JOIN documents ta ON doc_a = ta.doc_id
@@ -1066,9 +1083,9 @@ object Dedup {
     s"""${minhashPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
        |vpairs AS (
        |  SELECT doc_a, doc_b FROM pairs
-       |  JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
-       |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-       |        CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.9),
+       |  JOIN shh sa ON doc_a = sa.doc_id JOIN shh sb ON doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(sa.hsh || sb.hsh)) AS DOUBLE) >= 0.9),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
        |  UNION SELECT doc_b, doc_a FROM vpairs
@@ -1126,9 +1143,9 @@ object Dedup {
     s"""${minhashPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
        |vpairs AS (
        |  SELECT doc_a, doc_b FROM pairs
-       |  JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
-       |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-       |        CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.9),
+       |  JOIN shh sa ON doc_a = sa.doc_id JOIN shh sb ON doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(sa.hsh || sb.hsh)) AS DOUBLE) >= 0.9),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
        |  UNION SELECT doc_b, doc_a FROM vpairs
@@ -1174,9 +1191,9 @@ object Dedup {
     s"""$minhashPairsCte,
        |dropids AS (
        |  SELECT DISTINCT doc_b AS doc_id FROM pairs
-       |  JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
-       |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-       |        CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.9)
+       |  JOIN shh sa ON doc_a = sa.doc_id JOIN shh sb ON doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(sa.hsh || sb.hsh)) AS DOUBLE) >= 0.9)
        |SELECT lang, count(*) AS n_docs FROM documents
        |WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
        |GROUP BY lang ORDER BY lang""".stripMargin
@@ -1197,10 +1214,10 @@ object Dedup {
     s"""$minhashPairsCte,
        |dropids AS (
        |  SELECT DISTINCT doc_b AS doc_id FROM pairs
-       |  JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
+       |  JOIN shh sa ON doc_a = sa.doc_id JOIN shh sb ON doc_b = sb.doc_id
        |  WHERE doc_a < 200 AND doc_b >= 200
-       |    AND CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-       |        CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.5)
+       |    AND CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(sa.hsh || sb.hsh)) AS DOUBLE) >= 0.5)
        |SELECT doc_id, lang FROM documents
        |WHERE doc_id >= 200 AND doc_id NOT IN (SELECT doc_id FROM dropids)
        |ORDER BY doc_id""".stripMargin
@@ -1315,8 +1332,7 @@ object Dedup {
       .select(col("_a"), col("_b"),
         concat_ws(" ", col("z.0"), col("z.1"), col("z.2")).as("s"))
     val hashed = tall.select(
-      (conv(substring(md5(col("s")), 1, 8), 16, 10).cast(LongType) %
-        lit(MinhashP)).as("h"),
+      (md5Long(col("s"), 1, 8) % lit(MinhashP)).as("h"),
       col("_a"), col("_b"))
     val g = hashed.groupBy(col("h")).agg(
       max(col("_a")).as("in_a"), max(col("_b")).as("in_b"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.Tables
+import org.apache.spark.sql.graft.VectorExprs.md5Long
 
 /** Deterministic sampling for training-data curation.
   *
@@ -482,9 +483,8 @@ object Sampling {
       .select(col("anchor_id"), explode(array((0 until k).map(lit): _*)).as("slot"),
         col("_n"))
       .withColumn("_tpos",
-        conv(substring(md5(concat(col("anchor_id").cast("string"),
-          lit(":neg:"), col("slot").cast("string"))), 1, 15), 16, 10)
-          .cast("long") % col("_n"))
+        md5Long(concat(col("anchor_id").cast("string"),
+          lit(":neg:"), col("slot").cast("string")), 1, 15) % col("_n"))
     probes.join(pos, col("_tpos") === col("_pos"))
       .filter(col("_nid") =!= col("anchor_id"))
       .select(col("anchor_id"), col("slot"), col("_nid").as("neg_doc_id"))
@@ -537,8 +537,7 @@ object Sampling {
     // measured 12 s for a 5k-row projection), while element_at over the
     // materialized array keeps it one md5 per (row, shard)
     val scores = array((0 until shards).map(s =>
-      conv(substring(md5(concat(key.cast("string"), lit(s":shard:$s"))),
-        1, 15), 16, 10).cast("long")): _*)
+      md5Long(concat(key.cast("string"), lit(s":shard:$s")), 1, 15)): _*)
     // array_position is codegen'd and returns the FIRST match (1-based)
     // — ties to the lowest shard, same as the oracle's CASE order
     (array_position(scores, array_max(scores)) - 1).cast("int")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
+import org.apache.spark.sql.graft.VectorExprs.md5Long
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md §2.E).
   *
@@ -134,7 +135,7 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       md5(norm).as("fp"),
-      conv(substring(md5(norm), 1, 15), 16, 10).cast(LongType).as("fp60"))
+      md5Long(norm, 1, 15).as("fp60"))
   }
 
   def txFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -495,10 +496,8 @@ object TextAnalysis {
     val tok = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
-    val j = pmod(conv(substring(md5(col("term")), 1, 15), 16, 10)
-      .cast(LongType), lit(dims.toLong))
-    val wInt = conv(substring(md5(concat(lit("w:"), j.cast(StringType))), 1, 10),
-      16, 10).cast(LongType)
+    val j = pmod(md5Long(col("term"), 1, 15), lit(dims.toLong))
+    val wInt = md5Long(concat(lit("w:"), j.cast(StringType)), 1, 10)
     tok.select(col("doc_id"), wInt.as("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("w")).as("s"))
@@ -567,10 +566,9 @@ object TextAnalysis {
     val tok = Tables.documents(spark, dir).select(col("doc_id"),
         explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
-    val base = conv(substring(md5(col("term")), 1, 15), 16, 10).cast(LongType)
+    val base = md5Long(col("term"), 1, 15)
     val j64 = pmod(base, lit(64L))
-    val wInt = conv(substring(md5(concat(lit("w:"), j64.cast(StringType))), 1, 10),
-      16, 10).cast(LongType)
+    val wInt = md5Long(concat(lit("w:"), j64.cast(StringType)), 1, 10)
     val j8 = pmod(base, lit(8L))
     val perDoc = tok.select(col("doc_id"), j8.as("b"), wInt.as("w"))
       .groupBy(col("doc_id"))
@@ -1438,8 +1436,7 @@ object TextAnalysis {
     val termCnt = tok.groupBy(col("term")).agg(count(lit(1)).as("n"))
       .localCheckpoint() // feeds the sketch, the top-k, AND the total
     def bucket(j: Int, term: Column): Column =
-      conv(substring(md5(concat(lit(s"cm$j:"), term)), 1, 8), 16, 10)
-        .cast(LongType) % lit(w)
+      md5Long(concat(lit(s"cm$j:"), term), 1, 8) % lit(w)
     val sketch = (0 until d).map(j =>
         termCnt.select(lit(j).as("_j"), bucket(j, col("term")).as("_b"),
           col("n")))

@@ -220,22 +220,36 @@ object Relational {
     * "stats profile" aggregation shape. percentile() sorts within each
     * group: exact, deterministic, identical to DuckDB's quantile_cont. */
   def qStats(spark: SparkSession, dir: String): DataFrame = {
-    // count-distincts in the same agg as percentile make Catalyst Expand
-    // every row once per distinct column — the percentile then sorts a
-    // 3x-inflated input (measured 3x slower). Keeping the percentile agg
-    // separate and the two distincts TOGETHER in one agg costs two scans
-    // total: the distinct pass Expands only a narrow 3-column projection
-    // (map-side partial dedup, no percentile in the shuffle), and the
-    // join key is the tiny group column.
+    // Percentiles over TWO columns ride ONE pass of the two-scan
+    // selection machinery (quantileInterp — the built-in percentile
+    // sort-agg buffers every group's values and was 17x DuckDB at the
+    // heavy tier): unpivot (qty, price) into (group/column, value) rows
+    // so the composite group key carries both columns through one
+    // histogram + one probe. The distincts stay a separate agg: mixing
+    // countDistinct into other aggregates makes Catalyst Expand every
+    // row per distinct column (the q_approx lesson); min/max join that
+    // pass, where the Expand branch they add is a narrow projection.
     val li = Tables.lineitem(spark, dir)
-    val base = li.groupBy(col("l_returnflag")).agg(
-      percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
-      percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
-      min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+    val up = li.select(col("l_returnflag").as("_rf"),
+        explode(array(
+          struct(lit("q").as("c"), col("l_quantity").as("v")),
+          struct(lit("p").as("c"), col("l_extendedprice").as("v")))).as("_e"))
+      .select(concat(col("_rf"), lit("/"), col("_e.c")).as("_gc"),
+        col("_e.v").as("_v"))
+    val interp = quantileInterp(up, "_gc", "_v",
+      Seq(("p50", 0.5), ("p90", 0.9)))
+    val qmap = interp.select(
+        substring_index(col("_gc"), "/", 1).as("l_returnflag"),
+        substring_index(col("_gc"), "/", -1).as("_c"),
+        col("p50"), col("p90"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(when(col("_c") === "q", col("p50"))).as("p50_qty"),
+        max(when(col("_c") === "p", col("p90"))).as("p90_price"))
     val distincts = li.groupBy(col("l_returnflag")).agg(
       countDistinct(col("l_partkey")).as("n_parts"),
-      countDistinct(col("l_suppkey")).as("n_supps"))
-    base
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+    qmap
       .join(distincts, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
         col("p50_qty"), col("p90_price"), col("min_qty"), col("max_qty"))
@@ -308,18 +322,24 @@ object Relational {
     * need not agree with each other. */
   def qApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    li.groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("_ex"),
-        expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000)").as("_ap"),
-        count(lit(1)).as("n"))
+    // exact half via the two-scan bucket-selection machinery, NOT the
+    // built-in percentile sort-agg (its per-group value buffer was this
+    // suite's worst heavy-tier ratio, 17x DuckDB); interpolation is
+    // bit-identical (see quantileInterp). The sketch agg is an
+    // independent scan subtree in the same job — its stages run
+    // concurrently with the selection passes.
+    val exact = quantileInterp(li, "l_returnflag", "l_extendedprice",
+      Seq(("p50_exact", 0.5), ("p90_exact", 0.9)))
+    val ap = li.groupBy(col("l_returnflag"))
+      .agg(expr(
+        "approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000)").as("_ap"))
+    exact.join(ap, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n"),
-        col("_ex").getItem(0).as("p50_exact"),
-        col("_ex").getItem(1).as("p90_exact"),
-        (abs(col("_ap").getItem(0) - col("_ex").getItem(0)) <=
-          col("_ex").getItem(0) * 0.02).as("p50_within_2pct"),
-        (abs(col("_ap").getItem(1) - col("_ex").getItem(1)) <=
-          col("_ex").getItem(1) * 0.02).as("p90_within_2pct"))
+        col("p50_exact"), col("p90_exact"),
+        (abs(col("_ap").getItem(0) - col("p50_exact")) <=
+          col("p50_exact") * 0.02).as("p50_within_2pct"),
+        (abs(col("_ap").getItem(1) - col("p90_exact")) <=
+          col("p90_exact") * 0.02).as("p90_within_2pct"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -339,31 +359,39 @@ object Relational {
     * classic distributed selection algorithm. `percentile(...)` (and
     * q_approx_quantiles' exact verification half) funnels every group's
     * rows through one sort-aggregate buffer — the single-reducer shape
-    * that dies at 100 TB. Selection instead does:
+    * that dies at 100 TB. Selection instead does TWO corpus scans total:
     *
-    *   pass 1  per-group (count, min, max) — a tiny hash aggregate;
-    *   pass 2  histogram: each row hashed into one of `buckets`
-    *           value-range buckets → (group, bucket, count), ≤ |G|·B
-    *           rows; a prefix sum over that constant-size table (the
-    *           designed single-partition-per-group window) locates the
-    *           bucket holding each target rank k = (n-1)·num div den + 1
-    *           (integer arithmetic — no double rounding cross-engine);
-    *   probe   rows of the target buckets only (~n/B per target,
-    *           broadcast semi-join on (group, bucket)) get a row_number
-    *           and the k-th smallest VALUE is read off exactly.
+    *   pass 1  histogram: each value maps to a FIXED bucket — the high
+    *           bits of its order-preserving IEEE bit pattern
+    *           ([[org.apache.spark.sql.graft.VectorExprs.sortableBits]]),
+    *           a monotone bucketing of the whole double line with no
+    *           data-dependent bounds, so there is NO (count,min,max)
+    *           pre-pass and no broadcast-stats join against the corpus.
+    *           Result: (group, bucket, count), one row per REALIZED
+    *           bucket (≈ values-per-binade, a few hundred per group).
+    *           Per-group n is the histogram row-sum; a prefix sum over
+    *           the same tiny table (the designed single-partition-per-
+    *           group window) locates the bucket holding each target
+    *           rank produced by `targetsOf(n)`;
+    *   pass 2  probe: rows of the target buckets only (~n/buckets per
+    *           target, broadcast semi-join on (group, bucket)) get a
+    *           row_number and the k-th smallest VALUE is read off
+    *           exactly.
     *
-    * Output values are raw column doubles — order statistics, no
-    * interpolation — so the DuckDB oracle (row_number window) matches
-    * bit-for-bit; with value ties the k-th smallest is still a unique
-    * multiset statistic. The corpus is scanned twice rather than
-    * cached (corpus-scale localCheckpoint loses — see §4 notes); B
-    * scales with n so a probe partition fits one task (recurse the same
-    * machinery inside a bucket for extreme n/B). */
-  def quantileSelect(rows0: DataFrame, groupCol: String, valCol: String,
-                     qs: Seq[(String, Int, Int)],
-                     buckets: Int = 1024): DataFrame = {
+    * Returns one row per (group, matched target): groupCol, valCol,
+    * n, _ql (target label), _k (its rank). `buckets` bounds the bucket
+    * id space (2^ceil(log2 buckets) over all doubles); realized buckets
+    * are far fewer. Probe partitions are per-(group,target) slices of
+    * one bucket — recurse the same machinery inside a bucket for
+    * extreme n/buckets. */
+  private def valueAtRanks(rows0: DataFrame, groupCol: String,
+                           valCol: String, targetsOf: Column => Column,
+                           buckets: Int): DataFrame = {
     val g = col(groupCol)
     val v = col(valCol)
+    // bucket = top log2(buckets) bits of the sortable-bits map
+    val shift = 64 - (64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(buckets, 2).toLong - 1))
     // Null values are excluded from the population up front: counting
     // them into n while they can never land in a bucket would compute
     // target ranks against rows the probe phase cannot reach (a rank
@@ -372,40 +400,92 @@ object Relational {
     // non-null multiset — the same population DuckDB's row_number
     // oracle ranks.
     val rows = rows0.filter(v.isNotNull)
-    val stats = rows.groupBy(g.as("_g"))
-      .agg(count(lit(1)).as("n"), min(v).as("_mn"), max(v).as("_mx"))
-    def bucketed = rows.join(broadcast(stats), g === col("_g"))
-      .select(g, v,
-        when(col("_mx") > col("_mn"),
-          least(floor((v - col("_mn")) / (col("_mx") - col("_mn")) * buckets),
-            lit(buckets - 1L)))
-          .otherwise(lit(0L)).cast(LongType).as("_b"))
+    def bucketed = rows.select(g, v,
+      shiftright(org.apache.spark.sql.graft.VectorExprs.sortableBits(v),
+        shift).as("_b"))
     val hist = bucketed.groupBy(g.as("_g"), col("_b"))
       .agg(count(lit(1)).as("_cnt"))
-    val off = hist.withColumn("_lo",
-      sum(col("_cnt")).over(Window.partitionBy(col("_g")).orderBy(col("_b")))
+    val wg = Window.partitionBy(col("_g"))
+    val off = hist
+      .withColumn("n", sum(col("_cnt")).over(wg))
+      .withColumn("_lo", sum(col("_cnt")).over(wg.orderBy(col("_b")))
         - col("_cnt"))
-    val targets = stats.select(col("_g"), col("n"),
-        explode(array(qs.map { case (lbl, num, den) =>
-          struct(lit(lbl).as("ql"),
-            expr(s"((n - 1) * $num) div $den + 1").as("k"))
-        }: _*)).as("_t"))
-      .select(col("_g"), col("n"), col("_t.ql").as("_ql"), col("_t.k").as("_k"))
-    val targetBuckets = targets.join(off, Seq("_g"))
-      .filter(col("_k") > col("_lo") && col("_k") <= col("_lo") + col("_cnt"))
-      .select(col("_g").as("_tg"), col("n"), col("_ql"), col("_k"),
-        col("_b").as("_tb"), (col("_k") - col("_lo")).as("_rib"))
-    val probed = bucketed.join(broadcast(targetBuckets),
+    val targets = off.select(col("_g"), col("n"), col("_lo"), col("_cnt"),
+        col("_b"), explode(targetsOf(col("n"))).as("_t"))
+      .filter(col("_t.k") > col("_lo") &&
+        col("_t.k") <= col("_lo") + col("_cnt"))
+      .select(col("_g").as("_tg"), col("n"), col("_t.ql").as("_ql"),
+        col("_t.k").as("_k"), col("_b").as("_tb"),
+        (col("_t.k") - col("_lo")).as("_rib"))
+    bucketed.join(broadcast(targets),
         g === col("_tg") && col("_b") === col("_tb"))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(g, col("_ql")).orderBy(v)))
       .filter(col("_rn") === col("_rib"))
-    probed.groupBy(g).agg(
-      max(col("n")).as("n"),
-      qs.flatMap { case (lbl, _, _) =>
-        Seq(max(when(col("_ql") === lbl, col("_k"))).as(s"k_$lbl"),
-          max(when(col("_ql") === lbl, v)).as(s"${lbl}_disc"))
-      }: _*)
+  }
+
+  /** Discrete order statistics (rank k = (n-1)·num div den + 1, pure
+    * integer arithmetic — no double rounding cross-engine) via
+    * [[valueAtRanks]]. Output values are raw column doubles — order
+    * statistics, no interpolation — so the DuckDB oracle (row_number
+    * window) matches bit-for-bit; with value ties the k-th smallest is
+    * still a unique multiset statistic. */
+  def quantileSelect(rows0: DataFrame, groupCol: String, valCol: String,
+                     qs: Seq[(String, Int, Int)],
+                     buckets: Int = 1 << 20): DataFrame = {
+    val g = col(groupCol)
+    val v = col(valCol)
+    // `n` resolves against the histogram frame valueAtRanks explodes
+    // targets over
+    val targetsOf = (_: Column) => array(qs.map { case (lbl, num, den) =>
+      struct(lit(lbl).as("ql"), expr(s"((n - 1) * $num) div $den + 1").as("k"))
+    }: _*)
+    valueAtRanks(rows0, groupCol, valCol, targetsOf, buckets)
+      .groupBy(g).agg(
+        max(col("n")).as("n"),
+        qs.flatMap { case (lbl, _, _) =>
+          Seq(max(when(col("_ql") === lbl, col("_k"))).as(s"k_$lbl"),
+            max(when(col("_ql") === lbl, v)).as(s"${lbl}_disc"))
+        }: _*)
+  }
+
+  /** Exact INTERPOLATED percentiles (the `percentile`/`quantile_cont`
+    * contract) via the same two-scan selection machinery — each quantile
+    * q needs only the two order statistics bracketing position
+    * p = q·(n−1), fetched as ranks floor(p)+1 and ceil(p)+1, then the
+    * finalizer applies Spark `Percentile`'s exact formula
+    * (hi−p)·v_lo + (p−lo)·v_hi (v_lo when the position is integral) on
+    * the tiny result — bit-identical to the built-in sort-aggregate
+    * `percentile(...)` (property-pinned in OperatorsSpec) at a fraction
+    * of its cost, and scale-safe where the sort-agg's per-group value
+    * buffer is not. */
+  def quantileInterp(rows0: DataFrame, groupCol: String, valCol: String,
+                     qs: Seq[(String, Double)],
+                     buckets: Int = 1 << 20): DataFrame = {
+    val g = col(groupCol)
+    val v = col(valCol)
+    val targetsOf = (n: Column) => array(qs.flatMap { case (lbl, q) =>
+      val p = lit(q) * (n - lit(1)).cast(DoubleType)
+      Seq(
+        struct(lit(lbl + "/lo").as("ql"), (floor(p) + lit(1L)).as("k")),
+        struct(lit(lbl + "/hi").as("ql"), (ceil(p) + lit(1L)).as("k")))
+    }: _*)
+    val wide = valueAtRanks(rows0, groupCol, valCol, targetsOf, buckets)
+      .groupBy(g).agg(
+        max(col("n")).as("n"),
+        qs.flatMap { case (lbl, _) =>
+          Seq(max(when(col("_ql") === lbl + "/lo", v)).as(s"_lo_$lbl"),
+            max(when(col("_ql") === lbl + "/hi", v)).as(s"_hi_$lbl"))
+        }: _*)
+    wide.select(g +: col("n") +: qs.map { case (lbl, q) =>
+      val p = lit(q) * (col("n") - lit(1)).cast(DoubleType)
+      val lo = floor(p)
+      val hi = ceil(p)
+      when(lo === hi, col(s"_lo_$lbl"))
+        .otherwise((hi.cast(DoubleType) - p) * col(s"_lo_$lbl") +
+          (p - lo.cast(DoubleType)) * col(s"_hi_$lbl"))
+        .as(lbl)
+    }: _*)
   }
 
   def qQuantileSelect(spark: SparkSession, dir: String): DataFrame =

@@ -1256,6 +1256,41 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1).getDouble(3) === 42.0 && out(1).getDouble(5) === 42.0)
   }
 
+  test("quantileInterp is bit-identical to Spark's percentile sort-agg") {
+    import spark.implicits._
+    // randomized multiset (fixed seed): skewed magnitudes across binades,
+    // duplicates, tiny and single-row groups — the interpolation formula
+    // (hi-p)*v_lo + (p-lo)*v_hi must reproduce the built-in percentile
+    // EXACTLY, including integral positions and n=1/n=2 edges
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 2000).map { i =>
+      val g = s"g${i % 7}"
+      val v = math.floor(rnd.nextDouble() * math.pow(10, rnd.nextInt(6)) * 100) / 100
+      (g, v)
+    } ++ Seq(("one", 3.14), ("two", 1.0), ("two", 2.0))
+    val df = rows.toDF("g", "v")
+    val qs = Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+    val got = graft.queries.Relational.quantileInterp(df, "g", "v", qs)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), qs.indices.map(i => r.getDouble(2 + i))))
+    val exp = df.groupBy(col("g"))
+      .agg(percentile(col("v"), lit(0.25)).as("p25"),
+        percentile(col("v"), lit(0.5)).as("p50"),
+        percentile(col("v"), lit(0.9)).as("p90"),
+        percentile(col("v"), lit(0.99)).as("p99"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), qs.indices.map(i => r.getDouble(1 + i))))
+    assert(got.length === exp.length)
+    got.zip(exp).foreach { case ((gg, gv), (eg, ev)) =>
+      assert(gg === eg)
+      gv.zip(ev).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a) ===
+          java.lang.Double.doubleToLongBits(b),
+          s"group $gg: interp $a != percentile $b")
+      }
+    }
+  }
+
   test("KS statistic matches the hand-computed distance, any bucket count") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
