@@ -111,6 +111,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.size <= brute.size)
   }
 
+  test("multi-table multi-probe LSH hits production recall at k=10") {
+    // The production config (12 tables x 12 planes, Hamming<=3 probes)
+    // must clear min 0.8 / avg 0.9 per-query recall on the NEAR-RANDOM
+    // test embeddings (top-10 cosine ~0.3 — sign-LSH's hardest case);
+    // deterministic md5 planes make this a fixed number, not a flake.
+    val emb = Tables.embeddings(spark, dir)
+    val recalls = Similarity.recallEval(
+        Similarity.lshMultiTopK(emb, col("vec_id") < 10),
+        Similarity.bruteTopK(emb, col("vec_id") < 10, k = 10))
+      .select("recall").collect().map(_.getDouble(0))
+    assert(recalls.length == 10)
+    assert(recalls.min >= 0.8, s"min recall ${recalls.min}")
+    assert(recalls.sum / recalls.length >= 0.9,
+      s"avg recall ${recalls.sum / recalls.length}")
+  }
+
   test("IVF ANN probes one cell and keeps usable recall") {
     val emb = Tables.embeddings(spark, dir)
     val brute = Similarity.bruteTopK(emb, col("vec_id") < 10)
