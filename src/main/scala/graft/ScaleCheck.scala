@@ -296,6 +296,12 @@ object ScaleCheck {
       // linear in corpus blocks, tracking dd_exact's shape
       t("dd_paragraphs")(Dedup.paragraphDedup(docs)
         .agg(sum(length(col("clean_text")))).head.getLong(0)),
+      // variable-length exact-substring dedup: same slim shuffles as
+      // dd_paragraphs plus a run-merge window + groupBy over DUP-mass
+      // rows only — must track dd_paragraphs' wall, not exceed it by
+      // more than the dup fraction
+      t("dd_substr")(Dedup.substrDedup(docs)
+        .agg(sum(length(col("clean_text")))).head.getLong(0)),
       // distributed exact selection at corpus scale: two scans + a
       // G x B histogram + ~n/B probe rows per target — no per-group
       // sort anywhere. sum(p50_disc) forces the probe windows to run

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1301,6 +1302,124 @@ object Dedup {
       |  array_to_string(list(block ORDER BY pos), ' ') AS clean_text
       |FROM kept GROUP BY doc_id, n_blocks ORDER BY doc_id""".stripMargin
 
+  /** Variable-length exact-substring dedup — the published ≥50-token
+    * maximal-run rule (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better": drop duplicated runs of at least 50
+    * tokens), layered on [[paragraphDedup]]'s block machinery. Where
+    * dd_paragraphs drops every non-first duplicated 8-word block
+    * individually, this merges ADJACENT drop-candidate blocks into
+    * maximal duplicated runs (gaps-and-islands on block position) and
+    * drops a run only when its total word count clears `minRunWords` —
+    * short incidental repeats (a shared sentence fragment) survive,
+    * long lifted passages do not. Run words count the actual block
+    * lengths (the trailing block of a document may be short).
+    *
+    * Scale shape: identical to paragraphDedup up to the drop decision —
+    * block text dies at the scan, the count stage shuffles (16-byte md5,
+    * packed long, word count) per block. The run logic adds one window +
+    * one groupBy, both over DROP-CANDIDATE rows only (duplicated mass,
+    * not corpus mass), partitioned by doc_id with per-partition size
+    * bounded by a document's block count. Corpus text still crosses the
+    * wire exactly once, at the final rebuild join. */
+  def substrDedup(docs: DataFrame, blockWords: Int = 8,
+                  minRunWords: Int = 50): DataFrame = {
+    val words = split(col("text"), " ")
+    val nb = ceil(size(words).cast(DoubleType) / lit(blockWords.toDouble))
+      .cast(LongType)
+    val blocksArr = transform(sequence(lit(0L), nb - 1), i =>
+      concat_ws(" ", slice(words, (i * blockWords + 1).cast(IntegerType),
+        lit(blockWords))))
+    val slim = docs
+      .select(col("doc_id"), size(words).as("n_words"),
+        posexplode(blocksArr).as(Seq("pos", "block")))
+      .select(col("doc_id"), col("pos"), md5(col("block")).as("h"),
+        (col("doc_id") * 16777216L + col("pos")).as("k"),
+        least(lit(blockWords), col("n_words") - col("pos") * blockWords)
+          .as("wc"))
+    val dups = slim.groupBy(col("h"))
+      .agg(min(col("k")).as("keep_k"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("h"), col("keep_k"))
+    // non-first occurrences of duplicated blocks are drop CANDIDATES;
+    // the run threshold decides which actually drop
+    val cand = slim.join(dups, Seq("h"))
+      .filter(col("k") =!= col("keep_k"))
+      .select(col("doc_id"), col("pos"), col("wc"))
+    val wrun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = cand.withColumn("rid",
+      col("pos") - row_number().over(wrun))
+    val runWords = runs.groupBy(col("doc_id"), col("rid"))
+      .agg(sum(col("wc")).as("run_words"))
+    val dropped = runs.join(runWords, Seq("doc_id", "rid"))
+      .filter(col("run_words") >= minRunWords)
+      .select(col("doc_id"), col("rid"), col("pos"), col("wc"))
+    val dropStats = dropped.groupBy(col("doc_id"))
+      .agg(countDistinct(col("rid")).as("n_dropped_runs"),
+        sum(col("wc")).cast(LongType).as("words_dropped"))
+    val keptPos = slim
+      .join(dropped.select(col("doc_id"), col("pos"), lit(1).as("_d")),
+        Seq("doc_id", "pos"), "left")
+      .filter(col("_d").isNull)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("kept_pos"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"), nb.as("n_blocks"), blocksArr.as("blocks"))
+      .join(keptPos, Seq("doc_id"))
+      .join(dropStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        coalesce(col("n_dropped_runs"), lit(0L)).as("n_dropped_runs"),
+        coalesce(col("words_dropped"), lit(0L)).as("words_dropped"),
+        concat_ws(" ", transform(col("kept_pos"), p =>
+          element_at(col("blocks"), (p + 1).cast(IntegerType))))
+          .as("clean_text"))
+  }
+
+  def ddSubstr(spark: SparkSession, dir: String): DataFrame =
+    substrDedup(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Oracle replays block segmentation, the first-occurrence drop-
+    * candidate rule, and the gaps-and-islands run merge with the same
+    * packed keys and row_number arithmetic. */
+  val ddSubstrSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |blocks AS (
+      |  SELECT doc_id, nb AS n_blocks, i AS pos,
+      |    array_to_string(w[(i*8+1):(i*8+8)], ' ') AS block,
+      |    least(8, nw - i*8) AS wc
+      |  FROM (SELECT doc_id, w, len(w) AS nw,
+      |               CAST(ceil(len(w) / 8.0) AS BIGINT) AS nb
+      |        FROM w), unnest(range(0, nb)) r(i)),
+      |keyed AS (SELECT doc_id, n_blocks, pos, block, wc, md5(block) AS h,
+      |                 doc_id*16777216 + pos AS k FROM blocks),
+      |g AS (SELECT h, min(k) AS keep_k, count(*) AS n FROM keyed GROUP BY h),
+      |cand AS (
+      |  SELECT doc_id, pos, wc FROM keyed JOIN g USING (h)
+      |  WHERE n > 1 AND k <> keep_k),
+      |runs AS (
+      |  SELECT doc_id, pos, wc,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+      |  FROM cand),
+      |ra AS (SELECT doc_id, rid, sum(wc) AS run_words
+      |       FROM runs GROUP BY doc_id, rid),
+      |dropped AS (
+      |  SELECT doc_id, rid, pos, wc FROM runs JOIN ra USING (doc_id, rid)
+      |  WHERE run_words >= 50),
+      |ds AS (SELECT doc_id, count(DISTINCT rid) AS n_dropped_runs,
+      |              CAST(sum(wc) AS BIGINT) AS words_dropped
+      |       FROM dropped GROUP BY doc_id),
+      |kept AS (
+      |  SELECT k.doc_id, k.n_blocks, k.pos, k.block
+      |  FROM keyed k LEFT JOIN dropped d
+      |    ON k.doc_id = d.doc_id AND k.pos = d.pos
+      |  WHERE d.pos IS NULL)
+      |SELECT k.doc_id, any_value(k.n_blocks) AS n_blocks,
+      |  count(*) AS n_kept,
+      |  coalesce(any_value(ds.n_dropped_runs), 0) AS n_dropped_runs,
+      |  coalesce(any_value(ds.words_dropped), 0) AS words_dropped,
+      |  array_to_string(list(k.block ORDER BY k.pos), ' ') AS clean_text
+      |FROM kept k LEFT JOIN ds ON k.doc_id = ds.doc_id
+      |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin
+
   /** Cross-snapshot corpus overlap: how much of snapshot A's content
     * recurs in snapshot B — the "what fraction of the new crawl is
     * already in the corpus" table that decides whether a re-crawl is
@@ -1418,6 +1537,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_overlap" -> (ddOverlap _),
     "dd_paragraphs" -> (ddParagraphs _),
+    "dd_substr" -> (ddSubstr _),
     "dd_cluster" -> (ddCluster _),
     "dd_priority" -> (ddPriority _),
     "dd_incremental" -> (ddIncremental _),
@@ -1439,6 +1559,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dd_overlap" -> ddOverlapSql,
     "dd_paragraphs" -> ddParagraphsSql,
+    "dd_substr" -> ddSubstrSql,
     "dd_cluster" -> ddClusterSql,
     "dd_priority" -> ddPrioritySql,
     "dd_incremental" -> ddIncrementalSql,

@@ -59,6 +59,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     pairs.collect() // pair generation still runs on the pruned index
   }
 
+  test("substrDedup drops only duplicated runs clearing the token threshold") {
+    import spark.implicits._
+    // doc 0: 64 unique words + a 56-word passage P (7 blocks)
+    // doc 1: P lifted verbatim (>=50-word dup run -> dropped from doc 1,
+    //        kept in doc 0 as the first occurrence) + its own tail
+    // doc 2: repeats just one 8-word block of P (8 < 50 -> kept), + tail
+    val passage = (0 until 56).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (0L, (0 until 64).map(i => s"a$i").mkString(" ") + " " + passage),
+      (1L, passage + " " + (0 until 24).map(i => s"b$i").mkString(" ")),
+      (2L, (0 until 8).map(i => s"p$i").mkString(" ") + " " +
+        (0 until 24).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.substrDedup(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 0 keeps everything (first occurrence of P)
+    assert(out(0L).getAs[Long]("n_dropped_runs") === 0L)
+    assert(out(0L).getAs[Long]("words_dropped") === 0L)
+    // doc 1 loses exactly the 56-word passage as ONE maximal run
+    assert(out(1L).getAs[Long]("n_dropped_runs") === 1L)
+    assert(out(1L).getAs[Long]("words_dropped") === 56L)
+    assert(!out(1L).getAs[String]("clean_text").contains("p0"))
+    assert(out(1L).getAs[String]("clean_text").contains("b0"))
+    // doc 2's single duplicated block is below the 50-word bar: kept —
+    // the refinement over paragraphDedup, which drops it
+    assert(out(2L).getAs[Long]("n_dropped_runs") === 0L)
+    assert(out(2L).getAs[String]("clean_text").contains("p0"))
+    val para = Dedup.paragraphDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("clean_text")).toMap
+    assert(!para(2L).contains("p0"), "paragraphDedup should drop the lone block")
+  }
+
   test("connected components label chains, triangles and pairs transitively") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 propagation round), triangle
