@@ -73,11 +73,12 @@ object ScaleCheck {
     val base = Seq(
       t("tx_quality")(TextAnalysis.quality(docs).count()),
       t("tx_topterms")(TextAnalysis.topTerms(docs).count()),
-      // the multimodal mapPartitions path: synthesize binary payloads and
-      // parse them back — map-only, proves the imperative batch stage
-      // scales linearly like the codegen'd projections
+      // the multimodal mapPartitions path with REAL codecs: synthesize
+      // genuine PNG/WAV payloads (javax.imageio / RIFF-PCM) and decode
+      // them back — map-only, proves the per-file decode stage scales
+      // linearly like the codegen'd projections
       t("mm_meta")(graft.operators.Multimodal.extractMeta(
-        graft.operators.Multimodal.synthesize(docs)).count()),
+        graft.operators.Multimodal.synthReal(docs)).count()),
       // the imperative reference-parity path at corpus scale: per-record
       // Scala closure + row↔map codec over mapPartitions — must stay
       // linear like the declarative projections

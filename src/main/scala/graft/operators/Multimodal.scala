@@ -10,17 +10,21 @@ import graft.core.Tables
   *
   * Media payloads are opaque `binary` columns with typed metadata beside
   * them — the layout a 100 TB multimodal corpus uses (payload bytes in
-  * parquet, metadata columns prunable without touching bytes). Real codec
-  * libraries aren't in this container, so the *decode* step is a
-  * deterministic fake, but every piece of Spark plumbing is real:
-  * binary schema, batched partition-wise processing (the Scala equivalent
-  * of `mapInPandas` — one buffer per batch, not per row), magic-byte
-  * container sniffing, fixed-offset header parsing, and payload checksums
-  * computed from the actual bytes.
-  *
-  * The driver oracle cannot see the bytes, so it re-derives the expected
-  * metadata analytically from the same deterministic generator — the
-  * query passes only if synth → sniff → parse → checksum round-trips.
+  * parquet, metadata columns prunable without touching bytes). Decode is
+  * REAL where the JDK carries a lossless codec: PNG payloads are genuine
+  * PNG files (encoded and decoded with `javax.imageio` — zero extra
+  * dependencies) and WAV payloads are genuine RIFF/PCM files (decoded
+  * with `javax.sound.sampled`). Both codecs are lossless, so the decoded
+  * pixels/samples equal the deterministic generator law and the DuckDB
+  * oracle re-derives every checksum analytically — the query passes only
+  * if encode → sniff → DECODE → checksum round-trips through the real
+  * codec. JPEG remains the one documented stub (a fake container with a
+  * parseable header): JPEG is lossy, so decoded values aren't
+  * analytically derivable, and shipping a deterministic fake is more
+  * honest than an unverifiable decode. All processing is batched
+  * partition-wise (the Scala equivalent of `mapInPandas` — one buffer
+  * per batch, not per row) and map-only: no shuffle, and column pruning
+  * means metadata-only queries never load payload bytes.
   */
 object Multimodal {
 
@@ -28,6 +32,46 @@ object Multimodal {
   val JpegMagic: Array[Byte] = Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
   val WavMagic: Array[Byte] = Array('R', 'I', 'F', 'F', 'W', 'A', 'V', 'E')
   private val DataLen = 64
+
+  // ImageIO's default stream cache is a TEMP FILE per encode/decode call
+  // — at millions of payloads that is the dominant cost (and an inode
+  // churn hazard on executors). Keep everything in memory; runs once per
+  // JVM when the object loads on an executor.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Decode one PNG with a caller-owned reader (per-partition reuse —
+    * `ImageIO.read` re-scans the plugin registry and allocates a fresh
+    * stream wrapper per call, which dominates at millions of rows). */
+  private def readPng(reader: javax.imageio.ImageReader,
+                      p: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(p))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally iis.close()
+  }
+
+  private def pngReader(): javax.imageio.ImageReader =
+    javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+
+  private def pngWriter(): javax.imageio.ImageWriter =
+    javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+
+  /** Encode one image with a caller-owned writer (per-partition reuse —
+    * the `ImageIO.write` convenience re-scans the writer registry per
+    * call). */
+  private def writePng(writer: javax.imageio.ImageWriter,
+                       img: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.flush()
+    } finally ios.close()
+    baos.toByteArray
+  }
 
   /** Deterministic payload for row `id`: magic (by id%3) + big-endian
     * width/height + DataLen data bytes ((id+i)%256). Stands in for real
@@ -47,6 +91,117 @@ object Multimodal {
     magic ++ header ++ data
   }
 
+  // ---- Real-codec synthesis (PNG via javax.imageio, WAV via RIFF/PCM) ----
+
+  /** Deterministic grayscale PNG for row `id`: a real PNG file produced
+    * by `javax.imageio` from a TYPE_BYTE_GRAY image with
+    * luma(x, y) = (id + 7x + 13y) mod 256, w = id%24+8, h = id%18+6.
+    * PNG is lossless, so any decoder recovers exactly these bytes —
+    * which is what lets the DuckDB oracle verify a REAL decode
+    * analytically. */
+  private def pngImage(id: Long): java.awt.image.BufferedImage = {
+    val w = (id % 24 + 8).toInt
+    val h = (id % 18 + 6).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    // gray BufferedImage backs onto a flat byte buffer — fill it directly
+    // (per-pixel setSample costs ~10x at millions of rows)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        data(y * w + x) = ((id + 7L * x + 13L * y) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private[graft] def makePng(id: Long): Array[Byte] =
+    writePng(pngWriter(), pngImage(id))
+
+  /** Deterministic 8×8 grayscale PNG whose pixels ARE the given 64 luma
+    * bytes (row-major) — the real-codec carrier for [[phash]]. */
+  private def lumaImage(luma: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < 64) {
+      raster.setSample(i % 8, i / 8, 0, luma(i) & 0xff)
+      i += 1
+    }
+    img
+  }
+
+  private[graft] def lumaPng(luma: Array[Byte]): Array[Byte] =
+    writePng(pngWriter(), lumaImage(luma))
+
+  /** Deterministic 16-bit mono PCM WAV for row `id`: canonical 44-byte
+    * RIFF header + n = id%32+16 little-endian samples with
+    * sample(i) = (37·id + 101·i) mod 65536 (as the unsigned bit
+    * pattern). Real WAV — [[decodeWav]] reads it back through
+    * `javax.sound.sampled`. */
+  private[graft] def makeWav(id: Long): Array[Byte] = {
+    val n = (id % 32 + 16).toInt
+    val sampleRate = 8000
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort(((37L * id + 101L * i) % 65536L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Decode a WAV payload through the JDK audio stack: returns
+    * (sample count, sum of unsigned 16-bit sample patterns). */
+  private[graft] def decodeWav(p: Array[Byte]): (Int, Long) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(p))
+    try {
+      val bytes = in.readAllBytes()
+      var sum = 0L
+      var i = 0
+      while (i + 1 < bytes.length) {
+        sum += ((bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)).toLong
+        i += 2
+      }
+      (bytes.length / 2, sum)
+    } finally in.close()
+  }
+
+  /** Attach REAL media payloads: doc_id%3==0 → genuine PNG
+    * ([[makePng]]), %3==1 → the documented JPEG container stub,
+    * %3==2 → genuine WAV ([[makeWav]]). */
+  def synthReal(docs: DataFrame): DataFrame = {
+    val schema = StructType(docs.schema.fields :+ StructField("payload", BinaryType))
+    docs.mapPartitions { rows =>
+      val writer = pngWriter() // reused across the whole partition
+      rows.map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val payload = (id % 3) match {
+          case 0 => writePng(writer, pngImage(id))
+          case 2 => makeWav(id)
+          case _ => makePayload(id) // JPEG stub container (id%3==1 branch)
+        }
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
   /** Attach a synthesized binary payload column to the documents table. */
   def synthesize(docs: DataFrame): DataFrame = {
     val schema = StructType(docs.schema.fields :+ StructField("payload", BinaryType))
@@ -55,27 +210,18 @@ object Multimodal {
     }(Encoders.row(schema)).toDF()
   }
 
-  /** Textured media payload for perceptual hashing: same container
-    * layout as [[makePayload]] (magic by id%3 + big-endian dims) but the
-    * data section stands in for DECODED LUMA — 64 bytes drawn from md5
-    * (4 digests per doc: byte i = digest(g+":"+i/16)[i%16]), which mixes
-    * well enough that unrelated docs get independent fingerprints (the
-    * plain ramp payload is too regular: every dHash would collide and
-    * the band join would degenerate to one O(n²) bucket). Docs 2k and
-    * 2k+1 share base image g=k; the odd doc perturbs ONE luma byte
-    * (xor 0x80 at position k%64) — a planted near-duplicate law the
-    * oracle re-derives analytically. */
-  private def makeMediaPayload(id: Long): Array[Byte] = {
-    val magic = (id % 3) match {
-      case 0 => PngMagic
-      case 1 => JpegMagic
-      case _ => WavMagic
-    }
-    val width = (id % 1024 + 1).toInt
-    val height = (id % 768 + 1).toInt
-    val header = Array(
-      (width >> 24).toByte, (width >> 16).toByte, (width >> 8).toByte, width.toByte,
-      (height >> 24).toByte, (height >> 16).toByte, (height >> 8).toByte, height.toByte)
+  /** Textured media payload for perceptual hashing: a REAL 8×8
+    * grayscale PNG ([[lumaPng]] via javax.imageio) whose 64 pixels are
+    * drawn from md5 (4 digests per doc: pixel i = digest(g+":"+i/16)
+    * [i%16]), which mixes well enough that unrelated docs get
+    * independent fingerprints (a plain ramp image is too regular: every
+    * dHash would collide and the band join would degenerate to one
+    * O(n²) bucket). Docs 2k and 2k+1 share base image g=k; the odd doc
+    * perturbs ONE pixel (xor 0x80 at position k%64) — a planted
+    * near-duplicate law the oracle re-derives analytically, reachable
+    * only by actually decoding the PNG (lossless, so decoded pixels ==
+    * the law). */
+  private def mediaLuma(id: Long): Array[Byte] = {
     val g = id / 2
     val md = java.security.MessageDigest.getInstance("MD5")
     val luma = new Array[Byte](DataLen)
@@ -88,45 +234,48 @@ object Multimodal {
       val p = (g % DataLen).toInt
       luma(p) = (luma(p) ^ 0x80).toByte
     }
-    magic ++ header ++ luma
+    luma
   }
 
-  /** Attach the textured (luma-bearing) payload — the input to
+  /** Attach the textured (luma-bearing) real-PNG payload — the input to
     * [[phash]] / [[Dedup.mediaPairs]]. */
   def synthMedia(docs: DataFrame): DataFrame = {
     val schema = StructType(docs.schema.fields :+ StructField("payload", BinaryType))
     docs.mapPartitions { rows =>
-      rows.map(r => Row.fromSeq(r.toSeq :+ makeMediaPayload(r.getAs[Long]("doc_id"))))
+      val writer = pngWriter() // reused across the whole partition
+      rows.map(r => Row.fromSeq(r.toSeq :+
+        writePng(writer, lumaImage(mediaLuma(r.getAs[Long]("doc_id"))))))
     }(Encoders.row(schema)).toDF()
   }
 
-  /** 64-bit difference-hash (dHash) perceptual fingerprint over the
-    * payload's decoded-luma section: bit i = [luma[(i+1)%64] > luma[i]]
-    * — a one-byte change in the image moves at most 2 bits, so near-
-    * identical media land within the band-join hamming radius. Packed as
-    * two positive 32-bit halves (ph_lo bits 0..31, ph_hi 32..63), the
-    * same signed-safe carriage as [[Dedup.simhash]], so the band
-    * machinery and the DuckDB oracle apply unchanged. Map-only: sniffs
-    * the container magic, skips the header, reads bytes — no shuffle,
-    * and at 100 TB this is the per-file decode pass feeding a cheap
-    * 16-byte-per-item dedup index. */
+  /** 64-bit difference-hash (dHash) perceptual fingerprint: DECODE the
+    * PNG payload with javax.imageio, read the 8×8 gray raster row-major
+    * as luma, then bit i = [luma[(i+1)%64] > luma[i]] — a one-pixel
+    * change in the image moves at most 2 bits, so near-identical media
+    * land within the band-join hamming radius. Packed as two positive
+    * 32-bit halves (ph_lo bits 0..31, ph_hi 32..63), the same
+    * signed-safe carriage as [[Dedup.simhash]], so the band machinery
+    * and the DuckDB oracle apply unchanged. Map-only: at 100 TB this is
+    * the per-file decode pass feeding a cheap 16-byte-per-item dedup
+    * index. */
   def phash(withPayload: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("ph_lo", LongType),
       StructField("ph_hi", LongType)))
     withPayload.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      val reader = pngReader() // reused across the whole partition
       rows.map { r =>
         val id = r.getLong(0)
         val p = r.getAs[Array[Byte]](1)
-        val headerOff =
-          if (p.length >= 4 && p.take(4).sameElements(JpegMagic)) 12 else 16
-        val luma = p.drop(headerOff)
+        val img = readPng(reader, p)
+        val luma = img.getRaster.getSamples(0, 0, 8, 8, 0, null: Array[Int])
+        var i = 0
         var lo = 0L
         var hi = 0L
-        var i = 0
+        i = 0
         while (i < 64) {
-          if ((luma((i + 1) % 64) & 0xff) > (luma(i) & 0xff)) {
+          if (luma((i + 1) % 64) > luma(i)) {
             if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
           }
           i += 1
@@ -140,8 +289,8 @@ object Multimodal {
     phash(synthMedia(Tables.documents(spark, dir))).orderBy("doc_id")
 
   /** Oracle rebuilds every luma byte from the generator law, then the
-    * same dHash — passes only if synth, sniff, header skip, and the
-    * byte-level bit packing all round-trip exactly. */
+    * same dHash — passes only if PNG encode, REAL javax.imageio decode,
+    * raster read-out, and the bit packing all round-trip exactly. */
   val mmPhashSql: String =
     """WITH luma AS (
       |  SELECT doc_id, i,
@@ -159,38 +308,57 @@ object Multimodal {
       |  sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END)::BIGINT AS ph_hi
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** Sniff container type from magic bytes and parse header metadata —
-    * batched per partition (no per-row task overhead), reading only the
-    * payload prefix. At scale this is a map-only stage: no shuffle, and
-    * column pruning means sibling metadata-only queries never load bytes. */
+  /** Sniff container type from magic bytes, then DECODE: PNG through
+    * `javax.imageio` (width/height/pixels from the real decoder), WAV
+    * through `javax.sound.sampled` (sample count/values from the real
+    * decoder), JPEG via the documented header-parse stub (lossy codec —
+    * decoded values wouldn't be oracle-derivable). Output is decoded
+    * content metadata: (width, height) of the decoded raster (for audio:
+    * sample count × 1), n_units = pixels or samples decoded, checksum =
+    * sum of decoded luma / unsigned sample patterns. Batched per
+    * partition, map-only — no shuffle; at 100 TB this is the per-file
+    * decode pass, and column pruning keeps metadata-only readers from
+    * ever loading payload bytes. */
   def extractMeta(withPayload: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("media_type", StringType),
       StructField("width", IntegerType),
       StructField("height", IntegerType),
-      StructField("n_bytes", IntegerType),
-      StructField("data_checksum", LongType)))
+      StructField("n_units", IntegerType),
+      StructField("checksum", LongType)))
     withPayload.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      val reader = pngReader() // reused across the whole partition
       rows.map { r =>
         val id = r.getLong(0)
         val p = r.getAs[Array[Byte]](1)
-        val mediaType =
-          if (p.length >= 8 && p.take(8).sameElements(PngMagic)) "image/png"
-          else if (p.length >= 4 && p.take(4).sameElements(JpegMagic)) "image/jpeg"
-          else if (p.length >= 8 && p.take(8).sameElements(WavMagic)) "audio/wav"
-          else "application/octet-stream"
-        val headerOff = mediaType match {
-          case "image/jpeg" => 4
-          case _            => 8
-        }
         def be32(off: Int): Int =
           ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
             ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
-        val width = be32(headerOff)
-        val height = be32(headerOff + 4)
-        val checksum = p.drop(headerOff + 8).foldLeft(0L)((acc, b) => acc + (b & 0xff))
-        Row(id, mediaType, width, height, p.length, checksum)
+        val img = if (p.length >= 8 && p.take(8).sameElements(PngMagic))
+          readPng(reader, p)
+        else null
+        if (img != null) {
+          // real decode — ImageIO parsed the whole PNG, not just a header
+          val w = img.getWidth
+          val h = img.getHeight
+          val px = img.getRaster.getSamples(0, 0, w, h, 0, null: Array[Int])
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); i += 1 }
+          Row(id, "image/png", w, h, w * h, sum)
+        } else if (p.length >= 12 &&
+            p.take(4).sameElements("RIFF".getBytes("US-ASCII")) &&
+            p.slice(8, 12).sameElements("WAVE".getBytes("US-ASCII"))) {
+          val (n, sum) = decodeWav(p)
+          Row(id, "audio/wav", n, 1, n, sum)
+        } else if (p.length >= 4 && p.take(4).sameElements(JpegMagic)) {
+          // documented stub: parse the fake container's header + data
+          val checksum = p.drop(12).foldLeft(0L)((acc, b) => acc + (b & 0xff))
+          Row(id, "image/jpeg", be32(4), be32(8), p.length - 12, checksum)
+        } else {
+          Row(id, "application/octet-stream", 0, 0, p.length, 0L)
+        }
       }
     }(Encoders.row(schema)).toDF()
   }
@@ -254,29 +422,57 @@ object Multimodal {
   }
 
   def mmMeta(spark: SparkSession, dir: String): DataFrame =
-    extractMeta(synthesize(Tables.documents(spark, dir))).orderBy("doc_id")
+    extractMeta(synthReal(Tables.documents(spark, dir))).orderBy("doc_id")
 
-  /** Oracle re-derives metadata analytically from the generator law —
-    * matches only if the byte-level synth/sniff/parse round-trip is right. */
+  /** Oracle re-derives decoded metadata analytically from the generator
+    * laws — it can only match if the REAL codecs round-trip: the PNG
+    * checksum is the pixel-law sum, recoverable solely by actually
+    * decoding the PNG bytes javax.imageio wrote; same for WAV samples. */
   val mmMetaSql: String =
-    """SELECT doc_id,
-      |  CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
-      |    ELSE 'audio/wav' END AS media_type,
-      |  CAST(doc_id % 1024 + 1 AS INTEGER) AS width,
-      |  CAST(doc_id % 768 + 1 AS INTEGER) AS height,
-      |  CAST(CASE doc_id % 3 WHEN 1 THEN 4 ELSE 8 END + 8 + 64 AS INTEGER) AS n_bytes,
-      |  CAST(list_sum(list_transform(range(0, 64), i -> (doc_id + i) % 256)) AS BIGINT)
-      |    AS data_checksum
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH m AS (SELECT doc_id, doc_id % 3 AS k FROM documents),
+      |png AS (
+      |  SELECT doc_id, CAST(doc_id % 24 + 8 AS INTEGER) AS width,
+      |         CAST(doc_id % 18 + 6 AS INTEGER) AS height
+      |  FROM m WHERE k = 0),
+      |pngout AS (
+      |  SELECT p.doc_id, 'image/png' AS media_type, p.width, p.height,
+      |    p.width * p.height AS n_units,
+      |    CAST(sum((p.doc_id + 7*x + 13*y) % 256) AS BIGINT) AS checksum
+      |  FROM png p, unnest(range(0, p.width)) rx(x),
+      |       unnest(range(0, p.height)) ry(y)
+      |  GROUP BY p.doc_id, p.width, p.height),
+      |jout AS (
+      |  SELECT doc_id, 'image/jpeg' AS media_type,
+      |    CAST(doc_id % 1024 + 1 AS INTEGER) AS width,
+      |    CAST(doc_id % 768 + 1 AS INTEGER) AS height,
+      |    64 AS n_units,
+      |    CAST(list_sum(list_transform(range(0, 64), i -> (doc_id + i) % 256))
+      |         AS BIGINT) AS checksum
+      |  FROM m WHERE k = 1),
+      |wout AS (
+      |  SELECT doc_id, 'audio/wav' AS media_type,
+      |    CAST(doc_id % 32 + 16 AS INTEGER) AS width, 1 AS height,
+      |    CAST(doc_id % 32 + 16 AS INTEGER) AS n_units,
+      |    CAST(list_sum(list_transform(range(0, doc_id % 32 + 16),
+      |         i -> (37*doc_id + 101*i) % 65536)) AS BIGINT) AS checksum
+      |  FROM m WHERE k = 2)
+      |SELECT doc_id, media_type, CAST(width AS INTEGER) AS width,
+      |  CAST(height AS INTEGER) AS height, CAST(n_units AS INTEGER) AS n_units,
+      |  checksum
+      |FROM (SELECT * FROM pngout UNION ALL SELECT * FROM jout
+      |      UNION ALL SELECT * FROM wout)
+      |ORDER BY doc_id""".stripMargin
 
-  /** mm_resize: the full synth → sniff → parse → resize-plan chain,
-    * driver-checked. The decode is the documented stub, but the resize
-    * ARITHMETIC (aspect-preserving fit into a box) and every byte of
-    * plumbing before it are real; the oracle re-derives the expected
-    * output dimensions from the generator law with the identical
-    * double-precision expression. */
+  /** mm_resize: the full synth → sniff → REAL PNG decode → resize-plan
+    * chain over the image rows (resizing audio is meaningless, so WAV
+    * rows are filtered). The decoded dimensions come from the actual
+    * codec ([[extractMeta]]); the resize ARITHMETIC (aspect-preserving
+    * fit into a box) is oracle-checked against the generator law, and
+    * the pixel-level raster resize itself is spec-verified (Java2D
+    * interpolated values aren't analytically derivable in SQL). */
   def mmResize(spark: SparkSession, dir: String): DataFrame =
-    resizeMeta(extractMeta(synthesize(Tables.documents(spark, dir))))
+    resizeMeta(extractMeta(synthReal(Tables.documents(spark, dir)))
+        .filter(col("media_type").startsWith("image/")))
       .select(col("doc_id"), col("media_type"), col("width"), col("height"),
         col("out_w"), col("out_h"))
       .orderBy("doc_id")
@@ -284,17 +480,39 @@ object Multimodal {
   val mmResizeSql: String =
     """WITH m AS (
       |  SELECT doc_id,
-      |    CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
-      |      ELSE 'audio/wav' END AS media_type,
-      |    CAST(doc_id % 1024 + 1 AS INTEGER) AS width,
-      |    CAST(doc_id % 768 + 1 AS INTEGER) AS height
-      |  FROM documents),
+      |    CASE doc_id % 3 WHEN 0 THEN 'image/png' ELSE 'image/jpeg' END
+      |      AS media_type,
+      |    CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 24 + 8 AS INTEGER)
+      |      ELSE CAST(doc_id % 1024 + 1 AS INTEGER) END AS width,
+      |    CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 18 + 6 AS INTEGER)
+      |      ELSE CAST(doc_id % 768 + 1 AS INTEGER) END AS height
+      |  FROM documents WHERE doc_id % 3 < 2),
       |s AS (
       |  SELECT *, least(32.0 / width, 32.0 / height) AS scale FROM m)
       |SELECT doc_id, media_type, width, height,
       |  greatest(CAST(floor(width * scale) AS INTEGER), 1) AS out_w,
       |  greatest(CAST(floor(height * scale) AS INTEGER), 1) AS out_h
       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Real raster resize (the step [[resizeMeta]] plans): decode a PNG
+    * payload, scale into the box with Java2D bilinear interpolation,
+    * return the resized gray raster. Spec-verified for dimensions and
+    * pixel content; not part of the SQL-oracle surface because
+    * interpolated values are implementation-defined. */
+  private[graft] def resizePng(p: Array[Byte], box: Int = 32): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    val scale = math.min(box.toDouble / img.getWidth, box.toDouble / img.getHeight)
+    val ow = math.max(math.floor(img.getWidth * scale).toInt, 1)
+    val oh = math.max(math.floor(img.getHeight * scale).toInt, 1)
+    val out = new java.awt.image.BufferedImage(
+      ow, oh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = out.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, ow, oh, null)
+    g.dispose()
+    out
+  }
 
   /** mm_frames: driver-checked frame sampling. The payload's data
     * section is framed (8-byte frames, keep every 4th) and each kept

@@ -620,6 +620,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f0.toSeq === (0 until 8).map(_.toByte))
   }
 
+  test("real PNG/WAV codecs round-trip the generator laws exactly") {
+    import graft.operators.Multimodal
+    // PNG: javax.imageio encode -> decode recovers the pixel law bit-exact
+    val png = Multimodal.makePng(6L) // doc 6: w=14, h=12
+    assert(png.take(8).toSeq === Multimodal.PngMagic.toSeq, "not a real PNG file")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === 14 && img.getHeight === 12)
+    for (y <- 0 until 12; x <- 0 until 14)
+      assert(img.getRaster.getSample(x, y, 0) === ((6L + 7 * x + 13 * y) % 256).toInt)
+    // WAV: RIFF/PCM through javax.sound.sampled recovers the sample law
+    val wav = Multimodal.makeWav(8L) // doc 8: n = 24 samples
+    val (n, sum) = Multimodal.decodeWav(wav)
+    assert(n === 24)
+    assert(sum === (0 until 24).map(i => (37L * 8 + 101L * i) % 65536).sum)
+    // real raster resize: decoded PNG scaled into the 32-box by Java2D
+    val resized = Multimodal.resizePng(png)
+    assert(resized.getWidth === 32 && resized.getHeight === 27) // 14x12 * 32/14
+    // upscaled corner pixel approximates the source corner (bilinear)
+    assert(math.abs(resized.getRaster.getSample(0, 0, 0) -
+      img.getRaster.getSample(0, 0, 0)) <= 16)
+  }
+
   test("scrub masks PII shapes and normalizes whitespace") {
     import spark.implicits._
     val docs = Seq(
