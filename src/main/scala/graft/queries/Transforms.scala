@@ -147,6 +147,43 @@ object Transforms {
       |  o_totalprice + o_totalprice * 2 AS arr_sum, o_totalprice AS p
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** ENUM schema type through the script boundary (ref
+    * PythonObjectsEncoder.java:51,129 — ENUM encodes as its symbol
+    * string; the reference's decode throws even on valid data, Graft
+    * validates both directions). The INPUT declares l_returnflag as an
+    * enum of its three symbols (decode-validated against the declared
+    * set), and the OUTPUT declares a status enum the script emits both
+    * ways — by symbol string and by ordinal int — so encode validation
+    * and ordinal coercion are both on the driver-checked path. */
+  def xfEnum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.transform.SchemaCodec
+    val in = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_returnflag").as("rflag",
+        SchemaCodec.enumField("rflag", Seq("A", "N", "R")).metadata))
+    val out = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      SchemaCodec.enumField("status", Seq("RETURN", "PENDING", "SHIPPED"))))
+    ScriptTransform(in, out) { (r, em, _) =>
+      val status: Any = r("rflag") match {
+        case "R" => 0        // ordinal form: coerced to "RETURN"
+        case "A" => "SHIPPED" // symbol form: validated pass-through
+        case _   => "PENDING"
+      }
+      em.emit(Map(
+        "l_orderkey" -> r("l_orderkey"),
+        "l_linenumber" -> r("l_linenumber"),
+        "status" -> status))
+    }.out.localCheckpoint().orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val xfEnumSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE l_returnflag WHEN 'R' THEN 'RETURN' WHEN 'A' THEN 'SHIPPED'
+      |    ELSE 'PENDING' END AS status
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** Fully-imperative script: per-record conditional filter + computed
     * field + stage metrics, distributed via mapPartitions (the reference's
     * Native-mode equivalent). */
@@ -429,6 +466,7 @@ object Transforms {
     "xf_filter" -> (xfFilter _),
     "xf_args" -> (xfArgs _),
     "xf_nested" -> (xfNested _),
+    "xf_enum" -> (xfEnum _),
     "xf_script" -> (xfScript _))
 
   val oracles: Map[String, String] = Map(
@@ -446,5 +484,6 @@ object Transforms {
     "xf_filter" -> xfFilterSql,
     "xf_args" -> xfArgsSql,
     "xf_nested" -> xfNestedSql,
+    "xf_enum" -> xfEnumSql,
     "xf_script" -> xfScriptSql)
 }

@@ -41,6 +41,44 @@ object SchemaCodec {
   def isUnionField(f: StructField): Boolean =
     f.metadata.contains(UnionMarker) && f.dataType.isInstanceOf[StructType]
 
+  /** Marker carrying an ENUM's symbol list. Spark has no enum type — the
+    * on-wire representation is a string column (the same mapping the
+    * reference's encoder applies: ENUM encodes as its symbol string, ref:
+    * PythonObjectsEncoder.java:51,129) — but the codec VALIDATES against
+    * the declared symbols in both directions: a non-symbol in the data is
+    * corruption (decode throws), a non-symbol emitted by a script is a
+    * script bug (encode throws). The reference only encodes and throws on
+    * decode; Graft supports both directions, plus the ordinal-int
+    * convenience on encode (scripts may emit the symbol's index). */
+  private val EnumMarker = "graft.enum.symbols"
+
+  /** String field declaring an enum with `symbols` (declaration order =
+    * ordinal order). */
+  def enumField(name: String, symbols: Seq[String]): StructField =
+    StructField(name, StringType, nullable = true,
+      new MetadataBuilder().putStringArray(EnumMarker, symbols.toArray).build())
+
+  def isEnumField(f: StructField): Boolean =
+    f.metadata.contains(EnumMarker) && f.dataType == StringType
+
+  def enumSymbols(f: StructField): Array[String] =
+    f.metadata.getStringArray(EnumMarker)
+
+  private def checkEnum(v: Any, symbols: Array[String], dir: String): Any =
+    v match {
+      case null => null
+      case s: String =>
+        if (symbols.contains(s)) s
+        else throw new IllegalArgumentException(
+          s"'$s' is not a symbol of enum ${symbols.mkString("[", ",", "]")} ($dir)")
+      case i: java.lang.Integer => // ordinal form (encode-side convenience)
+        if (i >= 0 && i < symbols.length) symbols(i)
+        else throw new IllegalArgumentException(
+          s"ordinal $i out of range for enum ${symbols.mkString("[", ",", "]")} ($dir)")
+      case other => throw new IllegalArgumentException(
+        s"${other.getClass.getName} is not a valid enum value ($dir)")
+    }
+
   /** Union row (struct-of-options) → the single non-null branch value,
     * decoded; null if all branches are null (the `[null, ...]` case). */
   def fromUnion(row: Row, ut: StructType): Any = {
@@ -115,6 +153,7 @@ object SchemaCodec {
       val f = fields(i)
       if (isUnionField(f))
         fromUnion(row.get(i).asInstanceOf[Row], f.dataType.asInstanceOf[StructType])
+      else if (isEnumField(f)) checkEnum(row.get(i), enumSymbols(f), "decode")
       else decode(row.get(i), f.dataType)
     }
 
@@ -148,6 +187,7 @@ object SchemaCodec {
       val v =
         if (isUnionField(f))
           fromUnion(row.get(i).asInstanceOf[Row], f.dataType.asInstanceOf[StructType])
+        else if (isEnumField(f)) checkEnum(row.get(i), enumSymbols(f), "decode")
         else decode(row.get(i), f.dataType)
       b += f.name -> v
       i += 1
@@ -187,6 +227,7 @@ object SchemaCodec {
       val raw = m.getOrElse(f.name, null)
       values(i) =
         if (isUnionField(f)) toUnion(raw, f.dataType.asInstanceOf[StructType])
+        else if (isEnumField(f)) checkEnum(raw, enumSymbols(f), "encode")
         else encode(raw, f.dataType)
       i += 1
     }

@@ -78,6 +78,38 @@ class SchemaCodecPropSpec extends AnyFunSuite {
     }
   }
 
+  test("enum codec validates symbols both directions and coerces ordinals") {
+    val symbols = Seq("RED", "GREEN", "BLUE")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      SchemaCodec.enumField("c", symbols)))
+    // encode: any declared symbol or its ordinal round-trips to the symbol
+    forAll(Gen.zip(Gen.long, Gen.chooseNum(0, 2))) { case (id, ord) =>
+      val bySym = SchemaCodec.mapToRow(Map("id" -> id, "c" -> symbols(ord)), schema)
+      val byOrd = SchemaCodec.mapToRow(Map("id" -> id, "c" -> ord), schema)
+      assert(bySym.getString(1) === symbols(ord))
+      assert(byOrd.getString(1) === symbols(ord))
+      // decode: validated pass-through
+      assert(SchemaCodec.rowToMap(bySym, schema)("c") === symbols(ord))
+    }
+    // null stays null (the [null, enum] case)
+    assert(SchemaCodec.mapToRow(Map("id" -> 1L, "c" -> null), schema).get(1) == null)
+    // a non-symbol emitted by a script is a script bug -> loud failure
+    intercept[IllegalArgumentException] {
+      SchemaCodec.mapToRow(Map("id" -> 1L, "c" -> "MAUVE"), schema)
+    }
+    intercept[IllegalArgumentException] { // ordinal out of range
+      SchemaCodec.mapToRow(Map("id" -> 1L, "c" -> 7), schema)
+    }
+    // a non-symbol in the DATA is corruption -> decode throws (the
+    // reference's decode throws unconditionally; we throw only on bad data)
+    val corrupt = new org.apache.spark.sql.catalyst.expressions.GenericRow(
+      Array[Any](1L, "MAUVE"))
+    intercept[IllegalArgumentException] {
+      SchemaCodec.rowToMap(org.apache.spark.sql.Row.fromSeq(corrupt.toSeq), schema)
+    }
+  }
+
   test("WireCodec: fromWire . toWire is identity for binary/datetime trees (via JSON)") {
     import graft.transform.WireCodec
     val wireSchema = StructType(Seq(
