@@ -605,6 +605,125 @@ object TextAnalysis {
        |ORDER BY i, j""".stripMargin
   }
 
+  /** tx_scorer_serve: the CLOSED training loop as one driver-checked
+    * query — train ([[scorerMoments]]'s moment shape) → SOLVE → serve
+    * the fitted weights back over the corpus, all in-engine. The model
+    * is the 2-coarse-bucket distillation of the ml scorer (features
+    * c0/c1 = token counts per bucket, label y = the doc's exact integer
+    * weight sum from [[mlQuality]]'s law), so the solve is a 3×3 normal
+    * system — small enough for CRAMER'S RULE on exact DECIMAL(38,0)
+    * integers, which is what makes a *solve* cross-engine
+    * bit-reproducible (float Gaussian elimination would be
+    * order-sensitive; 3×3 integer determinants are pure arithmetic both
+    * engines replay digit-for-digit). The k=8 production fit keeps the
+    * documented decomposition (tx_scorer_fit moments + O(k³) driver
+    * solve, OperatorsSpec); this query is the end-to-end composition at
+    * the size where the solve itself fits the oracle surface.
+    *
+    * Scale shape: one (doc_id, 3-long) map-combined shuffle for perDoc,
+    * one 9-cell global partial for the moments, a broadcast 1-row dets
+    * join back — corpus text dies at the scan, nothing quadratic
+    * anywhere. Determinant magnitude bound: |det| ≤ ~10³⁵ at sf0.1
+    * (DECIMAL(38,0) headroom ~3 digits; beyond that, shift to the
+    * spec's driver-side big-integer solve).
+    *
+    * pred = (d0 + d1·c0 + d2·c1)/detA via one exact-integer numerator
+    * and a single double division — both engines convert the identical
+    * integers (round-to-nearest) and divide once, so even the doubles
+    * hash-match. */
+  def txScorerServe(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val base = md5Long(col("term"), 1, 15)
+    val j64 = pmod(base, lit(64L))
+    val wInt = md5Long(concat(lit("w:"), j64.cast(StringType)), 1, 10)
+    val b2 = pmod(base, lit(2L))
+    val perDoc = tok.select(col("doc_id"), b2.as("b"), wInt.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("y"),
+        sum(when(col("b") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("b") === 1, 1L).otherwise(0L)).as("c1"))
+    val dec = DecimalType(38, 0)
+    def d(c: Column) = c.cast(dec)
+    val mom = perDoc.agg(
+      count(lit(1)).cast(dec).as("m00"),
+      sum(d(col("c0"))).as("m01"), sum(d(col("c1"))).as("m02"),
+      sum(d(col("c0")) * d(col("c0"))).as("m11"),
+      sum(d(col("c0")) * d(col("c1"))).as("m12"),
+      sum(d(col("c1")) * d(col("c1"))).as("m22"),
+      sum(d(col("y"))).as("v0"),
+      sum(d(col("c0")) * d(col("y"))).as("v1"),
+      sum(d(col("c1")) * d(col("y"))).as("v2"))
+    // Cramer: detA, and det with column i replaced by (v0,v1,v2)
+    val dets = mom.select(
+      (col("m00") * (col("m11") * col("m22") - col("m12") * col("m12"))
+        - col("m01") * (col("m01") * col("m22") - col("m12") * col("m02"))
+        + col("m02") * (col("m01") * col("m12") - col("m11") * col("m02")))
+        .as("da"),
+      (col("v0") * (col("m11") * col("m22") - col("m12") * col("m12"))
+        - col("m01") * (col("v1") * col("m22") - col("m12") * col("v2"))
+        + col("m02") * (col("v1") * col("m12") - col("m11") * col("v2")))
+        .as("d0"),
+      (col("m00") * (col("v1") * col("m22") - col("m12") * col("v2"))
+        - col("v0") * (col("m01") * col("m22") - col("m12") * col("m02"))
+        + col("m02") * (col("m01") * col("v2") - col("v1") * col("m02")))
+        .as("d1"),
+      (col("m00") * (col("m11") * col("v2") - col("v1") * col("m12"))
+        - col("m01") * (col("m01") * col("v2") - col("v1") * col("m02"))
+        + col("v0") * (col("m01") * col("m12") - col("m11") * col("m02")))
+        .as("d2"))
+    val num = col("d0") + col("d1") * d(col("c0")) + col("d2") * d(col("c1"))
+    perDoc.crossJoin(broadcast(dets))
+      .select(col("doc_id"), col("c0"), col("c1"), col("y"),
+        (num.cast(DoubleType) / col("da").cast(DoubleType)).as("pred"))
+      .withColumn("keep", col("pred") > col("y").cast(DoubleType))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle replays the identical chain with HUGEINT determinants. */
+  val txScorerServeSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    ('0x'||substr(md5(term),1,15))::BIGINT % 2 AS b,
+      |    ('0x'||substr(md5('w:'||CAST(
+      |      ('0x'||substr(md5(term),1,15))::BIGINT % 64 AS VARCHAR)),1,10))::BIGINT AS w
+      |  FROM tok WHERE term <> ''),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS y,
+      |    CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM f GROUP BY doc_id),
+      |mom AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS m00,
+      |    CAST(sum(c0) AS HUGEINT) AS m01, CAST(sum(c1) AS HUGEINT) AS m02,
+      |    sum(CAST(c0 AS HUGEINT)*CAST(c0 AS HUGEINT)) AS m11,
+      |    sum(CAST(c0 AS HUGEINT)*CAST(c1 AS HUGEINT)) AS m12,
+      |    sum(CAST(c1 AS HUGEINT)*CAST(c1 AS HUGEINT)) AS m22,
+      |    sum(CAST(y AS HUGEINT)) AS v0,
+      |    sum(CAST(c0 AS HUGEINT)*CAST(y AS HUGEINT)) AS v1,
+      |    sum(CAST(c1 AS HUGEINT)*CAST(y AS HUGEINT)) AS v2
+      |  FROM perdoc),
+      |dets AS (
+      |  SELECT
+      |    m00*(m11*m22 - m12*m12) - m01*(m01*m22 - m12*m02)
+      |      + m02*(m01*m12 - m11*m02) AS da,
+      |    v0*(m11*m22 - m12*m12) - m01*(v1*m22 - m12*v2)
+      |      + m02*(v1*m12 - m11*v2) AS d0,
+      |    m00*(v1*m22 - m12*v2) - v0*(m01*m22 - m12*m02)
+      |      + m02*(m01*v2 - v1*m02) AS d1,
+      |    m00*(m11*v2 - v1*m12) - m01*(m01*v2 - v1*m02)
+      |      + v0*(m01*m12 - m11*m02) AS d2
+      |  FROM mom)
+      |SELECT doc_id, c0, c1, y,
+      |  CAST(d0 + d1*CAST(c0 AS HUGEINT) + d2*CAST(c1 AS HUGEINT) AS DOUBLE)
+      |    / CAST(da AS DOUBLE) AS pred,
+      |  CAST(d0 + d1*CAST(c0 AS HUGEINT) + d2*CAST(c1 AS HUGEINT) AS DOUBLE)
+      |    / CAST(da AS DOUBLE) > CAST(y AS DOUBLE) AS keep
+      |FROM perdoc CROSS JOIN dets ORDER BY doc_id""".stripMargin
+
   val txMlQualitySql: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -2034,6 +2153,7 @@ object TextAnalysis {
     "tx_drift" -> (txDrift _),
     "tx_ks_drift" -> (txKsDrift _),
     "tx_scorer_fit" -> (txScorerFit _),
+    "tx_scorer_serve" -> (txScorerServe _),
     "tx_sft_pairs" -> (txSftPairs _),
     "tx_cmsketch" -> (txCmSketch _),
     "tx_fluency" -> (txFluency _),
@@ -2068,6 +2188,7 @@ object TextAnalysis {
     "tx_drift" -> txDriftSql,
     "tx_ks_drift" -> txKsDriftSql,
     "tx_scorer_fit" -> txScorerFitSql,
+    "tx_scorer_serve" -> txScorerServeSql,
     "tx_sft_pairs" -> txSftPairsSql,
     "tx_cmsketch" -> txCmSketchSql,
     "tx_fluency" -> txFluencySql,

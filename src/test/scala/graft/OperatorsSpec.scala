@@ -1471,6 +1471,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"moved ${movers.length} of 2000")
   }
 
+  test("tx_scorer_serve: in-engine Cramer fit satisfies the least-squares certificate") {
+    // The defining property of the normal-equation solution — residuals
+    // orthogonal to every regressor (Σr = Σr·c0 = Σr·c1 = 0) — checked
+    // on the actual served output. This can only hold if train → solve →
+    // serve composed correctly; it is independent of how the solve was
+    // done, so it certifies the round trip rather than re-deriving it.
+    val out = graft.operators.TextAnalysis.txScorerServe(spark, dir).collect()
+    assert(out.length == 500)
+    val resid = out.map(r => r.getAs[Double]("pred") - r.getAs[Long]("y").toDouble)
+    val c0 = out.map(_.getAs[Long]("c0").toDouble)
+    val c1 = out.map(_.getAs[Long]("c1").toDouble)
+    val yScale = out.map(r => math.abs(r.getAs[Long]("y").toDouble)).sum
+    assert(math.abs(resid.sum) / yScale < 1e-9, s"intercept orthogonality ${resid.sum}")
+    assert(math.abs(resid.zip(c0).map { case (r, c) => r * c }.sum) /
+      (yScale * c0.max) < 1e-9, "c0 orthogonality")
+    assert(math.abs(resid.zip(c1).map { case (r, c) => r * c }.sum) /
+      (yScale * c1.max) < 1e-9, "c1 orthogonality")
+    // and the fit genuinely explains the label (R^2): token counts carry
+    // most of the weight-sum signal, so the distilled model must too
+    val my = out.map(_.getAs[Long]("y").toDouble).sum / out.length
+    val ssTot = out.map(r => math.pow(r.getAs[Long]("y").toDouble - my, 2)).sum
+    val ssRes = resid.map(r => r * r).sum
+    assert(1.0 - ssRes / ssTot > 0.95, s"R^2 ${1.0 - ssRes / ssTot}")
+  }
+
   test("scorer moments: normal-equation solve recovers a planted linear model") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
