@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.core.Tables
 import org.apache.spark.sql.graft.VectorExprs.md5Long
@@ -343,6 +344,120 @@ object Sampling {
       |  CAST(least(n_chars, 2048 - seq_off) AS BIGINT) AS n_kept,
       |  least(n_chars, 2048 - seq_off) < n_chars AS truncated
       |FROM p ORDER BY start_off""".stripMargin
+
+  /** TRUE next-fit packing with pad-to-boundary — the third packing
+    * policy (q_pack splits docs across sequences; q_pack_docs truncates
+    * at boundaries; next-fit PADS the open sequence and starts a fresh
+    * one whenever the next doc doesn't fit, losing no tokens). Next-fit
+    * is a sequential recurrence (fill f → f+n if it fits else n) that no
+    * prefix sum expresses, so the parallel form shards it: sequences
+    * never span BUCKET boundaries (each of the 16^bucketChars hash
+    * buckets packs from a fresh sequence), which is exactly how a
+    * sharded production packer behaves and costs at most C−1 padding
+    * tokens per bucket over the unbounded-sequential ideal — choose
+    * bucketChars so corpus/16^bucketChars stays partition-sized and the
+    * extra waste (16^bucketChars·(C−1) tokens) stays negligible.
+    *
+    * Phase 1 is the one imperative piece in the packing family and
+    * genuinely needs it (mapPartitions over bucket-sorted slim rows,
+    * per-bucket state reset — per-task input is one hash range, text
+    * never enters); phase 2 globalizes sequence ids with the same tiny
+    * bucket-table window + broadcast join as [[packSequences]]. Docs
+    * longer than the context are truncated to one full sequence
+    * (`truncated` flag; next-fit assumes items ≤ bin). Padding is
+    * explicit: pad of sequence s = ctxLen − Σ n_eff over its docs
+    * (every sequence but each bucket's last is padded-closed). */
+  def nextFitPack(df: DataFrame, key: Column, tokens: Column, ctxLen: Long,
+                  bucketChars: Int = 1): DataFrame = {
+    val slim = df
+      .select(key.as("_k"), tokens.cast(LongType).as("_n0"))
+      .withColumn("_h", hashKey(col("_k"), "pack"))
+      .withColumn("_bkt",
+        conv(substring(col("_h"), 1, bucketChars), 16, 10).cast("long"))
+      .withColumn("_n", least(col("_n0"), lit(ctxLen)))
+    val keyType = df.select(key).schema.head.dataType
+    val scanSchema = StructType(Seq(
+      StructField("_bkt", LongType),
+      StructField("_k", keyType),
+      StructField("_n0", LongType),
+      StructField("_n", LongType),
+      StructField("bseq", LongType),
+      StructField("seq_off", LongType)))
+    val packed = slim
+      .repartition(col("_bkt"))
+      .sortWithinPartitions(col("_bkt"), col("_h"), col("_k"))
+      .select(col("_bkt"), col("_k"), col("_n0"), col("_n"))
+      .mapPartitions { rows =>
+        // per-bucket next-fit fold; buckets are contiguous in the sorted
+        // partition, state resets on bucket change
+        var bkt = Long.MinValue
+        var fill = 0L
+        var seq = -1L
+        rows.map { r =>
+          val b = r.getLong(0)
+          val n = r.getLong(3)
+          if (b != bkt) { bkt = b; fill = 0L; seq = -1L }
+          val fits = seq >= 0 && fill + n <= ctxLen
+          val off = if (fits) fill else 0L
+          if (fits) fill += n else { seq += 1; fill = n }
+          Row(b, r.get(1), r.getLong(2), n, seq, off)
+        }
+      }(Encoders.row(scanSchema)).toDF()
+    val wB = Window.orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // bucket sequence counts: tiny (16^bucketChars rows), single-
+    // partition window BY DESIGN, broadcast back — packSequences' shape
+    val bases = packed.groupBy(col("_bkt"))
+      .agg((max(col("bseq")) + 1).as("_nseq"))
+      .withColumn("_base", coalesce(sum(col("_nseq")).over(wB), lit(0L)))
+      .select(col("_bkt"), col("_base"))
+    packed.join(broadcast(bases), Seq("_bkt"))
+      .select(col("_k"), col("_n0"), col("_n").as("n_eff"),
+        (col("_n") < col("_n0")).as("truncated"),
+        (col("_base") + col("bseq")).as("seq_id"), col("seq_off"))
+  }
+
+  /** q_pack_nextfit: next-fit pad-to-boundary packing of the documents
+    * corpus into 2048-char sequences (16 shards at this SF). */
+  def qPackNextfit(spark: SparkSession, dir: String): DataFrame =
+    nextFitPack(Tables.documents(spark, dir), col("doc_id"),
+        col("n_chars"), 2048L)
+      .select(col("_k").as("doc_id"), col("_n0").as("n_chars"),
+        col("n_eff"), col("truncated"), col("seq_id"), col("seq_off"))
+      .orderBy(col("seq_id"), col("seq_off"))
+
+  /** Oracle replays the recurrence exactly: a recursive CTE steps each
+    * bucket's docs in (md5, key) order through the next-fit state
+    * machine, then the same bucket-base globalization. */
+  val qPackNextfitSql: String =
+    """WITH RECURSIVE ordered AS (
+      |  SELECT doc_id, n_chars, least(n_chars, 2048) AS n,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':pack'),1,1))::BIGINT AS bkt,
+      |    row_number() OVER (PARTITION BY
+      |      ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':pack'),1,1))::BIGINT
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)||':pack'), doc_id) AS rn
+      |  FROM documents),
+      |step AS (
+      |  SELECT bkt, rn, doc_id, n_chars, n,
+      |    0::BIGINT AS bseq, 0::BIGINT AS seq_off, n AS fill
+      |  FROM ordered WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.bkt, o.rn, o.doc_id, o.n_chars, o.n,
+      |    CASE WHEN s.fill + o.n <= 2048 THEN s.bseq ELSE s.bseq + 1 END,
+      |    CASE WHEN s.fill + o.n <= 2048 THEN s.fill ELSE 0::BIGINT END,
+      |    CASE WHEN s.fill + o.n <= 2048 THEN s.fill + o.n ELSE o.n END
+      |  FROM step s JOIN ordered o ON o.bkt = s.bkt AND o.rn = s.rn + 1),
+      |bases AS (
+      |  SELECT bkt, max(bseq) + 1 AS nseq FROM step GROUP BY bkt),
+      |gb AS (
+      |  SELECT bkt, CAST(coalesce(sum(nseq) OVER (
+      |    ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS base
+      |  FROM bases)
+      |SELECT s.doc_id, s.n_chars, s.n AS n_eff, s.n < s.n_chars AS truncated,
+      |  gb.base + s.bseq AS seq_id, s.seq_off
+      |FROM step s JOIN gb ON s.bkt = gb.bkt
+      |ORDER BY seq_id, seq_off""".stripMargin
 
   /** WEIGHTED sampling without libm: deterministic systematic (grid)
     * sampling on the weight tape. Each row occupies [cum, cum+w) on the
@@ -832,6 +947,7 @@ object Sampling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_sample" -> (stSample _),
     "q_pack_docs" -> (qPackDocs _),
+    "q_pack_nextfit" -> (qPackNextfit _),
     "q_rendezvous" -> (qRendezvous _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_pref_pairs" -> (qPrefPairs _),
@@ -849,6 +965,7 @@ object Sampling {
   val oracles: Map[String, String] = Map(
     "st_sample" -> stSampleSql,
     "q_pack_docs" -> qPackDocsSql,
+    "q_pack_nextfit" -> qPackNextfitSql,
     "q_rendezvous" -> qRendezvousSql,
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_pref_pairs" -> qPrefPairsSql,

@@ -1471,6 +1471,51 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"moved ${movers.length} of 2000")
   }
 
+  test("next-fit packing invariants: contiguous, capacity-bounded, pad only when forced") {
+    val C = 2048L
+    val out = graft.operators.Sampling.qPackNextfit(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_eff"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("seq_off")))
+    assert(out.length == 500) // every doc packed exactly once, none split
+    // dense global sequence ids
+    val seqIds = out.map(_._3).toSet
+    assert(seqIds == (0L until seqIds.size).toSet, "sequence ids not dense")
+    // within a sequence: docs contiguous from 0, total within capacity
+    val bySeq = out.groupBy(_._3)
+    bySeq.values.foreach { docs =>
+      val sorted = docs.sortBy(_._4)
+      var off = 0L
+      sorted.foreach { case (_, n, _, o) =>
+        assert(o == off, s"hole or overlap at $o (expected $off)")
+        off += n
+      }
+      assert(off <= C, s"sequence overfilled: $off")
+    }
+    // the next-fit certificate: a sequence is only padded-closed when its
+    // successor's first doc genuinely did not fit in the remaining space
+    def bucket(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:pack".getBytes("UTF-8"))
+      ((d(0) >> 4) & 0xf).toLong
+    }
+    val byBucket = out.groupBy { case (id, _, _, _) => bucket(id) }
+    var padded = 0L
+    byBucket.values.foreach { docs =>
+      val seqs = docs.groupBy(_._3).toSeq.sortBy(_._1)
+      seqs.sliding(2).foreach {
+        case Seq((_, cur), (_, next)) =>
+          val pad = C - cur.map(_._2).sum
+          val first = next.minBy(_._4)
+          assert(first._2 > pad,
+            s"doc ${first._1} (n=${first._2}) fit in pad $pad but opened a new sequence")
+          padded += pad
+        case _ =>
+      }
+    }
+    // the corpus genuinely exercises padding (explicit accounting)
+    assert(padded > 0, "no padded sequence in the whole corpus")
+  }
+
   test("tx_scorer_serve: in-engine Cramer fit satisfies the least-squares certificate") {
     // The defining property of the normal-equation solution — residuals
     // orthogonal to every regressor (Σr = Σr·c0 = Σr·c1 = 0) — checked

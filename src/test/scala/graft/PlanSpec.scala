@@ -202,6 +202,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-value table shuffled for the tiny offsets side:\n$ex")
   }
 
+  test("next-fit packing: one bucket exchange, local sort only, bases broadcast") {
+    val df = graft.operators.Sampling.nextFitPack(
+      graft.core.Tables.documents(spark, dir),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("n_chars"), 2048L)
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    // the imperative scan runs on bucket-hash-partitioned, LOCALLY sorted
+    // rows — a global corpus sort here is the single-reducer cliff
+    val sortLines = ex.linesIterator
+      .filter(l => l.contains("Sort [") && !l.contains("SortMergeJoin")).toSeq
+    assert(sortLines.nonEmpty, s"no sort before the scan stage:\n$ex")
+    assert(sortLines.forall(_.contains("false, 0")),
+      s"global sort in next-fit plan:\n$ex")
+    // bucket bases rejoin via broadcast; the corpus must never shuffle
+    // for the 16-row bases table
+    assert(ex.contains("BroadcastHashJoin"),
+      s"bucket bases not broadcast back:\n$ex")
+    assert(!ex.contains("SortMergeJoin"),
+      s"corpus shuffled against the tiny bases table:\n$ex")
+  }
+
   test("sequence packing: corpus-side window is bucket-split; bucket offsets broadcast") {
     val df = graft.operators.Sampling.qPack(spark, dir)
     df.collect()
