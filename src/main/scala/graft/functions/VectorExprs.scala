@@ -103,6 +103,20 @@ object VectorExprs {
   def sortableBits(v: Column): Column =
     ExpressionUtils.column(SortableDoubleBits(ExpressionUtils.expression(v)))
 
+  /** termCounts(text): per-document term frequencies as
+    * array<struct<term, tf>> in ONE pass over the string — the tf stage
+    * of tfidf-shaped pipelines as a per-ROW kernel. A document is one
+    * row, so its term histogram never needed a corpus-wide
+    * groupBy(doc_id, term): that shuffle moves every token's STRING
+    * across the wire only to land back on rows that were already
+    * together. This kernel splits on ' ' (identical semantics to
+    * split+filter≠'' and DuckDB's string_split), counts into a small
+    * open hash map, and emits first-occurrence order (deterministic).
+    * Eval-based (the per-row work amortizes the interpreted call;
+    * string-map codegen would be all boilerplate, no loop win). */
+  def termCounts(s: Column): Column =
+    ExpressionUtils.column(TermCounts(ExpressionUtils.expression(s)))
+
   /** nearestCell(v, n2, cents): IVF coarse-quantizer assignment as one
     * codegen'd argmin loop. `cents` is array<struct<label, cvec, c2>>
     * (attached per-row from a broadcast single-row DataFrame), and the
@@ -621,4 +635,54 @@ case class NearestCell(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): NearestCell =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Per-row term-frequency histogram — see [[VectorExprs.termCounts]].
+  * Eval-based by design: the per-row work (full string scan + hash map)
+  * amortizes the interpreted-call overhead that makes per-ELEMENT
+  * CodegenFallback HOFs slow, and the surrounding operators (Generate /
+  * aggregate) are not whole-stage-codegen-critical here. */
+case class TermCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_term_counts"
+
+  override protected def nullSafeEval(sAny: Any): Any = {
+    // clone: output UTF8String slices must not alias the scan's reusable
+    // row buffer (vectorized parquet readers recycle backing arrays)
+    val bytes = sAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .clone().getBytes
+    val n = bytes.length
+    val m = new java.util.LinkedHashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+    var i = 0
+    while (i <= n) {
+      var j = i
+      while (j < n && bytes(j) != ' ') j += 1
+      if (j > i) { // empty tokens (consecutive spaces) are filtered
+        val t = org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes, i, j - i)
+        val c = m.get(t)
+        m.put(t, if (c == null) 1L else c.longValue() + 1L)
+      }
+      i = j + 1
+    }
+    val arr = new Array[Any](m.size())
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      arr(k) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue.longValue())
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
 }

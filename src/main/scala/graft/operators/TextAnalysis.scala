@@ -305,15 +305,20 @@ object TextAnalysis {
     * (doc, term) tf with map-side combine, a vocabulary-sized df table
     * (AQE-broadcast into the join), one doc-keyed window. */
   def tfidf(docs: DataFrame, k: Int = 3): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
-    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf is a PER-ROW computation (a document is one row): the native
+    // termCounts kernel builds each doc's term histogram in one string
+    // pass, so no corpus-wide groupBy(doc_id, term) shuffle exists at
+    // all — the previous formulation moved every token's string across
+    // the wire only to land back on rows that started together.
+    val tf = docs.select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.VectorExprs.termCounts(col("text")))
+          .as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
       .withColumn("th", xxhash64(col("term")))
     // df aggregation + join keyed on the 64-bit term hash: the
     // vocabulary-sized df table and the join exchange move longs, not
-    // term strings (the tf shuffle above still carries the term — it is
-    // the output column and the rank tie-break, so it must survive).
+    // term strings. The only corpus-sized exchange left in the whole
+    // operator is the WindowGroupLimit-pruned top-k (≤k rows per doc).
     val df = tf.groupBy(col("th")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))

@@ -322,25 +322,50 @@ object Relational {
     * need not agree with each other. */
   def qApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    // exact half via the two-scan bucket-selection machinery, NOT the
-    // built-in percentile sort-agg (its per-group value buffer was this
-    // suite's worst heavy-tier ratio, 17x DuckDB); interpolation is
-    // bit-identical (see quantileInterp). The sketch agg is an
-    // independent scan subtree in the same job — its stages run
-    // concurrently with the selection passes.
-    val exact = quantileInterp(li, "l_returnflag", "l_extendedprice",
-      Seq(("p50_exact", 0.5), ("p90_exact", 0.9)))
-    val ap = li.groupBy(col("l_returnflag"))
-      .agg(expr(
-        "approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000)").as("_ap"))
-    exact.join(ap, Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("n"),
-        col("p50_exact"), col("p90_exact"),
-        (abs(col("_ap").getItem(0) - col("p50_exact")) <=
-          col("p50_exact") * 0.02).as("p50_within_2pct"),
-        (abs(col("_ap").getItem(1) - col("p90_exact")) <=
-          col("p90_exact") * 0.02).as("p90_within_2pct"))
-      .orderBy(col("l_returnflag"))
+    // BOTH halves come from the two-scan bucket-selection machinery: the
+    // exact half interpolates the two bracketing order statistics (see
+    // quantileInterp — bit-identical to the built-in percentile at a
+    // fraction of its sort-agg cost), and the APPROXIMATE half is the
+    // selection histogram itself: the target bucket's min value (_bmin,
+    // free in the probe pass) is a histogram-sketch quantile within one
+    // bucket width (~0.4% relative) of the truth. An earlier version ran
+    // Spark's GK approx_percentile as an independent third scan — the
+    // histogram the machinery already builds is a strictly cheaper
+    // sketch at better accuracy, so the whole query is two scans.
+    val qs = Seq(("p50_exact", 0.5), ("p90_exact", 0.9))
+    val g = col("l_returnflag")
+    val v = col("l_extendedprice")
+    val targetsOf = (n: Column) => array(qs.flatMap { case (lbl, q) =>
+      val p = lit(q) * (n - lit(1)).cast(DoubleType)
+      Seq(
+        struct(lit(lbl + "/lo").as("ql"), (floor(p) + lit(1L)).as("k")),
+        struct(lit(lbl + "/hi").as("ql"), (ceil(p) + lit(1L)).as("k")))
+    }: _*)
+    val wide = valueAtRanks(li, "l_returnflag", "l_extendedprice",
+        targetsOf, 1 << 20)
+      .groupBy(g).agg(
+        max(col("n")).as("n"),
+        qs.flatMap { case (lbl, _) =>
+          Seq(max(when(col("_ql") === lbl + "/lo", v)).as(s"_lo_$lbl"),
+            max(when(col("_ql") === lbl + "/hi", v)).as(s"_hi_$lbl"),
+            max(when(col("_ql") === lbl + "/lo", col("_bmin"))).as(s"_ap_$lbl"))
+        }: _*)
+    val exact = qs.map { case (lbl, q) =>
+      val p = lit(q) * (col("n") - lit(1)).cast(DoubleType)
+      val lo = floor(p)
+      val hi = ceil(p)
+      lbl -> when(lo === hi, col(s"_lo_$lbl"))
+        .otherwise((hi.cast(DoubleType) - p) * col(s"_lo_$lbl") +
+          (p - lo.cast(DoubleType)) * col(s"_hi_$lbl"))
+    }.toMap
+    wide.select(g, col("n"),
+        exact("p50_exact").as("p50_exact"),
+        exact("p90_exact").as("p90_exact"),
+        (abs(col("_ap_p50_exact") - exact("p50_exact")) <=
+          exact("p50_exact") * 0.02).as("p50_within_2pct"),
+        (abs(col("_ap_p90_exact") - exact("p90_exact")) <=
+          exact("p90_exact") * 0.02).as("p90_within_2pct"))
+      .orderBy(g)
   }
 
   val qApproxQuantilesSql: String =
@@ -419,6 +444,13 @@ object Relational {
         (col("_t.k") - col("_lo")).as("_rib"))
     bucketed.join(broadcast(targets),
         g === col("_tg") && col("_b") === col("_tb"))
+      // _bmin rides along for free (same window partitioning, no extra
+      // exchange): the target bucket's smallest value IS a histogram-
+      // sketch quantile — within one bucket width (~2^-8 relative at the
+      // default 2^20 buckets) of the true quantile, which is what
+      // qApproxQuantiles serves as its approximate half without a third
+      // corpus scan
+      .withColumn("_bmin", min(v).over(Window.partitionBy(g, col("_ql"))))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(g, col("_ql")).orderBy(v)))
       .filter(col("_rn") === col("_rib"))
