@@ -116,18 +116,27 @@ object Dedup {
     * shuffles are the band-key self-join (bucket-bounded) and the final
     * pair verification join. Permutations are the universal-hash family
     * above over a 32-bit md5-derived shingle hash — engine-portable. */
+  /** One hashed tall table serves the WHOLE minhash chain: the 60-bit
+    * verification hash md5Long(s,1,15) CONTAINS the 32-bit signature
+    * hash md5Long(s,1,8) as its top 8 nibbles (sh >>> 28) — same digest,
+    * same leading nibbles — so signatures and Jaccard verification share
+    * one scan+explode+md5 pass instead of hashing the corpus twice. */
+  private[operators] def hashedShingles(docs: DataFrame): DataFrame =
+    tallShingles(docs).select(col("doc_id"), md5Long(col("s"), 1, 15).as("sh"))
+
   /** (doc_id, b, bk) LSH band keys from the k-permutation minhash
-    * signature — a projection + one map-side-combined aggregate,
-    * localCheckpointed because it feeds both sides of candidate joins. */
-  private[operators] def bandKeys(docs: DataFrame, k: Int = 16,
-                                  bands: Int = 4): DataFrame = {
+    * signature over a pre-hashed tall table — a projection + one
+    * map-side-combined aggregate, localCheckpointed because it feeds
+    * both sides of candidate joins. */
+  private[operators] def bandKeysFromHashed(tallH: DataFrame, k: Int = 16,
+                                            bands: Int = 4): DataFrame = {
     val rows = k / bands
     // k codegen'd min aggregates over the tall table — partial
     // aggregation combines map-side, so the shuffle carries k longs per
     // doc. (The per-doc HOF formulation array_min(transform(...)) is
     // interpreted per element — measured ~4x slower end-to-end.)
-    val hashed = tallShingles(docs).withColumn("h",
-      md5Long(col("s"), 1, 8) % lit(MinhashP))
+    val hashed = tallH.withColumn("h",
+      shiftright(col("sh"), 28) % lit(MinhashP))
     def perm(j: Int) =
       (lit(MinhashA(j)) * col("h") + lit(MinhashB(j))) % lit(MinhashP)
     val sig = hashed.groupBy(col("doc_id")).agg(
@@ -140,6 +149,10 @@ object Dedup {
       .localCheckpoint()
   }
 
+  private[operators] def bandKeys(docs: DataFrame, k: Int = 16,
+                                  bands: Int = 4): DataFrame =
+    bandKeysFromHashed(hashedShingles(docs), k, bands)
+
   /** Verify candidate pairs with true Jaccard (shared = |A ∩ B|,
     * J = shared / (|A| + |B| - shared)). First slices the tall shingle
     * table down to candidate doc_ids with a semi-join, so all
@@ -151,17 +164,17 @@ object Dedup {
     * runtime when the side is genuinely small (the test corpora), so
     * nothing is lost at low dup rates. */
   private[operators] def verifyJaccard(pairs: DataFrame,
-                                       tall: DataFrame): DataFrame = {
+                                       tallH: DataFrame): DataFrame = {
     val candIds = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    // de-text BEFORE any exchange (the dd_ngram_jaccard trade): the
+    // input is pre-hashed ([[hashedShingles]]) so everything downstream
+    // of the scan is de-texted (the dd_ngram_jaccard trade): the
     // semi-join, the per-doc distinct, and the intersection joins all
     // carry a 60-bit md5-prefix long (8 bytes) instead of the ~20-byte
     // shingle string. The oracle intersects the SAME hashes
     // (list_transform in the hsh CTE), so even a collision — ~1e-15 per
     // doc — would be counted identically by both engines.
-    val tallCand = tall
-      .select(col("doc_id"), md5Long(col("s"), 1, 15).as("sh"))
+    val tallCand = tallH
       .join(candIds, Seq("doc_id"), "left_semi")
       .distinct() // set semantics for |A ∩ B| / sizes — candidate slice only
       .localCheckpoint()
@@ -180,16 +193,17 @@ object Dedup {
   }
 
   def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
-    val banded = bandKeys(docs, k, bands)
+    // ONE hashed tall pass (checkpointed) feeds both the signature
+    // aggregate and the verification slice — the corpus is shingled and
+    // digested exactly once
+    val tallH = hashedShingles(docs).localCheckpoint()
+    val banded = bandKeysFromHashed(tallH, k, bands)
     val pairs = banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // tall is a cheap shuffle-free projection (scan + explode),
-    // recomputed by each consumer; duplicates are fine for the
-    // min-aggregates and are deduped on the tiny candidate slice.
-    verifyJaccard(pairs, tallShingles(docs))
+    verifyJaccard(pairs, tallH)
   }
 
   /** Steady-state incremental NEAR-dup dedup: drop arriving documents
@@ -213,7 +227,11 @@ object Dedup {
                                     histBands: DataFrame,
                                     histShingles: DataFrame,
                                     minJaccard: Double = 0.5): DataFrame = {
-    val bNew = bandKeys(newDocs)
+    // the batch is shingled+digested once; history arrives as persisted
+    // TEXT shingles (the deployment's durable format) and is hashed at
+    // the boundary — only the candidate slice of it is ever touched
+    val tallNewH = hashedShingles(newDocs).localCheckpoint()
+    val bNew = bandKeysFromHashed(tallNewH)
     // doc_a =!= doc_b: ids are normally disjoint between history and a
     // new batch (the derived incrementalNearDup form guarantees it), but
     // a re-submitted id must not self-collide — the shared-shingle union
@@ -224,9 +242,10 @@ object Dedup {
           col("h.doc_id") =!= col("n.doc_id"))
       .select(col("h.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
       .distinct()
-    val tall = histShingles.select(col("doc_id"), col("s"))
-      .union(tallShingles(newDocs))
-    val dropIds = verifyJaccard(cand, tall)
+    val tallH = histShingles
+      .select(col("doc_id"), md5Long(col("s"), 1, 15).as("sh"))
+      .union(tallNewH)
+    val dropIds = verifyJaccard(cand, tallH)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_b").as("doc_id")).distinct()
     newDocs.join(dropIds, Seq("doc_id"), "left_anti")
