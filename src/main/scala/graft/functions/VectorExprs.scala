@@ -117,6 +117,20 @@ object VectorExprs {
   def termCounts(s: Column): Column =
     ExpressionUtils.column(TermCounts(ExpressionUtils.expression(s)))
 
+  /** shingle3Md5Long(text, start, len): md5-prefix longs of every word
+    * 3-gram of `text` as array<long>, in ONE pass with ZERO per-shingle
+    * allocation. The key identity: splitting on a single space and
+    * re-joining consecutive words with single spaces reconstructs the
+    * ORIGINAL byte range (space is 0x20, never a UTF-8 continuation
+    * byte), so shingle i is literally text[wordStart(i), wordEnd(i+2))
+    * and the digest runs over the source bytes directly — bit-identical
+    * to md5(concat_ws(' ', w[i], w[i+1], w[i+2])) and to the DuckDB
+    * oracle's string_split chain, without materializing the zip structs,
+    * the joined strings, or the tall text column the previous
+    * explode+concat_ws+md5 pipeline allocated per shingle. */
+  def shingle3Md5Long(text: Column, start: Int, len: Int): Column =
+    ExpressionUtils.column(Shingle3Md5Long(ExpressionUtils.expression(text), start, len))
+
   /** nearestCell(v, n2, cents): IVF coarse-quantizer assignment as one
     * codegen'd argmin loop. `cents` is array<struct<label, cvec, c2>>
     * (attached per-row from a broadcast single-row DataFrame), and the
@@ -684,5 +698,62 @@ case class TermCounts(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+}
+
+/** Word-3-gram md5-prefix hashes in one pass — see
+  * [[VectorExprs.shingle3Md5Long]]. Split semantics mirror Spark's
+  * split(text, " ") with limit -1: empty words (consecutive/trailing
+  * spaces) are words; a 3-gram exists for every i with i+2 < nWords.
+  * Eval-based: the per-row work (full scan + one digest per shingle)
+  * amortizes the interpreted call. */
+case class Shingle3Md5Long(child: Expression, start: Int, len: Int)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(start >= 1 && len >= 1 && len <= 15 && start - 1 + len <= 32,
+    s"shingle3Md5Long nibble range out of bounds: start=$start len=$len")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle3_md5_long"
+
+  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  override protected def nullSafeEval(sAny: Any): Any = {
+    val bytes = sAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val nWords = spaces + 1
+    val nsh = math.max(0, nWords - 2)
+    val out = new Array[Long](nsh)
+    if (nsh > 0) {
+      val wStart = new Array[Int](nWords)
+      val wEnd = new Array[Int](nWords)
+      var w = 0
+      i = 0
+      while (i < n) {
+        if (bytes(i) == ' ') { wEnd(w) = i; w += 1; wStart(w) = i + 1 }
+        i += 1
+      }
+      wEnd(w) = n
+      val digest = md.get()
+      var k = 0
+      while (k < nsh) {
+        val off = wStart(k)
+        digest.reset()
+        digest.update(bytes, off, wEnd(k + 2) - off)
+        out(k) = Md5NibblesLong.nibbles(digest.digest(), start, len)
+        k += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Shingle3Md5Long =
     copy(child = newChild)
 }

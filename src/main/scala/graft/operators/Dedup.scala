@@ -122,7 +122,9 @@ object Dedup {
     * same leading nibbles — so signatures and Jaccard verification share
     * one scan+explode+md5 pass instead of hashing the corpus twice. */
   private[operators] def hashedShingles(docs: DataFrame): DataFrame =
-    tallShingles(docs).select(col("doc_id"), md5Long(col("s"), 1, 15).as("sh"))
+    docs.select(col("doc_id"),
+      explode(org.apache.spark.sql.graft.VectorExprs
+        .shingle3Md5Long(col("text"), 1, 15)).as("sh"))
 
   /** (doc_id, b, bk) LSH band keys from the k-permutation minhash
     * signature over a pre-hashed tall table — a projection + one
@@ -754,8 +756,7 @@ object Dedup {
     // distinct runs on longs (cheap) not strings. Both engines use the
     // same md5-derived hash, so results are identical by construction
     // (within-doc 60-bit collisions: ~1e-15 per doc, ignored).
-    val tall = tallShingles(docs).select(col("doc_id"),
-      md5Long(col("s"), 1, 15).as("s"))
+    val tall = hashedShingles(docs).withColumnRenamed("sh", "s")
       .distinct()
       .localCheckpoint()
     val sizes = tall.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -806,8 +807,8 @@ object Dedup {
     // distinct and the join run on longs, not ~20-byte strings (measured
     // 149 s → string distinct dominated at 2M docs / ~100M shingles);
     // cross-engine by construction, collisions ~1e-15/doc ignored
-    def hashed(df: DataFrame) = tallShingles(df).select(col("doc_id"),
-      md5Long(col("s"), 1, 15).as("s"))
+    def hashed(df: DataFrame) = hashedShingles(df)
+      .withColumnRenamed("sh", "s")
       .distinct()
     // recompute-by-design for BOTH consumers (sizes aggregate + benchmark
     // join), per the tallShingles scaladoc rationale: the corpus-wide
@@ -1460,18 +1461,12 @@ object Dedup {
     * no sort, no join anywhere. */
   def snapshotOverlap(docs: DataFrame, inA: Column, inB: Column): DataFrame = {
     val k = 16
-    // tallShingles' zip-explode shape, with the side flags carried
-    // through the projection (tallShingles itself prunes to doc_id+s)
-    val w = split(col("text"), " ")
-    val tall = docs.select(inA.as("_a"), inB.as("_b"),
-        explode(arrays_zip(w, slice(w, lit(2), size(w)),
-          slice(w, lit(3), size(w)))).as("z"))
-      .filter(col("z.2").isNotNull)
-      .select(col("_a"), col("_b"),
-        concat_ws(" ", col("z.0"), col("z.1"), col("z.2")).as("s"))
-    val hashed = tall.select(
-      (md5Long(col("s"), 1, 8) % lit(MinhashP)).as("h"),
-      col("_a"), col("_b"))
+    // one-pass shingle-hash kernel with the side flags carried through
+    // the projection — no zip structs or joined shingle strings exist
+    val hashed = docs.select(inA.as("_a"), inB.as("_b"),
+        explode(org.apache.spark.sql.graft.VectorExprs
+          .shingle3Md5Long(col("text"), 1, 8)).as("h8"))
+      .select((col("h8") % lit(MinhashP)).as("h"), col("_a"), col("_b"))
     val g = hashed.groupBy(col("h")).agg(
       max(col("_a")).as("in_a"), max(col("_b")).as("in_b"))
     def perm(j: Int) =
