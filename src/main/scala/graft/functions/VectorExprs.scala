@@ -131,6 +131,18 @@ object VectorExprs {
   def shingle3Md5Long(text: Column, start: Int, len: Int): Column =
     ExpressionUtils.column(Shingle3Md5Long(ExpressionUtils.expression(text), start, len))
 
+  /** minhashSigs(text, a, b, p): the k-value MinHash signature of the
+    * word-3-gram shingle set as array<long>, in ONE pass per row — the
+    * per-row-kernel form of the signature aggregation (the tf-idf
+    * termCounts lesson applied to MinHash): a document is one row, so
+    * its signature never needed a corpus-wide explode + groupBy. NULL
+    * (dropped by posexplode) when the doc has <3 words, matching the
+    * aggregate path where such docs have no tall rows. Bit-identical to
+    * min((a_j·((md5-prefix % p)) + b_j) % p) over the exploded shingle
+    * table — and to the DuckDB oracle's list_min formulation. */
+  def minhashSigs(text: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
+    ExpressionUtils.column(MinhashSigs(ExpressionUtils.expression(text), a, b, p))
+
   /** nearestCell(v, n2, cents): IVF coarse-quantizer assignment as one
     * codegen'd argmin loop. `cents` is array<struct<label, cvec, c2>>
     * (attached per-row from a broadcast single-row DataFrame), and the
@@ -755,5 +767,76 @@ case class Shingle3Md5Long(child: Expression, start: Int, len: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Shingle3Md5Long =
+    copy(child = newChild)
+}
+
+/** k MinHash signature values in one pass — see
+  * [[VectorExprs.minhashSigs]]. For each word-3-gram shingle (the exact
+  * [[Shingle3Md5Long]] byte-range scan), h = md5-prefix-8-nibbles % p,
+  * and sig_j = min over shingles of (a_j·h + b_j) % p. The running mins
+  * live in a k-slot local array, so the corpus-wide tall table the
+  * groupBy formulation shuffles (one row per shingle, k modular maps
+  * re-evaluated inside a hash-aggregate) never exists: signatures are a
+  * per-ROW projection, zero exchange. Returns NULL for docs with no
+  * shingle (<3 words) so `posexplode` drops them — identical to the
+  * aggregate path, where such docs simply have no tall rows. */
+case class MinhashSigs(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(a.nonEmpty && a.length == b.length, "minhashSigs: |a| must equal |b|")
+  require(p > 0 && p <= (1L << 31), "minhashSigs: p must fit 31 bits (overflow-free products)")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sigs"
+
+  @transient private lazy val aArr = a.toArray
+  @transient private lazy val bArr = b.toArray
+  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  override protected def nullSafeEval(sAny: Any): Any = {
+    val bytes = sAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val nWords = spaces + 1
+    val nsh = nWords - 2
+    if (nsh <= 0) return null
+    val k = aArr.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val wStart = new Array[Int](nWords)
+    val wEnd = new Array[Int](nWords)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == ' ') { wEnd(w) = i; w += 1; wStart(w) = i + 1 }
+      i += 1
+    }
+    wEnd(w) = n
+    val digest = md.get()
+    var s = 0
+    while (s < nsh) {
+      val off = wStart(s)
+      digest.reset()
+      digest.update(bytes, off, wEnd(s + 2) - off)
+      val h = Md5NibblesLong.nibbles(digest.digest(), 1, 8) % p
+      var j = 0
+      while (j < k) {
+        val v = (aArr(j) * h + bArr(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigs =
     copy(child = newChild)
 }

@@ -155,6 +155,25 @@ object Dedup {
                                   bands: Int = 4): DataFrame =
     bandKeysFromHashed(hashedShingles(docs), k, bands)
 
+  /** (doc_id, b, bk) LSH band keys via the per-row [[VectorExprs.minhashSigs]]
+    * kernel: the whole signature is a PROJECTION (zero exchange, no tall
+    * table, no aggregate — PlanSpec pins this), bit-identical to
+    * [[bandKeysFromHashed]] over [[hashedShingles]]. Docs with <3 words
+    * produce a NULL signature and are dropped by posexplode, exactly as
+    * they have no rows in the aggregate path. */
+  private[graft] def bandKeysKernel(docs: DataFrame, k: Int = 16,
+                                        bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig = org.apache.spark.sql.graft.VectorExprs.minhashSigs(
+      col("text"), MinhashA.take(k), MinhashB.take(k), MinhashP)
+    docs.select(col("doc_id"), sig.as("_sig"))
+      .filter(col("_sig").isNotNull) // <3-word docs: no shingles, no bands
+      .select(col("doc_id"), posexplode(array(
+        (0 until bands).map(b => md5(concat_ws("|",
+          (0 until rows).map(r => element_at(col("_sig"), rows * b + r + 1)): _*))): _*)))
+      .toDF("doc_id", "b", "bk")
+  }
+
   /** Verify candidate pairs with true Jaccard (shared = |A ∩ B|,
     * J = shared / (|A| + |B| - shared)). First slices the tall shingle
     * table down to candidate doc_ids with a semi-join, so all
@@ -195,17 +214,27 @@ object Dedup {
   }
 
   def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
-    // ONE hashed tall pass (checkpointed) feeds both the signature
-    // aggregate and the verification slice — the corpus is shingled and
-    // digested exactly once
-    val tallH = hashedShingles(docs).localCheckpoint()
-    val banded = bandKeysFromHashed(tallH, k, bands)
+    // Signatures are a per-row kernel projection (no tall table, no
+    // aggregate, no corpus-sized checkpoint); the tall shingle table is
+    // materialized only for the CANDIDATE slice inside verifyJaccard —
+    // at low dup rates that is a small fraction of the corpus, and at
+    // web-scale dup rates (30-50%) it is the same slice the previous
+    // whole-corpus checkpoint carried anyway, minus the non-candidates.
+    val banded = bandKeysKernel(docs, k, bands).localCheckpoint()
     val pairs = banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(pairs, tallH)
+      // consumed three times (two candIds projections + the shared
+      // join); bounded by the band collision mass, so pin it
+      .localCheckpoint()
+    // shingle only candidate docs: the corpus-wide digest pass exists
+    // exactly once (inside the signature kernel above)
+    val candIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    verifyJaccard(pairs,
+      hashedShingles(docs.join(candIds, Seq("doc_id"), "left_semi")))
   }
 
   /** Steady-state incremental NEAR-dup dedup: drop arriving documents

@@ -514,12 +514,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortAggregate"), "selection fell into a sort aggregate")
   }
 
-  test("minhash signature aggregation is partial (map-side combine)") {
-    val p = Dedup.minhashLsh(Tables.documents(spark, dir))
-      .queryExecution.executedPlan.toString
-    // two HashAggregates per groupBy (partial + final) — the signature
-    // shuffle carries 16 hashes per doc, not one row per shingle
-    assert(p.contains("partial_min") || p.contains("partial_"),
-      s"no partial aggregation in minhash plan")
+  test("minhash band keys are a pure projection (zero exchange, no aggregate)") {
+    val p = Dedup.bandKeysKernel(Tables.documents(spark, dir))
+      .queryExecution.executedPlan
+    // the per-row signature kernel means band-key construction never
+    // shuffles and never aggregates: scan → project → generate only
+    val ex = p.collect { case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+    assert(ex.isEmpty, s"band-key construction shuffles: $ex")
+    val aggs = p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+    assert(aggs.isEmpty, s"band-key construction aggregates: $aggs")
+    assert(p.toString.contains("graft_minhash_sigs"),
+      "signature kernel missing from band-key plan")
   }
 }
