@@ -33,6 +33,36 @@ object Dedup {
     """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  /** Soft dedup: instead of DROPPING duplicates, DOWN-WEIGHT them —
+    * every member of an exact-duplicate cluster gets weight 1/n_copies,
+    * so the cluster contributes exactly one document's worth of mass to
+    * training while keeping all copies available (the published
+    * alternative to hard dedup when duplicates carry distinct metadata,
+    * e.g. the same page from different crawls/sources). Same shuffle
+    * shape as [[exact]]: the cluster-count aggregate and the join carry
+    * (16-byte hash, id) — never text. The weight is a single per-row
+    * IEEE division (bit-identical cross-engine); no double is ever
+    * summed, so the output is hash-exact. */
+  def softDedup(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(md5(col("text")).as("_h"))
+      .agg(count(lit(1)).as("n_copies"))
+    docs.select(col("doc_id"), col("source"), md5(col("text")).as("_h"))
+      .join(counts, Seq("_h"))
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        (lit(1.0) / col("n_copies").cast(DoubleType)).as("weight"))
+  }
+
+  def ddSoftDedup(spark: SparkSession, dir: String): DataFrame =
+    softDedup(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val ddSoftDedupSql: String =
+    """WITH c AS (
+      |  SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY md5(text))
+      |SELECT doc_id, source, n AS n_copies,
+      |  CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS weight
+      |FROM documents JOIN c ON md5(text) = c.h
+      |ORDER BY doc_id""".stripMargin
+
   /** Incremental exact dedup: drop new documents whose content hash is
     * already in the historical corpus — the shape every append-only
     * training pipeline runs per batch. left_anti on the hash: the
@@ -1589,6 +1619,7 @@ object Dedup {
     "dd_contamination" -> (ddContamination _),
     "dd_editdist" -> (ddEditdist _),
     "dd_exact" -> (ddExact _),
+    "dd_soft" -> (ddSoftDedup _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
     "dd_media" -> (ddMedia _),
@@ -1611,6 +1642,7 @@ object Dedup {
     "dd_contamination" -> ddContaminationSql,
     "dd_editdist" -> ddEditdistSql,
     "dd_exact" -> ddExactSql,
+    "dd_soft" -> ddSoftDedupSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_media" -> ddMediaSql,

@@ -728,6 +728,76 @@ object Sampling {
       |  CAST(sum(n_chars) AS BIGINT) AS n_chars
       |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin
 
+  /** Exact-total stratified sampling via largest-remainder (Hamilton)
+    * allocation: split a FIXED budget of `total` rows across strata
+    * PROPORTIONALLY to their sizes — base quota = floor(total·n_s/N),
+    * then the leftover seats go to the strata with the largest
+    * remainders (ties by stratum name). The budgeted counterpart of
+    * [[stratified]]'s fixed-k form: "give me exactly 100 docs that
+    * mirror the language mix" — eval-set construction, labeling budgets,
+    * per-mixture audits. Quotas are integer arithmetic end to end (no
+    * double rounding to diverge cross-engine).
+    *
+    * Scale: the stratum-count aggregate is map-side combined; quota
+    * computation touches only the stratum table (one row per stratum —
+    * the tiny global windows run on that table, never the corpus); picks
+    * reuse the hash-ordered top-k window, whose WindowGroupLimit
+    * pushdown caps each mapper's contribution at the stratum quota. */
+  def stratifiedQuota(df: DataFrame, stratum: Column, key: Column,
+                      total: Int): DataFrame = {
+    val counts = df.groupBy(stratum.as("_s")).agg(count(lit(1)).as("_n"))
+    val tot = counts.agg(sum(col("_n")).as("_t")) // 1 row
+    val alloc = counts.crossJoin(broadcast(tot))
+      .withColumn("_base", expr(s"$total * _n DIV _t"))
+      .withColumn("_rem", expr(s"($total * _n) % _t"))
+    val leftover = alloc.agg((lit(total) - sum(col("_base"))).as("_lo")) // 1 row
+    // stratum-table-only window (|strata| rows): rank remainders
+    val ranked = alloc
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col("_rem").desc, col("_s"))))
+      .crossJoin(broadcast(leftover))
+      .select(col("_s"), col("_n").as("stratum_n"),
+        least(col("_base") +
+          when(col("_rk") <= col("_lo"), 1L).otherwise(0L), col("_n"))
+          .as("quota"))
+    val w = Window.partitionBy(stratum)
+      .orderBy(hashKey(key, "stratq"), key)
+    df.withColumn("_rk2", row_number().over(w))
+      .join(broadcast(ranked), stratum === col("_s"))
+      .filter(col("_rk2") <= col("quota"))
+      .drop("_s", "_rk2")
+  }
+
+  /** q_stratified: exactly 100 documents mirroring the language mix. */
+  def qStratified(spark: SparkSession, dir: String): DataFrame =
+    stratifiedQuota(Tables.documents(spark, dir), col("lang"),
+        col("doc_id"), 100)
+      .select(col("doc_id"), col("lang"), col("stratum_n"), col("quota"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  val qStratifiedSql: String =
+    """WITH c AS (
+      |  SELECT lang AS s, count(*) AS n FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+      |a AS (
+      |  SELECT s, n, (100 * n) // t AS base, (100 * n) % t AS rem
+      |  FROM c CROSS JOIN t),
+      |lo AS (SELECT CAST(100 - sum(base) AS BIGINT) AS lo FROM a),
+      |q AS (
+      |  SELECT s, n AS stratum_n,
+      |    CAST(least(base + CASE WHEN row_number()
+      |        OVER (ORDER BY rem DESC, s) <= lo THEN 1 ELSE 0 END, n) AS BIGINT)
+      |      AS quota
+      |  FROM a CROSS JOIN lo),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)||':stratq'), doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, lang, stratum_n, quota
+      |FROM r JOIN q ON lang = q.s
+      |WHERE rk <= quota ORDER BY lang, doc_id""".stripMargin
+
   /** Deterministic source interleaving: merge two corpora into one
     * training order at a fixed wA:wB cadence (wA items of A, then wB of
     * B, repeating) — how a trainer consumes "2 parts web, 1 part
@@ -960,7 +1030,8 @@ object Sampling {
     "q_pack" -> (qPack _),
     "q_mixture" -> (qMixture _),
     "q_interleave" -> (qInterleave _),
-    "q_holdout" -> (qHoldout _))
+    "q_holdout" -> (qHoldout _),
+    "q_stratified" -> (qStratified _))
 
   val oracles: Map[String, String] = Map(
     "st_sample" -> stSampleSql,
@@ -978,5 +1049,6 @@ object Sampling {
     "q_pack" -> qPackSql,
     "q_mixture" -> qMixtureSql,
     "q_interleave" -> qInterleaveSql,
-    "q_holdout" -> qHoldoutSql)
+    "q_holdout" -> qHoldoutSql,
+    "q_stratified" -> qStratifiedSql)
 }

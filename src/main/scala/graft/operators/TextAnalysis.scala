@@ -146,6 +146,49 @@ object TextAnalysis {
       |  ('0x'||substr(md5(regexp_replace(text, '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp60
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Corpus novelty per document: the fraction of a doc's word-3-gram
+    * occurrences whose shingle FIRST appears (by min doc_id across the
+    * corpus) in this doc — the curve curation teams plot to see where a
+    * crawl stops contributing new content (novelty collapsing toward 0
+    * = the source is exhausted / dominated by templates). Occurrence-
+    * weighted by design: no per-doc distinct, so every aggregate is
+    * map-side combined and both corpus shuffles (first-seen min, per-doc
+    * rollup) carry 8-byte shingle hashes — never text. Ratio is one
+    * per-row IEEE division (hash-exact cross-engine). */
+  def novelty(docs: DataFrame): DataFrame = {
+    val tall = docs.select(col("doc_id"),
+      explode(org.apache.spark.sql.graft.VectorExprs
+        .shingle3Md5Long(col("text"), 1, 15)).as("sh"))
+    val first = tall.groupBy(col("sh")).agg(min(col("doc_id")).as("_fd"))
+    tall.join(first, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"),
+        sum(when(col("_fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_occ"), col("n_novel"),
+        (col("n_novel").cast(DoubleType) / col("n_occ").cast(DoubleType))
+          .as("novelty"))
+  }
+
+  def txNovelty(spark: SparkSession, dir: String): DataFrame =
+    novelty(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val txNoveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tall AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(
+      |      [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)],
+      |      x -> ('0x'||substr(md5(x),1,15))::BIGINT)) AS sh
+      |  FROM toks WHERE len(w) >= 3),
+      |first AS (SELECT sh, min(doc_id) AS fd FROM tall GROUP BY sh)
+      |SELECT t.doc_id, count(*) AS n_occ,
+      |  CAST(sum(CASE WHEN f.fd = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(sum(CASE WHEN f.fd = t.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS novelty
+      |FROM tall t JOIN first f USING (sh)
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   /** Training-corpus hygiene: mask common PII shapes (emails, phone
     * numbers, IPv4, long digit runs) and normalize whitespace — all
     * codegen'd regexp_replace chains, shuffle-free. Patterns are
@@ -1885,6 +1928,48 @@ object TextAnalysis {
       |SELECT doc_id, lang, n_chars FROM j
       |WHERE coalesce(op, 'keep') <> 'delete' ORDER BY doc_id""".stripMargin
 
+  /** Targeted-deletion (right-to-be-forgotten / source takedown)
+    * cascade: given a blocked-source predicate, produce the deletion
+    * MANIFEST across every derived table — the accounting a pipeline
+    * must emit before rewriting files. The purge set is defined once on
+    * the primary table; derived tables (embeddings keyed by vec_id =
+    * doc_id) inherit membership via a key join, so the cascade shuffles
+    * ids only, never text or vectors. One row per table with purged /
+    * kept counts (conditional aggregates, map-side combined). */
+  def purgeManifest(docs: DataFrame, emb: DataFrame,
+                    blocked: Column): DataFrame = {
+    val docStats = docs
+      .agg(sum(when(blocked, 1L).otherwise(0L)).as("n_purged"),
+        sum(when(blocked, 0L).otherwise(1L)).as("n_kept"))
+      .select(lit("documents").as("tbl"), col("n_purged"), col("n_kept"))
+    val badIds = docs.filter(blocked).select(col("doc_id"))
+    val embStats = emb
+      .join(badIds, emb("vec_id") === badIds("doc_id"), "left")
+      .agg(sum(when(col("doc_id").isNotNull, 1L).otherwise(0L)).as("n_purged"),
+        sum(when(col("doc_id").isNotNull, 0L).otherwise(1L)).as("n_kept"))
+      .select(lit("embeddings").as("tbl"), col("n_purged"), col("n_kept"))
+    docStats.unionByName(embStats).orderBy(col("tbl"))
+  }
+
+  def qPurge(spark: SparkSession, dir: String): DataFrame =
+    purgeManifest(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir),
+      col("source").isin("src3", "src7"))
+
+  val qPurgeSql: String =
+    """WITH bad AS (
+      |  SELECT doc_id FROM documents WHERE source IN ('src3', 'src7'))
+      |SELECT 'documents' AS tbl,
+      |  CAST(count(*) FILTER (source IN ('src3','src7')) AS BIGINT) AS n_purged,
+      |  CAST(count(*) FILTER (source NOT IN ('src3','src7')) AS BIGINT) AS n_kept
+      |FROM documents
+      |UNION ALL
+      |SELECT 'embeddings' AS tbl,
+      |  CAST(count(*) FILTER (bad.doc_id IS NOT NULL) AS BIGINT) AS n_purged,
+      |  CAST(count(*) FILTER (bad.doc_id IS NULL) AS BIGINT) AS n_kept
+      |FROM embeddings LEFT JOIN bad ON vec_id = bad.doc_id
+      |ORDER BY tbl""".stripMargin
+
   /** q_corpus_report: the dataset "data card" profile — one row per
     * language with document counts, character mass, length distribution,
     * and the exact-duplicate rate. The summary table published next to a
@@ -2181,7 +2266,9 @@ object TextAnalysis {
     "tx_pii" -> (txPii _),
     "tx_bigrams" -> (txBigrams _),
     "tx_repetition" -> (txRepetition _),
-    "tx_fingerprint" -> (txFingerprint _))
+    "tx_fingerprint" -> (txFingerprint _),
+    "tx_novelty" -> (txNovelty _),
+    "q_purge" -> (qPurge _))
 
   val oracles: Map[String, String] = Map(
     "q_curation_e2e" -> qCurationE2eSql,
@@ -2216,5 +2303,7 @@ object TextAnalysis {
     "tx_pii" -> txPiiSql,
     "tx_bigrams" -> txBigramsSql,
     "tx_repetition" -> txRepetitionSql,
-    "tx_fingerprint" -> txFingerprintSql)
+    "tx_fingerprint" -> txFingerprintSql,
+    "tx_novelty" -> txNoveltySql,
+    "q_purge" -> qPurgeSql)
 }

@@ -1549,6 +1549,48 @@ object Relational {
       |       (SELECT count(*) FROM c) AS n_view_click,
       |       (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin
 
+  /** Cohort retention matrix: users grouped by first-activity week
+    * (cohort), then for each week offset k the count of cohort members
+    * still active — the standard product-analytics retention triangle.
+    * Week arithmetic is exact integer (both engines truncate to the ISO
+    * Monday and difference in whole days / 7); the rate is one per-row
+    * IEEE division. Shuffle shape: a per-user min (map-side combined),
+    * one user-keyed join, one (cohort, offset) distinct-count — all
+    * key-hashed exchanges, no windows, no corpus-wide sort. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    val sizes = cohorts.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_users"))
+    ev.join(cohorts, Seq("user_id"))
+      .select(col("cohort"), expr("datediff(wk, cohort) DIV 7").as("week_k"),
+        col("user_id"))
+      .groupBy(col("cohort"), col("week_k"))
+      .agg(countDistinct(col("user_id")).as("active"))
+      .join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("week_k"), col("cohort_users"), col("active"),
+        (col("active").cast(DoubleType) / col("cohort_users").cast(DoubleType))
+          .as("retention"))
+      .orderBy(col("cohort"), col("week_k"))
+  }
+
+  val qRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),
+      |s AS (SELECT cohort, count(*) AS cohort_users FROM c GROUP BY cohort),
+      |r AS (
+      |  SELECT cohort, datediff('day', cohort, wk) // 7 AS week_k,
+      |    count(DISTINCT ev.user_id) AS active
+      |  FROM ev JOIN c USING (user_id)
+      |  GROUP BY cohort, datediff('day', cohort, wk) // 7)
+      |SELECT cohort, week_k, cohort_users, active,
+      |  CAST(active AS DOUBLE) / CAST(cohort_users AS DOUBLE) AS retention
+      |FROM r JOIN s USING (cohort)
+      |ORDER BY cohort, week_k""".stripMargin
+
   /** Shared first-failing stage expression for the stream-quality funnel
     * twins (st_funnel here, EventStreams.qualityFunnel on the stream):
     * ONE definition so the batch oracle and the streaming pipeline cannot
@@ -1640,6 +1682,7 @@ object Relational {
     "st_sliding" -> (stSliding _),
     "st_funnel" -> (stFunnel _),
     "q_user_funnel" -> (qUserFunnel _),
+    "q_retention" -> (qRetention _),
     "st_window_agg" -> (stWindowAgg _))
 
   val oracles: Map[String, String] = Map(
@@ -1686,5 +1729,6 @@ object Relational {
     "st_sliding" -> stSlidingSql,
     "st_funnel" -> stFunnelSql,
     "q_user_funnel" -> qUserFunnelSql,
+    "q_retention" -> qRetentionSql,
     "st_window_agg" -> stWindowAggSql)
 }

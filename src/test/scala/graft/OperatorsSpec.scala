@@ -1584,4 +1584,69 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(pred - y) < 1e-6)
     }
   }
+
+  test("stratifiedQuota: picks sum exactly to the budget, quotas within 1 of proportional") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val picked = Sampling.stratifiedQuota(docs, col("lang"), col("doc_id"), 100)
+    assert(picked.count() === 100L, "largest-remainder must hit the budget exactly")
+    val q = picked.groupBy(col("lang"))
+      .agg(first(col("quota")).as("quota"), first(col("stratum_n")).as("sn"),
+        count(lit(1)).as("got"))
+      .collect()
+    q.foreach { r =>
+      val (quota, sn, got) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(got === quota, s"stratum ${r.getString(0)} picked $got != quota $quota")
+      val exact = 100.0 * sn / n
+      assert(math.abs(quota - exact) < 1.0,
+        s"quota $quota vs proportional $exact for ${r.getString(0)}")
+    }
+  }
+
+  test("softDedup: cluster weights are 1/n_copies and total mass = distinct texts") {
+    val out = Dedup.softDedup(Tables.documents(spark, dir))
+    // weight * n_copies == 1 exactly (per-row division of 1.0)
+    assert(out.filter(col("weight") * col("n_copies") =!= 1.0).count() === 0L)
+    val distinctTexts = Tables.documents(spark, dir)
+      .select(md5(col("text"))).distinct().count()
+    val mass = out.agg(sum(col("weight"))).collect()(0).getDouble(0)
+    assert(math.abs(mass - distinctTexts) < 1e-6,
+      s"total weight $mass != $distinctTexts clusters")
+  }
+
+  test("novelty: first occurrence scores 1.0, exact duplicate of it scores 0.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // exact dup of doc 1
+      (3L, "omega psi chi phi upsilon")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.novelty(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) === 1.0)
+    assert(out(2L) === 0.0)
+    assert(out(3L) === 1.0)
+  }
+
+  test("retention: week 0 is 1.0 for every cohort (members active in their first week)") {
+    val r = graft.queries.Relational.qRetention(spark, dir)
+      .filter(col("week_k") === 0).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Double]("retention") === 1.0,
+        s"cohort ${row.get(0)} week-0 retention ${row.getAs[Double]("retention")}")
+    }
+  }
+
+  test("purge manifest: purged + kept equals table size for every table") {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val m = TextAnalysis.purgeManifest(docs, emb,
+      col("source").isin("src3", "src7")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("documents")._1 + m("documents")._2 === docs.count())
+    assert(m("embeddings")._1 + m("embeddings")._2 === emb.count())
+    assert(m("documents")._1 > 0, "blocked sources must be non-empty in testdata")
+  }
 }
