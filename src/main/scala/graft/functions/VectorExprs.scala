@@ -143,6 +143,17 @@ object VectorExprs {
   def minhashSigs(text: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ExpressionUtils.column(MinhashSigs(ExpressionUtils.expression(text), a, b, p))
 
+  /** simhash64(text): the 64-bit SimHash signature as [lo32, hi32] in one
+    * pass per row — per-token md5, ±1 bit votes in a 64-slot local
+    * array, majority pack. Replaces the tall token explode + 64
+    * sum-aggregate groupBy (the signature was always a per-ROW value).
+    * Token semantics mirror split(text, ' ') with limit -1: empty tokens
+    * (consecutive/leading/trailing spaces) vote too, exactly as the
+    * exploded formulation counts them. Bit-identical to the aggregate
+    * path and the DuckDB oracle. */
+  def simhash64(text: Column): Column =
+    ExpressionUtils.column(Simhash64(ExpressionUtils.expression(text)))
+
   /** nearestCell(v, n2, cents): IVF coarse-quantizer assignment as one
     * codegen'd argmin loop. `cents` is array<struct<label, cvec, c2>>
     * (attached per-row from a broadcast single-row DataFrame), and the
@@ -838,5 +849,65 @@ case class MinhashSigs(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSigs =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash in one pass — see [[VectorExprs.simhash64]]. Each
+  * space-delimited token (empty tokens included, mirroring
+  * split(text, ' ')) contributes ±1 votes to 64 bit slots from its md5:
+  * bits 0-31 from nibbles 1-8 (lo), 32-63 from nibbles 9-16 (hi); the
+  * packed signature sets bit b iff its vote sum is > 0. Returns
+  * [lo32, hi32] as array<long> — the exact columns the aggregate
+  * formulation produced. */
+case class Simhash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_simhash64"
+
+  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  override protected def nullSafeEval(sAny: Any): Any = {
+    val bytes = sAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = bytes.length
+    val votes = new Array[Int](64)
+    val digest = md.get()
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        digest.reset()
+        digest.update(bytes, start, i - start)
+        val d = digest.digest()
+        val lo = Md5NibblesLong.nibbles(d, 1, 8)
+        val hi = Md5NibblesLong.nibbles(d, 9, 8)
+        var b = 0
+        while (b < 32) {
+          if (((lo >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          if (((hi >>> b) & 1L) == 1L) votes(32 + b) += 1 else votes(32 + b) -= 1
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) lo |= (1L << b)
+      if (votes(32 + b) > 0) hi |= (1L << b)
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(lo, hi))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
     copy(child = newChild)
 }

@@ -376,21 +376,16 @@ object Dedup {
     * (map-side combine), so the shuffle carries 64 longs per doc, not
     * tokens. */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-    val h = tok.select(col("doc_id"),
-      md5Long(col("t"), 1, 8).as("lo"),
-      md5Long(col("t"), 9, 8).as("hi"))
-    def bitSum(half: Column, b: Int) =
-      sum(when(shiftright(half, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-    val bitSums = h.groupBy(col("doc_id")).agg(
-      bitSum(col("lo"), 0).as("s0"),
-      ((1 until 32).map(b => bitSum(col("lo"), b).as(s"s$b")) ++
-        (0 until 32).map(b => bitSum(col("hi"), b).as(s"s${32 + b}"))): _*)
-    def pack(off: Int) =
-      (0 until 32).map(b =>
-        when(col(s"s${off + b}") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-        .reduce(_ + _)
-    bitSums.select(col("doc_id"), pack(0).as("sh_lo"), pack(32).as("sh_hi"))
+    // per-row kernel: the 64-bit vote/pack was always a per-document
+    // value, so the tall token explode + 64 sum-aggregate groupBy (one
+    // corpus-sized exchange carrying two md5 halves per TOKEN) never
+    // needed to exist — same lesson as the MinHash signature kernel.
+    // Bit-identical to the aggregate formulation and the oracle.
+    val sig = org.apache.spark.sql.graft.VectorExprs.simhash64(col("text"))
+    docs.select(col("doc_id"), sig.as("_s"))
+      .select(col("doc_id"),
+        element_at(col("_s"), 1).as("sh_lo"),
+        element_at(col("_s"), 2).as("sh_hi"))
   }
 
   /** Candidate pairs within hamming distance `maxHamming` via 4 x 16-bit
