@@ -154,6 +154,18 @@ object VectorExprs {
   def simhash64(text: Column): Column =
     ExpressionUtils.column(Simhash64(ExpressionUtils.expression(text)))
 
+  /** bigramXxh64(text): the chained-xxhash64 identity of every adjacent
+    * word pair as array<long>, one pass per row. Element i equals
+    * xxhash64(w[i], w[i+1]) exactly — Spark's two-child fold
+    * XXH64(w[i+1], XXH64(w[i], 42)) over the same bytes — so consumers
+    * that shuffle bigram identities (fluency's corpus rarity count) drop
+    * the arrays_zip struct explode without changing a single output
+    * bit. Split semantics mirror split(text, ' ') limit -1 (empty words
+    * pair too). NULL when the doc has <2 words, so explode drops it like
+    * the zip filter did. */
+  def bigramXxh64(text: Column): Column =
+    ExpressionUtils.column(BigramXxh64(ExpressionUtils.expression(text)))
+
   /** nearestCell(v, n2, cents): IVF coarse-quantizer assignment as one
     * codegen'd argmin loop. `cents` is array<struct<label, cvec, c2>>
     * (attached per-row from a broadcast single-row DataFrame), and the
@@ -909,5 +921,53 @@ case class Simhash64(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+}
+
+/** Chained-xxhash64 word-bigram identities in one pass — see
+  * [[VectorExprs.bigramXxh64]]. Uses the same XXH64 byte hash Spark's
+  * xxhash64 expression applies per child (seed 42, previous hash as the
+  * next seed), over the word's source bytes in place. */
+case class BigramXxh64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bigram_xxh64"
+
+  override protected def nullSafeEval(sAny: Any): Any = {
+    val bytes = sAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val nWords = spaces + 1
+    if (nWords < 2) return null
+    val wStart = new Array[Int](nWords)
+    val wEnd = new Array[Int](nWords)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == ' ') { wEnd(w) = i; w += 1; wStart(w) = i + 1 }
+      i += 1
+    }
+    wEnd(w) = n
+    // the exact code path XxHash64Function takes for StringType children
+    def h(word: Int, seed: Long): Long =
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(
+          bytes, wStart(word), wEnd(word) - wStart(word)), seed)
+    val out = new Array[Long](nWords - 1)
+    var k = 0
+    while (k < nWords - 1) {
+      out(k) = h(k + 1, h(k, 42L))
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramXxh64 =
     copy(child = newChild)
 }

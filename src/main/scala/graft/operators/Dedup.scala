@@ -129,16 +129,16 @@ object Dedup {
     * in either engine (DuckDB BIGINT arithmetic is checked) — and the
     * same decimal constants are interpolated into the oracle SQL, so
     * results hash-match bit-for-bit. */
-  private[operators] val MinhashP: Long = 2147483647L // 2^31 - 1 (Mersenne)
+  private[graft] val MinhashP: Long = 2147483647L // 2^31 - 1 (Mersenne)
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
-  private[operators] val MinhashA: IndexedSeq[Long] =
+  private[graft] val MinhashA: IndexedSeq[Long] =
     (0 until 16).map(j => Math.floorMod(mix64(2L * j + 1), MinhashP - 1) + 1)
-  private[operators] val MinhashB: IndexedSeq[Long] =
+  private[graft] val MinhashB: IndexedSeq[Long] =
     (0 until 16).map(j => Math.floorMod(mix64(2L * j + 2), MinhashP))
 
   /** MinHash (k=16) + LSH banding (4 bands x 4 rows): candidate pairs with

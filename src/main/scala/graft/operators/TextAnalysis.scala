@@ -1380,27 +1380,27 @@ object TextAnalysis {
     * crosses an exchange; per-doc aggregation is the second bounded
     * shuffle. */
   def fluency(docs: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
     // De-texted shuffle: bigram identity is xxhash64(first, second) —
-    // Spark chains the per-column hashes (the second word is hashed
-    // with the first's hash as seed), so ("ab","c") != ("a","bc") and
-    // no separator string is built. Both corpus-wide exchanges (count
-    // groupBy + the count join) move (long, long) rows instead of
-    // bigram strings — same shape dd_exact uses for text identity; a
-    // 64-bit collision merging two distinct bigrams is ~N^2/2^64.
-    val tall = docs
-      .select(col("doc_id"),
-        explode(arrays_zip(w, slice(w, lit(2), size(w)))).as("z"))
-      .filter(col("z.1").isNotNull)
-      .select(col("doc_id"), xxhash64(col("z.0"), col("z.1")).as("bg"))
+    // chained per-word hashes, so ("ab","c") != ("a","bc") and no
+    // separator string is built. The identities come from the per-row
+    // [[VectorExprs.bigramXxh64]] kernel (one byte scan per doc, no
+    // arrays_zip structs); the one corpus-wide exchange (the bg-keyed
+    // count) moves (long, long) rows — same shape dd_exact uses for
+    // text identity; a 64-bit collision merging two distinct bigrams
+    // is ~N^2/2^64.
+    val tall = docs.select(col("doc_id"),
+      explode(org.apache.spark.sql.graft.VectorExprs
+        .bigramXxh64(col("text"))).as("bg"))
     // No count-join back to the tall table: a corpus-unique bigram
     // (n == 1) occurs in exactly one document, so min(doc_id) of its
     // count group IS that document — per-doc rare counts come from the
-    // count groups directly. One corpus-scale exchange (the bg-keyed
-    // count) instead of two; the doc-keyed bigram count combines
-    // map-side to one row per doc (each doc's bigrams are co-located
-    // at the scan), and the final join is doc-count-sized both sides.
-    val perDoc = tall.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bigrams"))
+    // count groups directly. And the per-doc bigram TOTAL is pure
+    // arithmetic on the word count (a zero-shuffle projection), so the
+    // doc-keyed aggregate over the tall table is gone too.
+    val perDoc = docs
+      .select(col("doc_id"),
+        (size(split(col("text"), " ")) - 1).cast(LongType).as("n_bigrams"))
+      .filter(col("n_bigrams") > 0)
     val rare = tall.groupBy(col("bg"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("owner"))
       .filter(col("n") === 1)

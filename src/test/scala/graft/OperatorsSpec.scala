@@ -1639,6 +1639,65 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("per-row kernels are bit-identical to their exploded reference formulations") {
+    import org.apache.spark.sql.graft.VectorExprs
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val w = split(col("text"), " ")
+
+    // simhash64 vs token-explode + 64 sum-aggregates
+    val tok = docs.select(col("doc_id"), explode(w).as("t"))
+    def bitSum(half: org.apache.spark.sql.Column, b: Int) =
+      sum(when(shiftright(half, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+    val h = tok.select(col("doc_id"),
+      VectorExprs.md5Long(col("t"), 1, 8).as("lo"),
+      VectorExprs.md5Long(col("t"), 9, 8).as("hi"))
+    val bitSums = h.groupBy(col("doc_id")).agg(
+      bitSum(col("lo"), 0).as("s0"),
+      ((1 until 32).map(b => bitSum(col("lo"), b).as(s"s$b")) ++
+        (0 until 32).map(b => bitSum(col("hi"), b).as(s"s${32 + b}"))): _*)
+    def pack(off: Int) =
+      (0 until 32).map(b =>
+        when(col(s"s${off + b}") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+        .reduce(_ + _)
+    val refSim = bitSums.select(col("doc_id"),
+      pack(0).as("sh_lo"), pack(32).as("sh_hi"))
+    assert(Dedup.simhash(docs).except(refSim).isEmpty &&
+      refSim.except(Dedup.simhash(docs)).isEmpty,
+      "simhash kernel diverges from the aggregate formulation")
+
+    // bigramXxh64 vs arrays_zip + xxhash64(two children)
+    val refBg = docs
+      .select(col("doc_id"),
+        explode(arrays_zip(w, slice(w, lit(2), size(w)))).as("z"))
+      .filter(col("z.1").isNotNull)
+      .select(col("doc_id"), xxhash64(col("z.0"), col("z.1")).as("bg"))
+    val kerBg = docs.select(col("doc_id"),
+      explode(VectorExprs.bigramXxh64(col("text"))).as("bg"))
+    assert(kerBg.except(refBg).isEmpty && refBg.except(kerBg).isEmpty,
+      "bigram kernel diverges from the zip + xxhash64 formulation")
+
+    // minhashSigs vs shingle-explode + k min-aggregates
+    val tallH = docs.select(col("doc_id"),
+      explode(VectorExprs.shingle3Md5Long(col("text"), 1, 15)).as("sh"))
+    val hashed = tallH.withColumn("hh",
+      shiftright(col("sh"), 28) % lit(Dedup.MinhashP))
+    def perm(j: Int) =
+      (lit(Dedup.MinhashA(j)) * col("hh") + lit(Dedup.MinhashB(j))) %
+        lit(Dedup.MinhashP)
+    val refSig = hashed.groupBy(col("doc_id")).agg(
+      min(perm(0)).as("mh0"),
+      (1 until 16).map(j => min(perm(j)).as(s"mh$j")): _*)
+    val kerSig = docs.select(col("doc_id"),
+        VectorExprs.minhashSigs(col("text"),
+          Dedup.MinhashA.take(16), Dedup.MinhashB.take(16),
+          Dedup.MinhashP).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id") +:
+        (0 until 16).map(j => element_at(col("s"), j + 1).as(s"mh$j")): _*)
+    assert(kerSig.except(refSig).isEmpty && refSig.except(kerSig).isEmpty,
+      "minhash kernel diverges from the aggregate formulation")
+  }
+
   test("purge manifest: purged + kept equals table size for every table") {
     val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)
