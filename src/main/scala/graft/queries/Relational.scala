@@ -1031,6 +1031,108 @@ object Relational {
       |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** q_anomaly: robust daily-volume anomaly detection per event type —
+    * flag days whose count deviates from the type's median by more than
+    * 3x the median absolute deviation (MAD). The median/MAD pair is the
+    * standard robust alternative to mean/stddev (a single spike day
+    * cannot drag the threshold toward itself). Everything is DISCRETE
+    * order statistics on integers (lower median at rank (n+1) DIV 2) —
+    * no interpolation, no doubles, hash-exact cross-engine.
+    *
+    * Scale: the corpus-sized work is one (type, day) count with map-side
+    * combine; medians/MADs run on the aggregated table (types x days —
+    * monitoring-dashboard-sized by construction), so the per-type
+    * windows are bounded, never corpus windows. */
+  def qAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wT = Window.partitionBy(col("event_type"))
+    def lowerMedian(df: DataFrame, v: String, out: String) = df
+      .withColumn("_rk", row_number().over(wT.orderBy(col(v), col("day"))))
+      .withColumn("_cnt", count(lit(1)).over(wT))
+      .filter(col("_rk") === expr("(_cnt + 1) DIV 2"))
+      .select(col("event_type"), col(v).as(out))
+    val med = lowerMedian(daily, "n", "med")
+    val dev = daily.join(med, Seq("event_type"))
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(mad, Seq("event_type"))
+      .filter(col("dev") > lit(3) * col("mad"))
+      .select(col("event_type"), col("day"), col("n"), col("med"), col("mad"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val qAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      |med AS (
+      |  SELECT event_type, n AS med FROM (
+      |    SELECT event_type, n, day,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY n, day) AS rk,
+      |      count(*) OVER (PARTITION BY event_type) AS cnt
+      |    FROM daily)
+      |  WHERE rk = (cnt + 1) // 2),
+      |dev AS (
+      |  SELECT d.event_type, day, n, med, abs(n - med) AS dev
+      |  FROM daily d JOIN med USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, dev AS mad FROM (
+      |    SELECT event_type, dev, day,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY dev, day) AS rk,
+      |      count(*) OVER (PARTITION BY event_type) AS cnt
+      |    FROM dev)
+      |  WHERE rk = (cnt + 1) // 2)
+      |SELECT event_type, day, n, med, mad
+      |FROM dev JOIN mad USING (event_type)
+      |WHERE dev > 3 * mad
+      |ORDER BY event_type, day""".stripMargin
+
+  /** q_skyline: the 2-D Pareto frontier (skyline operator) — parts not
+    * dominated on (cheaper retail price, larger size) by any other part.
+    * Spark has no native SKYLINE; the 2-D case reduces to ONE ordered
+    * window: sort by price asc (ties: size desc), keep rows whose size
+    * strictly exceeds the running max size over all strictly-cheaper
+    * rows — dominance by a later row is impossible, dominance by an
+    * equal-price row is excluded by definition (strict on price).
+    *
+    * Scale: the window runs over the PART dimension table (catalog-
+    * bounded, not fact-bounded) after a 6x-selective brand filter; the
+    * general fact-scale skyline would use the same local-skyline →
+    * merge shape as the bucket-split prefix machinery (each bucket's
+    * skyline is computed locally; only candidates survive to the tiny
+    * cross-bucket filter). Dominance tests are pure DECIMAL/integer
+    * comparisons — no doubles, hash-exact. */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    // one row per distinct price (dominance is strict on price, so all
+    // equal-price rows share the same dominator set — pre-aggregating
+    // per price makes the rows-frame window exactly "strictly cheaper")
+    val perPrice = p.groupBy(col("p_retailprice"))
+      .agg(max(col("p_size")).as("_gmax"))
+    val w = Window.orderBy(col("p_retailprice").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("_pmax", max(col("_gmax")).over(w))
+      .select(col("p_retailprice"), col("_pmax"))
+    p.join(frontier, Seq("p_retailprice"))
+      .filter(col("_pmax").isNull || col("p_size") > col("_pmax"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+  }
+
+  val qSkylineSql: String =
+    """WITH f AS (
+      |  SELECT p_partkey, p_retailprice, p_size FROM part
+      |  WHERE p_brand = 'Brand#23')
+      |SELECT p_partkey, p_retailprice, p_size FROM f a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM f b
+      |  WHERE b.p_retailprice < a.p_retailprice AND b.p_size >= a.p_size)
+      |ORDER BY p_retailprice, p_partkey""".stripMargin
+
   /** q_listagg: ordered string aggregation (LISTAGG ... WITHIN GROUP)
     * over BOUNDED groups — nations per region, suppliers per nation
     * would be the unbounded anti-pattern; the members list here is
@@ -1683,6 +1785,8 @@ object Relational {
     "st_funnel" -> (stFunnel _),
     "q_user_funnel" -> (qUserFunnel _),
     "q_retention" -> (qRetention _),
+    "q_skyline" -> (qSkyline _),
+    "q_anomaly" -> (qAnomaly _),
     "st_window_agg" -> (stWindowAgg _))
 
   val oracles: Map[String, String] = Map(
@@ -1730,5 +1834,7 @@ object Relational {
     "st_funnel" -> stFunnelSql,
     "q_user_funnel" -> qUserFunnelSql,
     "q_retention" -> qRetentionSql,
+    "q_skyline" -> qSkylineSql,
+    "q_anomaly" -> qAnomalySql,
     "st_window_agg" -> stWindowAggSql)
 }

@@ -1698,6 +1698,39 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "minhash kernel diverges from the aggregate formulation")
   }
 
+  test("skyline: sound (no kept row dominated) and complete (every dropped row dominated)") {
+    val all = Tables.part(spark, dir).filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"), col("p_retailprice").cast("double"), col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val kept = graft.queries.Relational.qSkyline(spark, dir)
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    def dominated(a: (Long, Double, Int)) =
+      all.exists(b => b._2 < a._2 && b._3 >= a._3)
+    all.foreach { p =>
+      if (kept(p._1)) assert(!dominated(p), s"kept $p is dominated")
+      else assert(dominated(p), s"dropped $p is not dominated")
+    }
+  }
+
+  test("anomaly: every flagged day deviates by more than 3 MAD under a plain-Scala replay") {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    val byType = daily.groupBy(_._1)
+    val flagged = graft.queries.Relational.qAnomaly(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString)).toSet
+    byType.foreach { case (t, rows) =>
+      val med = lowerMedian(rows.map(_._3).toSeq)
+      val mad = lowerMedian(rows.map(r => math.abs(r._3 - med)).toSeq)
+      rows.foreach { case (_, day, n) =>
+        val isAnom = math.abs(n - med) > 3 * mad
+        assert(flagged((t, day)) === isAnom, s"($t, $day, n=$n) med=$med mad=$mad")
+      }
+    }
+  }
+
   test("purge manifest: purged + kept equals table size for every table") {
     val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)
