@@ -156,35 +156,6 @@ object Dedup {
       explode(org.apache.spark.sql.graft.VectorExprs
         .shingle3Md5Long(col("text"), 1, 15)).as("sh"))
 
-  /** (doc_id, b, bk) LSH band keys from the k-permutation minhash
-    * signature over a pre-hashed tall table — a projection + one
-    * map-side-combined aggregate, localCheckpointed because it feeds
-    * both sides of candidate joins. */
-  private[operators] def bandKeysFromHashed(tallH: DataFrame, k: Int = 16,
-                                            bands: Int = 4): DataFrame = {
-    val rows = k / bands
-    // k codegen'd min aggregates over the tall table — partial
-    // aggregation combines map-side, so the shuffle carries k longs per
-    // doc. (The per-doc HOF formulation array_min(transform(...)) is
-    // interpreted per element — measured ~4x slower end-to-end.)
-    val hashed = tallH.withColumn("h",
-      shiftright(col("sh"), 28) % lit(MinhashP))
-    def perm(j: Int) =
-      (lit(MinhashA(j)) * col("h") + lit(MinhashB(j))) % lit(MinhashP)
-    val sig = hashed.groupBy(col("doc_id")).agg(
-      min(perm(0)).as("mh0"),
-      (1 until k).map(j => min(perm(j)).as(s"mh$j")): _*)
-    sig.select(col("doc_id"), posexplode(array(
-      (0 until bands).map(b => md5(concat_ws("|",
-        (0 until rows).map(r => col(s"mh${rows * b + r}")): _*))): _*)))
-      .toDF("doc_id", "b", "bk")
-      .localCheckpoint()
-  }
-
-  private[operators] def bandKeys(docs: DataFrame, k: Int = 16,
-                                  bands: Int = 4): DataFrame =
-    bandKeysFromHashed(hashedShingles(docs), k, bands)
-
   /** (doc_id, b, bk) LSH band keys via the per-row [[VectorExprs.minhashSigs]]
     * kernel: the whole signature is a PROJECTION (zero exchange, no tall
     * table, no aggregate — PlanSpec pins this), bit-identical to
@@ -288,11 +259,13 @@ object Dedup {
                                     histBands: DataFrame,
                                     histShingles: DataFrame,
                                     minJaccard: Double = 0.5): DataFrame = {
-    // the batch is shingled+digested once; history arrives as persisted
-    // TEXT shingles (the deployment's durable format) and is hashed at
-    // the boundary — only the candidate slice of it is ever touched
+    // batch signatures come from the per-row kernel (a projection — the
+    // batch's tall table exists only for verification); history arrives
+    // as persisted TEXT shingles (the deployment's durable format) and
+    // is hashed at the boundary — only the candidate slice of it is
+    // ever touched
     val tallNewH = hashedShingles(newDocs).localCheckpoint()
-    val bNew = bandKeysFromHashed(tallNewH)
+    val bNew = bandKeysKernel(newDocs)
     // doc_a =!= doc_b: ids are normally disjoint between history and a
     // new batch (the derived incrementalNearDup form guarantees it), but
     // a re-submitted id must not self-collide — the shared-shingle union
@@ -320,7 +293,7 @@ object Dedup {
                          minJaccard: Double = 0.5): DataFrame = {
     val hist = docs.filter(isHistorical)
     incrementalNearDupPrecomputed(docs.filter(!isHistorical),
-      bandKeys(hist), tallShingles(hist), minJaccard)
+      bandKeysKernel(hist), tallShingles(hist), minJaccard)
   }
 
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame =
