@@ -29,15 +29,28 @@ object BenchHeavy {
     * there (and the DuckDB side's pair joins grow superlinearly — 100x
     * would make the oracle side run for hours, a different benchmark). */
   val heavyX10: Seq[String] = Seq(
-    "q1_agg", "q_unpivot", "q_approx_quantiles", "q_quantile_select",
-    "dd_simhash", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_threshold_hist",
+    "q_unpivot", "q_quantile_select",
+    "dd_simhash", "dd_ngram_jaccard", "dd_threshold_hist",
     "dd_cluster", "dd_priority")
   /** Linear text/hash aggregations at 100x: at 10x (50k docs, ~2.7M
     * bigrams) these are still scheduler-floor-bound in Spark while DuckDB
     * finishes in tens of ms — the ratio measures the floor, not the
-    * engine. 100x (500k docs) puts real work on both sides. */
+    * engine. 100x (500k docs) puts real work on both sides. Same
+    * reasoning moved the two LINEAR lineitem queries here (60M rows):
+    * at x10 their Spark time is the 2-column scan floor itself
+    * (QProfile: 0.27 s scan+count vs 0.84 s q1_agg total), so the x10
+    * ratio graded the JVM's fixed startup against DuckDB's in-process
+    * scan, not the aggregation engines. The pair-shaped lineitem queries
+    * (q_unpivot's 6× row explosion, q_quantile_select's probe join) stay
+    * at x10 where their work already dominates. dd_minhash_lsh also
+    * lives here: replicas share no shingles, so its banded candidate
+    * mass scales LINEARLY (not the superlinear pair blowup that keeps
+    * the other dedup queries at x10), and at x10 its 2.3 s was mostly
+    * its ~10-stage schedule floor (x100 measured: Spark 4.3 s vs DuckDB
+    * 7.7 s — work-dominated on both sides). */
   val heavyX100: Seq[String] = Seq("tx_tfidf", "tx_fluency", "dd_paragraphs",
-    "dd_overlap", "tx_ks_drift", "tx_scorer_fit")
+    "dd_overlap", "tx_ks_drift", "tx_scorer_fit", "q1_agg",
+    "q_approx_quantiles", "dd_minhash_lsh")
   val heavy: Seq[String] = heavyX10 ++ heavyX100
 
   private def loadavg: Double =
@@ -54,21 +67,32 @@ object BenchHeavy {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(dir: String, nReps: Int, withLineitem: Boolean): Unit = {
-      val marker = java.nio.file.Paths.get(dir, "_done")
-      if (java.nio.file.Files.exists(marker)) return
+    def replicate(dir: String, nReps: Int): Unit = {
+      // per-table markers: tiers acquired lineitem at different times, so
+      // an existing docs replica must not block the lineitem build
+      // (legacy "_done" marker counts as the docs marker)
       val rep = explode(sequence(lit(0), lit(nReps - 1))).as("rep")
-      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-      docs.select(col("*"), rep)
-        .withColumn("doc_id",
-          col("doc_id") + col("rep").cast("long") * lit(1000000000L))
-        .withColumn("text", when(col("rep") === 0, col("text"))
-          .otherwise(regexp_replace(col("text"), lit("(^| )"),
-            concat(lit("$1r"), col("rep").cast("string"), lit("x")))))
-        .drop("rep")
-        .repartition(64)
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      if (withLineitem) {
+      def once(table: String)(build: => Unit): Unit = {
+        val marker = java.nio.file.Paths.get(dir, s"_done_$table")
+        val legacy = java.nio.file.Paths.get(dir, "_done")
+        if (java.nio.file.Files.exists(marker) ||
+          (table == "documents" && java.nio.file.Files.exists(legacy))) return
+        build
+        java.nio.file.Files.createFile(marker)
+      }
+      once("documents") {
+        val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+        docs.select(col("*"), rep)
+          .withColumn("doc_id",
+            col("doc_id") + col("rep").cast("long") * lit(1000000000L))
+          .withColumn("text", when(col("rep") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(^| )"),
+              concat(lit("$1r"), col("rep").cast("string"), lit("x")))))
+          .drop("rep")
+          .repartition(64)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
+      once("lineitem") {
         val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
         li.select(col("*"), rep)
           .withColumn("l_orderkey",
@@ -77,12 +101,11 @@ object BenchHeavy {
           .repartition(64)
           .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       }
-      java.nio.file.Files.createFile(marker)
     }
     val x10 = s"$outDir/x10"
     val x100 = s"$outDir/x100"
-    replicate(x10, reps, withLineitem = true)
-    replicate(x100, reps * 10, withLineitem = false)
+    replicate(x10, reps)
+    replicate(x100, reps * 10)
     val dirFor: Map[String, String] =
       (heavyX10.map(_ -> x10) ++ heavyX100.map(_ -> x100)).toMap
 

@@ -38,20 +38,31 @@ object TextAnalysis {
 
   /** Quality scoring: length/alpha/punctuation/stopword signals combined
     * into one [0,1] score — the standard pre-training corpus filter shape. */
-  def quality(docs: DataFrame): DataFrame = {
-    val n = length(col("text")).cast(DoubleType)
+  // The four rule signals, factored so [[calibration]] reuses the EXACT
+  // same expression tree as [[quality]] (bit-identical label decisions).
+  private def qn = length(col("text")).cast(DoubleType)
+  private def qAlphaRatio: Column =
+    length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType) / qn
+  private def qPunctRatio: Column =
+    length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast(DoubleType) / qn
+  // regexp_count, not size(filter(tokens, ...)): the HOF filter is an
+  // interpreted lambda (CodegenFallback) and knocks the whole projection
+  // out of whole-stage codegen (asserted in PlanSpec). Longest-first
+  // alternation so both regex engines match whole words identically.
+  private def qStopRatio: Column =
+    regexp_count(col("text"), lit("\\b(and|the|of|to|a)\\b"))
+      .cast(DoubleType) / size(toks).cast(DoubleType)
+  private[operators] def qualityScoreExpr: Column = {
     val nTok = size(toks).cast(DoubleType)
-    val alphaRatio =
-      (length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType) / n)
-    val punctRatio =
-      (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast(DoubleType) / n)
-    // regexp_count, not size(filter(tokens, ...)): the HOF filter is an
-    // interpreted lambda (CodegenFallback) and knocks the whole projection
-    // out of whole-stage codegen (asserted in PlanSpec). Longest-first
-    // alternation so both regex engines match whole words identically.
-    val stopRatio =
-      (regexp_count(col("text"), lit("\\b(and|the|of|to|a)\\b"))
-        .cast(DoubleType) / nTok)
+    least(nTok / 50.0, lit(1.0)) * 0.25 + qAlphaRatio * 0.25 +
+      (lit(1.0) - qPunctRatio) * 0.25 + least(qStopRatio * 4.0, lit(1.0)) * 0.25
+  }
+
+  def quality(docs: DataFrame): DataFrame = {
+    val nTok = size(toks).cast(DoubleType)
+    val alphaRatio = qAlphaRatio
+    val punctRatio = qPunctRatio
+    val stopRatio = qStopRatio
     docs.select(
       col("doc_id"),
       nTok.cast(LongType).as("n_tokens"),
@@ -557,6 +568,95 @@ object TextAnalysis {
 
   def txMlQuality(spark: SparkSession, dir: String): DataFrame =
     mlQuality(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Reliability diagram for the model-based quality scorer: bin the ml
+    * score into `bins` fixed-width cells over [-1, 1] and report, per
+    * cell, how often the rule-based filter ([[quality]] >= 0.5) agrees —
+    * the calibration table a curation team reads before trusting a
+    * model filter's threshold (a well-calibrated scorer's keep_rate
+    * rises monotonically with the bin; a flat diagram means the model
+    * adds nothing over the rules). Closes the scorer-evaluation loop:
+    * tx_scorer_fit trains, tx_scorer_serve serves, q_calibration audits.
+    *
+    * Determinism contract: per-bin aggregates are exact-integer counts
+    * (n, n_keep), one final division (keep_rate), and min/max of the
+    * score — min/max are accumulation-ORDER-FREE, unlike a double mean
+    * (the q_corr lesson), so every output column hash-matches the
+    * oracle. The rule label reuses [[quality]]'s exact expression tree
+    * and is carried THROUGH the token explode as one int per token row:
+    * no second doc-keyed exchange, no join — the only shuffles are
+    * mlQuality's own map-combined per-doc aggregate and the `bins`-row
+    * final aggregate. Scale: identical to [[mlQuality]] (one slim
+    * corpus shuffle), plus a constant-size table. */
+  def calibration(docs: DataFrame, dims: Int = 64, bins: Int = 10): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+        (qualityScoreExpr >= 0.5).cast("int").as("lab"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val j = pmod(md5Long(col("term"), 1, 15), lit(dims.toLong))
+    val wInt = md5Long(concat(lit("w:"), j.cast(StringType)), 1, 10)
+    val perDoc = tok.select(col("doc_id"), col("lab"), wInt.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("w")).as("s"),
+        max(col("lab")).as("lab")) // constant within a doc; max picks it
+    val score = ((col("s").cast(DoubleType) / col("n_terms").cast(DoubleType)) /
+      lit(1099511627776.0)) * lit(2.0) - lit(1.0)
+    val halfBins = bins / 2.0
+    perDoc.select(col("lab"), score.as("ml_score"))
+      .select(col("lab"), col("ml_score"),
+        least(greatest(floor((col("ml_score") + lit(1.0)) * lit(halfBins)),
+          lit(0L)), lit(bins.toLong - 1)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("lab")).cast(LongType).as("n_keep"),
+        min(col("ml_score")).as("score_lo"), max(col("ml_score")).as("score_hi"))
+      .withColumn("keep_rate",
+        col("n_keep").cast(DoubleType) / col("n").cast(DoubleType))
+      .orderBy("bin")
+  }
+
+  def qCalibration(spark: SparkSession, dir: String): DataFrame =
+    calibration(Tables.documents(spark, dir))
+
+  /** Oracle replays the identical chain: rule label as a CASE over the
+    * same four ratios, the md5 weight chain, fixed [-1,1] binning. */
+  val qCalibrationSql: String =
+    """WITH lab AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN
+      |      least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.25
+      |      + (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+      |         / CAST(length(text) AS DOUBLE)) * 0.25
+      |      + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |         / CAST(length(text) AS DOUBLE)) * 0.25
+      |      + least(CAST(len(regexp_extract_all(text, '\b(and|the|of|to|a)\b')) AS DOUBLE)
+      |         / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0) * 0.25
+      |      >= 0.5 THEN 1 ELSE 0 END AS lab
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, lab, unnest(string_split(text, ' ')) AS term FROM lab),
+      |f AS (
+      |  SELECT doc_id, lab,
+      |    ('0x'||substr(md5('w:'||CAST(
+      |      ('0x'||substr(md5(term),1,15))::BIGINT % 64 AS VARCHAR)),1,10))::BIGINT AS w
+      |  FROM tok WHERE term <> ''),
+      |perdoc AS (
+      |  SELECT doc_id, max(lab) AS lab, count(*) AS n_terms,
+      |    CAST(sum(w) AS BIGINT) AS s
+      |  FROM f GROUP BY doc_id),
+      |scored AS (
+      |  SELECT lab,
+      |    (CAST(s AS DOUBLE) / CAST(n_terms AS DOUBLE)) / 1099511627776.0
+      |      * 2.0 - 1.0 AS ml_score
+      |  FROM perdoc),
+      |b AS (
+      |  SELECT lab, ml_score,
+      |    CAST(least(greatest(floor((ml_score + 1.0) * 5.0), 0.0), 9.0)
+      |      AS BIGINT) AS bin
+      |  FROM scored)
+      |SELECT bin, count(*) AS n, CAST(sum(lab) AS BIGINT) AS n_keep,
+      |  min(ml_score) AS score_lo, max(ml_score) AS score_hi,
+      |  CAST(sum(lab) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_rate
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
   /** Quality-scorer TRAINING — the other half of tx_mlquality's loop.
     * Least-squares fit of a linear model by its NORMAL EQUATIONS: the
@@ -2256,6 +2356,7 @@ object TextAnalysis {
     "tx_tokens_vocab" -> (txTokensVocab _),
     "tx_boilerplate" -> (txBoilerplate _),
     "tx_mlquality" -> (txMlQuality _),
+    "q_calibration" -> (qCalibration _),
     "tx_urlnorm" -> (txUrlnorm _),
     "q_domain_cap" -> (txDomainCap _),
     "tx_tfidf" -> (txTfidf _),
@@ -2293,6 +2394,7 @@ object TextAnalysis {
     "tx_tokens_vocab" -> txTokensVocabSql,
     "tx_boilerplate" -> txBoilerplateSql,
     "tx_mlquality" -> txMlQualitySql,
+    "q_calibration" -> qCalibrationSql,
     "tx_urlnorm" -> txUrlnormSql,
     "q_domain_cap" -> txDomainCapSql,
     "tx_tfidf" -> txTfidfSql,

@@ -1541,6 +1541,45 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(1.0 - ssRes / ssTot > 0.95, s"R^2 ${1.0 - ssRes / ssTot}")
   }
 
+  test("q_calibration agrees with an independent mlQuality x quality join") {
+    // the operator fuses label + score into one pass (label carried
+    // through the token explode); the reference recomputes both halves
+    // separately and joins — bin-for-bin equality certifies the fusion
+    val docs = Tables.documents(spark, dir)
+    val cal = TextAnalysis.calibration(docs).collect()
+    val ref = TextAnalysis.mlQuality(docs)
+      .select(col("doc_id"), col("ml_score"))
+      .join(TextAnalysis.quality(docs).select(col("doc_id"),
+        (col("quality_score") >= 0.5).cast("int").as("lab")), "doc_id")
+      .select(col("lab"), col("ml_score"),
+        least(greatest(floor((col("ml_score") + lit(1.0)) * lit(5.0)),
+          lit(0L)), lit(9L)).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("lab")).as("n_keep"),
+        min("ml_score").as("score_lo"), max("ml_score").as("score_hi"))
+      .collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_keep"),
+          r.getAs[Double]("score_lo"), r.getAs[Double]("score_hi")))
+      .toMap
+    assert(cal.nonEmpty && cal.length == ref.size)
+    cal.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val (n, nKeep, lo, hi) = ref(bin)
+      assert(r.getAs[Long]("n") == n, s"bin $bin n")
+      assert(r.getAs[Long]("n_keep") == nKeep, s"bin $bin n_keep")
+      assert(r.getAs[Double]("score_lo") == lo, s"bin $bin score_lo")
+      assert(r.getAs[Double]("score_hi") == hi, s"bin $bin score_hi")
+      assert(r.getAs[Double]("keep_rate") == nKeep.toDouble / n)
+      // bin boundaries contain the observed score extremes
+      assert(lo >= -1.0 + bin * 0.2 - 1e-12 || bin == 0L)
+      assert(hi <= -1.0 + (bin + 1) * 0.2 + 1e-12 || bin == 9L)
+    }
+    // total rows = scored docs (docs with >= 1 non-empty token)
+    assert(cal.map(_.getAs[Long]("n")).sum ==
+      TextAnalysis.mlQuality(docs).count())
+  }
+
   test("scorer moments: normal-equation solve recovers a planted linear model") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
