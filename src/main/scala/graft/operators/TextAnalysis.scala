@@ -1760,6 +1760,57 @@ object TextAnalysis {
        |ORDER BY t.n DESC, t.term""".stripMargin
   }
 
+  /** Differential-privacy-SHAPED statistics release: the noisy
+    * thresholded term histogram (the private heavy-hitter release —
+    * add per-key noise, clamp at zero, publish only keys whose noised
+    * count clears a threshold τ). This is the release gate a pipeline
+    * puts between corpus statistics and anything leaving the trust
+    * boundary: raw counts of rare terms can memorably identify a
+    * single source document; the τ-threshold suppresses every term
+    * whose evidence is not crowd-sized.
+    *
+    * Determinism contract (the multimodal-decode pattern): production
+    * draws noise from a cryptographic PRG with discrete-Laplace(1/ε)
+    * tails; HERE the noise is a deterministic md5-seeded UNIFORM draw
+    * on [-B, B] so the oracle replays the release bit-for-bit — the
+    * pipeline SHAPE (count → per-key noise → clamp → τ-threshold →
+    * publish) is the real contract, the sampler is a swap-in. No
+    * ln/exp anywhere (libm drift — the tx_tfidf lesson): the draw is
+    * pure integer arithmetic on the term's 60-bit digest.
+    *
+    * Scale: one map-side-combined vocabulary shuffle; noise +
+    * threshold are projections over the vocab-sized table; output is
+    * the released slice ordered by (released desc, term). */
+  def dpRelease(docs: DataFrame, noiseB: Long = 20L, tau: Long = 50L)
+      : DataFrame = {
+    val tok = docs.select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val hist = tok.groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val noise = pmod(md5Long(concat(lit("dp:"), col("term")), 1, 15),
+      lit(2 * noiseB + 1)) - lit(noiseB)
+    hist
+      .select(col("term"),
+        greatest(col("n") + noise, lit(0L)).as("released"))
+      .filter(col("released") >= tau)
+      .orderBy(col("released").desc, col("term"))
+  }
+
+  def txDpRelease(spark: SparkSession, dir: String): DataFrame =
+    dpRelease(Tables.documents(spark, dir))
+
+  val txDpReleaseSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |hist AS (
+      |  SELECT term, count(*) AS n FROM tok WHERE term <> '' GROUP BY term),
+      |rel AS (
+      |  SELECT term,
+      |    greatest(n + ('0x'||substr(md5('dp:'||term),1,15))::BIGINT % 41
+      |      - 20, 0) AS released
+      |  FROM hist)
+      |SELECT term, released FROM rel WHERE released >= 50
+      |ORDER BY released DESC, term""".stripMargin
+
   /** SFT example construction: flatten multi-turn conversations into
     * (context, response) training rows — one example per assistant
     * turn, context = all prior turns with role tags. The documents
@@ -2346,6 +2397,7 @@ object TextAnalysis {
     "tx_scorer_serve" -> (txScorerServe _),
     "tx_sft_pairs" -> (txSftPairs _),
     "tx_cmsketch" -> (txCmSketch _),
+    "tx_dp_release" -> (txDpRelease _),
     "tx_fluency" -> (txFluency _),
     "tx_html_strip" -> (txHtmlStrip _),
     "tx_bpe_train" -> (txBpeTrain _),
@@ -2384,6 +2436,7 @@ object TextAnalysis {
     "tx_scorer_serve" -> txScorerServeSql,
     "tx_sft_pairs" -> txSftPairsSql,
     "tx_cmsketch" -> txCmSketchSql,
+    "tx_dp_release" -> txDpReleaseSql,
     "tx_fluency" -> txFluencySql,
     "tx_html_strip" -> txHtmlStripSql,
     "tx_bpe_train" -> txBpeTrainSql,
