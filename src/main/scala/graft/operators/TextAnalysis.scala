@@ -376,7 +376,12 @@ object TextAnalysis {
     val df = tf.groupBy(col("th")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(df, Seq("th"))
+    // shuffle_hash, not sort-merge: the df side is vocabulary-sized and
+    // shards by th, so the per-partition hash build is vocab/P rows —
+    // bounded at any corpus scale — while SMJ would sort the corpus-
+    // sized tf side (and the vocab side) first. Measured at x100: the
+    // join stage drops its two 100M/5M-row sorts.
+    tf.join(df.hint("shuffle_hash"), Seq("th"))
       .withColumn("score", col("tf").cast(DoubleType) / col("df").cast(DoubleType))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
