@@ -587,27 +587,32 @@ object TextAnalysis {
     * (n, n_keep), one final division (keep_rate), and min/max of the
     * score — min/max are accumulation-ORDER-FREE, unlike a double mean
     * (the q_corr lesson), so every output column hash-matches the
-    * oracle. The rule label reuses [[quality]]'s exact expression tree
-    * and is carried THROUGH the token explode as one int per token row:
-    * no second doc-keyed exchange, no join — the only shuffles are
-    * mlQuality's own map-combined per-doc aggregate and the `bins`-row
-    * final aggregate. Scale: identical to [[mlQuality]] (one slim
-    * corpus shuffle), plus a constant-size table. */
+    * oracle. The rule label reuses [[quality]]'s exact expression tree,
+    * evaluated ONCE PER DOCUMENT in its own projection and joined to
+    * the per-doc score aggregate on the long doc_id — NOT carried
+    * through the token explode: Catalyst floats a projection over a
+    * Generate's pass-through columns above the Generate (text survives
+    * the explode), which re-evaluated the four label regexes per TOKEN
+    * row, ~200x the intended work (measured 13.3 s at sf0.1 vs 0.7 s
+    * for this shape). Shuffles: mlQuality's map-combined per-doc
+    * aggregate, two doc-sized (long, int) join sides, and the
+    * `bins`-row final aggregate. */
   def calibration(docs: DataFrame, dims: Int = 64, bins: Int = 10): DataFrame = {
+    val labels = docs.select(col("doc_id"),
+      (qualityScoreExpr >= 0.5).cast("int").as("lab"))
     val tok = docs.select(col("doc_id"),
-        (qualityScoreExpr >= 0.5).cast("int").as("lab"),
         explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
     val j = pmod(md5Long(col("term"), 1, 15), lit(dims.toLong))
     val wInt = md5Long(concat(lit("w:"), j.cast(StringType)), 1, 10)
-    val perDoc = tok.select(col("doc_id"), col("lab"), wInt.as("w"))
+    val perDoc = tok.select(col("doc_id"), wInt.as("w"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"), sum(col("w")).as("s"),
-        max(col("lab")).as("lab")) // constant within a doc; max picks it
+      .agg(count(lit(1)).as("n_terms"), sum(col("w")).as("s"))
     val score = ((col("s").cast(DoubleType) / col("n_terms").cast(DoubleType)) /
       lit(1099511627776.0)) * lit(2.0) - lit(1.0)
     val halfBins = bins / 2.0
-    perDoc.select(col("lab"), score.as("ml_score"))
+    perDoc.join(labels, Seq("doc_id"))
+      .select(col("lab"), score.as("ml_score"))
       .select(col("lab"), col("ml_score"),
         least(greatest(floor((col("ml_score") + lit(1.0)) * lit(halfBins)),
           lit(0L)), lit(bins.toLong - 1)).as("bin"))

@@ -1326,6 +1326,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1).getDouble(3) === 42.0 && out(1).getDouble(5) === 42.0)
   }
 
+  test("quantile selection: >1024 groups exercise the broadcast-join fallback") {
+    import spark.implicits._
+    // the literal-fold probe path caps at maxLiteralTargets=1024 collected
+    // (group,bucket) targets; 1500 groups x 1 quantile overflows it, so
+    // this runs the generic broadcast-join path end to end — the path no
+    // driver query reaches (they all have a handful of groups)
+    val rows = (0 until 1500).flatMap { g =>
+      (0 until 5).map(i => (s"g$g", (g * 31 + i * 7 % 13).toDouble))
+    }.toDF("g", "v")
+    val out = graft.queries.Relational
+      .quantileSelect(rows, "g", "v", Seq(("p50", 1, 2)))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out.size === 1500)
+    val exp = rows.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1)
+      .map { case (g, vs) => g -> vs.map(_._2).sorted.apply((5 - 1) / 2) }
+    exp.foreach { case (g, e) =>
+      assert(out(g) === e, s"group $g: ${out(g)} != $e")
+    }
+  }
+
   test("quantileInterp is bit-identical to Spark's percentile sort-agg") {
     import spark.implicits._
     // randomized multiset (fixed seed): skewed magnitudes across binades,
@@ -1542,9 +1564,9 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q_calibration agrees with an independent mlQuality x quality join") {
-    // the operator fuses label + score into one pass (label carried
-    // through the token explode); the reference recomputes both halves
-    // separately and joins — bin-for-bin equality certifies the fusion
+    // the operator computes the label per doc and joins it to the score
+    // aggregate; the reference recomputes both halves through the public
+    // operators and re-bins — bin-for-bin equality certifies the chain
     val docs = Tables.documents(spark, dir)
     val cal = TextAnalysis.calibration(docs).collect()
     val ref = TextAnalysis.mlQuality(docs)
