@@ -351,6 +351,57 @@ object TextAnalysis {
       |  CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS distinct_ratio
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-document LEXICAL DIVERSITY via the Simpson/Herfindahl index:
+    * 1 − Σ(tf_i/n)² over the doc's term distribution, plus its inverse
+    * (the "effective vocabulary" — how many equally-frequent terms
+    * would produce the same concentration). The standard
+    * entropy-family diversity signal of quality filtering, chosen in
+    * its RATIONAL form: Shannon entropy needs ln (libm last-ulp drift
+    * breaks the oracle — the tx_tfidf lesson), while Simpson is exact
+    * integer moments (n, Σtf²) and ONE division per output, so both
+    * engines agree to the bit. Low diversity ⇒ keyword stuffing and
+    * template floods; complements [[repetition]] (which tracks only
+    * the single top bigram — Simpson sees the whole distribution).
+    *
+    * Scale: the per-row [[org.apache.spark.sql.graft.VectorExprs
+    * .termCounts]] kernel builds each doc's histogram in one string
+    * pass; the only shuffle is the map-combined per-doc (3-long)
+    * moment aggregate. */
+  def diversity(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.VectorExprs.termCounts(col("text")))
+          .as("tc"))
+      .select(col("doc_id"), col("tc.tf").as("tf"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_terms"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf") * col("tf")).as("ss"))
+      .select(col("doc_id"), col("n_terms"), col("n_distinct"),
+        (lit(1.0) - col("ss").cast(DoubleType) /
+          (col("n_terms") * col("n_terms")).cast(DoubleType)).as("simpson"),
+        ((col("n_terms") * col("n_terms")).cast(DoubleType) /
+          col("ss").cast(DoubleType)).as("eff_vocab"))
+  }
+
+  def txDiversity(spark: SparkSession, dir: String): DataFrame =
+    diversity(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val txDiversitySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+      |  GROUP BY doc_id, term),
+      |m AS (
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_terms,
+      |    count(*) AS n_distinct, CAST(sum(tf * tf) AS BIGINT) AS ss
+      |  FROM tf GROUP BY doc_id)
+      |SELECT doc_id, n_terms, n_distinct,
+      |  1.0 - CAST(ss AS DOUBLE) / CAST(n_terms * n_terms AS DOUBLE)
+      |    AS simpson,
+      |  CAST(n_terms * n_terms AS DOUBLE) / CAST(ss AS DOUBLE) AS eff_vocab
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** Corpus-weighted term relevance: top-k terms per doc by tf/df. The
     * score is tf·(1/df) — order-equivalent per doc to classic tf·idf
     * (log is monotone in 1/df) while staying a single IEEE division, so
@@ -2408,6 +2459,7 @@ object TextAnalysis {
     "tx_sft_pairs" -> (txSftPairs _),
     "tx_cmsketch" -> (txCmSketch _),
     "tx_dp_release" -> (txDpRelease _),
+    "tx_diversity" -> (txDiversity _),
     "tx_fluency" -> (txFluency _),
     "tx_html_strip" -> (txHtmlStrip _),
     "tx_bpe_train" -> (txBpeTrain _),
@@ -2447,6 +2499,7 @@ object TextAnalysis {
     "tx_sft_pairs" -> txSftPairsSql,
     "tx_cmsketch" -> txCmSketchSql,
     "tx_dp_release" -> txDpReleaseSql,
+    "tx_diversity" -> txDiversitySql,
     "tx_fluency" -> txFluencySql,
     "tx_html_strip" -> txHtmlStripSql,
     "tx_bpe_train" -> txBpeTrainSql,
