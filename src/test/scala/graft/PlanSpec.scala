@@ -31,6 +31,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.contains("GreaterThanOrEqual(`l_shipdate`"), s"no pushed shipdate filter in:\n$p")
   }
 
+  test("q1: money sums aggregate primitive longs, not per-row decimals") {
+    // the dsum split-long shape (hi=v>>19 / lo=v&(2^19-1) partials,
+    // decimal recombine once per group) — 3.4x over a DECIMAL(38,0)
+    // per-row sum; a silent revert would show sum(cast(...decimal))
+    // partials instead of shiftright
+    val p = plan(Relational.q1Agg(spark, dir))
+    assert(p.contains("shiftright"), s"q1 partials no longer split-long:\n$p")
+    assert(!p.contains("partial_sum(cast(FLOOR"),
+      "q1 reverted to per-row decimal accumulation")
+  }
+
+  test("quantile probe: bounded targets plant as literals, not a corpus-side string join") {
+    // the literal-fold path replaces the (string,long)-keyed broadcast
+    // probe (11x slower, QProfile3) with a codegen'd literal filter and
+    // a LocalTableScan attach join; fallback (>1024 targets) is
+    // spec-exercised in OperatorsSpec
+    val p = plan(Relational.qQuantileSelect(spark, dir))
+    assert(p.contains("LocalTableScan"),
+      s"probe targets not literal-folded (no LocalTableScan build side):\n$p")
+  }
+
+  test("tfidf joins df with a shuffled-hash build, not a corpus-side sort") {
+    val p = plan(graft.operators.TextAnalysis.tfidf(Tables.documents(spark, dir)))
+    assert(p.contains("ShuffledHashJoin"),
+      s"tfidf df join fell back to sort-merge:\n$p")
+  }
+
   test("q1: scan reads only the columns the query needs") {
     val p = plan(Relational.q1Agg(spark, dir))
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
