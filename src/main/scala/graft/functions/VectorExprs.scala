@@ -143,6 +143,23 @@ object VectorExprs {
   def minhashSigs(text: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ExpressionUtils.column(MinhashSigs(ExpressionUtils.expression(text), a, b, p))
 
+  /** lshBuckets(v, planes, nTables, nPlanes): all L hyperplane-LSH
+    * bucket ids of a vector as array<int>, one tight loop per row —
+    * the per-row-kernel form of the 144-plane-dot expression tree the
+    * multi-table path needs. The declarative tree (nTables·nPlanes
+    * separate dot(v, literal-plane) sub-expressions) generates a method
+    * past the JIT/codegen size limits and falls back to per-expression
+    * interpretation (~500 µs/row measured — the dominant stage of
+    * ann_lsh_multi); this kernel is the same sequential multiply-add
+    * order, so every sign (and thus every bucket id) is bit-identical
+    * to the expression form AND to the DuckDB oracle's
+    * list_dot_product. `planes` is the flattened [t·nPlanes+p][dim]
+    * ±1 weight table. */
+  def lshBuckets(v: Column, planes: Seq[Double], nTables: Int,
+                 nPlanes: Int): Column =
+    ExpressionUtils.column(
+      LshBuckets(ExpressionUtils.expression(v), planes, nTables, nPlanes))
+
   /** simhash64(text): the 64-bit SimHash signature as [lo32, hi32] in one
     * pass per row — per-token md5, ±1 bit votes in a 64-slot local
     * array, majority pack. Replaces the tall token explode + 64
@@ -803,6 +820,55 @@ case class Shingle3Md5Long(child: Expression, start: Int, len: Int)
   * per-ROW projection, zero exchange. Returns NULL for docs with no
   * shingle (<3 words) so `posexplode` drops them — identical to the
   * aggregate path, where such docs simply have no tall rows. */
+/** All multi-table LSH bucket ids in one pass — see
+  * [[VectorExprs.lshBuckets]]. Eval-based (the TermCounts rationale:
+  * the per-row loop amortizes the interpreted call; the equivalent
+  * expression tree is what outgrew codegen in the first place).
+  * Sequential multiply-add per plane keeps the sign — hence the bucket —
+  * bit-identical to dot(v, plane) and the oracle's list_dot_product. */
+case class LshBuckets(child: Expression, planes: Seq[Double],
+                      nTables: Int, nPlanes: Int)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(nTables > 0 && nPlanes > 0 && nPlanes <= 31,
+    "lshBuckets: bucket ids are packed sign bits in a positive int")
+  require(planes.length % (nTables * nPlanes) == 0 && planes.nonEmpty,
+    "lshBuckets: |planes| must be nTables*nPlanes*dim")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  @transient private lazy val w: Array[Double] = planes.toArray
+  @transient private lazy val dim: Int = planes.length / (nTables * nPlanes)
+
+  override protected def nullSafeEval(vAny: Any): Any = {
+    val arr = vAny.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(dim, arr.length)
+    val out = new Array[Int](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0
+      var p = 0
+      while (p < nPlanes) {
+        val base = (t * nPlanes + p) * dim
+        var s = 0.0
+        var d = 0
+        while (d < n) { s += arr(d) * w(base + d); d += 1 }
+        if (s > 0) bucket |= 1 << p
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LshBuckets = copy(child = newChild)
+}
+
 case class MinhashSigs(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
     extends UnaryExpression with ExpectsInputTypes
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {

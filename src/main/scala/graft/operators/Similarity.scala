@@ -277,9 +277,27 @@ object Similarity {
   def lshMultiTopK(emb: DataFrame, isQuery: Column, k: Int = 10,
                    nTables: Int = 12, nPlanes: Int = 12, maxHam: Int = 3,
                    dim: Int = 64, planeBase: Int = 200): DataFrame = {
-    val all = normed(emb)
-    def tableBuckets(v: Column): Column = array((0 until nTables).map(t =>
-      lshBucket(v, nPlanes, dim, planeBase + t * nPlanes)): _*)
+    // The signature projection is compute-heavy (nTables·nPlanes = 144
+    // plane dots per vector), so its parallelism must not be capped by
+    // the SCAN's split count — a single ~30 MB parquet file arrives as
+    // one partition and serializes the whole corpus pass onto one core
+    // (measured: the 1.5 s single-task stage dominating the sf0.1 run).
+    // Spread only when the scan has fewer splits than cores; at cluster
+    // scale inputs arrive with thousands of splits and this branch is a
+    // no-op, so no corpus exchange is added where it matters.
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val spread = if (emb.rdd.getNumPartitions < par) emb.repartition(par) else emb
+    val all = normed(spread)
+    // one per-row kernel call for all nTables bucket ids: the expanded
+    // 144-dot expression tree outgrew codegen and fell back to ~500 µs/
+    // row interpretation (see VectorExprs.lshBuckets) — bit-identical
+    // signs, same plane family
+    val planesFlat: Seq[Double] = (0 until nTables).flatMap(t =>
+      (0 until nPlanes).flatMap(p =>
+        planeWeights(planeBase + t * nPlanes + p, dim)))
+    def tableBuckets(v: Column): Column =
+      org.apache.spark.sql.graft.VectorExprs
+        .lshBuckets(v, planesFlat, nTables, nPlanes)
     val corpus = all.select(col("vec_id"), col("v"), col("n2"),
       posexplode(tableBuckets(col("v")))).toDF("vec_id", "v", "n2", "t", "bucket")
     val qs = all.filter(isQuery).select(col("vec_id").as("q_id"),
