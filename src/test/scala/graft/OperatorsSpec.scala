@@ -1602,6 +1602,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       TextAnalysis.mlQuality(docs).count())
   }
 
+  test("tx_diversity: Cauchy-Schwarz bound and uniform-distribution equality") {
+    import spark.implicits._
+    // effective vocabulary n^2 / sum(tf^2) <= n_distinct (Cauchy-Schwarz),
+    // equality exactly when every term is equally frequent; simpson in
+    // [0, 1) with 0 exactly for single-term docs
+    val docs = Seq(
+      (1L, "a a a b b b c c c"),        // uniform: eff_vocab == 3
+      (2L, "a a a a a a a a b"),        // concentrated: eff_vocab << 2
+      (3L, "x x x x"),                  // single term: simpson == 0
+      (4L, "p q r s t")                 // all distinct: eff_vocab == 5
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.diversity(docs).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms"),
+        r.getAs[Long]("n_distinct"), r.getAs[Double]("simpson"),
+        r.getAs[Double]("eff_vocab")))
+    out.foreach { case (id, n, dst, simpson, ev) =>
+      assert(ev <= dst.toDouble + 1e-9, s"doc $id: eff_vocab $ev > distinct $dst")
+      assert(simpson >= 0.0 && simpson < 1.0, s"doc $id: simpson $simpson")
+      assert(math.abs(ev - 1.0 / (1.0 - simpson)) < 1e-9,
+        s"doc $id: eff_vocab inconsistent with simpson")
+      assert(n >= dst)
+    }
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._5 === 3.0)   // uniform -> equality
+    assert(byId(3L)._4 === 0.0)   // single term -> zero diversity
+    assert(byId(4L)._5 === 5.0)   // all distinct = uniform tf=1
+    assert(byId(2L)._5 < 1.4)     // 8-vs-1 split concentrates hard
+  }
+
   test("scorer moments: normal-equation solve recovers a planted linear model") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
