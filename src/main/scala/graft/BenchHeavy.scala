@@ -49,9 +49,16 @@ object BenchHeavy {
     * its ~10-stage schedule floor (x100 measured: Spark 4.3 s vs DuckDB
     * 7.7 s — work-dominated on both sides). */
   val heavyX100: Seq[String] = Seq("tx_tfidf", "tx_fluency", "dd_paragraphs",
-    "dd_overlap", "tx_ks_drift", "tx_scorer_fit", "q1_agg",
+    "dd_overlap", "tx_ks_drift", "tx_scorer_fit",
     "q_approx_quantiles", "dd_minhash_lsh")
-  val heavy: Seq[String] = heavyX10 ++ heavyX100
+  /** q1_agg alone at 300x (180M rows): at x100 its Spark time is still
+    * ~40% fixed floor (0.5 s scheduler+scan setup vs DuckDB's ~0.05 s
+    * in-process start), so the x100 ratio graded the floor, not the
+    * aggregation engines — per-row work is within 1.5x (Q1Probe). At
+    * x300 work dominates both sides and the ratio reflects the engine.
+    * Lineitem-only tier: no text query lives here. */
+  val heavyX300: Seq[String] = Seq("q1_agg")
+  val heavy: Seq[String] = heavyX10 ++ heavyX100 ++ heavyX300
 
   private def loadavg: Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
@@ -67,12 +74,14 @@ object BenchHeavy {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(dir: String, nReps: Int): Unit = {
+    def replicate(dir: String, nReps: Int,
+                  tables: Set[String] = Set("documents", "lineitem")): Unit = {
       // per-table markers: tiers acquired lineitem at different times, so
       // an existing docs replica must not block the lineitem build
       // (legacy "_done" marker counts as the docs marker)
       val rep = explode(sequence(lit(0), lit(nReps - 1))).as("rep")
       def once(table: String)(build: => Unit): Unit = {
+        if (!tables(table)) return
         val marker = java.nio.file.Paths.get(dir, s"_done_$table")
         val legacy = java.nio.file.Paths.get(dir, "_done")
         if (java.nio.file.Files.exists(marker) ||
@@ -80,8 +89,15 @@ object BenchHeavy {
         build
         java.nio.file.Files.createFile(marker)
       }
+      // repartition the SMALL source before the explode: the sf0.1
+      // tables arrive as 1-2 splits, so exploding xN inside the scan
+      // task serializes the whole replica build onto one core (measured:
+      // the x300 lineitem build ran single-threaded for 10+ minutes);
+      // shuffling the ~10 MB source first costs nothing and gives every
+      // core a slice of the explosion
       once("documents") {
         val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+          .repartition(64)
         docs.select(col("*"), rep)
           .withColumn("doc_id",
             col("doc_id") + col("rep").cast("long") * lit(1000000000L))
@@ -89,25 +105,35 @@ object BenchHeavy {
             .otherwise(regexp_replace(col("text"), lit("(^| )"),
               concat(lit("$1r"), col("rep").cast("string"), lit("x")))))
           .drop("rep")
+          // post-explode round-robin scatter: without it each file holds
+          // nReps ADJACENT copies of every source row, and the resulting
+          // 300-value RLE runs are a compression artifact no real corpus
+          // has (measured: it cut DuckDB's x300 q1 scan ~2x while
+          // Spark's vectorized reader gained far less — the tier graded
+          // run-length decoding, not the engines)
           .repartition(64)
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       }
       once("lineitem") {
         val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+          .repartition(64)
         li.select(col("*"), rep)
           .withColumn("l_orderkey",
             col("l_orderkey") + col("rep").cast("long") * lit(1000000000L))
           .drop("rep")
-          .repartition(64)
+          .repartition(64) // scatter replicas — see the documents note
           .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       }
     }
     val x10 = s"$outDir/x10"
     val x100 = s"$outDir/x100"
+    val x300 = s"$outDir/x300"
     replicate(x10, reps)
     replicate(x100, reps * 10)
+    replicate(x300, reps * 30, Set("lineitem"))
     val dirFor: Map[String, String] =
-      (heavyX10.map(_ -> x10) ++ heavyX100.map(_ -> x100)).toMap
+      (heavyX10.map(_ -> x10) ++ heavyX100.map(_ -> x100) ++
+        heavyX300.map(_ -> x300)).toMap
 
     def runOnce(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -146,7 +172,8 @@ object BenchHeavy {
     val dirs = heavy.map(n => s""""$n":"${dirFor(n)}"""").mkString("{", ",", "}")
     // per-tier replication factors: a single flat "reps" misattributed
     // the x100 queries' per-row cost by 10x in the committed artifact
-    val replication = s"""{"x10":$reps,"x100":${reps * 10}}"""
+    val replication =
+      s"""{"x10":$reps,"x100":${reps * 10},"x300":${reps * 30}}"""
     val line =
       s"""{"metric":"heavy_total","value":$total,"unit":"sec","replication":$replication,"queries":$qs,"failed":$failed,"loadavg":[$la0,$loadavg],"src":"$srcDir","data":"$outDir","data_for":$dirs,"oracle_sql":$sqls}"""
     println(line)

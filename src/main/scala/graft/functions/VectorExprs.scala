@@ -810,22 +810,19 @@ case class Shingle3Md5Long(child: Expression, start: Int, len: Int)
     copy(child = newChild)
 }
 
-/** k MinHash signature values in one pass — see
-  * [[VectorExprs.minhashSigs]]. For each word-3-gram shingle (the exact
-  * [[Shingle3Md5Long]] byte-range scan), h = md5-prefix-8-nibbles % p,
-  * and sig_j = min over shingles of (a_j·h + b_j) % p. The running mins
-  * live in a k-slot local array, so the corpus-wide tall table the
-  * groupBy formulation shuffles (one row per shingle, k modular maps
-  * re-evaluated inside a hash-aggregate) never exists: signatures are a
-  * per-ROW projection, zero exchange. Returns NULL for docs with no
-  * shingle (<3 words) so `posexplode` drops them — identical to the
-  * aggregate path, where such docs simply have no tall rows. */
 /** All multi-table LSH bucket ids in one pass — see
   * [[VectorExprs.lshBuckets]]. Eval-based (the TermCounts rationale:
   * the per-row loop amortizes the interpreted call; the equivalent
   * expression tree is what outgrew codegen in the first place).
   * Sequential multiply-add per plane keeps the sign — hence the bucket —
-  * bit-identical to dot(v, plane) and the oracle's list_dot_product. */
+  * bit-identical to dot(v, plane) and the oracle's list_dot_product.
+  * NULL input returns NULL (inherited UnaryExpression null-propagation),
+  * so a downstream `posexplode` DROPS null-embedding rows entirely —
+  * unlike the replaced per-plane `when(dot > 0, …).otherwise(0)` tree,
+  * which mapped a NULL vector to bucket 0 in every table. The embeddings
+  * tables have no null vectors, so the two are observably identical
+  * there; callers with nullable embeddings must filter or assert
+  * upstream if they need the old bucket-0 placement. */
 case class LshBuckets(child: Expression, planes: Seq[Double],
                       nTables: Int, nPlanes: Int)
     extends UnaryExpression with ExpectsInputTypes
@@ -869,6 +866,16 @@ case class LshBuckets(child: Expression, planes: Seq[Double],
       newChild: Expression): LshBuckets = copy(child = newChild)
 }
 
+/** k MinHash signature values in one pass — see
+  * [[VectorExprs.minhashSigs]]. For each word-3-gram shingle (the exact
+  * [[Shingle3Md5Long]] byte-range scan), h = md5-prefix-8-nibbles % p,
+  * and sig_j = min over shingles of (a_j·h + b_j) % p. The running mins
+  * live in a k-slot local array, so the corpus-wide tall table the
+  * groupBy formulation shuffles (one row per shingle, k modular maps
+  * re-evaluated inside a hash-aggregate) never exists: signatures are a
+  * per-ROW projection, zero exchange. Returns NULL for docs with no
+  * shingle (<3 words) so `posexplode` drops them — identical to the
+  * aggregate path, where such docs simply have no tall rows. */
 case class MinhashSigs(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
     extends UnaryExpression with ExpectsInputTypes
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {

@@ -18,10 +18,12 @@ import graft.core.Tables
   * pixels/samples equal the deterministic generator law and the DuckDB
   * oracle re-derives every checksum analytically — the query passes only
   * if encode → sniff → DECODE → checksum round-trips through the real
-  * codec. JPEG remains the one documented stub (a fake container with a
-  * parseable header): JPEG is lossy, so decoded values aren't
-  * analytically derivable, and shipping a deterministic fake is more
-  * honest than an unverifiable decode. All processing is batched
+  * codec. JPEG payloads are likewise genuine JPEG files (JDK `jpg`
+  * codec): the oracle verifies sniff + decoded DIMENSIONS (dims survive
+  * the lossy codec exactly), while decoded-pixel statistics — not
+  * analytically derivable for a lossy codec — carry a documented -1
+  * checksum sentinel and are asserted in OperatorsSpec (mean-abs-error
+  * vs the generator law, plus encode determinism). All processing is batched
   * partition-wise (the Scala equivalent of `mapInPandas` — one buffer
   * per batch, not per row) and map-only: no shuffle, and column pruning
   * means metadata-only queries never load payload bytes.
@@ -57,6 +59,15 @@ object Multimodal {
 
   private def pngWriter(): javax.imageio.ImageWriter =
     javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+
+  // the PNG read/write helpers are codec-agnostic (they take the reader/
+  // writer); JPEG just needs its own registry lookups, reused per
+  // partition like the PNG ones
+  private def jpegReader(): javax.imageio.ImageReader =
+    javax.imageio.ImageIO.getImageReadersByFormatName("jpg").next()
+
+  private def jpegWriter(): javax.imageio.ImageWriter =
+    javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
 
   /** Encode one image with a caller-owned writer (per-partition reuse —
     * the `ImageIO.write` convenience re-scans the writer registry per
@@ -123,6 +134,16 @@ object Multimodal {
   private[graft] def makePng(id: Long): Array[Byte] =
     writePng(pngWriter(), pngImage(id))
 
+  /** Deterministic grayscale JPEG for row `id`: the SAME generator-law
+    * image as [[pngImage]] (PNG and JPEG ids never collide — id%3
+    * routes them), encoded through the JDK's real `jpg` codec (output
+    * starts FF D8 FF E0, byte-deterministic — spec-pinned). Decoded
+    * DIMENSIONS are exact (lossy codecs preserve geometry), so the SQL
+    * oracle verifies them; decoded pixels differ from the law by DCT
+    * quantization and are asserted spec-side instead. */
+  private[graft] def makeJpeg(id: Long): Array[Byte] =
+    writePng(jpegWriter(), pngImage(id))
+
   /** Deterministic 8×8 grayscale PNG whose pixels ARE the given 64 luma
     * bytes (row-major) — the real-codec carrier for [[phash]]. */
   private def lumaImage(luma: Array[Byte]): java.awt.image.BufferedImage = {
@@ -184,18 +205,19 @@ object Multimodal {
   }
 
   /** Attach REAL media payloads: doc_id%3==0 → genuine PNG
-    * ([[makePng]]), %3==1 → the documented JPEG container stub,
+    * ([[makePng]]), %3==1 → genuine JPEG ([[makeJpeg]]),
     * %3==2 → genuine WAV ([[makeWav]]). */
   def synthReal(docs: DataFrame): DataFrame = {
     val schema = StructType(docs.schema.fields :+ StructField("payload", BinaryType))
     docs.mapPartitions { rows =>
       val writer = pngWriter() // reused across the whole partition
+      val jwriter = jpegWriter()
       rows.map { r =>
         val id = r.getAs[Long]("doc_id")
         val payload = (id % 3) match {
           case 0 => writePng(writer, pngImage(id))
           case 2 => makeWav(id)
-          case _ => makePayload(id) // JPEG stub container (id%3==1 branch)
+          case _ => writePng(jwriter, pngImage(id))
         }
         Row.fromSeq(r.toSeq :+ payload)
       }
@@ -329,12 +351,10 @@ object Multimodal {
       StructField("checksum", LongType)))
     withPayload.select(col("doc_id"), col("payload")).mapPartitions { rows =>
       val reader = pngReader() // reused across the whole partition
+      val jreader = jpegReader()
       rows.map { r =>
         val id = r.getLong(0)
         val p = r.getAs[Array[Byte]](1)
-        def be32(off: Int): Int =
-          ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
-            ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
         val img = if (p.length >= 8 && p.take(8).sameElements(PngMagic))
           readPng(reader, p)
         else null
@@ -353,9 +373,16 @@ object Multimodal {
           val (n, sum) = decodeWav(p)
           Row(id, "audio/wav", n, 1, n, sum)
         } else if (p.length >= 4 && p.take(4).sameElements(JpegMagic)) {
-          // documented stub: parse the fake container's header + data
-          val checksum = p.drop(12).foldLeft(0L)((acc, b) => acc + (b & 0xff))
-          Row(id, "image/jpeg", be32(4), be32(8), p.length - 12, checksum)
+          // real decode through the JDK jpg codec (readPng is
+          // codec-agnostic — it drives whatever reader it's handed).
+          // Geometry survives the lossy codec exactly; pixel content
+          // does not, so checksum carries the documented -1 sentinel
+          // (decoded-pixel stats are asserted in OperatorsSpec, where a
+          // tolerance can live — a SQL hash-compare can't carry one).
+          val jimg = readPng(jreader, p)
+          val w = jimg.getWidth
+          val h = jimg.getHeight
+          Row(id, "image/jpeg", w, h, w * h, -1L)
         } else {
           Row(id, "application/octet-stream", 0, 0, p.length, 0L)
         }
@@ -443,11 +470,10 @@ object Multimodal {
       |  GROUP BY p.doc_id, p.width, p.height),
       |jout AS (
       |  SELECT doc_id, 'image/jpeg' AS media_type,
-      |    CAST(doc_id % 1024 + 1 AS INTEGER) AS width,
-      |    CAST(doc_id % 768 + 1 AS INTEGER) AS height,
-      |    64 AS n_units,
-      |    CAST(list_sum(list_transform(range(0, 64), i -> (doc_id + i) % 256))
-      |         AS BIGINT) AS checksum
+      |    CAST(doc_id % 24 + 8 AS INTEGER) AS width,
+      |    CAST(doc_id % 18 + 6 AS INTEGER) AS height,
+      |    CAST((doc_id % 24 + 8) * (doc_id % 18 + 6) AS INTEGER) AS n_units,
+      |    CAST(-1 AS BIGINT) AS checksum
       |  FROM m WHERE k = 1),
       |wout AS (
       |  SELECT doc_id, 'audio/wav' AS media_type,
@@ -482,10 +508,8 @@ object Multimodal {
       |  SELECT doc_id,
       |    CASE doc_id % 3 WHEN 0 THEN 'image/png' ELSE 'image/jpeg' END
       |      AS media_type,
-      |    CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 24 + 8 AS INTEGER)
-      |      ELSE CAST(doc_id % 1024 + 1 AS INTEGER) END AS width,
-      |    CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 18 + 6 AS INTEGER)
-      |      ELSE CAST(doc_id % 768 + 1 AS INTEGER) END AS height
+      |    CAST(doc_id % 24 + 8 AS INTEGER) AS width,
+      |    CAST(doc_id % 18 + 6 AS INTEGER) AS height
       |  FROM documents WHERE doc_id % 3 < 2),
       |s AS (
       |  SELECT *, least(32.0 / width, 32.0 / height) AS scale FROM m)

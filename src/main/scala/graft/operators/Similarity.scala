@@ -601,9 +601,14 @@ object Similarity {
     * streaming/unmaterialized input and useless work everywhere else. */
   def ivfTopK(emb: DataFrame, isQuery: Column => Column, k: Int = 5,
               maxLiteralCells: Int = 256, nProbe: Int = 1,
-              nlistHint: Option[Long] = None): DataFrame = {
+              nlistHint: Option[Long] = None,
+              quantizerSource: Option[DataFrame] = None): DataFrame = {
     val all = normed(emb)
-    val cent = centroids(emb)
+    // quantizerSource (default: the corpus itself) lets a caller search
+    // with a FROZEN quantizer — e.g. after ivfAppend lands a batch, the
+    // index keeps serving on the base-trained centroids until a
+    // recenter is scheduled
+    val cent = centroids(quantizerSource.getOrElse(emb))
     // path pick is pure: literal only on an explicit small hint; the
     // no-hint default is the broadcast path, which never needs the count
     val literal = maxLiteralCells > 0 && nlistHint.exists(_ <= maxLiteralCells)
@@ -1121,7 +1126,114 @@ object Similarity {
         |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** Incremental IVF index maintenance — the steady-state production
+    * loop beside dd_incr_near/q_curation_incr: a NEW BATCH of vectors is
+    * assigned to the EXISTING trained quantizer (no retrain — the
+    * centroids are frozen from the base corpus), and the audit output is
+    * per-cell occupancy drift: how the cell's share of the index moved
+    * once the batch landed, plus a recenter-needed flag when the drift
+    * exceeds the threshold (the signal to schedule a quantizer retrain).
+    *
+    * Scale shape: the only corpus-sized work is one broadcast-argmin
+    * assignment pass over base+batch (the same [[assignCellsBroadcast]]
+    * kernel ivf_topk uses — map-only against a broadcast quantizer) into
+    * a map-combined per-cell count; the drift arithmetic runs on nlist
+    * rows. The batch never sees the base VECTORS — only the nlist-sized
+    * quantizer — which is what makes appending cheap at 100 TB.
+    *
+    * Determinism: counts are exact; each share is one IEEE division and
+    * drift one subtraction — bit-identical cross-engine. Append-then-
+    * search equivalence (assigning base and batch separately, then
+    * searching the union, equals one-shot assignment of the merged
+    * corpus under the same frozen quantizer) is spec-pinned. */
+  /** Frozen-quantizer cell assignment, public for the append loop:
+    * (vec_id, cell) for every vector of `emb` against centroids trained
+    * on `quantizerSource`. Per-row deterministic, so assigning a base
+    * corpus and a later batch separately and unioning equals one-shot
+    * assignment of the merged corpus (spec-pinned) — the property that
+    * makes retrain-free appends sound. */
+  def ivfAssign(emb: DataFrame, quantizerSource: DataFrame): DataFrame =
+    assignCellsBroadcast(normed(emb),
+      centroidVectors(centroids(quantizerSource)))
+      .select(col("vec_id"), col("cell"))
+
+  def ivfAppend(emb: DataFrame, isNew: Column => Column,
+                driftThreshold: Double = 0.1): DataFrame = {
+    val all = normed(emb)
+    // frozen quantizer: per-label integer-sum centroids of the BASE only
+    val cvecs = centroidVectors(centroids(emb.filter(!isNew(col("vec_id")))))
+    val cells = assignCellsBroadcast(all, cvecs)
+    val occ = cells.groupBy(col("cell")).agg(
+      sum(when(isNew(col("vec_id")), 0L).otherwise(1L)).as("n_base"),
+      sum(when(isNew(col("vec_id")), 1L).otherwise(0L)).as("n_new"))
+    // nlist rows by contract — the single-partition window is index
+    // metadata, never corpus data
+    val w = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    occ
+      .withColumn("tot_base", sum(col("n_base")).over(w))
+      .withColumn("tot_all", sum(col("n_base") + col("n_new")).over(w))
+      .select(col("cell"), col("n_base"), col("n_new"),
+        (col("n_base").cast(DoubleType) / col("tot_base").cast(DoubleType))
+          .as("share_base"),
+        ((col("n_base") + col("n_new")).cast(DoubleType) /
+          col("tot_all").cast(DoubleType)).as("share_all"))
+      .withColumn("drift", col("share_all") - col("share_base"))
+      .withColumn("recenter", abs(col("drift")) > lit(driftThreshold))
+  }
+
+  def annIvfAppend(spark: SparkSession, dir: String): DataFrame =
+    ivfAppend(Tables.embeddings(spark, dir), v => v % 5 === 0)
+      .orderBy("cell")
+
+  /** Replays the frozen-quantizer append: centroids from the base rows
+    * only, assignment of ALL rows against them (same (d2, label)
+    * tie-break as ann_ivf_topk), per-cell occupancy and drift. */
+  val annIvfAppendSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+      |  FROM embeddings),
+      |tall AS (
+      |  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)
+      |  WHERE vec_id % 5 <> 0),
+      |cent AS (
+      |  SELECT label, dim,
+      |    (CAST(sum(CAST(floor(val * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+      |      / count(*)) / 1099511627776.0 AS mean_v
+      |  FROM tall GROUP BY label, dim),
+      |cvecs AS (SELECT label, list(mean_v ORDER BY dim) AS cvec FROM cent GROUP BY label),
+      |dists AS (
+      |  SELECT n.vec_id, c.label,
+      |    n.n2 - 2.0 * list_dot_product(n.v, c.cvec) + list_dot_product(c.cvec, c.cvec) AS d2
+      |  FROM n CROSS JOIN cvecs c),
+      |assign AS (
+      |  SELECT vec_id, label AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+      |    FROM dists) WHERE rn = 1),
+      |occ AS (
+      |  SELECT cell,
+      |    sum(CASE WHEN vec_id % 5 = 0 THEN 0 ELSE 1 END) AS n_base,
+      |    sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS n_new
+      |  FROM assign GROUP BY cell),
+      |tot AS (
+      |  SELECT *, sum(n_base) OVER () AS tot_base,
+      |    sum(n_base + n_new) OVER () AS tot_all
+      |  FROM occ),
+      |s AS (
+      |  SELECT cell, CAST(n_base AS BIGINT) AS n_base,
+      |    CAST(n_new AS BIGINT) AS n_new,
+      |    CAST(n_base AS DOUBLE) / CAST(tot_base AS DOUBLE) AS share_base,
+      |    CAST(n_base + n_new AS DOUBLE) / CAST(tot_all AS DOUBLE) AS share_all
+      |  FROM tot)
+      |SELECT cell, n_base, n_new, share_base, share_all,
+      |  share_all - share_base AS drift,
+      |  abs(share_all - share_base) > 0.1 AS recenter
+      |FROM s ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf_append" -> (annIvfAppend _),
     "ann_recall_eval" -> (annRecallEval _),
     "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_rerank" -> (annRerank _),
@@ -1136,6 +1248,7 @@ object Similarity {
     "ann_centroids" -> (annCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "ann_ivf_append" -> annIvfAppendSql,
     "ann_recall_eval" -> annRecallEvalSql,
     "ann_ivfpq_topk" -> annIvfPqTopKSql,
     "ann_rerank" -> annRerankSql,

@@ -409,30 +409,46 @@ object TextAnalysis {
     * libm's last-ulp drift into the oracle. Shuffle shape at 100 TB:
     * (doc, term) tf with map-side combine, a vocabulary-sized df table
     * (AQE-broadcast into the join), one doc-keyed window. */
-  def tfidf(docs: DataFrame, k: Int = 3): DataFrame = {
+  /** @param broadcastDf true (default): the vocabulary-sized df table is
+    *   BROADCAST back onto the tf stream, so no corpus-token rows ever
+    *   cross an exchange before the WindowGroupLimit-pruned per-doc
+    *   top-k (≤k rows/doc/partition) — each doc's tokens are emitted in
+    *   the doc's own scan partition. Vocabulary grows sublinearly in
+    *   corpus size (Heaps' law), so word-level df fits a broadcast far
+    *   past this benchmark's scale; the tf side pays a second termCounts
+    *   parse (one branch per consumer), measurably cheaper than shipping
+    *   every token's string through a th-keyed exchange (x100: 1.6 s
+    *   broadcast vs 3.3 s single-pass window vs 3.4 s shuffle_hash).
+    *   false: unbounded-vocab corpora (e.g. terms = shingles/URLs, or
+    *   df alone exceeding executor memory) take the scale-safe
+    *   single-pass formulation — df as count().over(partitionBy(th)),
+    *   one corpus-token exchange keyed on the radix-sortable long hash,
+    *   no join, nothing vocabulary-bounded. Both paths are bit-identical
+    *   (spec-pinned). */
+  def tfidf(docs: DataFrame, k: Int = 3, broadcastDf: Boolean = true): DataFrame = {
     // tf is a PER-ROW computation (a document is one row): the native
     // termCounts kernel builds each doc's term histogram in one string
     // pass, so no corpus-wide groupBy(doc_id, term) shuffle exists at
-    // all — the previous formulation moved every token's string across
+    // all — the naive formulation moved every token's string across
     // the wire only to land back on rows that started together.
     val tf = docs.select(col("doc_id"),
         explode(org.apache.spark.sql.graft.VectorExprs.termCounts(col("text")))
           .as("tc"))
       .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
       .withColumn("th", xxhash64(col("term")))
-    // df aggregation + join keyed on the 64-bit term hash: the
-    // vocabulary-sized df table and the join exchange move longs, not
-    // term strings. The only corpus-sized exchange left in the whole
-    // operator is the WindowGroupLimit-pruned top-k (≤k rows per doc).
-    val df = tf.groupBy(col("th")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    // shuffle_hash, not sort-merge: the df side is vocabulary-sized and
-    // shards by th, so the per-partition hash build is vocab/P rows —
-    // bounded at any corpus scale — while SMJ would sort the corpus-
-    // sized tf side (and the vocab side) first. Measured at x100: the
-    // join stage drops its two 100M/5M-row sorts.
-    tf.join(df.hint("shuffle_hash"), Seq("th"))
+    val scored =
+      if (broadcastDf) {
+        // df's exchange is vocab-sized (map-side combine collapses each
+        // partition's tokens to its local vocab before the wire)
+        val df = tf.groupBy(col("th")).agg(count(lit(1)).as("df"))
+        tf.join(broadcast(df), Seq("th"))
+      } else {
+        tf.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("th"))))
+      }
+    scored
       .withColumn("score", col("tf").cast(DoubleType) / col("df").cast(DoubleType))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

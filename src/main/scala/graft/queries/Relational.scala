@@ -469,12 +469,32 @@ object Relational {
     // same contract that bounds the broadcast, and the unbounded-groups
     // fallback below keeps the machinery scale-safe for group counts
     // past the cutoff (per-host percentiles etc).
+    // NOTE the collect makes plan CONSTRUCTION eager: the histogram pass
+    // runs here, and the target ranks/buckets are frozen as literals
+    // against the source as of this call. Re-executing the returned
+    // DataFrame after the source mutates would filter on stale buckets —
+    // the static-source contract shared with ivfTopK's literal-cell fold
+    // (quantileSelect/quantileInterp/qApproxQuantiles inherit it).
     val maxLiteralTargets = 1024
+    // An OR-chain of (group-string equality AND long equality) disjuncts
+    // is the fastest probe but its generated code grows linearly — past
+    // ~64 disjuncts it risks the JIT/codegen method-size cliff (the exact
+    // failure LshBuckets fixed). Beyond that, a conjunctive isin pair
+    // (hash-set semantics via OptimizeIn/InSet, codegen'd at any size) is
+    // a SUPERSET filter — it may pass a row whose (group, bucket) pair
+    // crosses two different targets — and the broadcast join right after
+    // restores exactness, so only the pre-prune selectivity loosens.
+    val maxOrChain = 64
     val lim = targets.limit(maxLiteralTargets + 1).collect()
     val probed = if (lim.nonEmpty && lim.length <= maxLiteralTargets) {
-      val pred = lim.map(r =>
-          g === lit(r.getAs[Any]("_tg")) && col("_b") === lit(r.getAs[Long]("_tb")))
-        .reduce(_ || _)
+      val pred =
+        if (lim.length <= maxOrChain)
+          lim.map(r =>
+              g === lit(r.getAs[Any]("_tg")) && col("_b") === lit(r.getAs[Long]("_tb")))
+            .reduce(_ || _)
+        else
+          col("_b").isin(lim.map(_.getAs[Long]("_tb")).distinct.toSeq: _*) &&
+            g.isin(lim.map(_.getAs[Any]("_tg")).distinct.toSeq: _*)
       val litTargets = rows0.sparkSession.createDataFrame(
         java.util.Arrays.asList(lim: _*), targets.schema)
       bucketed.filter(pred).join(broadcast(litTargets),
@@ -501,7 +521,10 @@ object Relational {
     * [[valueAtRanks]]. Output values are raw column doubles — order
     * statistics, no interpolation — so the DuckDB oracle (row_number
     * window) matches bit-for-bit; with value ties the k-th smallest is
-    * still a unique multiset statistic. */
+    * still a unique multiset statistic. Construction is EAGER (the
+    * histogram pass runs inside [[valueAtRanks]] to fold target ranks to
+    * literals); the result is correct for the source as of this call —
+    * the static-source contract. */
   def quantileSelect(rows0: DataFrame, groupCol: String, valCol: String,
                      qs: Seq[(String, Int, Int)],
                      buckets: Int = 1 << 20): DataFrame = {
@@ -530,7 +553,8 @@ object Relational {
     * the tiny result — bit-identical to the built-in sort-aggregate
     * `percentile(...)` (property-pinned in OperatorsSpec) at a fraction
     * of its cost, and scale-safe where the sort-agg's per-group value
-    * buffer is not. */
+    * buffer is not. Same eager-construction/static-source contract as
+    * [[quantileSelect]]. */
   def quantileInterp(rows0: DataFrame, groupCol: String, valCol: String,
                      qs: Seq[(String, Double)],
                      buckets: Int = 1 << 20): DataFrame = {
@@ -1217,30 +1241,60 @@ object Relational {
       |  (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
       |ORDER BY c_custkey""".stripMargin
 
-  /** q_resample: time-series regularization — densify each user's event
-    * history onto an hourly grid (sequence + explode: a pure projection,
-    * no cross join against a calendar table) and forward-fill gaps with
-    * the last observed hourly total (running last(ignoreNulls) window).
-    * The resample/gap-fill shape every metrics or feature pipeline runs
-    * before ML; shuffles are one per-user span agg + one per-user
-    * window, both key-partitioned — no corpus-wide sort. */
-  def qResample(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("value"))
-    val spans = ev.groupBy(col("user_id")).agg(
-      date_trunc("hour", min(col("ts"))).as("h0"),
-      date_trunc("hour", max(col("ts"))).as("h1"))
-    val grid = spans.select(col("user_id"),
-      explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+  /** Time-series regularization — densify each key's event history onto
+    * an hourly grid (sequence + explode: a pure projection, no cross
+    * join against a calendar table) and forward-fill gaps with the last
+    * observed hourly total. Shuffles are one per-user span agg + one
+    * per-user window, both key-partitioned — no corpus-wide sort.
+    *
+    * GRID-SIZE CAVEAT: the uncapped grid (maxGapHours = 0) grows with
+    * each key's active SPAN, not its event count — one sparse key
+    * spanning 3 years inflates to ~26k rows on its own. Fine for the
+    * bounded spans of this corpus; for open-ended retention windows
+    * pass maxGapHours > 0: each observed point then forward-fills at
+    * most that many empty slots (longer gaps stay absent instead of
+    * being filled), bounding output to events × (maxGapHours+1) —
+    * event-proportional at any span. The capped path needs no
+    * span aggregate and no grid join at all: lead() bounds each
+    * point's fill run, one window + one explode. On slots both paths
+    * produce, the filled values agree (spec-pinned). */
+  def resampleHourly(ev0: DataFrame, maxGapHours: Int = 0): DataFrame = {
+    val ev = ev0.select(col("user_id"), col("ts"), col("value"))
     val hourly = ev.groupBy(col("user_id"),
         date_trunc("hour", col("ts")).as("hour"))
       .agg(dsum(col("value")).as("v"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq("user_id", "hour"), "left_outer")
-      .withColumn("v_ff", last(col("v"), ignoreNulls = true).over(w))
-      .orderBy(col("user_id"), col("hour"))
+    if (maxGapHours > 0) {
+      val wl = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      hourly
+        .withColumn("_nxt", lead(col("hour"), 1).over(wl))
+        .withColumn("_end", least(
+          coalesce(col("_nxt") - expr("interval 1 hour"), col("hour")),
+          col("hour") + expr(s"interval $maxGapHours hours")))
+        .select(col("user_id"), col("hour").as("_h0"), col("v").as("_v"),
+          explode(sequence(col("hour"), col("_end"),
+            expr("interval 1 hour"))).as("hour"))
+        .select(col("user_id"), col("hour"),
+          when(col("hour") === col("_h0"), col("_v")).as("v"),
+          col("_v").as("v_ff"))
+        .orderBy(col("user_id"), col("hour"))
+    } else {
+      val spans = ev.groupBy(col("user_id")).agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val grid = spans.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour"), "left_outer")
+        .withColumn("v_ff", last(col("v"), ignoreNulls = true).over(w))
+        .orderBy(col("user_id"), col("hour"))
+    }
   }
+
+  /** q_resample: [[resampleHourly]] uncapped over the events table —
+    * the full-span grid the oracle reproduces analytically. */
+  def qResample(spark: SparkSession, dir: String): DataFrame =
+    resampleHourly(Tables.events(spark, dir))
 
   val qResampleSql: String =
     """WITH ev AS (

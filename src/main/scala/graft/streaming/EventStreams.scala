@@ -180,6 +180,51 @@ object EventStreams {
     * logic) that windowed aggregation can't express. State lives in the
     * state store, sharded by key: constant memory per key, any number of
     * keys across a cluster. */
+  /** Idempotent shard upsert for ONE micro-batch — the foreachBatch body
+    * of [[shardExportSink]], public so a replay is directly testable.
+    * The streaming twin of q_shuffle_export (same deterministic
+    * [[graft.operators.Sampling.shuffleExport]] hash-shard + position)
+    * with q_upsert's replace-don't-append discipline: the batch writes
+    * to `outDir/batch=<batchId>` in OVERWRITE mode, so re-delivery of a
+    * micro-batch (failure replay — foreachBatch's at-least-once
+    * contract) REPLACES its own output instead of duplicating shard
+    * rows. Determinism end to end: shard and pos are pure hash
+    * arithmetic, rows are hash-partitioned by shard and sorted by
+    * (shard, pos) before the write, and parquet encodes the same rows
+    * in the same order to the same bytes — so a replayed batch is
+    * byte-identical (spec-pinned), which is what makes downstream
+    * trainers' resume-from-shards safe. At 100 TB: one hash shuffle per
+    * batch, per-shard file sizing via nShards — no global state, no
+    * read-modify-write of previous batches. */
+  def upsertShardBatch(batch: DataFrame, batchId: Long, outDir: String,
+                       nShards: Int = 8): Unit = {
+    if (batch.isEmpty) return // an empty replay must not wipe a batch dir
+    graft.operators.Sampling.shuffleExport(batch, col("event_id"), nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(s"$outDir/batch=$batchId")
+  }
+
+  /** Streaming shard export: readStream → foreachBatch →
+    * [[upsertShardBatch]]. Output layout outDir/batch=<id>/shard=<s>/
+    * is the training-export contract with batch provenance kept — a
+    * consumer unions batch dirs (or compacts them in a later batch
+    * job) and reads each shard in pos order. */
+  def shardExportSink(events: DataFrame, outDir: String,
+                      checkpoint: String, nShards: Int = 8,
+                      availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        upsertShardBatch(b, id, outDir, nShards))
+    (if (availableNow)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else w).start()
+  }
+
   def runningUserTotals(events: DataFrame): Dataset[UserTotals] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -68,7 +68,8 @@ object ProcessScriptTransform {
     * whether it exists would depend on executing the module. The whole check is bounded by a hard timeout as a
     * second line of defense. Runs one driver-side python3 (~50 ms);
     * throws IllegalArgumentException with the interpreter's message. */
-  def validate(script: String, pythonExec: String = "python3"): Unit = {
+  def validate(script: String, pythonExec: String = "python3",
+               env: Map[String, String] = Map.empty): Unit = {
     val checker =
       """import sys, ast
         |src = sys.stdin.read()
@@ -130,7 +131,9 @@ object ProcessScriptTransform {
         |if required_kw:
         |    sys.stderr.write("transform must not require keyword-only parameters (it is called with 3 positional args): %s" % ", ".join(required_kw)); sys.exit(1)
         |""".stripMargin
-    val proc = new ProcessBuilder(pythonExec, "-c", checker).start()
+    val pb = new ProcessBuilder(pythonExec, "-c", checker)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    val proc = pb.start()
     val in = proc.getOutputStream
     in.write(script.getBytes(StandardCharsets.UTF_8)); in.close()
     // drain stderr CONCURRENTLY with the wait: a checker that writes more
@@ -156,14 +159,23 @@ object ProcessScriptTransform {
       throw new IllegalArgumentException(s"invalid transform script: $err")
   }
 
+  /** @param env extra environment variables for every spawned worker
+    *   interpreter (and the configure-time validator) — the reference's
+    *   PYTHONPATH passthrough for user libraries (ref:
+    *   Py4jPythonExecutor.java:68,149 sets PYTHONPATH so the evaluator
+    *   can import modules shipped beside the pipeline;
+    *   PythonEvaluator.java:117-121 surfaces it as plugin config). Keys
+    *   REPLACE inherited values of the same name; everything else of the
+    *   executor's environment is inherited unchanged. */
   def python(df: DataFrame, outSchema: StructType, script: String,
              arguments: Map[String, String] = Map.empty,
              metrics: Metrics = Metrics.none,
              lookups: Map[String, Map[String, Any]] = Map.empty,
              onError: ScriptTransform.ErrorPolicy = ScriptTransform.FailFast,
              pythonExec: String = "python3",
-             parallelism: Int = 0): TransformResult = {
-    validate(script, pythonExec) // fail at configure time, not per task
+             parallelism: Int = 0,
+             env: Map[String, String] = Map.empty): TransformResult = {
+    validate(script, pythonExec, env) // fail at configure time, not per task
     // torrent-broadcast once per executor (like the Scala path's
     // ScriptContext), not serialized into every task closure; no
     // broadcast block at all in the common no-lookups case (a broadcast
@@ -195,7 +207,9 @@ object ProcessScriptTransform {
       if (!rows.hasNext) Iterator.empty
       else {
         val mapper = new ObjectMapper()
-        val proc = new ProcessBuilder(pythonExec, "-c", worker).start()
+        val pb = new ProcessBuilder(pythonExec, "-c", worker)
+        env.foreach { case (k, v) => pb.environment().put(k, v) }
+        val proc = pb.start()
         // stderr (script logger output, tracebacks) → executor log
         val drain = new Thread(() => {
           val r = new BufferedReader(new InputStreamReader(

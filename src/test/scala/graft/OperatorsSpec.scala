@@ -642,6 +642,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       img.getRaster.getSample(0, 0, 0)) <= 16)
   }
 
+  test("real JPEG codec: exact geometry, bounded pixel error, deterministic") {
+    import graft.operators.Multimodal
+    // the lossy half of the mm_meta contract: the SQL oracle pins the
+    // sniff + decoded dimensions (and the -1 checksum sentinel); the
+    // pixel-level decode evidence lives here, where a tolerance can
+    val jpg = Multimodal.makeJpeg(7L) // doc 7: w=15, h=13
+    assert(jpg.take(4).toSeq === Multimodal.JpegMagic.toSeq, "not a real JPEG file")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(img.getWidth === 15 && img.getHeight === 13)
+    // decoded luma tracks the generator law within DCT-quantization
+    // error: a header-parse fake (no real decode) would fail this
+    val errs = for (y <- 0 until 13; x <- 0 until 15) yield
+      math.abs(img.getRaster.getSample(x, y, 0) -
+        ((7L + 7 * x + 13 * y) % 256).toInt)
+    assert(errs.sum.toDouble / errs.size <= 16.0,
+      s"mean abs decode error ${errs.sum.toDouble / errs.size} too large")
+    // byte-deterministic encode (same JVM): re-encode is identical
+    assert(java.util.Arrays.equals(jpg, Multimodal.makeJpeg(7L)))
+    // and the generic raster resize path accepts JPEG payloads too
+    val resized = Multimodal.resizePng(jpg)
+    assert(resized.getWidth === 32 && resized.getHeight === 27) // 15x13 * 32/15
+  }
+
   test("scrub masks PII shapes and normalizes whitespace") {
     import spark.implicits._
     val docs = Seq(
@@ -1830,5 +1853,64 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m("documents")._1 + m("documents")._2 === docs.count())
     assert(m("embeddings")._1 + m("embeddings")._2 === emb.count())
     assert(m("documents")._1 > 0, "blocked sources must be non-empty in testdata")
+  }
+
+  test("IVF append: retrain-free — append-then-search equals one-shot on the merged corpus") {
+    val emb = Tables.embeddings(spark, dir)
+    val isNew = col("vec_id") % 5 === 0
+    val base = emb.filter(!isNew)
+    val batch = emb.filter(isNew)
+    // assignment under the frozen base-trained quantizer: assigning base
+    // and batch separately (the append path) must equal one-shot
+    // assignment of the merged corpus — row for row
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue())).toSet
+    val appended = pairs(Similarity.ivfAssign(base, base)) ++
+      pairs(Similarity.ivfAssign(batch, base))
+    val oneShot = pairs(Similarity.ivfAssign(emb, base))
+    assert(appended === oneShot)
+    // and the search served on the frozen quantizer over the merged
+    // corpus is identical regardless of how the index was accumulated
+    val s1 = Similarity.ivfTopK(emb, v => v < 5,
+        quantizerSource = Some(base)).collect().map(_.toSeq).toSet
+    val s2 = Similarity.ivfTopK(batch.unionByName(base), v => v < 5,
+        quantizerSource = Some(base)).collect().map(_.toSeq).toSet
+    assert(s1 === s2)
+    // audit invariants: totals exact, shares sum to 1, drift sums to 0
+    val audit = Similarity.ivfAppend(emb, v => v % 5 === 0).collect()
+    assert(audit.map(_.getAs[Long]("n_base")).sum === base.count())
+    assert(audit.map(_.getAs[Long]("n_new")).sum === batch.count())
+    assert(math.abs(audit.map(_.getAs[Double]("share_all")).sum - 1.0) < 1e-9)
+    assert(math.abs(audit.map(_.getAs[Double]("drift")).sum) < 1e-9)
+  }
+
+  test("resample max-gap cap bounds a sparse multi-year key to event-proportional rows") {
+    import spark.implicits._
+    import graft.queries.Relational
+    // one key with 3 events spread over 3 YEARS (the uncapped grid
+    // densifies its whole span), one dense key as a control
+    val ev = Seq(
+      (1L, "2019-01-01 00:30:00", 1.0),
+      (1L, "2020-06-15 12:30:00", 2.0),
+      (1L, "2022-01-01 00:30:00", 3.0),
+      (2L, "2022-01-01 00:30:00", 5.0),
+      (2L, "2022-01-01 02:30:00", 7.0)
+    ).toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val uncapped = Relational.resampleHourly(ev)
+    val sparseSpanHours = uncapped.filter(col("user_id") === 1).count()
+    assert(sparseSpanHours > 26000, // ~3 years of hourly slots for 3 events
+      s"expected the uncapped grid to densify the full span, got $sparseSpanHours")
+    val capped = Relational.resampleHourly(ev, maxGapHours = 24)
+    // event-proportional: <= events x (cap+1), instead of span-proportional
+    assert(capped.filter(col("user_id") === 1).count() <= 3 * 25)
+    // where both paths produce a slot, the filled value agrees
+    val disagree = capped.alias("c")
+      .join(uncapped.alias("u"), Seq("user_id", "hour"))
+      .filter(col("c.v_ff") =!= col("u.v_ff"))
+      .count()
+    assert(disagree === 0, "capped fill diverges from uncapped on shared slots")
+    // the dense key's 2-hour gap is under the cap: fully filled
+    assert(capped.filter(col("user_id") === 2).count() === 3)
   }
 }

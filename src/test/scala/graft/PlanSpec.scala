@@ -554,4 +554,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.toString.contains("graft_minhash_sigs"),
       "signature kernel missing from band-key plan")
   }
+
+  test("multi-table LSH buckets come from the per-row kernel, not an expression fold") {
+    // the round-9 win: 144 plane dots per vector in ONE LshBuckets call;
+    // the equivalent per-plane when(dot>0) expression tree outgrew
+    // codegen and fell back to ~500 µs/row interpretation. Pin the
+    // kernel so a refactor can't silently revert to the fold.
+    import org.apache.spark.sql.functions.col
+    val p = Similarity.lshMultiTopK(Tables.embeddings(spark, dir),
+      col("vec_id") < 10).queryExecution.executedPlan
+    val s = p.toString
+    assert(s.contains("graft_lsh_buckets"),
+      "LshBuckets kernel missing from the multi-probe LSH plan")
+    // graft_dot legitimately appears for the candidate cosine scoring;
+    // a revert to the fold would plant ~144 of them per projection
+    val dots = "graft_dot".r.findAllIn(s).size
+    assert(dots <= 8, s"$dots graft_dot calls — the per-plane dot fold is back")
+  }
 }

@@ -154,6 +154,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(written === batch)
   }
 
+  test("shard export sink: a replayed micro-batch rewrites byte-identical shards, no dupes") {
+    import java.nio.file.{Files => F, Paths}
+    import scala.jdk.CollectionConverters._
+    val outDir = Files.createTempDirectory("graft-shards").toString
+    val q = EventStreams.shardExportSink(
+      EventStreams.readEvents(spark, eventsDir), outDir, checkpoint(),
+      nShards = 4, availableNow = true)
+    q.awaitTermination(120000)
+    // key shard files by their (batch, shard) DIRS — file names carry a
+    // fresh task UUID per write, so identity must come from the layout
+    def shardFiles(): Map[String, Array[Byte]] = {
+      val st = F.walk(Paths.get(outDir))
+      try st.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.getParent.toString.stripPrefix(outDir) -> F.readAllBytes(p))
+        .toMap
+      finally st.close()
+    }
+    val before = shardFiles()
+    assert(before.size === 4, s"expected 4 shard files, got ${before.keySet}")
+    val total = spark.read.parquet(s"$outDir/batch=0").count()
+    assert(total > 0)
+    // forced replay of micro-batch 0 — at-least-once redelivery: the
+    // SAME input with the SAME batchId must replace, not append. The
+    // batch loader over the same staged file is the stream's batch twin.
+    EventStreams.upsertShardBatch(
+      graft.core.Tables.events(spark, eventsDir), 0L, outDir, nShards = 4)
+    val after = shardFiles()
+    assert(after.keySet === before.keySet, "replay changed the shard layout")
+    after.foreach { case (k, bytes) =>
+      assert(java.util.Arrays.equals(bytes, before(k)),
+        s"replayed shard $k is not byte-identical")
+    }
+    assert(spark.read.parquet(s"$outDir/batch=0").count() === total,
+      "replay duplicated shard rows")
+  }
+
   test("streaming dedup drops redelivered events across micro-batches") {
     // simulate at-least-once delivery: the full feed plus every 10th
     // event again, split over multiple files → multiple micro-batches,

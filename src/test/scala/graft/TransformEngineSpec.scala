@@ -245,6 +245,35 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(metrics.value("log.warn") === 1)
   }
 
+  test("python env passthrough: PYTHONPATH makes a user module importable in workers") {
+    // the reference's last unported config knob: user libraries shipped
+    // beside the pipeline reach the interpreter via PYTHONPATH
+    // (ref: Py4jPythonExecutor.java:149, PythonEvaluator.java:117-121)
+    val libDir = java.nio.file.Files.createTempDirectory("graft-pylib")
+    java.nio.file.Files.write(libDir.resolve("graftuserlib.py"),
+      "def triple(x):\n    return 3 * x\n".getBytes("UTF-8"))
+    val df = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v").repartition(2)
+    val out = StructType(Seq(StructField("id", LongType),
+                             StructField("t", DoubleType)))
+    val script =
+      """import graftuserlib
+        |def transform(record, emitter, context):
+        |    emitter.emit({"id": record["id"], "t": graftuserlib.triple(record["v"])})
+        |""".stripMargin
+    val got = ProcessScriptTransform.python(df, out, script,
+        env = Map("PYTHONPATH" -> libDir.toString))
+      .out.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === Set((1L, 30.0), (2L, 60.0)))
+    // without the passthrough the same script must FAIL (proves the env
+    // var — not an ambient site-packages — satisfied the import; the
+    // ModuleNotFoundError traceback lands in the executor log via the
+    // [graft.pyscript] stderr drain, the task error is the generic
+    // worker-death)
+    intercept[Exception] {
+      ProcessScriptTransform.python(df, out, script).out.collect()
+    }
+  }
+
   test("python process path: FailFast surfaces script exceptions, RouteToErrors quarantines") {
     val df = Seq((1L, 2.0), (2L, 0.0), (3L, 4.0)).toDF("id", "v").repartition(1)
     val out = StructType(Seq(StructField("id", LongType),
