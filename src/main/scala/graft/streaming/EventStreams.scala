@@ -56,6 +56,33 @@ object EventStreams {
     else raw
   }
 
+  /** Genuinely UNBOUNDED events source: Spark's `rate` source (a
+    * continuously generating stream with no end-of-input, the same
+    * unbounded execution semantics as a message-bus source — micro-batch
+    * offsets tracked per trigger, no file listing, never "caught up")
+    * mapped onto the events schema. Every stateful plan in this module
+    * (watermark+window, session windows, mapGroupsWithState,
+    * dropDuplicatesWithinWatermark) accepts this stream unchanged, which
+    * is the substance of a Kafka swap: a broker source differs only in
+    * the format string and connection options, not in the query plan,
+    * watermarking, or state management. The mapping is deterministic in
+    * `value` so tests can predict per-key arithmetic; `ts` is the
+    * source's own monotone event time, so watermarks advance as they
+    * would on a live feed. */
+  def unboundedEvents(spark: SparkSession, rowsPerSecond: Int = 500,
+                      nUsers: Int = 97): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        pmod(col("value"), lit(nUsers.toLong)).as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase")),
+          (pmod(col("value"), lit(3L)) + 1).cast("int")).as("event_type"),
+        (pmod(col("value"), lit(1000L)) / lit(10.0)).as("value"),
+        lit("{}").as("props"))
+
   /** Ingest-time sampling — streaming twin of Sampling.stSample,
     * filtering on the SHARED deterministic keep predicate
     * (Sampling.eventSampleKeep; one definition, the stFunnel pattern).
@@ -175,11 +202,6 @@ object EventStreams {
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
-  /** Custom keyed state via mapGroupsWithState: running per-user event
-    * count and value total — the shape (arbitrary state + arbitrary update
-    * logic) that windowed aggregation can't express. State lives in the
-    * state store, sharded by key: constant memory per key, any number of
-    * keys across a cluster. */
   /** Idempotent shard upsert for ONE micro-batch — the foreachBatch body
     * of [[shardExportSink]], public so a replay is directly testable.
     * The streaming twin of q_shuffle_export (same deterministic
@@ -225,6 +247,11 @@ object EventStreams {
     else w).start()
   }
 
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * count and value total — the shape (arbitrary state + arbitrary update
+    * logic) that windowed aggregation can't express. State lives in the
+    * state store, sharded by key: constant memory per key, any number of
+    * keys across a cluster. */
   def runningUserTotals(events: DataFrame): Dataset[UserTotals] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -421,4 +421,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(finalRows === batch)
   }
+
+  // ---- genuinely UNBOUNDED source (rate) -------------------------------
+  // The file-source tests above replay a finite directory; these prove the
+  // same watermark+window and custom-state plans execute on a source with
+  // no end-of-input — the execution shape of a message-bus ingest (offsets
+  // per trigger, stream never "completes", state bounded by watermark).
+
+  test("watermarked window aggregation runs on an unbounded (rate) source") {
+    val q = EventStreams.windowedCounts(
+        EventStreams.unboundedEvents(spark, rowsPerSecond = 2000),
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("unb_wc")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      // two catch-up passes with wall time between them: the second batch
+      // has new rows available only because the source is unbounded
+      Thread.sleep(1000)
+      q.processAllAvailable()
+      Thread.sleep(1500)
+      q.processAllAvailable()
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 2,
+        s"expected multiple non-empty micro-batches, got ${batches.length}")
+      val rows = spark.table("unb_wc").collect()
+      assert(rows.nonEmpty)
+      // the deterministic value->event_type mapping survives the stream
+      val types = rows.map(_.getString(1)).toSet
+      assert(types.subsetOf(Set("view", "click", "purchase")))
+      // the windowed aggregate is stateful: the plan carries a state store
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates across micro-batches of an unbounded source") {
+    val q = EventStreams.runningUserTotals(
+        EventStreams.unboundedEvents(spark, rowsPerSecond = 2000, nUsers = 7))
+      .writeStream.format("memory").queryName("unb_ut")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      Thread.sleep(1000)
+      q.processAllAvailable()
+      Thread.sleep(1500)
+      q.processAllAvailable()
+      val upd = spark.table("unb_ut")
+        .withColumn("rn", monotonically_increasing_id()).collect()
+      assert(upd.nonEmpty)
+      // state carried forward: some user's running count strictly grew
+      // between its first and last emitted update
+      val byUser = upd.groupBy(_.getLong(0)).values
+      assert(byUser.exists { rs =>
+        val sorted = rs.sortBy(_.getLong(3))
+        sorted.last.getLong(1) > sorted.head.getLong(1)
+      }, "no user's running n_events grew across micro-batches")
+      // rate rows are consecutive longs: per-user counts are a fair
+      // round-robin over nUsers=7, so max running counts differ by <= 1
+      val finals = byUser.map(_.maxBy(_.getLong(3)).getLong(1)).toSeq
+      assert(finals.max - finals.min <= 1,
+        s"round-robin user assignment skewed: $finals")
+    } finally q.stop()
+  }
 }
