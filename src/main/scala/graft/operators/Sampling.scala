@@ -981,6 +981,53 @@ object Sampling {
       |  row_number() OVER (PARTITION BY _k % 16 ORDER BY _k, doc_id) AS pos
       |FROM k ORDER BY shard, pos""".stripMargin
 
+  /** Compaction of per-batch shard exports back into ONE global tape —
+    * the consumer-side batch job the streaming export's scaladoc
+    * promises ([[graft.streaming.EventStreams.shardExportSink]] writes
+    * `outDir/batch=<id>/shard=<s>/`; after enough micro-batches those
+    * small per-batch files need merging). Because shard and pos are pure
+    * hash arithmetic on the row key, compaction is just
+    * [[shuffleExport]] re-applied to the union with the batch-local
+    * shard/pos columns dropped: the result is BIT-IDENTICAL to a
+    * one-shot export of the same rows (spec- and oracle-pinned), so a
+    * trainer can switch from the incremental layout to the compacted
+    * one without any resume-state migration.
+    *
+    * Scale: one hash shuffle on the recomputed shard + per-shard sort —
+    * the same bounded shape as the original export; no global sort, no
+    * read-modify-write of prior output. */
+  def compactShards(batchExports: DataFrame, key: Column,
+                    nShards: Int = 16): DataFrame =
+    shuffleExport(batchExports.drop("shard", "pos", "batch"), key, nShards)
+
+  /** q_compact_shards: three simulated micro-batch exports of the events
+    * table (batch = event_id mod 3, each exported with its own
+    * batch-local shard/pos), unioned and compacted. The oracle is the
+    * ONE-SHOT export law on the full table — passing means compaction
+    * of incremental exports is indistinguishable from never having
+    * batched at all. */
+  def qCompactShards(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"))
+    val perBatch = (0 until 3).map { b =>
+      shuffleExport(ev.filter(pmod(col("event_id"), lit(3L)) === b),
+        col("event_id"), 8)
+        .withColumn("batch", lit(b.toLong))
+    }.reduce(_ unionByName _)
+    compactShards(perBatch, col("event_id"), 8)
+      .select(col("event_id"), col("event_type"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val qCompactShardsSql: String =
+    """WITH k AS (
+      |  SELECT event_id, event_type,
+      |    ('0x'||substr(md5(CAST(event_id AS VARCHAR)||':export'),1,15))::BIGINT AS _k
+      |  FROM events)
+      |SELECT event_id, event_type, CAST(_k % 8 AS INTEGER) AS shard,
+      |  row_number() OVER (PARTITION BY _k % 8 ORDER BY _k, event_id) AS pos
+      |FROM k ORDER BY shard, pos""".stripMargin
+
   /** Shared ingest-time keep predicate for the stream/batch sampling
     * twins (st_sample here and EventStreams.sampledEvents): ONE
     * definition so the streaming filter and the batch oracle cannot
@@ -1023,6 +1070,7 @@ object Sampling {
     "q_pref_pairs" -> (qPrefPairs _),
     "q_negatives" -> (qNegatives _),
     "q_shuffle_export" -> (qShuffleExport _),
+    "q_compact_shards" -> (qCompactShards _),
     "q_sample" -> (qSample _),
     "q_sample_rate" -> (qSampleRate _),
     "q_token_budget" -> (qTokenBudget _),
@@ -1042,6 +1090,7 @@ object Sampling {
     "q_pref_pairs" -> qPrefPairsSql,
     "q_negatives" -> qNegativesSql,
     "q_shuffle_export" -> qShuffleExportSql,
+    "q_compact_shards" -> qCompactShardsSql,
     "q_sample" -> qSampleSql,
     "q_sample_rate" -> qSampleRateSql,
     "q_token_budget" -> qTokenBudgetSql,

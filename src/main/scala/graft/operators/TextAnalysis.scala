@@ -1574,9 +1574,15 @@ object TextAnalysis {
     // count groups directly. And the per-doc bigram TOTAL is pure
     // arithmetic on the word count (a zero-shuffle projection), so the
     // doc-keyed aggregate over the tall table is gone too.
+    // bigram total = space count (split on a literal single space yields
+    // spaces+1 tokens, so size(split)-1 == #spaces for every input):
+    // two length() calls instead of materializing the token array on the
+    // second text scan
     val perDoc = docs
       .select(col("doc_id"),
-        (size(split(col("text"), " ")) - 1).cast(LongType).as("n_bigrams"))
+        (length(col("text")) -
+          length(replace(col("text"), lit(" "), lit(""))))
+          .cast(LongType).as("n_bigrams"))
       .filter(col("n_bigrams") > 0)
     val rare = tall.groupBy(col("bg"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("owner"))
@@ -1603,6 +1609,87 @@ object TextAnalysis {
       |  CAST(sum(CASE WHEN n <= 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
       |    AS rare_ratio
       |FROM b JOIN cnt USING (bg) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Flesch reading-ease scoring, integer-exact. The classic readability
+    * filter (drop very-hard or suspiciously-easy templated text from a
+    * training corpus), computed WITHOUT floats so the score is bit-equal
+    * cross-engine: syllables are approximated by vowel-group runs
+    * ([aeiouy]+, computed on the whole text via two length() calls — a
+    * run cannot span a space so the text-level count equals the per-word
+    * sum) with a +1 correction per vowel-less word (per-word max(1, runs)
+    * law); sentences are [.!?]+ runs, min 1. The score is scaled ×1000
+    * and evaluated in integer floor division:
+    *   flesch_x1000 = 206835 − (1015·W) div S − (84600·Syl) div W.
+    *
+    * Scale: a pure per-row projection — zero shuffle, full codegen,
+    * pushdown-friendly (reads only doc_id + text). */
+  def readability(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val low = lower(t)
+    val words = filter(split(t, " "), w => w =!= "")
+    val counted = docs.select(col("doc_id"),
+      size(words).cast(LongType).as("n_words"),
+      size(filter(words, w => !lower(w).rlike("[aeiouy]")))
+        .cast(LongType).as("_zero_vowel"),
+      (length(regexp_replace(low, "[aeiouy]+", "V")) -
+        length(regexp_replace(low, "[aeiouy]+", "")))
+        .cast(LongType).as("_vgroups"),
+      (length(regexp_replace(t, "[.!?]+", "S")) -
+        length(regexp_replace(t, "[.!?]+", "")))
+        .cast(LongType).as("_sruns"))
+    counted
+      .withColumn("n_sentences", greatest(lit(1L), col("_sruns")))
+      .withColumn("n_syllables", col("_vgroups") + col("_zero_vowel"))
+      .withColumn("flesch_x1000",
+        lit(206835L) -
+          expr("(1015 * greatest(1L, n_words)) DIV n_sentences") -
+          expr("(84600 * n_syllables) DIV greatest(1L, n_words)"))
+      .withColumn("band",
+        when(col("flesch_x1000") >= 90000, "very_easy")
+          .when(col("flesch_x1000") >= 70000, "easy")
+          .when(col("flesch_x1000") >= 50000, "standard")
+          .when(col("flesch_x1000") >= 30000, "difficult")
+          .otherwise("very_difficult"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("flesch_x1000"), col("band"))
+  }
+
+  def txReadability(spark: SparkSession, dir: String): DataFrame =
+    readability(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  val txReadabilitySql: String =
+    """WITH w AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(ws,
+      |      x -> NOT regexp_matches(lower(x), '[aeiouy]'))) AS BIGINT)
+      |      AS zero_vowel,
+      |    CAST(length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'))
+      |      - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+      |      AS BIGINT) AS vgroups,
+      |    CAST(length(regexp_replace(text, '[.!?]+', 'S', 'g'))
+      |      - length(regexp_replace(text, '[.!?]+', '', 'g'))
+      |      AS BIGINT) AS sruns
+      |  FROM w),
+      |f AS (
+      |  SELECT doc_id, n_words,
+      |    greatest(1, sruns) AS n_sentences,
+      |    vgroups + zero_vowel AS n_syllables,
+      |    206835 - (1015 * greatest(1, n_words)) // greatest(1, sruns)
+      |      - (84600 * (vgroups + zero_vowel)) // greatest(1, n_words)
+      |      AS flesch_x1000
+      |  FROM c)
+      |SELECT doc_id, n_words, n_sentences, n_syllables, flesch_x1000,
+      |  CASE WHEN flesch_x1000 >= 90000 THEN 'very_easy'
+      |       WHEN flesch_x1000 >= 70000 THEN 'easy'
+      |       WHEN flesch_x1000 >= 50000 THEN 'standard'
+      |       WHEN flesch_x1000 >= 30000 THEN 'difficult'
+      |       ELSE 'very_difficult' END AS band
+      |FROM f ORDER BY doc_id""".stripMargin
 
   /** Cross-snapshot drift detection: compare the term distributions of
     * two corpus snapshots and surface the terms whose corpus share moved
@@ -2477,6 +2564,7 @@ object TextAnalysis {
     "tx_dp_release" -> (txDpRelease _),
     "tx_diversity" -> (txDiversity _),
     "tx_fluency" -> (txFluency _),
+    "tx_readability" -> (txReadability _),
     "tx_html_strip" -> (txHtmlStrip _),
     "tx_bpe_train" -> (txBpeTrain _),
     "tx_bpe_apply" -> (txBpeApply _),
@@ -2517,6 +2605,7 @@ object TextAnalysis {
     "tx_dp_release" -> txDpReleaseSql,
     "tx_diversity" -> txDiversitySql,
     "tx_fluency" -> txFluencySql,
+    "tx_readability" -> txReadabilitySql,
     "tx_html_strip" -> txHtmlStripSql,
     "tx_bpe_train" -> txBpeTrainSql,
     "tx_bpe_apply" -> txBpeApplySql,

@@ -1707,6 +1707,57 @@ object Relational {
       |SELECT purchase_id, user_id, p_ts, click_id, c_ts, value
       |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin
 
+  /** Join-key skew diagnostics — the planning input for the salting /
+    * AQE-skew-join decisions the other operators make ([[Skew]],
+    * q_skew_salted): per-key frequency top-k plus the corpus-level skew
+    * coefficient max/avg (×1000, integer floor division — bit-exact
+    * cross-engine). A pipeline runs this BEFORE choosing a partition
+    * strategy for a 100 TB join: skew_x1000 near 1000 means uniform
+    * keys (plain hash join), large values mean the top keys need
+    * salting or a broadcast carve-out.
+    *
+    * Scale: one map-side-combined key count (the only corpus-sized
+    * shuffle), a TakeOrdered top-k (never a global sort or a
+    * single-partition window over the key space — rank is assigned
+    * AFTER the limit, over ≤ k rows), and a 1-row stats broadcast. */
+  def skewReport(df: DataFrame, key: Column, topK: Int = 20): DataFrame = {
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).cast(LongType).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("key")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("key"))))
+    top.crossJoin(broadcast(stats))
+      .withColumn("share_x10000", expr("cnt * 10000 DIV n_rows"))
+      .withColumn("skew_x1000", expr("max_cnt * n_keys * 1000 DIV n_rows"))
+      .select(col("rank"), col("key"), col("cnt"), col("share_x10000"),
+        col("n_keys"), col("n_rows"), col("max_cnt"), col("skew_x1000"))
+      .orderBy(col("rank"))
+  }
+
+  /** q_skew_report: the diagnostic over events.user_id — the key the
+    * salted-join and sessionization queries shuffle on. */
+  def qSkewReport(spark: SparkSession, dir: String): DataFrame =
+    skewReport(Tables.events(spark, dir), col("user_id"))
+
+  val qSkewReportSql: String =
+    """WITH counts AS (
+      |  SELECT user_id AS "key", count(*) AS cnt FROM events GROUP BY user_id),
+      |stats AS (
+      |  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |    max(cnt) AS max_cnt
+      |  FROM counts),
+      |top AS (
+      |  SELECT "key", cnt,
+      |    CAST(row_number() OVER (ORDER BY cnt DESC, "key") AS INTEGER) AS rank
+      |  FROM counts ORDER BY cnt DESC, "key" LIMIT 20)
+      |SELECT rank, "key", cnt, cnt * 10000 // n_rows AS share_x10000,
+      |  n_keys, n_rows, max_cnt,
+      |  max_cnt * n_keys * 1000 // n_rows AS skew_x1000
+      |FROM top, stats ORDER BY rank""".stripMargin
+
   /** Ordered conversion funnel: how many users performed view, then
     * click AT OR AFTER their first view, then purchase at or after that
     * click — the event-ORDER-aware funnel (a purchase before any view
@@ -1877,6 +1928,7 @@ object Relational {
     "q_skew_distinct" -> (qSkewDistinct _),
     "st_sliding" -> (stSliding _),
     "st_funnel" -> (stFunnel _),
+    "q_skew_report" -> (qSkewReport _),
     "q_user_funnel" -> (qUserFunnel _),
     "q_retention" -> (qRetention _),
     "q_skyline" -> (qSkyline _),
@@ -1926,6 +1978,7 @@ object Relational {
     "q_skew_distinct" -> qSkewDistinctSql,
     "st_sliding" -> stSlidingSql,
     "st_funnel" -> stFunnelSql,
+    "q_skew_report" -> qSkewReportSql,
     "q_user_funnel" -> qUserFunnelSql,
     "q_retention" -> qRetentionSql,
     "q_skyline" -> qSkylineSql,

@@ -1913,4 +1913,61 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the dense key's 2-hour gap is under the cap: fully filled
     assert(capped.filter(col("user_id") === 2).count() === 3)
   }
+
+  test("readability: integer Flesch law on hand-computed texts") {
+    import spark.implicits._
+    val docs = Seq(
+      // 3 sentences, 6 words, syllables: the(1) cat(1) sat(1) it(1)
+      // ran(1) away(2) = 7
+      (1L, "The cat sat. It ran! Away?"),
+      // vowel-less words still count one syllable each: hmm grr = 2,
+      // no sentence marks -> n_sentences clamps to 1
+      (2L, "hmm grr"),
+      (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(docs).orderBy("doc_id").collect()
+    val d1 = r(0)
+    assert((d1.getLong(1), d1.getLong(2), d1.getLong(3)) === ((6L, 3L, 7L)))
+    // 206835 - (1015*6)/3 - (84600*7)/6 = 206835 - 2030 - 98700 = 106105
+    assert(d1.getLong(4) === 106105L)
+    assert(d1.getString(5) === "very_easy")
+    val d2 = r(1)
+    assert((d2.getLong(1), d2.getLong(2), d2.getLong(3)) === ((2L, 1L, 2L)))
+    // 206835 - 2030/1 - 169200/2 = 206835 - 2030 - 84600 = 120205
+    assert(d2.getLong(4) === 120205L)
+    val d3 = r(2) // empty text: all counts 0, guards keep the law total
+    assert((d3.getLong(1), d3.getLong(2), d3.getLong(3)) === ((0L, 1L, 0L)))
+    assert(d3.getLong(4) === 206835L - 1015L - 0L)
+  }
+
+  test("skewReport surfaces the planted heavy hitter with the right skew factor") {
+    import spark.implicits._
+    // 90 rows of key 7, ten singleton keys: n_rows=100, n_keys=11, max=90
+    val df = (Seq.fill(90)(7L) ++ (100L until 110L)).toDF("k")
+    val rep = graft.queries.Relational.skewReport(df, col("k"), topK = 3).collect()
+    assert(rep.length === 3)
+    val top = rep(0)
+    assert(top.getInt(0) === 1 && top.getLong(1) === 7L && top.getLong(2) === 90L)
+    assert(top.getLong(3) === 9000L) // 90*10000/100
+    assert(top.getLong(7) === 90L * 11L * 1000L / 100L) // skew_x1000 = 990
+    // singleton ties broken by key ascending
+    assert(rep(1).getLong(1) === 100L && rep(2).getLong(1) === 101L)
+  }
+
+  test("compacting per-batch shard exports over disk equals the one-shot export") {
+    import graft.operators.Sampling
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("event_type"))
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // three micro-batches land on disk through the streaming upsert body
+    (0 until 3).foreach { b =>
+      graft.streaming.EventStreams.upsertShardBatch(
+        ev.filter(pmod(col("event_id"), lit(3L)) === b), b.toLong, out, nShards = 4)
+    }
+    val onDisk = spark.read.parquet(out) // batch=/shard= both partition-infer
+    val compacted = Sampling.compactShards(onDisk, col("event_id"), 4)
+      .select("event_id", "event_type", "shard", "pos")
+    val oneShot = Sampling.shuffleExport(ev, col("event_id"), 4)
+      .select("event_id", "event_type", "shard", "pos")
+    assert(compacted.exceptAll(oneShot).isEmpty && oneShot.exceptAll(compacted).isEmpty,
+      "compaction of batched exports diverged from the one-shot export")
+  }
 }
