@@ -36,6 +36,33 @@ object Sources {
   def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** Raw-text corpus ingestion — the first mile of an LLM data pipeline
+    * (crawl dumps and document drops arrive as flat files, not tables).
+    * Line mode (default): one row per line, files split across tasks —
+    * the scalable shape for jsonl-ish / one-doc-per-line dumps.
+    * `wholeFile = true`: one row per FILE (a whole document) — NOT
+    * splittable, so the parallelism unit is the file; shard upstream.
+    * Every row carries `src_file` provenance (the lineage key later
+    * dedup/purge stages join back on — the same role doc_id plays once
+    * the corpus is tabular). */
+  def rawText(spark: SparkSession, path: String,
+              wholeFile: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    spark.read.option("wholetext", wholeFile.toString).text(path)
+      .select(input_file_name().as("src_file"), col("value").as("text"))
+  }
+
+  /** Binary-file ingestion for multimodal payloads: (path, modTime,
+    * length, content bytes) per file — the reader that feeds the mm_*
+    * decode/fingerprint operators when images/audio arrive as loose
+    * files rather than parquet binary columns. `glob` narrows to one
+    * modality (e.g. `*.png`). One file = one row (not splittable): at
+    * scale the file is the parallelism unit, which is the right grain
+    * for whole-payload decodes anyway. */
+  def binaryFiles(spark: SparkSession, path: String,
+                  glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+
   def writeParquet(df: DataFrame, path: String,
                    partitionBy: Seq[String] = Nil,
                    mode: SaveMode = SaveMode.Overwrite): Unit = {

@@ -158,4 +158,42 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$base/errors").count() === 4)
     assert(spark.read.parquet(s"$base/alerts").count() === 1)
   }
+
+  test("raw-text ingestion: line mode splits, wholetext is one doc per file, both carry lineage") {
+    val d = tmp()
+    Files.write(java.nio.file.Paths.get(d, "a.txt"),
+      "first line\nsecond line\n".getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(d, "b.txt"),
+      "only line of b".getBytes("UTF-8"))
+    val lines = Sources.rawText(spark, d)
+    assert(lines.count() === 3)
+    // provenance: every row knows its source file
+    val byFile = lines.groupBy("src_file").count().collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1))).toMap
+    assert(byFile === Map("a.txt" -> 2L, "b.txt" -> 1L))
+    val docs = Sources.rawText(spark, d, wholeFile = true)
+    val aDoc = docs.filter(col("src_file").endsWith("a.txt"))
+      .select("text").collect().head.getString(0)
+    assert(docs.count() === 2)
+    assert(aDoc === "first line\nsecond line\n")
+  }
+
+  test("binary-file ingestion feeds the multimodal decode path; glob narrows modality") {
+    val d = tmp()
+    val png = graft.operators.Multimodal.makePng(42L)
+    Files.write(java.nio.file.Paths.get(d, "img.png"), png)
+    Files.write(java.nio.file.Paths.get(d, "junk.bin"), Array[Byte](1, 2, 3))
+    val all = Sources.binaryFiles(spark, d)
+    assert(all.count() === 2)
+    val imgs = Sources.binaryFiles(spark, d, glob = "*.png")
+    val row = imgs.select("content", "length").collect().head
+    assert(row.getAs[Array[Byte]](0).sameElements(png))
+    assert(row.getLong(1) === png.length.toLong)
+    // the read bytes decode exactly like an in-table binary column
+    val meta = graft.operators.Multimodal.extractMeta(
+        imgs.select(lit(42L).as("doc_id"), col("content").as("payload")))
+      .select("media_type", "width", "height").collect().head
+    assert(meta.getString(0) === "image/png")
+    assert(meta.getInt(1) > 0 && meta.getInt(2) > 0)
+  }
 }
