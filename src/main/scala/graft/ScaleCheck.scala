@@ -390,7 +390,26 @@ object ScaleCheck {
         TextAnalysis.scorerMoments(perDoc,
           (0 until 8).map(i => col(s"c$i")), col("y"))
           .agg(max(length(col("m")))).head.getInt(0).toLong
-      }).flatten
+      },
+      // key-skew diagnostics at corpus scale: ~rows/20 distinct keys
+      // with a planted hot key holding 5% of rows — one map-combined
+      // count shuffle + TakeOrdered; rank is assigned after the limit,
+      // so NO window ever sees the key space. Rows metric carries the
+      // hot key's count so the whole plan must run
+      t("q_skew_report") {
+        val keyed = docs.select(
+          when(pmod(col("doc_id"), lit(20L)) === 0, lit(7L))
+            .otherwise(pmod(xxhash64(col("doc_id")), lit(rows / 20)))
+            .as("k"))
+        graft.queries.Relational.skewReport(keyed, col("k"))
+          .agg(max(col("cnt"))).head.getLong(0)
+      },
+      // integer-Flesch readability at corpus scale: zero-shuffle per-row
+      // projection (4 regexp passes + 2 HOF filters over the token
+      // array) — must stay linear and scan-bound like tx_quality.
+      // sum(flesch) forces every column's arithmetic to actually run
+      t("tx_readability")(TextAnalysis.readability(docs)
+        .agg(sum(col("flesch_x1000"))).head.getLong(0))).flatten
     // the end-to-end pipeline (anti-join on the corpus-scale drop set)
     // only says something new under planted dup density
     val results = if (dupPct > 0)

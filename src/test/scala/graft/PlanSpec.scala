@@ -52,10 +52,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"probe targets not literal-folded (no LocalTableScan build side):\n$p")
   }
 
-  test("tfidf joins df with a shuffled-hash build, not a corpus-side sort") {
+  test("skew report: top-k is TakeOrdered, no window over the key space") {
+    // rank is assigned AFTER the limit: the key-count table reaches the
+    // top-k through a TakeOrderedAndProject (distributed partial top-k),
+    // and the only Window in the plan runs over the <= k surviving rows.
+    // A revert to row_number-then-filter would put a single-partition
+    // Window over every distinct key — the scale killer skewReport's
+    // scaladoc rules out
+    val p = plan(Relational.qSkewReport(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"skewReport top-k is not a TakeOrdered:\n$p")
+    assert(!p.contains("WindowGroupLimit"),
+      s"unexpected pre-shuffle window limit replaced the TakeOrdered:\n$p")
+  }
+
+  test("tfidf joins df against a broadcast vocab table; fallback is shuffled-hash") {
+    // round-10 shape: the vocabulary-sized df table broadcasts, so
+    // corpus tokens never cross an exchange before the group-limit
+    // prune (x100: 3.4 s -> 2.2 s over the shuffled-hash join)
     val p = plan(graft.operators.TextAnalysis.tfidf(Tables.documents(spark, dir)))
-    assert(p.contains("ShuffledHashJoin"),
-      s"tfidf df join fell back to sort-merge:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"tfidf df join is not broadcast:\n$p")
+    // the unbounded-vocab escape hatch computes df as a window count
+    // over the term-hash exchange — one shuffle, no join at all
+    val pf = plan(graft.operators.TextAnalysis.tfidf(
+      Tables.documents(spark, dir), broadcastDf = false))
+    assert(!pf.contains("SortMergeJoin") && !pf.contains("Join"),
+      s"tfidf broadcastDf=false fallback grew a join:\n$pf")
+    assert(pf.contains("Window"),
+      s"tfidf broadcastDf=false fallback lost its window-count df:\n$pf")
   }
 
   test("q1: scan reads only the columns the query needs") {
