@@ -295,13 +295,80 @@ object AsOfJoin {
       |       WHEN ts - bts <= fts - ts THEN 'b' ELSE 'f' END AS matched_dir
       |FROM j ORDER BY event_id""".stripMargin
 
+  /** SCD2 (slowly-changing-dimension, type 2) join: attach to each fact
+    * row the dimension VERSION that was valid at the fact's event time —
+    * the warehouse-standard "customer segment as of the order date"
+    * enrichment. A versioned dimension with contiguous validity
+    * (valid_to of one version = valid_from of the next, last version
+    * open-ended) makes SCD2 exactly a backward as-of join on valid_from,
+    * so this reuses [[asOf]]'s single-shuffle union+window machinery:
+    * NO interval/theta join (Spark would plan broadcast-nested-loop),
+    * cost is one hash exchange of |facts|+|versions| slim rows at any
+    * scale, and facts predating the key's first version get NULLs.
+    *
+    * The dimension here is synthesized deterministically from customer
+    * (3 versions per key, valid_from/seg_code pure integer arithmetic
+    * on c_custkey) so the DuckDB oracle can rebuild the identical
+    * version table and verify with its native ASOF JOIN. v0 starts up
+    * to (150 mod-cycle)·5 days ≈ 2 years after 1994-01-01 — the cycle
+    * is 150, not 365, so the smallest test corpus (custkeys 0..149)
+    * still plants keys whose first version postdates early-1995 orders
+    * and the no-version-yet NULL path is exercised at every SF. Times compared as epoch-micros longs —
+    * exact integer arithmetic in both engines. */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val epoch19940101Us = 757382400000000L
+    val dayUs = 86400000000L
+    val dim = Tables.customer(spark, dir).select(
+        col("c_custkey").as("k"),
+        explode(sequence(lit(0L), lit(2L))).as("v"))
+      .select(col("k"), col("v"),
+        (lit(epoch19940101Us) +
+          ((col("k") % lit(150L)) * lit(5L) +
+            col("v") * (lit(365L) + col("k") % lit(200L))) * lit(dayUs))
+          .as("valid_us"),
+        ((col("k") + col("v") * lit(7L)) % lit(5L)).as("seg_code"))
+    // o_orderdate arrives TIMESTAMP_NTZ from parquet; the session is
+    // pinned UTC so the cast is micros-identical (the Tables.events rule)
+    val facts = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast(org.apache.spark.sql.types.TimestampType)
+          .as("o_orderdate"))
+    asOf(facts, dim,
+      leftKey = col("o_custkey"), rightKey = col("k"),
+      leftTime = unix_micros(col("o_orderdate")), rightTime = col("valid_us"),
+      rightPayload = Seq(
+        "dim_version" -> col("v"),
+        "seg_code" -> col("seg_code"),
+        "dim_valid_from_us" -> col("valid_us")),
+      rightTiebreak = col("v"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Oracle rebuilds the identical arithmetic version table and applies
+    * DuckDB's native ASOF LEFT JOIN on the same epoch-micros longs. */
+  val qScd2Sql: String =
+    """WITH dim AS (
+      |  SELECT c_custkey AS k, CAST(v AS BIGINT) AS v,
+      |    757382400000000 + ((c_custkey % 150) * 5 +
+      |      v * (365 + c_custkey % 200)) * 86400000000 AS valid_us,
+      |    (c_custkey + v * 7) % 5 AS seg_code
+      |  FROM customer CROSS JOIN (SELECT unnest([0,1,2]) AS v)),
+      |o AS (SELECT o_orderkey, o_custkey, o_orderdate,
+      |        epoch_us(o_orderdate) AS t FROM orders)
+      |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+      |  d.v AS dim_version, d.seg_code, d.valid_us AS dim_valid_from_us
+      |FROM o ASOF LEFT JOIN dim d ON o.o_custkey = d.k AND o.t >= d.valid_us
+      |ORDER BY o.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof" -> (qAsof _),
     "q_asof_fwd" -> (qAsofFwd _),
-    "q_asof_nearest" -> (qAsofNearest _))
+    "q_asof_nearest" -> (qAsofNearest _),
+    "q_scd2" -> (qScd2 _))
 
   val oracles: Map[String, String] = Map(
     "q_asof" -> qAsofSql,
     "q_asof_fwd" -> qAsofFwdSql,
-    "q_asof_nearest" -> qAsofNearestSql)
+    "q_asof_nearest" -> qAsofNearestSql,
+    "q_scd2" -> qScd2Sql)
 }

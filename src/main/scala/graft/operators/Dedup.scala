@@ -1575,7 +1575,83 @@ object Dedup {
        |FROM agg""".stripMargin
   }
 
+  /** dd_winnow: winnowing fingerprint selection (Schleimer/Wilkerson/
+    * Aiken, the MOSS algorithm) + cross-document match counting — the
+    * guaranteed-coverage alternative to 0-mod-p fingerprint sampling:
+    * selecting the MIN k-gram hash in every window of `w` consecutive
+    * positions guarantees any shared run of ≥ w+k-1 tokens yields at
+    * least one shared fingerprint, which random sampling cannot promise.
+    * The overlap detector behind plagiarism / license-text / contaminated-
+    * span hunting, where dd_minhash_lsh's whole-doc Jaccard is the wrong
+    * granularity.
+    *
+    * Per doc everything is a PROJECTION: ordered 3-gram hashes come from
+    * the one-pass [[hashedShingles]] kernel (order-preserving), windows
+    * are a slice+array_min HOF over that array, and the distinct selected
+    * set explodes to slim (doc_id, fp60) rows — text never crosses an
+    * exchange. Docs with fewer than `w` grams select the single global
+    * min (the standard short-doc rule). Pairing is bucket-bounded like
+    * every dd_* path: fingerprints above `occupancyCap` docs (ubiquitous
+    * boilerplate 3-grams) are dropped before the self-join — the simhash
+    * band-cap precedent — so pair cost is ∝ shared-fingerprint mass,
+    * never corpus². Emitted pairs share ≥ `minShared` fingerprints. */
+  def winnow(docs: DataFrame, w: Int = 4, minShared: Long = 2,
+             occupancyCap: Long = 50): DataFrame = {
+    val g = org.apache.spark.sql.graft.VectorExprs
+      .shingle3Md5Long(col("text"), 1, 15)
+    val fps = docs.select(col("doc_id"), g.as("g"))
+      .filter(size(col("g")) >= 1)
+      .select(col("doc_id"), explode(array_distinct(
+        when(size(col("g")) < w, array(array_min(col("g"))))
+          .otherwise(expr(
+            s"transform(sequence(0, size(g) - $w), j -> array_min(slice(g, j + 1, $w)))"))))
+        .as("fp"))
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= occupancyCap)
+    val fc = fps.join(rare, Seq("fp"), "left_semi")
+    fc.as("a").join(fc.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  def ddWinnow(spark: SparkSession, dir: String): DataFrame =
+    winnow(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
+
+  /** Oracle replays winnowing with order-preserving list comprehensions
+    * (NO list_distinct on the shingle list — positions matter here,
+    * unlike the minhash CTE) over the same md5-prefix hashes. */
+  val ddWinnowSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w) - 1)] AS s
+      |  FROM toks WHERE len(w) >= 3),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_transform(s, x -> ('0x'||substr(md5(x),1,15))::BIGINT) AS g
+      |  FROM sh),
+      |wins AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(g) < 4 THEN [list_aggregate(g, 'min')]
+      |         ELSE [list_aggregate(g[j+1:j+4], 'min')
+      |               for j in range(0, len(g) - 3)] END AS fps
+      |  FROM g),
+      |fp AS (SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM wins),
+      |rare AS (
+      |  SELECT fp FROM (SELECT fp, count(*) AS n FROM fp GROUP BY fp)
+      |  WHERE n <= 50),
+      |fc AS (SELECT doc_id, fp.fp FROM fp JOIN rare USING (fp))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |FROM fc a JOIN fc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id
+      |HAVING count(*) >= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_winnow" -> (ddWinnow _),
     "dd_overlap" -> (ddOverlap _),
     "dd_paragraphs" -> (ddParagraphs _),
     "dd_substr" -> (ddSubstr _),
@@ -1599,6 +1675,7 @@ object Dedup {
     "dd_embed_cosine" -> (ddEmbedCosine _))
 
   val oracles: Map[String, String] = Map(
+    "dd_winnow" -> ddWinnowSql,
     "dd_overlap" -> ddOverlapSql,
     "dd_paragraphs" -> ddParagraphsSql,
     "dd_substr" -> ddSubstrSql,

@@ -2548,7 +2548,86 @@ object TextAnalysis {
       |  row_number() OVER (PARTITION BY _k % 4 ORDER BY _k, doc_id) AS pos
       |FROM k ORDER BY shard, pos""".stripMargin
 
+  /** tx_lm_score: n-gram language-model surprise scoring — the CCNet /
+    * Wikipedia-LM perplexity filter shape of pre-training curation
+    * (train a small LM on a clean half, keep target docs whose
+    * per-token surprise is low). The LM is a bigram model trained on
+    * the even-doc_id half and served against the odd half.
+    *
+    * Surprise is INTEGER end to end so both engines agree bit-for-bit:
+    * -log2 p(w2|w1) ≈ bitlen(c1(w1)) - bitlen(c2(w1,w2)) where
+    * bitlen(n) = length(bin(n)) = floor(log2 n)+1 — exact in any
+    * engine, no libm (the q_corr lesson applied to logarithms).
+    * Backoff: unseen continuation costs bitlen(c1)+4 bits, unseen
+    * history a flat 20 bits. Per-doc surprise_per_kbi (bits×1000 per
+    * bigram, one exact int→double division) is the rank/filter signal.
+    *
+    * Scale shape: bigram extraction is the codegen'd zip+slice pattern
+    * ([[bigrams]]); both count tables are map-side-combined vocab-sized
+    * aggregates BROADCAST onto the scoring stream (the tfidf trade —
+    * Heaps' law keeps word-level model tables broadcastable far past
+    * this scale), so no corpus-token row ever crosses an exchange
+    * before the per-doc aggregate; that aggregate shuffles (doc_id,
+    * partial) only. For unbounded vocabularies, drop the broadcast()
+    * hints and the same plan shuffle-joins on the bigram key. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    def bigramsOf(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), explode(arrays_zip(w, slice(w, lit(2), size(w)))).as("z"))
+      .filter(col("z.1").isNotNull)
+      .select(col("doc_id"), col("z.0").as("w1"), col("z.1").as("w2"))
+    val tb = bigramsOf(docs.filter(col("doc_id") % 2 === 0))
+    val c2 = tb.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = tb.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    def bitlen(c: Column): Column = length(bin(c)).cast(LongType)
+    val surprise =
+      when(col("c2").isNotNull, bitlen(col("c1")) - bitlen(col("c2")))
+        .when(col("c1").isNotNull, bitlen(col("c1")) + lit(4L))
+        .otherwise(lit(20L))
+    bigramsOf(docs.filter(col("doc_id") % 2 === 1))
+      .join(broadcast(c1), Seq("w1"), "left_outer")
+      .join(broadcast(c2), Seq("w1", "w2"), "left_outer")
+      .select(col("doc_id"), surprise.as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("surprise_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprise_bits"),
+        ((col("surprise_bits") * lit(1000L)).cast(DoubleType) /
+          col("n_bigrams").cast(DoubleType)).as("surprise_per_kbi"))
+      .withColumn("lm_keep", col("surprise_per_kbi") < lit(12000.0))
+  }
+
+  def txLmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScore(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Oracle replays the model: parallel-unnest bigrams, the same count
+    * tables, and length(bin(n)) for the exact integer bit length. */
+  val txLmScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |b AS (
+      |  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+      |  FROM toks WHERE len(w) >= 2),
+      |tb AS (SELECT w1, w2 FROM b WHERE doc_id % 2 = 0),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM tb GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM tb GROUP BY w1),
+      |sb AS (
+      |  SELECT b.doc_id,
+      |    CASE WHEN c2.c2 IS NOT NULL
+      |           THEN length(bin(c1.c1)) - length(bin(c2.c2))
+      |         WHEN c1.c1 IS NOT NULL THEN length(bin(c1.c1)) + 4
+      |         ELSE 20 END AS s
+      |  FROM b LEFT JOIN c1 USING (w1) LEFT JOIN c2 USING (w1, w2)
+      |  WHERE b.doc_id % 2 = 1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(s) AS BIGINT) AS surprise_bits,
+      |  CAST(sum(s) * 1000 AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    AS surprise_per_kbi,
+      |  CAST(sum(s) * 1000 AS DOUBLE) / CAST(count(*) AS DOUBLE) < 12000.0
+      |    AS lm_keep
+      |FROM sb GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_lm_score" -> (txLmScore _),
     "q_curation_e2e" -> (qCurationE2e _),
     "q_curation_incr" -> ((s: SparkSession, d: String) => qCurationIncr(s, d)),
     "q_corpus_report" -> (qCorpusReport _),
@@ -2590,6 +2669,7 @@ object TextAnalysis {
     "q_purge" -> (qPurge _))
 
   val oracles: Map[String, String] = Map(
+    "tx_lm_score" -> txLmScoreSql,
     "q_curation_e2e" -> qCurationE2eSql,
     "q_curation_incr" -> qCurationIncrSql,
     "q_corpus_report" -> qCorpusReportSql,

@@ -1885,8 +1885,123 @@ object Relational {
       |FROM st GROUP BY window_start, stage
       |ORDER BY window_start, stage""".stripMargin
 
+  /** q_survivorship: golden-record consolidation (the MDM "merge" step
+    * after entity resolution) — per entity, the surviving value of each
+    * attribute under per-attribute rules: most-recent-wins with null
+    * skip (last_event_type, last_purchase_value), coverage extremes
+    * (first/last seen), and additive facts (n_events, total spend).
+    *
+    * One map-side-combined aggregate over the entity key — no window,
+    * no self-join: every rule is an order-free aggregate (max over a
+    * (ts, value) struct = arg-max-by-recency because ts leads the
+    * struct), so the shuffle carries one partial row per (partition,
+    * entity) at any corpus size. Determinism: (user_id, ts) is unique
+    * in the generator (the q_asof_nearest precondition), so struct-max
+    * tiebreaks never fire; money sums via [[dsum]].
+    *
+    * Reference seam: this is the consolidation a pipeline user composes
+    * AFTER dd_* clustering — rules here are recency/extremes/additive;
+    * source-priority rules are the same struct-max with a priority
+    * column leading the struct. */
+  def qSurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchase = col("event_type") === "purchase" && col("value").isNotNull
+    ev.groupBy(col("user_id"))
+      .agg(
+        min(col("ts")).as("first_seen"),
+        max(col("ts")).as("last_seen"),
+        count(lit(1)).as("n_events"),
+        max(struct(col("ts"), col("event_type")))
+          .getField("event_type").as("last_event_type"),
+        max(when(purchase, struct(col("ts"), col("value"))))
+          .getField("value").as("last_purchase_value"),
+        dsum(when(purchase, col("value")).otherwise(lit(0.0)))
+          .as("total_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  val qSurvivorshipSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |    event_type, value
+      |  FROM events)
+      |SELECT user_id, min(ts) AS first_seen, max(ts) AS last_seen,
+      |  count(*) AS n_events,
+      |  arg_max(event_type, ts) AS last_event_type,
+      |  arg_max(value, ts) FILTER (WHERE event_type = 'purchase'
+      |    AND value IS NOT NULL) AS last_purchase_value,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+      |    THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+      |    ELSE 0 END) AS DOUBLE) / 1000000.0 AS total_purchase
+      |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q_hier_rollup: hierarchy (transitive-closure) rollup via pointer
+    * doubling — category trees, org charts, BOM explosions. Each part's
+    * parent is arithmetic (k div 7; keys < 70 are roots), and the query
+    * finds every node's ROOT plus its depth, then rolls up counts and
+    * value per root.
+    *
+    * The naive per-level iteration is O(depth) full-table joins; pointer
+    * DOUBLING squares the pointer each round (ptr ← ptr[ptr], depth ←
+    * depth + depth[ptr]) so a depth-d forest converges in ceil(log2 d)
+    * rounds — at 100 TB each round is ONE |V|-row equi-join on the
+    * current pointer (AQE-handled like any shuffle join), and a
+    * 12-round budget covers depth 4096. Roots are absorbing (ptr=self,
+    * depth 0), so converged rows pass through unchanged; convergence is
+    * an aggregate count on the checkpointed round result, not a
+    * collect (the connectedComponents pattern, Dedup.scala).
+    *
+    * Oracle: DuckDB recursive CTE walking parents one level at a time —
+    * an independent formulation of the same closure. */
+  def qHierRollup(spark: SparkSession, dir: String): DataFrame = {
+    var f = Tables.part(spark, dir).select(
+        col("p_partkey").as("node"),
+        when(col("p_partkey") >= 70, expr("p_partkey div 7"))
+          .otherwise(col("p_partkey")).as("ptr"),
+        when(col("p_partkey") >= 70, lit(1L)).otherwise(lit(0L)).as("depth"),
+        col("p_retailprice"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 12) {
+      val g = f.select(col("node").as("_jn"), col("ptr").as("_jptr"),
+        col("depth").as("_jd"))
+      val next = f.join(g, col("ptr") === col("_jn"))
+        .select(col("node"), col("_jptr").as("ptr"),
+          (col("depth") + col("_jd")).as("depth"), col("p_retailprice"),
+          (col("ptr") === col("_jptr")).as("_stable"))
+        .localCheckpoint()
+      converged = next.filter(!col("_stable")).count() == 0
+      f = next.drop("_stable")
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      "hierRollup: pointer doubling did not converge in 12 rounds " +
+        "(depth > 4096) — raise the round budget")
+    f.groupBy(col("ptr").as("root"))
+      .agg(count(lit(1)).as("n_nodes"),
+        max(col("depth")).as("max_depth"),
+        dsum(col("p_retailprice")).as("total_price"))
+      .orderBy(col("root"))
+  }
+
+  val qHierRollupSql: String =
+    """WITH RECURSIVE anc AS (
+      |  SELECT p_partkey AS node, p_partkey AS cur, CAST(0 AS BIGINT) AS d
+      |  FROM part
+      |  UNION ALL
+      |  SELECT node, cur // 7, d + 1 FROM anc WHERE cur >= 70),
+      |rooted AS (SELECT node, cur AS root, d AS depth FROM anc WHERE cur < 70)
+      |SELECT root, count(*) AS n_nodes, max(depth) AS max_depth,
+      |  CAST(sum(CAST(floor(p_retailprice * 1000000.0 + 0.5) AS BIGINT))
+      |    AS DOUBLE) / 1000000.0 AS total_price
+      |FROM rooted JOIN part ON node = p_partkey
+      |GROUP BY root ORDER BY root""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_attribution" -> (stAttribution _),
+    "q_survivorship" -> (qSurvivorship _),
+    "q_hier_rollup" -> (qHierRollup _),
     "q1_agg" -> (q1Agg _),
     "q3_join_agg" -> (q3JoinAgg _),
     "q5_multijoin" -> (q5MultiJoin _),
@@ -1937,6 +2052,8 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "st_attribution" -> stAttributionSql,
+    "q_survivorship" -> qSurvivorshipSql,
+    "q_hier_rollup" -> qHierRollupSql,
     "q_approx" -> qApproxSql,
     "q_approx_quantiles" -> qApproxQuantilesSql,
     "q_quantile_select" -> qQuantileSelectSql,

@@ -1970,4 +1970,94 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(compacted.exceptAll(oneShot).isEmpty && oneShot.exceptAll(compacted).isEmpty,
       "compaction of batched exports diverged from the one-shot export")
   }
+
+  test("scd2: picked version is the arithmetic inverse of the validity law") {
+    // dim law: valid_from(v) = base_k + v*step_k with base_k =
+    // 1994-01-01 + (k%150)*5 days, step_k = (365 + k%200) days, v in 0..2
+    // => expected version = min(2, floor((t - base_k)/step_k)), or NULL
+    // for orders predating base_k. Recompute directly and diff.
+    val r = graft.operators.AsOfJoin.qScd2(spark, dir)
+    val epoch = 757382400000000L
+    val day = 86400000000L
+    val base = lit(epoch) + (col("o_custkey") % 150) * 5 * lit(day)
+    val step = (lit(365L) + col("o_custkey") % 200) * lit(day)
+    val t = unix_micros(col("o_orderdate"))
+    val expected = when(t < base, lit(null))
+      .otherwise(least(lit(2L), floor((t - base) / step).cast("long")))
+    val bad = r.withColumn("_exp", expected)
+      .filter(!(col("dim_version") <=> col("_exp")))
+    assert(bad.isEmpty, s"scd2 version law violated: ${bad.head(3).mkString}")
+    // the NULL (pre-first-version) path is actually exercised
+    assert(r.filter(col("dim_version").isNull).count() > 0)
+  }
+
+  test("survivorship: recency rules match a window recompute") {
+    val ev = Tables.events(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").desc)
+    val lastType = ev.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).select(col("user_id"), col("event_type"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    val got = graft.queries.Relational.qSurvivorship(spark, dir).collect()
+    got.foreach { row =>
+      assert(row.getString(4) === lastType(row.getLong(0)),
+        s"last_event_type mismatch for user ${row.getLong(0)}")
+    }
+    // additive + extremes: totals over all users equal whole-table aggs
+    val nTotal = got.map(_.getLong(3)).sum
+    assert(nTotal === ev.count())
+  }
+
+  test("hier rollup: partitions the forest and agrees with a walked chain") {
+    val r = graft.queries.Relational.qHierRollup(spark, dir).collect()
+    val parts = Tables.part(spark, dir)
+    assert(r.map(_.getLong(1)).sum === parts.count()) // exhaustive
+    assert(r.forall(_.getLong(0) < 70L)) // roots only
+    // walk one deep chain by hand: root(k) via repeated div-7
+    val maxKey = parts.agg(max(col("p_partkey"))).head.getLong(0)
+    var k = maxKey; var d = 0L
+    while (k >= 70) { k = k / 7; d += 1 }
+    val row = r.find(_.getLong(0) == k).get
+    assert(row.getLong(2) >= d, s"root $k max_depth ${row.getLong(2)} < walked $d")
+  }
+
+  test("lm score: hand-computed bigram surprise on a tiny corpus") {
+    import spark.implicits._
+    // train doc 0: "a b a b c" -> bigrams ab,ba,ab,bc
+    //   c2: ab=2, ba=1, bc=1 ; c1: a=2, b=2
+    // score doc 1: "a b c d" -> ab: len(bin 2)-len(bin 2)=0
+    //   bc: c1(b)=2,c2(bc)=1 -> 2-1=1 ; cd: c1(c) null -> 20
+    val docs = Seq((0L, "a b a b c"), (1L, "a b c d")).toDF("doc_id", "text")
+    val r = TextAnalysis.lmScore(docs).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 3L) // n_bigrams
+    assert(r(0).getLong(2) === 21L) // 0 + 1 + 20
+    assert(math.abs(r(0).getDouble(3) - 7000.0) < 1e-9)
+  }
+
+  test("winnow: coverage guarantee, short-doc rule, position sensitivity") {
+    import spark.implicits._
+    // shared run of w+k-1 = 6 tokens guarantees >= 1 shared fingerprint
+    val shared = "q1 q2 q3 q4 q5 q6"
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $shared v1 v2"),
+      (2L, s"x1 x2 $shared y1 y2 y3"),
+      (3L, "a b c"), // 1 shingle -> exactly one fingerprint (global min)
+      (4L, "c b a") // reversed: different shingles, no pair with 3
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnow(docs, w = 4, minShared = 1).collect()
+    assert(pairs.exists(p => p.getLong(0) == 1L && p.getLong(1) == 2L),
+      "winnowing missed the guaranteed shared run")
+    assert(!pairs.exists(p => p.getLong(1) == 4L && p.getLong(0) == 3L),
+      "reversed doc must not share fingerprints")
+    // the sf corpus: planted near-dups must surface as winnow pairs too
+    val truth = Dedup.ngramJaccard(Tables.documents(spark, dir), 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val found = Dedup.winnow(Tables.documents(spark, dir))
+      .select("doc_a", "doc_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(truth.subsetOf(found),
+      s"winnow missed planted near-dup pairs: ${truth.diff(found)}")
+  }
 }
