@@ -31,4 +31,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // extra JVM flags for perf experiments (e.g. "-XX:+UseParallelGC"),
+  // space-separated
+) ++ sys.env.get("SPARK_GRAFT_JVM").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
