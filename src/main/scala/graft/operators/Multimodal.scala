@@ -583,17 +583,92 @@ object Multimodal {
       |  ON bins.doc_id = counts.doc_id AND bins.bin = counts.bin
       |ORDER BY 1, 2""".stripMargin
 
+  /** Energy-based voice-activity detection over REAL WAV payloads — the
+    * audio-pipeline segmentation pass (VAD gates which spans are worth
+    * transcribing/training on). Decodes PCM through `javax.sound.sampled`
+    * (same real-codec contract as [[extractMeta]]), frames the signal
+    * (`frameLen` samples, trailing partial frame dropped — the standard
+    * framing rule), and scores each frame by summed |signed sample|;
+    * a frame is voiced when its mean |s| clears `meanAbsThreshold`.
+    * Integer end to end, so the oracle re-derives every energy from the
+    * generator law — matching only if the real decoder round-trips.
+    * Map-only (decode → flat frame rows), partition-parallel: at 100 TB
+    * this is the per-file decode pass, no shuffle. */
+  def vadFrames(withPayload: DataFrame, frameLen: Int = 8,
+                meanAbsThreshold: Int = 16384): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("energy", LongType),
+      StructField("voiced", BooleanType)))
+    withPayload.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val p = r.getAs[Array[Byte]](1)
+        val isWav = p.length >= 12 &&
+          p.take(4).sameElements("RIFF".getBytes("US-ASCII")) &&
+          p.slice(8, 12).sameElements("WAVE".getBytes("US-ASCII"))
+        if (!isWav) Iterator.empty
+        else {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(p))
+          val bytes = try in.readAllBytes() finally in.close()
+          val nFrames = bytes.length / 2 / frameLen
+          (0 until nFrames).iterator.map { f =>
+            var e = 0L
+            var i = f * frameLen
+            val end = i + frameLen
+            while (i < end) {
+              val u = (bytes(2 * i) & 0xff) | ((bytes(2 * i + 1) & 0xff) << 8)
+              e += math.abs(if (u < 32768) u else u - 65536)
+              i += 1
+            }
+            Row(id, f, e, e > meanAbsThreshold.toLong * frameLen)
+          }
+        }
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  def mmVad(spark: SparkSession, dir: String): DataFrame =
+    vadFrames(synthReal(
+        Tables.documents(spark, dir).filter(col("doc_id") % 3 === 2)))
+      .orderBy("doc_id", "frame_idx")
+
+  /** Oracle: the sample law (37·id + 101·i) mod 65536, signed, framed —
+    * derivable only if javax.sound decodes the real RIFF/PCM bytes back
+    * to exactly the generated samples. */
+  val mmVadSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, doc_id % 32 + 16 AS n FROM documents
+      |  WHERE doc_id % 3 = 2),
+      |s AS (
+      |  SELECT doc_id, unnest(range(0, n)) AS i, n FROM w),
+      |f AS (
+      |  SELECT doc_id, CAST(i // 8 AS INTEGER) AS frame_idx,
+      |    (37 * doc_id + 101 * i) % 65536 AS u
+      |  FROM s WHERE i // 8 < n // 8),
+      |e AS (
+      |  SELECT doc_id, frame_idx,
+      |    CAST(sum(abs(CASE WHEN u < 32768 THEN u ELSE u - 65536 END))
+      |      AS BIGINT) AS energy
+      |  FROM f GROUP BY doc_id, frame_idx)
+      |SELECT doc_id, frame_idx, energy, energy > 131072 AS voiced
+      |FROM e ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta _),
     "mm_resize" -> (mmResize _),
     "mm_frames" -> (mmFrames _),
     "mm_features" -> (mmFeatures _),
-    "mm_phash" -> (mmPhash _))
+    "mm_phash" -> (mmPhash _),
+    "mm_vad" -> (mmVad _))
 
   val oracles: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
     "mm_resize" -> mmResizeSql,
     "mm_frames" -> mmFramesSql,
     "mm_features" -> mmFeaturesSql,
-    "mm_phash" -> mmPhashSql)
+    "mm_phash" -> mmPhashSql,
+    "mm_vad" -> mmVadSql)
 }

@@ -2626,7 +2626,77 @@ object TextAnalysis {
       |    AS lm_keep
       |FROM sb GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** tx_collocations: PMI-ranked collocation mining — the multi-word-
+    * expression detector (tokenizer vocab candidates, NER gazetteer
+    * seeds, phrase-aware dedup keys). PMI = log p(w1,w2)/(p(w1)p(w2));
+    * log is monotone, so the rank-equivalent RATIO
+    * (c12/N2)/((u1/N1)(u2/N1)) is computed instead, keeping libm out of
+    * the oracle (the tfidf 1/df precedent). Every factor is an exact
+    * integer cast to double, and both engines multiply/divide in the
+    * SAME written order, so scores are bit-identical. A minimum pair
+    * count (c12 ≥ 3) applies the standard sparse-PMI guard.
+    *
+    * Scale shape: unigram and bigram counts are map-side-combined
+    * vocab-sized aggregates; corpus totals are 1-row aggregates
+    * cross-joined (broadcast) onto the score projection; unigram counts
+    * BROADCAST onto the bigram table (Heaps' law). The final top-k is a
+    * TakeOrdered over the bigram-vocab table — nothing corpus-sized is
+    * sorted or shuffled past the counting stage. */
+  def collocations(docs: DataFrame, k: Int = 20, minPair: Long = 3): DataFrame = {
+    val w = split(col("text"), " ")
+    val uni = docs.select(explode(w).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("u"))
+    val n1 = uni.agg(sum(col("u")).cast(LongType).as("n1"))
+    val bi = docs.select(explode(arrays_zip(w, slice(w, lit(2), size(w)))).as("z"))
+      .filter(col("z.1").isNotNull)
+      .select(col("z.0").as("w1"), col("z.1").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minPair)
+    val n2 = docs.select(
+        (greatest(size(w) - 1, lit(0))).cast(LongType).as("nb"))
+      .agg(sum(col("nb")).cast(LongType).as("n2"))
+    val d = (c: Column) => c.cast(DoubleType)
+    bi.join(broadcast(uni.select(col("t").as("w1"), col("u").as("u1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("t").as("w2"), col("u").as("u2"))), Seq("w2"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c12"), col("u1"), col("u2"),
+        ((d(col("c12")) * d(col("n1")) * d(col("n1"))) /
+          (d(col("n2")) * d(col("u1")) * d(col("u2")))).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  def txCollocations(spark: SparkSession, dir: String): DataFrame =
+    collocations(Tables.documents(spark, dir))
+
+  val txCollocationsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |uni AS (
+      |  SELECT unnest(w) AS t FROM toks),
+      |u AS (SELECT t, count(*) AS u FROM uni GROUP BY t),
+      |n1 AS (SELECT CAST(sum(u) AS BIGINT) AS n1 FROM u),
+      |b AS (
+      |  SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+      |  FROM toks WHERE len(w) >= 2),
+      |bi AS (
+      |  SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2
+      |  HAVING count(*) >= 3),
+      |n2 AS (
+      |  SELECT CAST(sum(CASE WHEN len(w) >= 1 THEN len(w) - 1 ELSE 0 END)
+      |    AS BIGINT) AS n2 FROM toks)
+      |SELECT w1, w2, c12, u.u1, u2.u2,
+      |  (CAST(c12 AS DOUBLE) * CAST(n1.n1 AS DOUBLE) * CAST(n1.n1 AS DOUBLE)) /
+      |  (CAST(n2.n2 AS DOUBLE) * CAST(u.u1 AS DOUBLE) * CAST(u2.u2 AS DOUBLE))
+      |    AS pmi_ratio
+      |FROM bi
+      |JOIN (SELECT t AS w1, u AS u1 FROM u) u USING (w1)
+      |JOIN (SELECT t AS w2, u AS u2 FROM u) u2 USING (w2)
+      |CROSS JOIN n1 CROSS JOIN n2
+      |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_collocations" -> (txCollocations _),
     "tx_lm_score" -> (txLmScore _),
     "q_curation_e2e" -> (qCurationE2e _),
     "q_curation_incr" -> ((s: SparkSession, d: String) => qCurationIncr(s, d)),
@@ -2669,6 +2739,7 @@ object TextAnalysis {
     "q_purge" -> (qPurge _))
 
   val oracles: Map[String, String] = Map(
+    "tx_collocations" -> txCollocationsSql,
     "tx_lm_score" -> txLmScoreSql,
     "q_curation_e2e" -> qCurationE2eSql,
     "q_curation_incr" -> qCurationIncrSql,

@@ -1998,10 +1998,111 @@ object Relational {
       |FROM rooted JOIN part ON node = p_partkey
       |GROUP BY root ORDER BY root""".stripMargin
 
+  /** The (table, string column) list q_profile audits — ONE definition
+    * drives both the Spark plan and the interpolated oracle SQL, so the
+    * two can never drift. */
+  private val profileCols: Seq[(String, String)] = Seq(
+    "orders" -> "o_orderstatus",
+    "orders" -> "o_orderpriority",
+    "customer" -> "c_mktsegment",
+    "documents" -> "lang",
+    "documents" -> "source")
+
+  /** q_profile: data-quality profiling (the Deequ / dbt-test shape) —
+    * per audited column: row count, null count, distinct count, and the
+    * modal value with its frequency (ties broken by the LARGEST value,
+    * so the winner is a pure struct-max — order-free and exact).
+    *
+    * Scale shape: each column contributes ONE map-side-combined
+    * (value, count) aggregate — the shuffle is value-cardinality-sized,
+    * never row-count-sized — and the per-column rollup then aggregates
+    * those tiny grouped tables (union of value-distinct rows). No
+    * windows, no sorts on the corpus, profile cost ∝ Σ column
+    * cardinalities. */
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val perCol = profileCols.map { case (t, c) =>
+      Tables.load(spark, dir, t)
+        .groupBy(col(c).as("value")).agg(count(lit(1)).as("n"))
+        .select(lit(t).as("tbl"), lit(c).as("col_name"),
+          col("value"), col("n"))
+    }.reduce(_ unionByName _)
+    perCol.groupBy(col("tbl"), col("col_name"))
+      .agg(
+        sum(col("n")).as("n_rows"),
+        sum(when(col("value").isNull, col("n")).otherwise(lit(0L))).as("n_null"),
+        count(when(col("value").isNotNull, lit(1))).as("n_distinct"),
+        max(when(col("value").isNotNull, struct(col("n"), col("value"))))
+          .getField("value").as("top_value"),
+        max(when(col("value").isNotNull, struct(col("n"), col("value"))))
+          .getField("n").as("top_n"))
+      .orderBy(col("tbl"), col("col_name"))
+  }
+
+  val qProfileSql: String = {
+    val branches = profileCols.map { case (t, c) =>
+      s"""  SELECT '$t' AS tbl, '$c' AS col_name, CAST($c AS VARCHAR) AS value,
+         |    count(*) AS n FROM $t GROUP BY $c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH per_col AS (
+       |$branches)
+       |SELECT tbl, col_name, CAST(sum(n) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN value IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_null,
+       |  CAST(count(CASE WHEN value IS NOT NULL THEN 1 END) AS BIGINT)
+       |    AS n_distinct,
+       |  max(CASE WHEN value IS NOT NULL
+       |    THEN {'n': n, 'value': value} END)['value'] AS top_value,
+       |  max(CASE WHEN value IS NOT NULL
+       |    THEN {'n': n, 'value': value} END)['n'] AS top_n
+       |FROM per_col GROUP BY tbl, col_name ORDER BY tbl, col_name""".stripMargin
+  }
+
+  /** q_paths: top user journeys — each user's first `k` events in time
+    * order joined into a path string, then the corpus-wide path
+    * frequency table (the product-analytics "common flows" report and
+    * the Markov-chain input for session modeling).
+    *
+    * Sequence building is ONE user-keyed shuffle of slim (ts, type)
+    * structs: collect_list's arrival order is nondeterministic, so the
+    * sort happens per row via array_sort AFTER collection (deterministic
+    * because (user_id, ts) is unique by generator construction), then
+    * slice(k) + concat — no corpus-wide window, no row_number pass. The
+    * path frequency aggregate is path-cardinality-sized, map-combined.
+    * At 100 TB the collect_list per user is bounded by events-per-user
+    * (skew handled like any hot key: AQE or a per-user event cap
+    * upstream). */
+  def qPaths(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(col("user_id"), struct(col("ts"), col("event_type")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(collect_list(col("e")).as("es"))
+      .select(concat_ws(">",
+        expr(s"transform(slice(array_sort(es), 1, $k), x -> x.event_type)"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(10)
+  }
+
+  val qPathsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      |  FROM ev),
+      |p AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM r WHERE rn <= 5 GROUP BY user_id)
+      |SELECT path, count(*) AS n_users FROM p GROUP BY path
+      |ORDER BY n_users DESC, path LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_attribution" -> (stAttribution _),
     "q_survivorship" -> (qSurvivorship _),
     "q_hier_rollup" -> (qHierRollup _),
+    "q_profile" -> (qProfile _),
+    "q_paths" -> ((s: SparkSession, d: String) => qPaths(s, d)),
     "q1_agg" -> (q1Agg _),
     "q3_join_agg" -> (q3JoinAgg _),
     "q5_multijoin" -> (q5MultiJoin _),
@@ -2054,6 +2155,8 @@ object Relational {
     "st_attribution" -> stAttributionSql,
     "q_survivorship" -> qSurvivorshipSql,
     "q_hier_rollup" -> qHierRollupSql,
+    "q_profile" -> qProfileSql,
+    "q_paths" -> qPathsSql,
     "q_approx" -> qApproxSql,
     "q_approx_quantiles" -> qApproxQuantilesSql,
     "q_quantile_select" -> qQuantileSelectSql,

@@ -2060,4 +2060,69 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(truth.subsetOf(found),
       s"winnow missed planted near-dup pairs: ${truth.diff(found)}")
   }
+
+  test("vad: decoded frame energies equal the sample law, framing drops the tail") {
+    val r = graft.operators.Multimodal.mmVad(spark, dir).collect()
+    assert(r.nonEmpty)
+    // recompute one doc's frames from the generator law in plain Scala
+    val id = r.head.getLong(0)
+    val n = (id % 32 + 16).toInt
+    val expFrames = n / 8
+    val got = r.filter(_.getLong(0) == id)
+    assert(got.length === expFrames, s"doc $id framing (n=$n)")
+    got.foreach { row =>
+      val f = row.getInt(1)
+      val e = (f * 8 until f * 8 + 8).map { i =>
+        val u = Math.floorMod(37 * id + 101 * i, 65536)
+        math.abs(if (u < 32768) u else u - 65536).toLong
+      }.sum
+      assert(row.getLong(2) === e, s"doc $id frame $f energy")
+      assert(row.getBoolean(3) === (e > 131072L))
+    }
+  }
+
+  test("profile: counts reconcile against direct table aggregates") {
+    val r = graft.queries.Relational.qProfile(spark, dir).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    val orders = Tables.orders(spark, dir)
+    val row = r(("orders", "o_orderstatus"))
+    assert(row.getLong(2) === orders.count())
+    assert(row.getLong(4) ===
+      orders.select(col("o_orderstatus")).distinct().count())
+    // modal value by independent recompute
+    val top = orders.groupBy(col("o_orderstatus")).count()
+      .orderBy(col("count").desc, col("o_orderstatus").desc).head
+    assert(row.getString(5) === top.getString(0))
+    assert(row.getLong(6) === top.getLong(1))
+  }
+
+  test("paths: every reported journey is a real prefix and counts are exact") {
+    val ev = Tables.events(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val expected = ev.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 5)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(">", expr(
+        "transform(array_sort(collect_list(struct(_rn, event_type))), x -> x.event_type)"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val got = graft.queries.Relational.qPaths(spark, dir).collect()
+    got.foreach(row =>
+      assert(expected(row.getString(0)) === row.getLong(1),
+        s"path ${row.getString(0)}"))
+  }
+
+  test("collocations: a planted repeated phrase outranks its parts' chance rate") {
+    import spark.implicits._
+    // "zx qy" co-occurs always; "aa bb" co-occur but also apart
+    val docs = (0L until 20L).map { i =>
+      (i, if (i % 2 == 0) s"zx qy aa filler$i bb aa" else s"aa zx qy bb cc$i")
+    }.toDF("doc_id", "text")
+    val top = TextAnalysis.collocations(docs, k = 5, minPair = 3).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getString(0) === "zx" && top.head.getString(1) === "qy",
+      s"expected zx>qy to top PMI, got ${top.head}")
+  }
 }
