@@ -409,7 +409,21 @@ object ScaleCheck {
       // array) — must stay linear and scan-bound like tx_quality.
       // sum(flesch) forces every column's arithmetic to actually run
       t("tx_readability")(TextAnalysis.readability(docs)
-        .agg(sum(col("flesch_x1000"))).head.getLong(0))).flatten
+        .agg(sum(col("flesch_x1000"))).head.getLong(0)),
+      // winnowing fingerprint selection + occupancy-capped pairing: the
+      // fingerprint table is a projection (slice+array_min HOF over the
+      // one-pass shingle kernel), so the rehearsal grades the fp-bucket
+      // self-join. Pair mass ∝ shared fingerprints — on the generator
+      // corpus (planted dups only) this must stay near-linear; a
+      // super-linear blowup means the occupancy cap stopped holding
+      t("dd_winnow")(Dedup.winnow(docs).count()),
+      // bigram-LM scoring at corpus scale: two broadcast joins of
+      // vocab-sized count tables onto the scoring token stream — the
+      // build cost is the vocab aggregates, the serve cost is linear
+      // scan + broadcast probes (the plan PlanSpec pins). sum forces
+      // the surprise arithmetic corpus-wide
+      t("tx_lm_score")(TextAnalysis.lmScore(docs)
+        .agg(sum(col("surprise_bits"))).head.getLong(0))).flatten
     // the end-to-end pipeline (anti-join on the corpus-scale drop set)
     // only says something new under planted dup density
     val results = if (dupPct > 0)

@@ -596,4 +596,52 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dots = "graft_dot".r.findAllIn(s).size
     assert(dots <= 8, s"$dots graft_dot calls — the per-plane dot fold is back")
   }
+
+  test("lm score: count tables broadcast, scoring tokens never shuffle pre-agg") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    val df = graft.operators.TextAnalysis.txLmScore(spark, dir)
+    df.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = graft.core.Util.planNodes(p)
+    val ns = nodes(df.queryExecution.executedPlan)
+    // both model joins must be broadcast — a shuffled join would move
+    // every scoring-side token across the wire (the tfidf regression)
+    assert(!ns.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec]),
+      "lm score joins fell back to a shuffled join")
+    // the SCORING stream (rows carrying doc_id) never shuffles its token
+    // strings — only (doc_id, partials) cross exchanges. The train-side
+    // count-table builds legitimately shuffle vocab-sized (token, count)
+    // rows after map-side combine; those carry no doc_id.
+    ns.collect { case e: ShuffleExchangeLike => e }.foreach { e =>
+      val names = e.child.output.map(_.name).toSet
+      assert(!(names.contains("doc_id") &&
+          (names.contains("w1") || names.contains("w2"))),
+        s"scoring tokens shuffled: ${names.mkString(",")}")
+    }
+  }
+
+  test("winnow: fingerprints are a projection — no exchange carries text") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val df = Dedup.ddWinnow(spark, dir)
+    df.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = graft.core.Util.planNodes(p)
+    val exchanges = nodes(df.queryExecution.executedPlan)
+      .collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"winnow exchange carries raw text: " +
+          e.child.output.map(_.name).mkString(","))
+    }
+  }
+
+  test("paths: sequence build is collect_list + per-row sort, no corpus window") {
+    val p = plan(Relational.qPaths(spark, dir))
+    assert(!p.contains("Window"),
+      "qPaths grew a window pass — the row_number formulation is back")
+    assert(p.contains("array_sort"), "per-row array_sort missing")
+  }
 }
