@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -2695,7 +2695,80 @@ object TextAnalysis {
       |CROSS JOIN n1 CROSS JOIN n2
       |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20""".stripMargin
 
+  /** tx_heavy_hitters: exact φ-heavy hitters (items with share > 1/k)
+    * via distributed Misra-Gries — the bounded-memory answer when the
+    * item space is too wide for a full groupBy (URL paths, n-grams,
+    * session keys at 100 TB). Phase 1 runs classic MG with ≤ k−1
+    * counters per partition (mapPartitions, O(k) memory regardless of
+    * partition size); the union of per-partition survivor KEYS is a
+    * superset of every true heavy hitter (if x is dropped everywhere,
+    * each partition bounds its local count by n_i/k, so summing gives
+    * n_x ≤ n/k). Phase 2 exactly recounts candidates only (semi-join
+    * against the broadcast candidate set — ≤ (k−1)·partitions keys)
+    * and keeps cnt·k > n. Output is therefore EXACT and independent of
+    * partitioning — the sketch is the scale mechanism, not the answer —
+    * so the plain SQL heavy-hitter oracle applies.
+    *
+    * Items here are word bigrams (916-slot space on the test corpus;
+    * ScaleCheck rehearses wider vocabularies). Three map-only passes
+    * over the source (candidates, total, recount) — re-scanning beats
+    * checkpointing a corpus-sized item table at scale. */
+  def heavyHitters(docs: DataFrame, k: Int = 640): DataFrame = {
+    val w = split(col("text"), " ")
+    def items = docs
+      .select(explode(arrays_zip(w, slice(w, lit(2), size(w)))).as("z"))
+      .filter(col("z.1").isNotNull)
+      .select(concat_ws(" ", col("z.0"), col("z.1")).as("item"))
+    val candSchema = StructType(Seq(StructField("item", StringType)))
+    val candidates = items.mapPartitions { rows =>
+      val counters = new scala.collection.mutable.HashMap[String, Long]
+      rows.foreach { r =>
+        val it = r.getString(0)
+        counters.get(it) match {
+          case Some(c) => counters.update(it, c + 1)
+          case None if counters.size < k - 1 => counters.update(it, 1L)
+          case None =>
+            // decrement-all (the incoming item's single count is
+            // consumed by the same step, so it is not inserted)
+            val keys = counters.keys.toArray
+            var i = 0
+            while (i < keys.length) {
+              val c = counters(keys(i))
+              if (c == 1L) counters.remove(keys(i))
+              else counters.update(keys(i), c - 1L)
+              i += 1
+            }
+        }
+      }
+      counters.keysIterator.map(Row(_))
+    }(Encoders.row(candSchema)).distinct()
+    val n = items.agg(count(lit(1)).as("n_total"))
+    items.join(broadcast(candidates), Seq("item"), "left_semi")
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * lit(k.toLong) > col("n_total"))
+      .orderBy(col("cnt").desc, col("item"))
+  }
+
+  def txHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(Tables.documents(spark, dir))
+
+  /** Oracle: the exact heavy-hitter set — the MG phase is pure
+    * mechanism, provably output-invariant. */
+  val txHeavyHittersSql: String =
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents),
+      |b0 AS (
+      |  SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+      |  FROM toks WHERE len(w) >= 2),
+      |b AS (SELECT w1 || ' ' || w2 AS item FROM b0),
+      |n AS (SELECT count(*) AS n FROM b)
+      |SELECT item, count(*) AS cnt, (SELECT n FROM n) AS n_total
+      |FROM b GROUP BY item HAVING count(*) * 640 > (SELECT n FROM n)
+      |ORDER BY cnt DESC, item""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_heavy_hitters" -> (txHeavyHitters _),
     "tx_collocations" -> (txCollocations _),
     "tx_lm_score" -> (txLmScore _),
     "q_curation_e2e" -> (qCurationE2e _),
@@ -2739,6 +2812,7 @@ object TextAnalysis {
     "q_purge" -> (qPurge _))
 
   val oracles: Map[String, String] = Map(
+    "tx_heavy_hitters" -> txHeavyHittersSql,
     "tx_collocations" -> txCollocationsSql,
     "tx_lm_score" -> txLmScoreSql,
     "q_curation_e2e" -> qCurationE2eSql,

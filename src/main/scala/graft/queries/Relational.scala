@@ -2097,12 +2097,95 @@ object Relational {
       |SELECT path, count(*) AS n_users FROM p GROUP BY path
       |ORDER BY n_users DESC, path LIMIT 10""".stripMargin
 
+  /** q_ivm_join: incremental view maintenance for a join view (the
+    * DBSP / Materialize algebra) — V = orders ⋈ customer maintained
+    * under simultaneous base-table deltas without recomputing:
+    * V_new = V_old ∪ (ΔO ⋈ C_old) ∪ (O_old ⋈ ΔC) ∪ (ΔO ⋈ ΔC).
+    * The three delta terms join a DELTA side (batch-sized, broadcast
+    * when small) against a base or delta — at 100 TB the nightly batch
+    * touches |Δ|·selectivity rows, never |V|. Deltas here are key-mod
+    * slices so both engines agree on the split.
+    *
+    * The ORACLE is the full recompute on the merged tables, so the hash
+    * gate itself certifies the four-term algebra is disjoint and
+    * exhaustive — same self-certifying design as q_inc_stats (moments)
+    * and q_compact_shards (tape law), extended to joins. */
+  def qIvmJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val oOld = o.filter(col("o_orderkey") % 10 =!= 0)
+    val dO = o.filter(col("o_orderkey") % 10 === 0)
+    val cOld = c.filter(col("c_custkey") % 7 =!= 0)
+    val dC = c.filter(col("c_custkey") % 7 === 0)
+    def j(of: DataFrame, cf: DataFrame): DataFrame =
+      of.join(cf, col("o_custkey") === col("c_custkey"))
+    j(oOld, cOld)
+      .unionByName(j(dO, cOld))
+      .unionByName(j(oOld, broadcast(dC)))
+      .unionByName(j(dO, broadcast(dC)))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qIvmJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+      |    AS DOUBLE) / 1000000.0 AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q_cdc_apply: change-data-capture log application (the Debezium-
+    * consumer / Delta-CDF contract) — reconstruct current entity state
+    * from an ordered op log: last op wins, a trailing DELETE tombstones
+    * the key (an upsert after a delete resurrects it — only the FINAL
+    * op decides). Events are read as the log: 'error' = DELETE, any
+    * other type an UPSERT carrying `value` (which may legitimately be
+    * NULL — the chosen row's payload is kept as-is, which is why the
+    * winner is ONE struct-max over (ts, op, value), never per-field
+    * arg_max aggregates whose null-skipping would resurrect an older
+    * value). One map-combined aggregate, no window; (user_id, ts)
+    * unique per the generator, so the max is deterministic. */
+  /** Core log-apply: `log` columns (user_id, ts, event_type, value);
+    * 'error' rows are DELETEs, everything else an UPSERT. */
+  def cdcApply(log: DataFrame): DataFrame =
+    log.groupBy(col("user_id"))
+      .agg(
+        max(struct(col("ts"), col("event_type").as("op"), col("value"))).as("m"),
+        count(lit(1)).as("n_ops"),
+        sum(when(col("event_type") === "error", lit(1L)).otherwise(lit(0L)))
+          .as("n_deletes"))
+      .filter(col("m.op") =!= "error")
+      .select(col("user_id"), col("m.ts").as("last_ts"),
+        col("m.value").as("value"), col("n_ops"), col("n_deletes"))
+
+  def qCdcApply(spark: SparkSession, dir: String): DataFrame =
+    cdcApply(Tables.events(spark, dir)).orderBy(col("user_id"))
+
+  val qCdcApplySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |    event_type, value
+      |  FROM events),
+      |last AS (
+      |  SELECT user_id,
+      |    max({'ts': ts, 'op': event_type, 'value': value}) AS m,
+      |    count(*) AS n_ops,
+      |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_deletes
+      |  FROM ev GROUP BY user_id)
+      |SELECT user_id, m.ts AS last_ts, m.value AS value, n_ops, n_deletes
+      |FROM last WHERE m.op <> 'error' ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_attribution" -> (stAttribution _),
     "q_survivorship" -> (qSurvivorship _),
     "q_hier_rollup" -> (qHierRollup _),
     "q_profile" -> (qProfile _),
     "q_paths" -> ((s: SparkSession, d: String) => qPaths(s, d)),
+    "q_ivm_join" -> (qIvmJoin _),
+    "q_cdc_apply" -> (qCdcApply _),
     "q1_agg" -> (q1Agg _),
     "q3_join_agg" -> (q3JoinAgg _),
     "q5_multijoin" -> (q5MultiJoin _),
@@ -2157,6 +2240,8 @@ object Relational {
     "q_hier_rollup" -> qHierRollupSql,
     "q_profile" -> qProfileSql,
     "q_paths" -> qPathsSql,
+    "q_ivm_join" -> qIvmJoinSql,
+    "q_cdc_apply" -> qCdcApplySql,
     "q_approx" -> qApproxSql,
     "q_approx_quantiles" -> qApproxQuantilesSql,
     "q_quantile_select" -> qQuantileSelectSql,

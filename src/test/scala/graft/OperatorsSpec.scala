@@ -2114,6 +2114,59 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"path ${row.getString(0)}"))
   }
 
+  test("heavy hitters: output is exact and invariant to partitioning") {
+    val docs = Tables.documents(spark, dir)
+    val w = split(col("text"), " ")
+    val items = docs
+      .select(explode(arrays_zip(w, slice(w, lit(2), size(w)))).as("z"))
+      .filter(col("z.1").isNotNull)
+      .select(concat_ws(" ", col("z.0"), col("z.1")).as("item"))
+    val n = items.count()
+    val exact = items.groupBy(col("item")).count()
+      .filter(col("count") * 640L > n)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // two very different partitionings must both return the exact set —
+    // the MG phase is mechanism, provably output-invariant
+    Seq(1, 13).foreach { p =>
+      val got = TextAnalysis.heavyHitters(docs.repartition(p))
+        .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+      assert(got === exact, s"heavy hitters diverged at $p partitions")
+    }
+  }
+
+  test("ivm join: the four delta terms are disjoint and exhaustive") {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val full = o.join(c, col("o_custkey") === col("c_custkey")).count()
+    // union-all of the maintained view's pre-aggregation terms: same
+    // cardinality as the recompute means no pair is dropped or doubled
+    val oOld = o.filter(col("o_orderkey") % 10 =!= 0)
+    val dO = o.filter(col("o_orderkey") % 10 === 0)
+    val cOld = c.filter(col("c_custkey") % 7 =!= 0)
+    val dC = c.filter(col("c_custkey") % 7 === 0)
+    def j(of: org.apache.spark.sql.DataFrame, cf: org.apache.spark.sql.DataFrame) =
+      of.join(cf, col("o_custkey") === col("c_custkey")).count()
+    assert(j(oOld, cOld) + j(dO, cOld) + j(oOld, dC) + j(dO, dC) === full)
+  }
+
+  test("cdc apply: last op wins, tombstones delete, upserts resurrect") {
+    import spark.implicits._
+    def t(s: Int) = new java.sql.Timestamp(s * 1000L)
+    val log = Seq(
+      (1L, t(1), "click", 10.0), // U then D: key 1 must be absent
+      (1L, t(2), "error", 0.0),
+      (2L, t(1), "click", 5.0), // U, D, U: resurrected with the last value
+      (2L, t(2), "error", 0.0),
+      (2L, t(3), "purchase", 7.5),
+      (3L, t(1), "view", 1.0) // plain upsert survives
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = graft.queries.Relational.cdcApply(log)
+      .orderBy("user_id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    val k2 = got(0)
+    assert(k2.getDouble(2) === 7.5 && k2.getLong(3) === 3L && k2.getLong(4) === 1L)
+  }
+
   test("collocations: a planted repeated phrase outranks its parts' chance rate") {
     import spark.implicits._
     // "zx qy" co-occurs always; "aa bb" co-occur but also apart
