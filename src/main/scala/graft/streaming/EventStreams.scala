@@ -247,6 +247,49 @@ object EventStreams {
     else w).start()
   }
 
+  case class CdcOp(user_id: Long, ts: java.sql.Timestamp,
+                   event_type: String, value: Option[Double])
+  case class CdcSt(ts: java.sql.Timestamp, op: String, value: Option[Double],
+                   n_ops: Long, n_deletes: Long)
+  case class CdcRow(user_id: Long, last_ts: java.sql.Timestamp,
+                    value: Option[Double], n_ops: Long, n_deletes: Long,
+                    live: Boolean)
+
+  /** Streaming CDC consumer — the stateful twin of
+    * [[graft.queries.Relational.cdcApply]]: per entity, keep the
+    * LATEST-by-event-time op across micro-batches (constant state per
+    * key: one (ts, op, value) triple + two counters), emit the entity's
+    * current materialization after every batch with `live=false` while
+    * a DELETE is the newest op. Latest-by-ts is associative, so any
+    * micro-batch split converges to exactly the batch log-apply
+    * (spec-pinned); `live` rows toggle as tombstones arrive and later
+    * upserts resurrect — the Debezium-consumer behavior q_cdc_apply
+    * freezes at end-of-log. */
+  def cdcState(log: DataFrame): Dataset[CdcRow] = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    log.select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[CdcOp]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CdcSt, CdcRow] {
+        (user: Long, batch: Iterator[CdcOp], state: GroupState[CdcSt]) =>
+          var st = state.getOption.getOrElse(
+            CdcSt(new java.sql.Timestamp(0L), "", None, 0L, 0L))
+          batch.foreach { op =>
+            val newer = st.n_ops == 0L || op.ts.compareTo(st.ts) > 0
+            st = CdcSt(
+              if (newer) op.ts else st.ts,
+              if (newer) op.event_type else st.op,
+              if (newer) op.value else st.value,
+              st.n_ops + 1L,
+              st.n_deletes + (if (op.event_type == "error") 1L else 0L))
+          }
+          state.update(st)
+          CdcRow(user, st.ts, st.value, st.n_ops, st.n_deletes,
+            st.op != "error")
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * count and value total — the shape (arbitrary state + arbitrary update
     * logic) that windowed aggregation can't express. State lives in the

@@ -403,6 +403,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"extra=${(streamed -- batch).size}")
   }
 
+  test("streaming CDC state machine converges to the batch log apply") {
+    // 4 files → 4 micro-batches: latest-by-ts must be associative across
+    // any batch split, and live must equal the batch tombstone filter
+    val d = Files.createTempDirectory("graft-events-cdc")
+    Tables.events(spark, dir)
+      .withColumn("ts", unix_micros(col("ts")) * 1000)
+      .repartition(4)
+      .write.parquet(d.toString + "/files")
+    val q = EventStreams.cdcState(
+        EventStreams.readEvents(spark, d.toString + "/files", Some(1)))
+      .writeStream.format("memory").queryName("cdc")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stream = spark.table("cdc")
+      .withColumn("rn", monotonically_increasing_id())
+      .groupBy("user_id")
+      .agg(max_by(struct(col("last_ts"), col("value"), col("n_ops"),
+        col("n_deletes"), col("live")), col("rn")).as("s"))
+      .filter(col("s.live"))
+      .select(col("user_id"), col("s.last_ts"), col("s.value"),
+        col("s.n_ops"), col("s.n_deletes"))
+      .orderBy("user_id").collect()
+    val batch = Relational.qCdcApply(spark, dir).collect()
+    assert(stream.map(_.toSeq) === batch.map(_.toSeq))
+  }
+
   test("mapGroupsWithState running totals converge to batch per-user totals") {
     val q = EventStreams.runningUserTotals(EventStreams.readEvents(spark, eventsDir))
       .writeStream.format("memory").queryName("ut")
