@@ -91,6 +91,57 @@ object Similarity {
     rangeSearch(Tables.embeddings(spark, dir), col("vec_id") < 10, 0.3)
       .orderBy("q_id", "neighbor_id")
 
+  /** Filtered vector search: exact top-k among corpus vectors passing a
+    * metadata predicate — the production serving shape ("nearest docs
+    * in English", "same tenant only"). Strategy is PRE-filtering: the
+    * predicate cuts the corpus BEFORE scoring, so recall is exact and k
+    * results always fill (post-filtering a plain top-k under-fills
+    * whenever fewer than k of the unfiltered neighbors pass — the
+    * classic filtered-ANN trap). The predicate is a plain column
+    * condition, so Catalyst pushes it into the parquet scan
+    * (PushedFilters) and the selectivity is paid at I/O, not compute.
+    * At IVF scale the same pre-filter applies inside each probed cell.
+    * Queries qualify regardless of their own metadata. */
+  def filteredTopK(emb: DataFrame, isQuery: Column, corpusPred: Column,
+                   k: Int = 5): DataFrame = {
+    val all = emb.select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"),
+        corpusPred.as("_keep"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(all.filter(isQuery).select(col("vec_id").as("q_id"),
+        col("v").as("qv"), col("n2").as("qn2")))
+      .join(all.filter(col("_keep")), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
+  }
+
+  def annFiltered(spark: SparkSession, dir: String): DataFrame =
+    filteredTopK(Tables.embeddings(spark, dir), col("vec_id") < 10,
+      col("label") % 2 === 0)
+      .orderBy("q_id", "rk")
+
+  val annFilteredSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+      |n AS (SELECT vec_id, v, label, list_dot_product(v, v) AS n2 FROM v),
+      |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q_id, vec_id,
+      |    list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) AS cos
+      |  FROM q JOIN n ON q_id <> vec_id
+      |  WHERE label % 2 = 0),
+      |ranked AS (
+      |  SELECT q_id, vec_id AS neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT q_id, neighbor_id, rk, cos FROM ranked WHERE rk <= 5
+      |ORDER BY q_id, rk""".stripMargin
+
   val annRangeSql: String =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM v),
@@ -1241,6 +1292,7 @@ object Similarity {
     "ann_kmeans" -> (annKmeans _),
     "ann_int8_topk" -> (annInt8TopK _),
     "ann_brute_topk" -> (annBruteTopK _),
+    "ann_filtered" -> (annFiltered _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_lsh_multi" -> (annLshMulti _),
     "ann_ivf_topk" -> (annIvfTopK _),
@@ -1256,6 +1308,7 @@ object Similarity {
     "ann_kmeans" -> annKmeansSql,
     "ann_int8_topk" -> annInt8TopKSql,
     "ann_brute_topk" -> annBruteTopKSql,
+    "ann_filtered" -> annFilteredSql,
     "ann_lsh_topk" -> annLshTopKSql,
     "ann_lsh_multi" -> annLshMultiSql,
     "ann_ivf_topk" -> annIvfTopKSql,

@@ -2178,6 +2178,98 @@ object Relational {
       |SELECT user_id, m.ts AS last_ts, m.value AS value, n_ops, n_deletes
       |FROM last WHERE m.op <> 'error' ORDER BY user_id""".stripMargin
 
+  /** q_ohlc: resample an irregular value stream to OHLC bars (open/
+    * high/low/close per event_type per hour) — the standard
+    * time-series downsampling for dashboards and feature windows.
+    * Open/close are struct-min/max with ts LEADING the struct (arg-min/
+    * max-by-time without arg_min's null-skipping trap — a null value on
+    * the boundary row must win as null, q_cdc_apply's lesson); high/low
+    * are plain extremes; everything is an order-free aggregate, so the
+    * whole query is ONE map-side-combined shuffle of (bucket, partials)
+    * at any corpus size — never a window over the stream. */
+  def qOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
+    ev.groupBy(date_trunc("hour", col("ts")).as("bar_ts"), col("event_type"))
+      .agg(
+        max(struct(col("ts"), col("value"))).getField("value").as("close"),
+        min(struct(col("ts"), col("value"))).getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("bar_ts"), col("event_type"), col("open"), col("high"),
+        col("low"), col("close"), col("n_ticks"))
+      .orderBy(col("bar_ts"), col("event_type"))
+  }
+
+  val qOhlcSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT date_trunc('hour', ts) AS bar_ts, event_type,
+      |  min({'ts': ts, 'value': value})['value'] AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max({'ts': ts, 'value': value})['value'] AS close,
+      |  count(*) AS n_ticks
+      |FROM ev GROUP BY date_trunc('hour', ts), event_type
+      |ORDER BY bar_ts, event_type""".stripMargin
+
+  /** q_twap: time-weighted average value per event_type — the correct
+    * mean over IRREGULARLY sampled series (a value holds until the next
+    * observation; a plain AVG over-weights bursts). Each observation is
+    * weighted by its holding duration in whole seconds (epoch-micros
+    * diff DIV 1e6 — exact integer in both engines; the last observation
+    * per type has no successor and contributes no held time).
+    *
+    * Exactness: weight·value products are summed in DECIMAL(38,0)
+    * (scaled-integer value × long seconds — a long accumulator would
+    * overflow at 2^37·2^28; the q1 dsum precedent says decimal partials
+    * cost ~3×, irrelevant off the hot path), final division one
+    * int→double cast each. The successor timestamp is a per-type LEAD —
+    * one hash shuffle of (type, ts, value) triples; at 100 TB the
+    * window key is the series key, exactly how a deployment partitions
+    * tick storage. */
+  /** Core TWAP: `ev` columns (event_type, ts, value), value non-null. */
+  def twap(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"))
+    val held = ev
+      .withColumn("dur_s",
+        (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+          .cast(LongType)./(lit(1000000L)).cast(LongType))
+      .filter(col("dur_s").isNotNull)
+    held
+      .select(col("event_type"),
+        (floor(col("value") * lit(1000000.0) + lit(0.5)).cast(LongType)
+          .cast(DecSum) * col("dur_s").cast(DecSum)).as("wv"),
+        col("dur_s"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("wv")).as("swv"), sum(col("dur_s")).as("sw"))
+      .select(col("event_type"),
+        (col("swv").cast(DoubleType) / lit(1000000.0) /
+          col("sw").cast(DoubleType)).as("twap"),
+        col("sw").cast(LongType).as("total_held_s"))
+      .orderBy(col("event_type"))
+  }
+
+  def qTwap(spark: SparkSession, dir: String): DataFrame =
+    twap(Tables.events(spark, dir).filter(col("value").isNotNull))
+
+  val qTwapSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+      |  FROM events WHERE value IS NOT NULL),
+      |d AS (
+      |  SELECT event_type, value,
+      |    (epoch_us(lead(ts) OVER (PARTITION BY event_type ORDER BY ts))
+      |      - epoch_us(ts)) // 1000000 AS dur_s
+      |  FROM ev),
+      |h AS (SELECT * FROM d WHERE dur_s IS NOT NULL)
+      |SELECT event_type,
+      |  CAST(sum(CAST(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+      |      AS HUGEINT) * dur_s) AS DOUBLE) / 1000000.0
+      |    / CAST(sum(dur_s) AS DOUBLE) AS twap,
+      |  CAST(sum(dur_s) AS BIGINT) AS total_held_s
+      |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_attribution" -> (stAttribution _),
     "q_survivorship" -> (qSurvivorship _),
@@ -2186,6 +2278,8 @@ object Relational {
     "q_paths" -> ((s: SparkSession, d: String) => qPaths(s, d)),
     "q_ivm_join" -> (qIvmJoin _),
     "q_cdc_apply" -> (qCdcApply _),
+    "q_ohlc" -> (qOhlc _),
+    "q_twap" -> (qTwap _),
     "q1_agg" -> (q1Agg _),
     "q3_join_agg" -> (q3JoinAgg _),
     "q5_multijoin" -> (q5MultiJoin _),
@@ -2242,6 +2336,8 @@ object Relational {
     "q_paths" -> qPathsSql,
     "q_ivm_join" -> qIvmJoinSql,
     "q_cdc_apply" -> qCdcApplySql,
+    "q_ohlc" -> qOhlcSql,
+    "q_twap" -> qTwapSql,
     "q_approx" -> qApproxSql,
     "q_approx_quantiles" -> qApproxQuantilesSql,
     "q_quantile_select" -> qQuantileSelectSql,

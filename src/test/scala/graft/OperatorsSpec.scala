@@ -2167,6 +2167,55 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(k2.getDouble(2) === 7.5 && k2.getLong(3) === 3L && k2.getLong(4) === 1L)
   }
 
+  test("filtered ANN: neighbors all satisfy the predicate, k always fills") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val got = Similarity.annFiltered(spark, dir).collect()
+    got.foreach(row => assert(labels(row.getLong(1)) % 2 === 0,
+      s"neighbor ${row.getLong(1)} fails the predicate"))
+    // PRE-filtering always fills k (post-filtering a plain top-k under-
+    // fills whenever < k of the unfiltered neighbors pass)
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length === 5, s"query $q under-filled")
+    }
+    val post = Similarity.bruteTopK(emb, col("vec_id") < 10).collect()
+      .filter(row => labels(row.getLong(1)) % 2 == 0)
+    assert(post.length < got.length,
+      "expected post-filtering to under-fill on this corpus")
+  }
+
+  test("ohlc: one bar recomputed by hand from the raw ticks") {
+    val r = graft.queries.Relational.qOhlc(spark, dir).head
+    val barTs = r.getTimestamp(0)
+    val et = r.getString(1)
+    val ticks = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type") === et &&
+        date_trunc("hour", col("ts")) === lit(barTs))
+      .orderBy(col("ts")).select(col("value")).collect().map(_.getDouble(0))
+    assert(r.getDouble(2) === ticks.head) // open
+    assert(r.getDouble(3) === ticks.max) // high
+    assert(r.getDouble(4) === ticks.min) // low
+    assert(r.getDouble(5) === ticks.last) // close
+    assert(r.getLong(6) === ticks.length.toLong)
+  }
+
+  test("twap: constant series returns the constant; durations weight correctly") {
+    import spark.implicits._
+    def t(s: Int) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      // constant series, irregular sampling: twap must be exactly 4.5
+      ("c", t(0), 4.5), ("c", t(7), 4.5), ("c", t(100), 4.5),
+      // 10.0 held 3 s then 1.0 held 1 s -> (30+1)/4 = 7.75
+      ("w", t(0), 10.0), ("w", t(3), 1.0), ("w", t(4), 99.0)
+    ).toDF("event_type", "ts", "value")
+    val r = graft.queries.Relational.twap(ev).collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getLong(2))).toMap
+    assert(r("c")._1 === 4.5 && r("c")._2 === 100L)
+    assert(r("w")._1 === 7.75 && r("w")._2 === 4L)
+  }
+
   test("collocations: a planted repeated phrase outranks its parts' chance rate") {
     import spark.implicits._
     // "zx qy" co-occurs always; "aa bb" co-occur but also apart
