@@ -2270,6 +2270,82 @@ object Relational {
       |  CAST(sum(dur_s) AS BIGINT) AS total_held_s
       |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q_ab_test: two-proportion experiment readout — assignment by user
+    * parity, conversion = any LARGE purchase (value > 250; "any
+    * purchase" is degenerate on this corpus — every user converts, the
+    * pooled variance is 0 and z is undefined); emits per-arm rates, the
+    * pooled two-proportion z-score, and the 95% significance flag. The
+    * product-experimentation primitive on the events stream.
+    *
+    * Exactness: counts are exact integers; every division divides exact
+    * ints (correctly-rounded IEEE), sqrt is IEEE-exact (the q_funcs
+    * rule: sqrt is in the oracle set, transcendentals are not), and the
+    * z expression is written in the SAME operation order in both
+    * engines — so even the significance boolean hash-matches. One
+    * map-combined per-user aggregate + a 2-row arm rollup: at 100 TB
+    * the shuffle carries (user, flags) partials only. */
+  def qAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 250.0, 1)
+        .otherwise(0)).as("converted"))
+      .select((col("user_id") % 2).as("arm"), col("converted"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).cast(LongType).as("x"))
+    val d = (c: Column) => c.cast(DoubleType)
+    val wide = arms.groupBy()
+      .agg(
+        max(when(col("arm") === 0, col("n"))).as("n_a"),
+        max(when(col("arm") === 0, col("x"))).as("x_a"),
+        max(when(col("arm") === 1, col("n"))).as("n_b"),
+        max(when(col("arm") === 1, col("x"))).as("x_b"))
+    val pa = d(col("x_a")) / d(col("n_a"))
+    val pb = d(col("x_b")) / d(col("n_b"))
+    val pool = (d(col("x_a")) + d(col("x_b"))) / (d(col("n_a")) + d(col("n_b")))
+    val z = (pa - pb) /
+      sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b"))))
+    wide.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      pa.as("p_a"), pb.as("p_b"), z.as("z"),
+      (abs(z) > lit(1.96)).as("significant"))
+  }
+
+  val qAbTestSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 250.0
+      |        THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY user_id),
+      |arms AS (
+      |  SELECT user_id % 2 AS arm, count(*) AS n,
+      |    CAST(sum(converted) AS BIGINT) AS x
+      |  FROM u GROUP BY user_id % 2),
+      |w AS (
+      |  SELECT
+      |    max(CASE WHEN arm = 0 THEN n END) AS n_a,
+      |    max(CASE WHEN arm = 0 THEN x END) AS x_a,
+      |    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+      |    max(CASE WHEN arm = 1 THEN x END) AS x_b
+      |  FROM arms)
+      |SELECT n_a, x_a, n_b, x_b,
+      |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+      |  CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+      |  (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |  / sqrt((CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+      |         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+      |    * (1.0 - (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+      |             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+      |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z,
+      |  abs((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |  / sqrt((CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+      |         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+      |    * (1.0 - (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+      |             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+      |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))) > 1.96
+      |    AS significant
+      |FROM w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_attribution" -> (stAttribution _),
     "q_survivorship" -> (qSurvivorship _),
@@ -2280,6 +2356,7 @@ object Relational {
     "q_cdc_apply" -> (qCdcApply _),
     "q_ohlc" -> (qOhlc _),
     "q_twap" -> (qTwap _),
+    "q_ab_test" -> (qAbTest _),
     "q1_agg" -> (q1Agg _),
     "q3_join_agg" -> (q3JoinAgg _),
     "q5_multijoin" -> (q5MultiJoin _),
@@ -2338,6 +2415,7 @@ object Relational {
     "q_cdc_apply" -> qCdcApplySql,
     "q_ohlc" -> qOhlcSql,
     "q_twap" -> qTwapSql,
+    "q_ab_test" -> qAbTestSql,
     "q_approx" -> qApproxSql,
     "q_approx_quantiles" -> qApproxQuantilesSql,
     "q_quantile_select" -> qQuantileSelectSql,

@@ -2216,6 +2216,17 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r("w")._1 === 7.75 && r("w")._2 === 4L)
   }
 
+  test("ab test: z-score equals the two-proportion formula on the emitted counts") {
+    val r = graft.queries.Relational.qAbTest(spark, dir).head
+    val (na, xa, nb, xb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (pa, pb) = (xa.toDouble / na, xb.toDouble / nb)
+    val pool = (xa.toDouble + xb.toDouble) / (na.toDouble + nb.toDouble)
+    val z = (pa - pb) / math.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    assert(r.getDouble(4) === pa && r.getDouble(5) === pb)
+    assert(r.getDouble(6) === z)
+    assert(r.getBoolean(7) === (math.abs(z) > 1.96))
+  }
+
   test("collocations: a planted repeated phrase outranks its parts' chance rate") {
     import spark.implicits._
     // "zx qy" co-occurs always; "aa bb" co-occur but also apart
