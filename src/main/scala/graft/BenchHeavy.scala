@@ -50,7 +50,13 @@ object BenchHeavy {
     * 7.7 s — work-dominated on both sides). */
   val heavyX100: Seq[String] = Seq("tx_tfidf", "tx_fluency", "dd_paragraphs",
     "dd_overlap", "tx_ks_drift", "tx_scorer_fit",
-    "q_approx_quantiles", "dd_minhash_lsh")
+    "q_approx_quantiles", "dd_minhash_lsh",
+    // round-10 additions: dd_winnow's fp-bucket pair machinery (the
+    // 31-word synthetic vocab makes trigram fingerprints collide far
+    // beyond real text — 813k pairs at x100, a dense pair workload) and
+    // tx_lm_score's two-scan train/serve with long-keyed broadcast model
+    // joins (de-texted: 3.6 -> 2.8 s at x100)
+    "dd_winnow", "tx_lm_score")
   /** q1_agg alone at 300x (180M rows): at x100 its Spark time is still
     * ~40% fixed floor (0.5 s scheduler+scan setup vs DuckDB's ~0.05 s
     * in-process start), so the x100 ratio graded the floor, not the

@@ -2576,17 +2576,31 @@ object TextAnalysis {
       .select(col("doc_id"), explode(arrays_zip(w, slice(w, lit(2), size(w)))).as("z"))
       .filter(col("z.1").isNotNull)
       .select(col("doc_id"), col("z.0").as("w1"), col("z.1").as("w2"))
-    val tb = bigramsOf(docs.filter(col("doc_id") % 2 === 0))
-    val c2 = tb.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = tb.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // de-text the model joins (the dd_ngram_jaccard trade): key both
+    // count tables and the scoring stream by xxhash64 longs, so the
+    // broadcast relations are long-keyed and the 8-byte probes replace
+    // two string hashes per scoring bigram. In-engine only — the oracle
+    // joins the same strings; counts agree unless two distinct bigrams
+    // collide in 2^64 (~1e-5 over this corpus, and deterministic).
+    val h1 = (c: Column) => xxhash64(c)
+    val h12 = (a: Column, b: Column) => xxhash64(a, b)
+    val c2 = bigramsOf(docs.filter(col("doc_id") % 2 === 0))
+      .groupBy(h12(col("w1"), col("w2")).as("k12"), h1(col("w1")).as("k1"))
+      .agg(count(lit(1)).as("c2"))
+    // c1 = Σ_w2 c2 — the unigram table FOLDS OUT of the bigram table
+    // (every bigram start is one w1 occurrence), so the train half is
+    // scanned once, not twice; the rollup runs on the vocab-sized c2
+    val c1 = c2.groupBy(col("k1")).agg(sum(col("c2")).as("c1"))
     def bitlen(c: Column): Column = length(bin(c)).cast(LongType)
     val surprise =
       when(col("c2").isNotNull, bitlen(col("c1")) - bitlen(col("c2")))
         .when(col("c1").isNotNull, bitlen(col("c1")) + lit(4L))
         .otherwise(lit(20L))
     bigramsOf(docs.filter(col("doc_id") % 2 === 1))
-      .join(broadcast(c1), Seq("w1"), "left_outer")
-      .join(broadcast(c2), Seq("w1", "w2"), "left_outer")
+      .select(col("doc_id"), h1(col("w1")).as("k1"),
+        h12(col("w1"), col("w2")).as("k12"))
+      .join(broadcast(c1), Seq("k1"), "left_outer")
+      .join(broadcast(c2.select(col("k12"), col("c2"))), Seq("k12"), "left_outer")
       .select(col("doc_id"), surprise.as("s"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("surprise_bits"))
