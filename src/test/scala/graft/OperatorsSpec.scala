@@ -2061,6 +2061,41 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"winnow missed planted near-dup pairs: ${truth.diff(found)}")
   }
 
+  test("bigram hash kernel is bit-equal to the string-bigram xxhash formulation") {
+    import org.apache.spark.sql.graft.VectorExprs
+    val docs = Tables.documents(spark, dir)
+    val w = split(col("text"), " ")
+    val ref = docs
+      .select(col("doc_id"), explode(arrays_zip(w, slice(w, lit(2), size(w)))).as("z"))
+      .filter(col("z.1").isNotNull)
+      .select(col("doc_id"), xxhash64(col("z.0")).as("k1"),
+        xxhash64(concat_ws(" ", col("z.0"), col("z.1"))).as("k12"))
+    val kernel = docs
+      .select(col("doc_id"), explode(VectorExprs.bigramHashes(col("text"))).as("b"))
+      .select(col("doc_id"), col("b.k1").as("k1"), col("b.k12").as("k12"))
+    assert(kernel.exceptAll(ref).isEmpty && ref.exceptAll(kernel).isEmpty,
+      "bigram kernel keys diverged from the string formulation")
+  }
+
+  test("winnow kernel is bit-equal to the HOF window-min formulation") {
+    import org.apache.spark.sql.graft.VectorExprs
+    val docs = Tables.documents(spark, dir)
+    for (w <- Seq(4, 8)) {
+      val g = VectorExprs.shingle3Md5Long(col("text"), 1, 15)
+      val hof = docs.select(col("doc_id"), g.as("g"))
+        .filter(size(col("g")) >= 1)
+        .select(col("doc_id"), explode(array_distinct(
+          when(size(col("g")) < w, array(array_min(col("g"))))
+            .otherwise(expr(
+              s"transform(sequence(0, size(g) - $w), j -> array_min(slice(g, j + 1, $w)))"))))
+          .as("fp"))
+      val kernel = docs.select(col("doc_id"),
+        explode(VectorExprs.winnowFps(col("text"), w, 1, 15)).as("fp"))
+      assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty,
+        s"winnow kernel diverged from the HOF formulation at w=$w")
+    }
+  }
+
   test("vad: decoded frame energies equal the sample law, framing drops the tail") {
     val r = graft.operators.Multimodal.mmVad(spark, dir).collect()
     assert(r.nonEmpty)

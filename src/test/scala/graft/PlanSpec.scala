@@ -603,6 +603,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
     val df = graft.operators.TextAnalysis.txLmScore(spark, dir)
     df.collect()
+    // keys come from the fused BigramKeyPairs kernel (zero string
+    // materialization), not per-bigram concat/hash expressions
+    assert(df.queryExecution.executedPlan.toString
+      .contains("graft_bigram_key_pairs"),
+      "BigramKeyPairs kernel missing from the lm-score plan")
     def nodes(p: SparkPlan): Seq[SparkPlan] = graft.core.Util.planNodes(p)
     val ns = nodes(df.queryExecution.executedPlan)
     // both model joins must be broadcast — a shuffled join would move
@@ -622,11 +627,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("winnow: fingerprints are a projection — no exchange carries text") {
+  test("winnow: per-row kernel projection — no exchange carries text") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.Exchange
     val df = Dedup.ddWinnow(spark, dir)
     df.collect()
+    // fingerprints come from the fused WinnowFps kernel, not the
+    // per-window HOF slice fold (the round-10 win — pin it)
+    assert(df.queryExecution.executedPlan.toString.contains("graft_winnow_fps"),
+      "WinnowFps kernel missing from the winnow plan")
     def nodes(p: SparkPlan): Seq[SparkPlan] = graft.core.Util.planNodes(p)
     val exchanges = nodes(df.queryExecution.executedPlan)
       .collect { case e: Exchange => e }
