@@ -2346,6 +2346,80 @@ object Relational {
       |    AS significant
       |FROM w""".stripMargin
 
+  /** q_merge_intervals: per-key union of overlapping [start, end)
+    * intervals (gaps-and-islands over EXPLICIT spans — the sibling of
+    * q_sessionize, which infers spans from point-event gaps): coverage
+    * audits, on-call/contract overlap, effective-uptime rollups.
+    * Intervals here are [ts, ts + value seconds) per user.
+    *
+    * The classic island method: an interval starts a new island iff its
+    * start exceeds the RUNNING MAX of all previous ends (max, not lag —
+    * an interval can swallow several successors); island id = running
+    * count of starts; per-island extent is then a plain aggregate. ONE
+    * user-keyed window (sort by start within user) + one aggregate —
+    * partitioned by the entity key, so it scales like any keyed window;
+    * all arithmetic in epoch micros, exact in both engines. */
+  /** Core island merge: `iv` columns (user_id, s, e) as longs. */
+  def mergeIntervals(iv: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tagged = iv
+      .withColumn("_maxe", max(col("e")).over(w))
+      .withColumn("_new",
+        when(col("_maxe").isNull || col("s") > col("_maxe"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("_new")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    tagged.groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("start_us"), max(col("e")).as("end_us"),
+        count(lit(1)).as("n_merged"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("n_merged")).cast(LongType).as("n_intervals"),
+        sum(col("end_us") - col("start_us")).cast(LongType).as("covered_us"),
+        max(col("end_us") - col("start_us")).as("longest_us"))
+      .orderBy(col("user_id"))
+  }
+
+  def qMergeIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
+    // duration scaled with an explicit floor: a bare double→long CAST
+    // truncates in Spark but rounds in DuckDB — floor is exact in both
+    mergeIntervals(ev.select(col("user_id"), unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) +
+        floor(col("value") * lit(1000000.0)).cast(LongType)).as("e")))
+  }
+
+  val qMergeIntervalsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(make_timestamp(epoch_ns(ts) // 1000)) AS s,
+      |    epoch_us(make_timestamp(epoch_ns(ts) // 1000))
+      |      + CAST(floor(value * 1000000.0) AS BIGINT) AS e
+      |  FROM events WHERE value IS NOT NULL),
+      |t AS (
+      |  SELECT user_id, s, e,
+      |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+      |  FROM ev),
+      |n AS (
+      |  SELECT user_id, s, e,
+      |    CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END AS new_island
+      |  FROM t),
+      |isl AS (
+      |  SELECT user_id, s, e,
+      |    sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM n),
+      |m AS (
+      |  SELECT user_id, island, min(s) AS start_us, max(e) AS end_us,
+      |    count(*) AS n_merged
+      |  FROM isl GROUP BY user_id, island)
+      |SELECT user_id, count(*) AS n_islands,
+      |  CAST(sum(n_merged) AS BIGINT) AS n_intervals,
+      |  CAST(sum(end_us - start_us) AS BIGINT) AS covered_us,
+      |  max(end_us - start_us) AS longest_us
+      |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_attribution" -> (stAttribution _),
     "q_survivorship" -> (qSurvivorship _),
@@ -2357,6 +2431,7 @@ object Relational {
     "q_ohlc" -> (qOhlc _),
     "q_twap" -> (qTwap _),
     "q_ab_test" -> (qAbTest _),
+    "q_merge_intervals" -> (qMergeIntervals _),
     "q1_agg" -> (q1Agg _),
     "q3_join_agg" -> (q3JoinAgg _),
     "q5_multijoin" -> (q5MultiJoin _),
@@ -2416,6 +2491,7 @@ object Relational {
     "q_ohlc" -> qOhlcSql,
     "q_twap" -> qTwapSql,
     "q_ab_test" -> qAbTestSql,
+    "q_merge_intervals" -> qMergeIntervalsSql,
     "q_approx" -> qApproxSql,
     "q_approx_quantiles" -> qApproxQuantilesSql,
     "q_quantile_select" -> qQuantileSelectSql,

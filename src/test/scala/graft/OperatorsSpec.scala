@@ -2251,6 +2251,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r("w")._1 === 7.75 && r("w")._2 === 4L)
   }
 
+  test("merge intervals: containment, chains, and gaps merge by the island law") {
+    import spark.implicits._
+    val iv = Seq(
+      // chain: [0,10) [5,20) -> one island [0,20); gap then [30,40)
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 30L, 40L),
+      // containment: [0,100) swallows [10,20) and [90,95)
+      (2L, 0L, 100L), (2L, 10L, 20L), (2L, 90L, 95L),
+      // touching, half-open: [0,10) [10,20) merge (s == maxe not >)
+      (3L, 0L, 10L), (3L, 10L, 20L)
+    ).toDF("user_id", "s", "e")
+    val r = graft.queries.Relational.mergeIntervals(iv).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(1L) === ((2L, 3L, 30L, 20L)))
+    assert(r(2L) === ((1L, 3L, 100L, 100L)))
+    assert(r(3L) === ((1L, 2L, 20L, 20L)))
+  }
+
   test("ab test: z-score equals the two-proportion formula on the emitted counts") {
     val r = graft.queries.Relational.qAbTest(spark, dir).head
     val (na, xa, nb, xb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
