@@ -1617,7 +1617,9 @@ object Dedup {
     // it), then expand each bucket's ≤ C(cap,2) pairs as a sorted-array
     // HOF projection. Replaces the previous checkpoint + occupancy agg
     // + semi-join + fp self-join (four corpus-sized operators, three
-    // exchanges) — measured 12.9 s → 5.3 s on the x100 replica.
+    // exchanges); together with the kernel + w=8 density the x100
+    // winnow measured 13.4 s → 5-6 s (the restructure alone, at w=4
+    // with the HOF scan, was exchange-bound and roughly neutral).
     fps.groupBy(col("fp")).agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, occupancyCap))
       .select(explode(expr(
