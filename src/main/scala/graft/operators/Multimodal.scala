@@ -656,13 +656,89 @@ object Multimodal {
       |SELECT doc_id, frame_idx, energy, energy > 131072 AS voiced
       |FROM e ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Patch extraction (ViT-style patchification) over REAL-decoded PNG
+    * rasters: decode through `javax.imageio`, tile the raster into
+    * `patch`×`patch` cells (edge cells partial — the pad-vs-crop
+    * decision made explicit by per-cell n_px), and emit each cell's
+    * pixel count and exact luma sum — the vision-training preprocessing
+    * pass (patch grids feed patch embeddings; per-patch stats feed
+    * brightness/contrast filters). Map-only flat rows, one decode per
+    * payload, no shuffle; the oracle re-derives every patch sum from
+    * the pixel law, so it matches only if the real codec round-trips. */
+  def patchStats(withPayload: DataFrame, patch: Int = 4): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("px", IntegerType),
+      StructField("py", IntegerType),
+      StructField("n_px", IntegerType),
+      StructField("sum_luma", LongType)))
+    withPayload.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      val reader = pngReader()
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val p = r.getAs[Array[Byte]](1)
+        if (!(p.length >= 8 && p.take(8).sameElements(PngMagic))) Iterator.empty
+        else {
+          val img = readPng(reader, p)
+          val w = img.getWidth
+          val h = img.getHeight
+          val px = img.getRaster.getSamples(0, 0, w, h, 0, null: Array[Int])
+          val gx = (w + patch - 1) / patch
+          val gy = (h + patch - 1) / patch
+          for {
+            cy <- (0 until gy).iterator
+            cx <- (0 until gx).iterator
+          } yield {
+            val x1 = math.min((cx + 1) * patch, w)
+            val y1 = math.min((cy + 1) * patch, h)
+            var s = 0L
+            var n = 0
+            var y = cy * patch
+            while (y < y1) {
+              var x = cx * patch
+              while (x < x1) { s += px(y * w + x); n += 1; x += 1 }
+              y += 1
+            }
+            Row(id, cx, cy, n, s)
+          }
+        }
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  def mmPatches(spark: SparkSession, dir: String): DataFrame =
+    patchStats(synthReal(
+        Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0)))
+      .orderBy("doc_id", "py", "px")
+
+  /** Oracle: the pixel law (id + 7x + 13y) mod 256 summed over each
+    * patch's [4px, min(4px+4, w)) × [4py, min(4py+4, h)) cell. */
+  val mmPatchesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, CAST(doc_id % 24 + 8 AS INTEGER) AS w,
+      |    CAST(doc_id % 18 + 6 AS INTEGER) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |cells AS (
+      |  SELECT doc_id, w, h, CAST(cx AS INTEGER) AS px, CAST(cy AS INTEGER) AS py
+      |  FROM m, unnest(range(0, (w + 3) // 4)) rx(cx),
+      |       unnest(range(0, (h + 3) // 4)) ry(cy)),
+      |pix AS (
+      |  SELECT doc_id, px, py, x, y
+      |  FROM cells, unnest(range(px * 4, least((px + 1) * 4, w))) ux(x),
+      |       unnest(range(py * 4, least((py + 1) * 4, h))) uy(y))
+      |SELECT doc_id, px, py, CAST(count(*) AS INTEGER) AS n_px,
+      |  CAST(sum((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_luma
+      |FROM pix GROUP BY doc_id, px, py
+      |ORDER BY doc_id, py, px""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta _),
     "mm_resize" -> (mmResize _),
     "mm_frames" -> (mmFrames _),
     "mm_features" -> (mmFeatures _),
     "mm_phash" -> (mmPhash _),
-    "mm_vad" -> (mmVad _))
+    "mm_vad" -> (mmVad _),
+    "mm_patches" -> (mmPatches _))
 
   val oracles: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
@@ -670,5 +746,6 @@ object Multimodal {
     "mm_frames" -> mmFramesSql,
     "mm_features" -> mmFeaturesSql,
     "mm_phash" -> mmPhashSql,
-    "mm_vad" -> mmVadSql)
+    "mm_vad" -> mmVadSql,
+    "mm_patches" -> mmPatchesSql)
 }

@@ -2116,6 +2116,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("patches: tiling is exhaustive and sums re-compose the decode checksum") {
+    val meta = graft.operators.Multimodal.mmMeta(spark, dir).collect()
+      .filter(_.getString(1) == "image/png")
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getLong(5)))).toMap
+    val byDoc = graft.operators.Multimodal.mmPatches(spark, dir).collect()
+      .groupBy(_.getLong(0))
+    assert(byDoc.keySet === meta.keySet)
+    byDoc.foreach { case (id, rows) =>
+      val (w, h, checksum) = meta(id)
+      assert(rows.map(_.getInt(3)).sum === w * h, s"doc $id tiling not exhaustive")
+      assert(rows.map(_.getLong(4)).sum === checksum, s"doc $id luma sum")
+      // edge cells partial whenever the dims aren't multiples of 4
+      if (w % 4 != 0) assert(rows.exists(_.getInt(3) < 16))
+    }
+  }
+
   test("profile: counts reconcile against direct table aggregates") {
     val r = graft.queries.Relational.qProfile(spark, dir).collect()
       .map(x => (x.getString(0), x.getString(1)) -> x).toMap
