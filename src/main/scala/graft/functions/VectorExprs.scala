@@ -211,6 +211,24 @@ object VectorExprs {
     ExpressionUtils.column(NearestCell(
       ExpressionUtils.expression(v), ExpressionUtils.expression(n2),
       ExpressionUtils.expression(cents)))
+
+  /** collectSortedCapped(e, cap): sorted collect_list over a LONG column
+    * whose AGGREGATION BUFFER is hard-bounded at cap+1 entries — the
+    * skew-safe form of `array_sort(collect_list(e))` + a post-filter
+    * `size(..) <= cap`. A plain collect_list materializes every value of
+    * a hot key in one buffer BEFORE any size predicate can run (the
+    * predicate is post-aggregation), so a key shared by 1% of a 100 TB
+    * corpus is an executor OOM; this aggregate stops appending at cap+1
+    * (update and merge both), which is exactly enough to distinguish
+    * "over the cap" (size = cap+1 rows, for the caller's filter to drop)
+    * from a completable group (size <= cap, emitted sorted). Groups at or
+    * under the cap produce bit-identical output to the unbounded
+    * formulation; over-cap groups surface as a cap+1-sized array whose
+    * CONTENT is partition-order-dependent — callers must drop them (the
+    * occupancy-cap contract every dd_* consumer already has). */
+  def collectSortedCapped(e: Column, cap: Int): Column =
+    ExpressionUtils.column(CollectSortedCappedLong(
+      ExpressionUtils.expression(e), cap).toAggregateExpression())
 }
 
 case class DotProduct(left: Expression, right: Expression)
@@ -1203,4 +1221,89 @@ case class BigramXxh64(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): BigramXxh64 =
     copy(child = newChild)
+}
+
+object CollectSortedCappedLong {
+  /** Mutable long-array buffer; `n` is the logical size. Growth stops at
+    * cap+1 entries, so buffer memory is O(cap) regardless of group size. */
+  final class Buf(var arr: Array[Long], var n: Int)
+}
+
+/** Skew-bounded sorted collect over LongType — see
+  * [[VectorExprs.collectSortedCapped]] for the contract. */
+case class CollectSortedCappedLong(
+    child: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[CollectSortedCappedLong.Buf]
+    with ExpectsInputTypes {
+  require(cap >= 1, "collectSortedCapped: cap must be >= 1")
+  import CollectSortedCappedLong.Buf
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_collect_sorted_capped"
+
+  override def createAggregationBuffer(): Buf =
+    new Buf(new Array[Long](8), 0)
+
+  private def append(b: Buf, v: Long): Unit = {
+    // stop at cap+1: one extra entry marks "over the cap", nothing more
+    if (b.n <= cap) {
+      if (b.n == b.arr.length)
+        b.arr = java.util.Arrays.copyOf(b.arr, math.min(b.arr.length * 2, cap + 1))
+      b.arr(b.n) = v
+      b.n += 1
+    }
+  }
+
+  override def update(b: Buf, input: org.apache.spark.sql.catalyst.InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) append(b, v.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: Buf, o: Buf): Buf = {
+    var i = 0
+    while (i < o.n && b.n <= cap) { append(b, o.arr(i)); i += 1 }
+    b
+  }
+
+  override def eval(b: Buf): Any = {
+    val out = java.util.Arrays.copyOf(b.arr, b.n)
+    // over-cap groups are dropped by the caller's size filter — their
+    // (truncated, order-dependent) content never reaches an output
+    if (b.n <= cap) java.util.Arrays.sort(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override def serialize(b: Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * b.n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(b.n)
+    var i = 0
+    while (i < b.n) { bb.putLong(b.arr(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt()
+    val arr = new Array[Long](math.max(n, 1))
+    var i = 0
+    while (i < n) { arr(i) = bb.getLong(); i += 1 }
+    new Buf(arr, n)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectSortedCappedLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectSortedCappedLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CollectSortedCappedLong =
+    copy(child = newChildren.head)
 }

@@ -1489,10 +1489,16 @@ object Dedup {
   def snapshotOverlap(docs: DataFrame, inA: Column, inB: Column): DataFrame = {
     val k = 16
     // one-pass shingle-hash kernel with the side flags carried through
-    // the projection — no zip structs or joined shingle strings exist
+    // the projection — no zip structs or joined shingle strings exist.
+    // winnowFps at w=1 is the DISTINCT gram-hash set per document
+    // (every 1-window's min is the gram itself; the kernel's probe set
+    // dedups in the same pass): presence flags are idempotent, so the
+    // output is bit-identical to emitting every occurrence, but the
+    // within-doc repeat mass (duplicated shingles re-probing the
+    // aggregate hash table) never leaves the kernel.
     val hashed = docs.select(inA.as("_a"), inB.as("_b"),
         explode(org.apache.spark.sql.graft.VectorExprs
-          .shingle3Md5Long(col("text"), 1, 8)).as("h8"))
+          .winnowFps(col("text"), 1, 1, 8)).as("h8"))
       .select((col("h8") % lit(MinhashP)).as("h"), col("_a"), col("_b"))
     // project each permutation ONCE before the fold: perm(j) appears
     // under both sides' min-aggregates, and aggregate-expression
@@ -1611,16 +1617,23 @@ object Dedup {
       explode(org.apache.spark.sql.graft.VectorExprs
         .winnowFps(col("text"), w, 1, 15)).as("fp"))
     // ONE exchange does occupancy-capping AND pairing: group the slim
-    // (fp, doc_id) rows into per-fingerprint doc lists (bounded by the
-    // cap — oversized buckets are dropped whole, so collect_list memory
-    // is bounded too: a hot fp's list grows only until the filter kills
-    // it), then expand each bucket's ≤ C(cap,2) pairs as a sorted-array
+    // (fp, doc_id) rows into per-fingerprint doc lists via the
+    // CAP-BOUNDED collect aggregate — its buffer stops growing at
+    // cap+1 entries in both update and merge, so a ubiquitous
+    // boilerplate fingerprint shared by millions of docs holds at most
+    // cap+1 longs in any aggregation buffer (a plain collect_list
+    // materializes the full hot-key list BEFORE any size predicate can
+    // run — the filter is post-aggregation — which is an executor OOM
+    // at 100 TB); the size filter then drops over-cap buckets whole.
+    // Each surviving bucket's ≤ C(cap,2) pairs expand as a sorted-array
     // HOF projection. Replaces the previous checkpoint + occupancy agg
     // + semi-join + fp self-join (four corpus-sized operators, three
     // exchanges); together with the kernel + w=8 density the x100
     // winnow measured 13.4 s → 5-6 s (the restructure alone, at w=4
     // with the HOF scan, was exchange-bound and roughly neutral).
-    fps.groupBy(col("fp")).agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+    fps.groupBy(col("fp"))
+      .agg(org.apache.spark.sql.graft.VectorExprs
+        .collectSortedCapped(col("doc_id"), occupancyCap.toInt).as("ds"))
       .filter(size(col("ds")).between(2, occupancyCap))
       .select(explode(expr(
         """flatten(transform(ds, (a, i) ->

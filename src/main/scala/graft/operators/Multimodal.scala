@@ -333,8 +333,10 @@ object Multimodal {
   /** Sniff container type from magic bytes, then DECODE: PNG through
     * `javax.imageio` (width/height/pixels from the real decoder), WAV
     * through `javax.sound.sampled` (sample count/values from the real
-    * decoder), JPEG via the documented header-parse stub (lossy codec —
-    * decoded values wouldn't be oracle-derivable). Output is decoded
+    * decoder), JPEG through the JDK's real JPEG codec (geometry is
+    * codec-exact; pixel content is lossy, so checksum carries the -1
+    * sentinel and decoded-pixel stats are spec-asserted with a
+    * tolerance instead of oracle-hashed). Output is decoded
     * content metadata: (width, height) of the decoded raster (for audio:
     * sample count × 1), n_units = pixels or samples decoded, checksum =
     * sum of decoded luma / unsigned sample patterns. Batched per
@@ -612,6 +614,17 @@ object Multimodal {
         else {
           val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(p))
+          // the energy loop below assumes 16-bit little-endian signed
+          // mono PCM; a stereo/8-bit/big-endian/float WAV would decode
+          // without error and silently yield wrong frame energies, so
+          // non-conforming payloads are SKIPPED, not mis-scored
+          val fmt = in.getFormat
+          val conforming =
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian
+          if (!conforming) { in.close(); Iterator.empty }
+          else {
           val bytes = try in.readAllBytes() finally in.close()
           val nFrames = bytes.length / 2 / frameLen
           (0 until nFrames).iterator.map { f =>
@@ -624,6 +637,7 @@ object Multimodal {
               i += 1
             }
             Row(id, f, e, e > meanAbsThreshold.toLong * frameLen)
+          }
           }
         }
       }

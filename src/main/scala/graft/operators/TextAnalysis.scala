@@ -2570,7 +2570,7 @@ object TextAnalysis {
     * before the per-doc aggregate; that aggregate shuffles (doc_id,
     * partial) only. For unbounded vocabularies, drop the broadcast()
     * hints and the same plan shuffle-joins on the bigram key. */
-  def lmScore(docs: DataFrame): DataFrame = {
+  def lmScore(docs: DataFrame, minCount: Long = 1): DataFrame = {
     // TRAIN: the BigramKeyPairs kernel emits (k1, k12) XXH64 key pairs
     // straight off the text bytes (no string materialization; keys
     // spec-pinned bit-equal to xxhash64(w1)/xxhash64(w1||' '||w2) of the
@@ -2584,25 +2584,57 @@ object TextAnalysis {
       .groupBy(col("b.k12").as("k12"), col("b.k1").as("k1"))
       .agg(count(lit(1)).as("c2"))
     // SERVE: the production LM-filter shape (CCNet ships a compiled LM
-    // binary to every worker the same way) — collect the model ONCE
-    // (vocab-bounded by Heaps' law, the identical memory bound the
-    // broadcast-join alternative carries: a broadcast relation is a
-    // driver collect too) and score each document in one mapPartitions
-    // scan with primitive long-map lookups. The replaced formulation
-    // (kernel explode → two broadcast joins → per-doc re-aggregate)
-    // moved every bigram through Generate + two probes + a hash
-    // aggregate: 3.0 s at x100 vs 1.35 s for this serve. Like
-    // valueAtRanks, the model is frozen at CONSTRUCTION time — a
-    // re-executed result does not see later train-half changes.
-    val rows = c2.collect()
-    val c2m = new java.util.HashMap[java.lang.Long, java.lang.Long](rows.length * 2)
-    val c1m = new java.util.HashMap[java.lang.Long, java.lang.Long](rows.length)
-    rows.foreach { r =>
+    // binary to every worker the same way) — collect the model ONCE and
+    // score each document in one mapPartitions scan with primitive
+    // long-map lookups. The replaced formulation (kernel explode → two
+    // broadcast joins → per-doc re-aggregate) moved every bigram
+    // through Generate + two probes + a hash aggregate: 3.0 s at x100
+    // vs 1.35 s for this serve; it survives as [[lmScoreJoin]], the
+    // no-driver-collect fallback for corpora whose model outgrows the
+    // bounds below. Like valueAtRanks, the model is frozen at
+    // CONSTRUCTION time — building this DataFrame runs the train-half
+    // job eagerly (callers that only want the plan should build
+    // lmScoreJoin instead), and a re-executed result does not see later
+    // train-half changes.
+    //
+    // MODEL-SIZE BOUND (the CCNet prune): word-level vocab tables are
+    // broadcast-safe far past web scale by Heaps' law, but bigram TYPE
+    // counts keep growing — at 100 TB they run to billions and no
+    // driver holds that map. `minCount` prunes the bigram table to
+    // entries with c2 >= minCount BEFORE collection: a counting
+    // argument bounds the pruned table at total_train_bigrams/minCount
+    // entries (each entry accounts for >= minCount observed tokens), so
+    // minCount = totalBigrams/10^8 caps the model at ~100M entries
+    // regardless of corpus size. Pruned bigrams score as unseen
+    // continuations (backoff bitlen(c1)+4) — the standard LM-prune
+    // semantics; the unigram table stays exact (vocab-sized) and is
+    // aggregated FROM the bigram table, never from a second corpus
+    // scan. minCount=1 (the oracle-checked default) collects the exact
+    // table in one job with c1 folded out driver-side.
+    val (rows1, rows2) =
+      if (minCount <= 1L) (null, c2.collect())
+      else {
+        val c2p = c2.persist()
+        try {
+          val r1 = c2p.groupBy(col("k1"))
+            .agg(sum(col("c2")).cast(LongType).as("c1")).collect()
+          val r2 = c2p.filter(col("c2") >= minCount)
+            .select(col("k12"), col("k1"), col("c2")).collect()
+          (r1, r2)
+        } finally { c2p.unpersist() }
+      }
+    val c2m = new java.util.HashMap[java.lang.Long, java.lang.Long](rows2.length * 2)
+    val c1m = new java.util.HashMap[java.lang.Long, java.lang.Long](rows2.length)
+    rows2.foreach { r =>
       c2m.put(r.getLong(0), r.getLong(2))
-      val k1 = r.getLong(1)
-      val prev = c1m.get(k1)
-      c1m.put(k1, if (prev == null) r.getLong(2) else prev + r.getLong(2))
+      if (rows1 == null) {
+        val k1 = r.getLong(1)
+        val prev = c1m.get(k1)
+        c1m.put(k1, if (prev == null) r.getLong(2) else prev + r.getLong(2))
+      }
     }
+    if (rows1 != null)
+      rows1.foreach(r => c1m.put(r.getLong(0), r.getLong(1)))
     val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast((c1m, c2m))
     val outSchema = StructType(Seq(
@@ -2660,6 +2692,50 @@ object TextAnalysis {
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
     scored.toDF()
+      .select(col("doc_id"), col("n_bigrams"), col("surprise_bits"),
+        ((col("surprise_bits") * lit(1000L)).cast(DoubleType) /
+          col("n_bigrams").cast(DoubleType)).as("surprise_per_kbi"))
+      .withColumn("lm_keep", col("surprise_per_kbi") < lit(12000.0))
+  }
+
+  /** The no-driver-collect formulation of [[lmScore]]: identical
+    * semantics (bit-equal output, spec-pinned) as a pure plan — the
+    * fallback when the (pruned) model outgrows driver/broadcast memory.
+    * Both count tables stay distributed and JOIN onto the exploded
+    * bigram stream; Spark picks broadcast vs shuffle-hash per its size
+    * stats, so "model too big" degrades to a shuffle join instead of an
+    * OOM. Lazier too: nothing executes at construction time (the shape
+    * Explain/plan-snapshot callers should build). Costs one extra
+    * per-doc re-aggregate over the serve half's exploded bigrams vs the
+    * mapPartitions serve (3.0 s vs 1.35 s at x100) — that premium buys
+    * the unbounded-model path. */
+  def lmScoreJoin(docs: DataFrame, minCount: Long = 1): DataFrame = {
+    val c2full = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(
+        org.apache.spark.sql.graft.VectorExprs.bigramHashes(col("text")))
+        .as("b"))
+      .groupBy(col("b.k12").as("k12"), col("b.k1").as("k1"))
+      .agg(count(lit(1)).as("c2"))
+    val c1tab = c2full.groupBy(col("k1"))
+      .agg(sum(col("c2")).cast(LongType).as("c1"))
+    val c2kept = (if (minCount <= 1L) c2full
+      else c2full.filter(col("c2") >= minCount)).drop("k1")
+    val bitlen = (c: Column) => length(bin(c)).cast(LongType)
+    val served = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.VectorExprs.bigramHashes(col("text")))
+        .as("b"))
+      .select(col("doc_id"), col("b.k12").as("k12"), col("b.k1").as("k1"))
+    served
+      .join(c2kept, Seq("k12"), "left")
+      .join(c1tab, Seq("k1"), "left")
+      .select(col("doc_id"),
+        when(col("c2").isNotNull, bitlen(col("c1")) - bitlen(col("c2")))
+          .when(col("c1").isNotNull, bitlen(col("c1")) + lit(4L))
+          .otherwise(lit(20L)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("s")).cast(LongType).as("surprise_bits"))
       .select(col("doc_id"), col("n_bigrams"), col("surprise_bits"),
         ((col("surprise_bits") * lit(1000L)).cast(DoubleType) /
           col("n_bigrams").cast(DoubleType)).as("surprise_per_kbi"))

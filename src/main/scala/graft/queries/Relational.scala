@@ -2061,23 +2061,32 @@ object Relational {
     * frequency table (the product-analytics "common flows" report and
     * the Markov-chain input for session modeling).
     *
-    * Sequence building is ONE user-keyed shuffle of slim (ts, type)
-    * structs: collect_list's arrival order is nondeterministic, so the
-    * sort happens per row via array_sort AFTER collection (deterministic
-    * because (user_id, ts) is unique by generator construction), then
-    * slice(k) + concat — no corpus-wide window, no row_number pass. The
-    * path frequency aggregate is path-cardinality-sized, map-combined.
-    * At 100 TB the collect_list per user is bounded by events-per-user
-    * (skew handled like any hot key: AQE or a per-user event cap
-    * upstream). */
-  def qPaths(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    ev.select(col("user_id"), struct(col("ts"), col("event_type")).as("e"))
+    * Sequence building is a row_number-over-(user_id, ts) window
+    * filtered to rn <= k BEFORE any per-user collection: Catalyst's
+    * InferWindowGroupLimit rewrites that filter into a
+    * WindowGroupLimit that runs PARTIALLY below the exchange, so each
+    * map task forwards at most k rows per user — a 10M-event bot user
+    * crosses the wire as k rows, and the post-window collect_list
+    * buffer holds at most k (ts, type) structs per key. (A bare
+    * collect-then-slice materializes the bot's 10M structs in ONE
+    * aggregation buffer; AQE cannot split a single aggregation key, so
+    * the window-limit pushdown is the only shape that bounds it.) The
+    * filtered stream reuses the window's (user_id) partitioning for the
+    * per-user assembly — no second shuffle — and the path frequency
+    * aggregate is path-cardinality-sized, map-combined. */
+  def qPaths(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    topPaths(Tables.events(spark, dir), k)
+
+  /** Core of [[qPaths]] over any (user_id, ts, event_type) stream. */
+  def topPaths(ev: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    ev.select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
       .groupBy(col("user_id"))
-      .agg(collect_list(col("e")).as("es"))
+      .agg(collect_list(struct(col("rn"), col("event_type"))).as("es"))
       .select(concat_ws(">",
-        expr(s"transform(slice(array_sort(es), 1, $k), x -> x.event_type)"))
-        .as("path"))
+        expr("transform(array_sort(es), x -> x.event_type)")).as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("path"))
       .limit(10)
@@ -2284,8 +2293,11 @@ object Relational {
     * engines — so even the significance boolean hash-matches. One
     * map-combined per-user aggregate + a 2-row arm rollup: at 100 TB
     * the shuffle carries (user, flags) partials only. */
-  def qAbTest(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def qAbTest(spark: SparkSession, dir: String): DataFrame =
+    abTest(Tables.events(spark, dir))
+
+  /** Core of [[qAbTest]] over any (user_id, event_type, value) stream. */
+  def abTest(ev: DataFrame): DataFrame = {
     val perUser = ev.groupBy(col("user_id"))
       .agg(max(when(col("event_type") === "purchase" && col("value") > 250.0, 1)
         .otherwise(0)).as("converted"))
@@ -2302,8 +2314,14 @@ object Relational {
     val pa = d(col("x_a")) / d(col("n_a"))
     val pb = d(col("x_b")) / d(col("n_b"))
     val pool = (d(col("x_a")) + d(col("x_b"))) / (d(col("n_a")) + d(col("n_b")))
-    val z = (pa - pb) /
+    // degenerate arms (all-or-none conversion pooled across both arms)
+    // make the variance 0; float 0/0 semantics differ across engines
+    // (NaN vs NULL), so the undefined case is an EXPLICIT NULL in both
+    // — the readout is corpus-robust, not threshold-protected
+    val zRaw = (pa - pb) /
       sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b"))))
+    val z = when(pool === lit(0.0) || pool === lit(1.0),
+      lit(null).cast(DoubleType)).otherwise(zRaw)
     wide.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
       pa.as("p_a"), pb.as("p_b"), z.as("z"),
       (abs(z) > lit(1.96)).as("significant"))
@@ -2325,26 +2343,25 @@ object Relational {
       |    max(CASE WHEN arm = 0 THEN x END) AS x_a,
       |    max(CASE WHEN arm = 1 THEN n END) AS n_b,
       |    max(CASE WHEN arm = 1 THEN x END) AS x_b
-      |  FROM arms)
-      |SELECT n_a, x_a, n_b, x_b,
-      |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
-      |  CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
-      |  (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-      |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-      |  / sqrt((CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
-      |         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-      |    * (1.0 - (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
-      |             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
-      |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z,
-      |  abs((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-      |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-      |  / sqrt((CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
-      |         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-      |    * (1.0 - (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
-      |             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
-      |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))) > 1.96
-      |    AS significant
-      |FROM w""".stripMargin
+      |  FROM arms),
+      |zc AS (
+      |  SELECT *,
+      |    (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+      |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool
+      |  FROM w),
+      |zs AS (
+      |  SELECT n_a, x_a, n_b, x_b,
+      |    CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+      |    CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+      |    CASE WHEN pool = 0.0 OR pool = 1.0 THEN NULL
+      |      ELSE (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |        - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |      / sqrt(pool * (1.0 - pool)
+      |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+      |      END AS z
+      |  FROM zc)
+      |SELECT n_a, x_a, n_b, x_b, p_a, p_b, z, abs(z) > 1.96 AS significant
+      |FROM zs""".stripMargin
 
   /** q_merge_intervals: per-key union of overlapping [start, end)
     * intervals (gaps-and-islands over EXPLICIT spans — the sibling of

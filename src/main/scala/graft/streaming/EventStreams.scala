@@ -260,8 +260,11 @@ object EventStreams {
     * LATEST-by-event-time op across micro-batches (constant state per
     * key: one (ts, op, value) triple + two counters), emit the entity's
     * current materialization after every batch with `live=false` while
-    * a DELETE is the newest op. Latest-by-ts is associative, so any
-    * micro-batch split converges to exactly the batch log-apply
+    * a DELETE is the newest op. The winner is max over the TOTAL order
+    * (ts, op, value) — the same struct-max the batch path takes, so
+    * duplicate-ts logs converge identically — and a max over a total
+    * order is associative, so any micro-batch split converges to
+    * exactly the batch log-apply
     * (spec-pinned); `live` rows toggle as tombstones arrive and later
     * upserts resurrect — the Debezium-consumer behavior q_cdc_apply
     * freezes at end-of-log. */
@@ -276,7 +279,28 @@ object EventStreams {
           var st = state.getOption.getOrElse(
             CdcSt(new java.sql.Timestamp(0L), "", None, 0L, 0L))
           batch.foreach { op =>
-            val newer = st.n_ops == 0L || op.ts.compareTo(st.ts) > 0
+            // winner rule mirrors batch cdcApply's max(struct(ts, op,
+            // value)) EXACTLY, tiebreak included: on equal ts compare
+            // op (binary — event types are ASCII, where UTF-8 byte
+            // order == String.compareTo), then value with NULL-first
+            // struct-field semantics (None < Some). Generator ts are
+            // unique, but the streaming/batch equivalence must not
+            // depend on that.
+            val cmp = {
+              val byTs = op.ts.compareTo(st.ts)
+              if (byTs != 0) byTs
+              else {
+                val byOp = op.event_type.compareTo(st.op)
+                if (byOp != 0) byOp
+                else (op.value, st.value) match {
+                  case (None, None) => 0
+                  case (None, _) => -1
+                  case (_, None) => 1
+                  case (Some(a), Some(b)) => java.lang.Double.compare(a, b)
+                }
+              }
+            }
+            val newer = st.n_ops == 0L || cmp > 0
             st = CdcSt(
               if (newer) op.ts else st.ts,
               if (newer) op.event_type else st.op,

@@ -2306,4 +2306,136 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.head.getString(0) === "zx" && top.head.getString(1) === "qy",
       s"expected zx>qy to top PMI, got ${top.head}")
   }
+
+  test("winnow hot fingerprint: capped buffer yields pairs identical to the unbounded formulation") {
+    import org.apache.spark.sql.graft.VectorExprs
+    import spark.implicits._
+    // one boilerplate run shared by 60 docs (12x the cap of 5) plants a
+    // hot fingerprint whose occupancy must be detected WITHOUT ever
+    // holding 60 doc_ids in one aggregation buffer; two clean near-dup
+    // pairs sit under the cap and must still surface
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    val docs = ((0 until 60).map(i => (100L + i, s"$boiler tail$i x$i y$i")) ++
+      Seq((1L, "p1 p2 p3 p4 p5 p6 p7 p8"),
+          (2L, "p1 p2 p3 p4 p5 p6 p7 p8 z9"),
+          (3L, "r1 r2 r3 r4 r5 r6 r7 r8"),
+          (4L, "r1 r2 r3 r4 r5 r6 r7 r8 s9"))).toDF("doc_id", "text")
+    val capped = Dedup.winnow(docs, w = 4, minShared = 1, occupancyCap = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: the unbounded collect_list + post-aggregation filter
+    // (correct on small data, OOM-prone at scale) — outputs must match
+    val fps = docs.select(col("doc_id"),
+      explode(VectorExprs.winnowFps(col("text"), 4, 1, 15)).as("fp"))
+    val ref = fps.groupBy(col("fp"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, 5))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |    b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.doc_a"), col("p.doc_b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped === ref,
+      s"capped pairs diverged from the unbounded formulation: " +
+        s"missing=${ref.diff(capped)} extra=${capped.diff(ref)}")
+    assert(capped.exists(t => t._1 == 1L && t._2 == 2L) &&
+      capped.exists(t => t._1 == 3L && t._2 == 4L),
+      "under-cap near-dup pairs lost")
+    // the ubiquitous all-boiler fingerprints (occupancy 60 > cap) must
+    // be dropped whole: had any survived, all C(60,2) = 1770 boiler
+    // pairs would appear. (SOME boiler pairs are legitimate — a window
+    // min lands on the shared gram for only the few docs whose unique
+    // tail gram hashes above it, giving an under-cap occupancy.)
+    val boilerPairs = capped.count(t => t._1 >= 100L && t._2 >= 100L)
+    assert(boilerPairs < 200,
+      s"hot fingerprint leaked past the occupancy cap: $boilerPairs boiler pairs")
+  }
+
+  test("paths hot user: a 10k-event user crosses as k rows and keeps its first-k path") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    // bot user 1: 10k events, the first five types spell the path;
+    // user 2: a short clean journey
+    val bot = (0 until 10000).map(i => (1L, ts(i), s"e${math.min(i, 9)}"))
+    val clean = (0 until 3).map(i => (2L, ts(i), s"c$i"))
+    val ev = (bot ++ clean).toDF("user_id", "ts", "event_type")
+    val rows = graft.queries.Relational.topPaths(ev, 5).collect()
+    val paths = rows.map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(paths("e0>e1>e2>e3>e4") == 1L, s"bot path wrong: $paths")
+    assert(paths("c0>c1>c2") == 1L, s"clean path wrong: $paths")
+  }
+
+  test("lm score: join formulation and prune semantics match the broadcast-model serve") {
+    val docs = Tables.documents(spark, dir)
+    val served = TextAnalysis.lmScore(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // the no-driver-collect join fallback is bit-identical at prune=off
+    val joined = TextAnalysis.lmScoreJoin(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(joined === served,
+      "lmScoreJoin diverged from the broadcast-model serve at minCount=1")
+    // pruned model (minCount=2): singleton bigrams fall back to the
+    // unseen-continuation cost, so every doc's surprise is >= unpruned,
+    // n_bigrams identical, and docs whose bigrams all clear the
+    // threshold score EXACTLY as before
+    val pruned = TextAnalysis.lmScore(docs, minCount = 2).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val prunedJoin = TextAnalysis.lmScoreJoin(docs, minCount = 2).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(pruned === prunedJoin,
+      "pruned serve and pruned join formulations diverged")
+    assert(pruned.keySet === served.keySet)
+    served.foreach { case (id, (nb, s)) =>
+      val (nbP, sP) = pruned(id)
+      assert(nbP == nb, s"doc $id bigram count changed under pruning")
+      assert(sP >= s, s"doc $id surprise DROPPED under pruning: $sP < $s")
+    }
+    assert(served.exists { case (id, (_, s)) => pruned(id)._2 == s },
+      "expected at least one doc scored identically under minCount=2")
+    assert(served.exists { case (id, (_, s)) => pruned(id)._2 > s },
+      "expected at least one doc to pay backoff for a pruned bigram")
+  }
+
+  test("ab test: degenerate all-or-none conversion yields NULL z, not NaN") {
+    import spark.implicits._
+    // every user converts -> pooled rate 1.0 -> variance 0: both arms
+    // full; z must be NULL (and significant NULL), never NaN/Infinity
+    val ev = (0L until 10L).map(u => (u, "purchase", 300.0))
+      .toDF("user_id", "event_type", "value")
+    val r = graft.queries.Relational.abTest(ev).collect().head
+    assert(r.isNullAt(6), s"degenerate z not NULL: ${r.get(6)}")
+    assert(r.isNullAt(7), s"degenerate significance not NULL: ${r.get(7)}")
+    // all-none: nobody converts -> pooled 0.0 -> same guard
+    val ev0 = (0L until 10L).map(u => (u, "view", 1.0))
+      .toDF("user_id", "event_type", "value")
+    val r0 = graft.queries.Relational.abTest(ev0).collect().head
+    assert(r0.isNullAt(6) && r0.isNullAt(7), "all-none arm not guarded")
+  }
+
+  test("vad skips non-conforming WAVs (stereo / 8-bit) instead of mis-scoring them") {
+    import spark.implicits._
+    def wav(channels: Int, bits: Int, nSamples: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        8000f, bits, channels, bits == 16, false)
+      val data = new Array[Byte](nSamples * channels * (bits / 8))
+      java.util.Arrays.fill(data, 0x40.toByte) // loud enough to be voiced
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt,
+          nSamples.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val payloads = Seq(
+      (1L, wav(channels = 1, bits = 16, nSamples = 64)), // conforming
+      (2L, wav(channels = 2, bits = 16, nSamples = 64)), // stereo: skip
+      (3L, wav(channels = 1, bits = 8, nSamples = 64))   // 8-bit: skip
+    ).toDF("doc_id", "payload")
+    val out = graft.operators.Multimodal.vadFrames(payloads).collect()
+    val ids = out.map(_.getLong(0)).toSet
+    assert(ids === Set(1L),
+      s"non-conforming WAVs were scored instead of skipped: $ids")
+  }
 }

@@ -637,10 +637,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("paths: sequence build is collect_list + per-row sort, no corpus window") {
-    val p = plan(Relational.qPaths(spark, dir))
-    assert(!p.contains("Window"),
-      "qPaths grew a window pass — the row_number formulation is back")
-    assert(p.contains("array_sort"), "per-row array_sort missing")
+  test("paths: WindowGroupLimit bounds per-user rows below the exchange") {
+    // the rn <= k filter must become a WindowGroupLimit with a Partial
+    // mode instance running BEFORE the user_id exchange — that is what
+    // turns a 10M-event bot user into <= k rows on the wire and <= k
+    // structs in the collect buffer (AQE cannot split an aggregation
+    // key; this pushdown is the only shape that bounds per-key state)
+    val df = Relational.qPaths(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"qPaths lost the WindowGroupLimit pushdown:\n$p")
+    assert(p.contains("Partial"),
+      s"qPaths WindowGroupLimit is not partially pushed below the exchange:\n$p")
+  }
+
+  test("winnow: collect buffers are the capped aggregate, never plain collect_list") {
+    val df = Dedup.ddWinnow(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_collect_sorted_capped"),
+      s"winnow pair build lost the capped collect aggregate:\n$p")
+    assert(!p.contains("collect_list"),
+      s"an unbounded collect_list crept back into winnow:\n$p")
   }
 }

@@ -431,6 +431,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream.map(_.toSeq) === batch.map(_.toSeq))
   }
 
+  test("streaming CDC matches batch on DUPLICATE-ts logs (struct-max tiebreak)") {
+    import spark.implicits._
+    // duplicate (user_id, ts) rows force the tiebreak: the streaming
+    // state update must mirror batch cdcApply's max(struct(ts, op,
+    // value)) — op compared on ts tie, value (nulls first) on op tie —
+    // for ANY arrival/batch split, not rely on generator ts uniqueness
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    val log = Seq(
+      // user 1: same-ts upsert vs delete — 'purchase' < 'error'? No:
+      // 'error' < 'purchase' lexically, so the purchase wins the tie
+      (1L, ts(10), "error", Some(1.0)),
+      (1L, ts(10), "purchase", Some(5.0)),
+      // user 2: delete wins the tie ('view' < ... no — 'error' loses to
+      // 'view'); plant the reverse: newest ts IS the delete
+      (2L, ts(10), "view", Some(2.0)),
+      (2L, ts(11), "error", None),
+      // user 3: same (ts, op), values null vs non-null — non-null wins
+      // (None < Some in the struct order)
+      (3L, ts(10), "view", None),
+      (3L, ts(10), "view", Some(9.0)),
+      // user 4: three-way same-ts pileup across different batches
+      (4L, ts(10), "click", Some(1.0)),
+      (4L, ts(10), "view", Some(1.0)),
+      (4L, ts(10), "error", Some(1.0))
+    ).toDF("user_id", "ts", "event_type", "value")
+      .select(lit(0L).as("event_id"), unix_micros(col("ts")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+    val d = Files.createTempDirectory("graft-cdc-dup")
+    // ts written as nanos long, matching readEvents' long branch
+    log.withColumn("ts", col("ts") * 1000)
+      .repartition(3).write.parquet(d.toString + "/files")
+    val q = EventStreams.cdcState(
+        EventStreams.readEvents(spark, d.toString + "/files", Some(1)))
+      .writeStream.format("memory").queryName("cdc_dup")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stream = spark.table("cdc_dup")
+      .withColumn("rn", monotonically_increasing_id())
+      .groupBy("user_id")
+      .agg(max_by(struct(col("last_ts"), col("value"), col("n_ops"),
+        col("n_deletes"), col("live")), col("rn")).as("s"))
+      .filter(col("s.live"))
+      .select(col("user_id"), col("s.last_ts"), col("s.value"),
+        col("s.n_ops"), col("s.n_deletes"))
+      .orderBy("user_id").collect()
+    val batchDf = Relational.cdcApply(
+      spark.read.parquet(d.toString + "/files")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
+      .orderBy("user_id").collect()
+    assert(stream.map(_.toSeq) === batchDf.map(_.toSeq),
+      s"duplicate-ts tiebreak diverged:\n stream=${stream.mkString("\n ")}" +
+        s"\n batch=${batchDf.mkString("\n ")}")
+  }
+
   test("mapGroupsWithState running totals converge to batch per-user totals") {
     val q = EventStreams.runningUserTotals(EventStreams.readEvents(spark, eventsDir))
       .writeStream.format("memory").queryName("ut")
