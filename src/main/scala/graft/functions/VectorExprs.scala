@@ -544,35 +544,20 @@ case class Md5NibblesLong(child: Expression, start: Int, len: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_md5_long"
 
-  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   override protected def nullSafeEval(sAny: Any): Any = {
-    val digest = md.get()
-    digest.reset()
-    val d = digest.digest(
-      sAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
-    Md5NibblesLong.nibbles(d, start, len)
+    val bytes = sAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    Md5NibblesLong.md5Nibbles(bytes, 0, bytes.length, start, len)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mdRef = ctx.addMutableState("java.security.MessageDigest", "graftMd5",
-      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
-              |catch (java.security.NoSuchAlgorithmException e) {
-              |  throw new RuntimeException(e);
-              |}""".stripMargin)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
       val d = ctx.freshName("d")
       s"""
-         |$mdRef.reset();
-         |byte[] $d = $mdRef.digest($s.getBytes());
-         |${ev.value} = org.apache.spark.sql.graft.Md5NibblesLong.nibbles(
-         |  $d, $start, $len);
+         |byte[] $d = $s.getBytes();
+         |${ev.value} = org.apache.spark.sql.graft.Md5NibblesLong.md5Nibbles(
+         |  $d, 0, $d.length, $start, $len);
        """.stripMargin
     })
-  }
 
   override protected def withNewChildInternal(
       newChild: Expression): Md5NibblesLong =
@@ -592,6 +577,143 @@ object Md5NibblesLong {
       i += 1
     }
     acc
+  }
+
+  // ---- zero-allocation MD5 (RFC 1321) ----------------------------------
+  // The shingle/token kernels digest tens of millions of SHORT strings
+  // per pass; MessageDigest pays a virtual update + a 16-byte digest
+  // allocation + internal buffer copy per call. Any input <= 55 bytes is
+  // ONE padded MD5 block, so the compression function can run straight
+  // off the source bytes into four ints — no allocation, no copies.
+  // Bit-identical to MessageDigest by construction (same RFC constants;
+  // spec-pinned against MessageDigest over random inputs incl. the
+  // boundary lengths 0/55/56). Longer inputs fall back to MessageDigest.
+
+  /** Round constants K_i = floor(|sin(i+1)| * 2^32) — the RFC 1321 table
+    * verbatim (hardcoded, not recomputed: a 1-ulp libm difference would
+    * corrupt every hash). */
+  private val K: Array[Int] = Array(
+    0xd76aa478L, 0xe8c7b756L, 0x242070dbL, 0xc1bdceeeL,
+    0xf57c0fafL, 0x4787c62aL, 0xa8304613L, 0xfd469501L,
+    0x698098d8L, 0x8b44f7afL, 0xffff5bb1L, 0x895cd7beL,
+    0x6b901122L, 0xfd987193L, 0xa679438eL, 0x49b40821L,
+    0xf61e2562L, 0xc040b340L, 0x265e5a51L, 0xe9b6c7aaL,
+    0xd62f105dL, 0x02441453L, 0xd8a1e681L, 0xe7d3fbc8L,
+    0x21e1cde6L, 0xc33707d6L, 0xf4d50d87L, 0x455a14edL,
+    0xa9e3e905L, 0xfcefa3f8L, 0x676f02d9L, 0x8d2a4c8aL,
+    0xfffa3942L, 0x8771f681L, 0x6d9d6122L, 0xfde5380cL,
+    0xa4beea44L, 0x4bdecfa9L, 0xf6bb4b60L, 0xbebfbc70L,
+    0x289b7ec6L, 0xeaa127faL, 0xd4ef3085L, 0x04881d05L,
+    0xd9d4d039L, 0xe6db99e5L, 0x1fa27cf8L, 0xc4ac5665L,
+    0xf4292244L, 0x432aff97L, 0xab9423a7L, 0xfc93a039L,
+    0x655b59c3L, 0x8f0ccc92L, 0xffeff47dL, 0x85845dd1L,
+    0x6fa87e4fL, 0xfe2ce6e0L, 0xa3014314L, 0x4e0811a1L,
+    0xf7537e82L, 0xbd3af235L, 0x2ad7d2bbL, 0xeb86d391L).map(_.toInt)
+
+  private val S: Array[Int] = Array(
+    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+    5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20,
+    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21)
+
+  private val A0 = 0x67452301
+  private val B0 = 0xefcdab89L.toInt
+  private val C0 = 0x98badcfeL.toInt
+  private val D0 = 0x10325476
+
+  private val blockTL = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](16)
+  }
+  private val wordsTL = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](4)
+  }
+  private val mdTL = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** md5(bytes[off, off+len)) as the four little-endian state words,
+    * written into `out(0..3)` (digest byte i = (out(i>>2) >>> 8*(i&3))
+    * & 0xff). Single-block fast path for len <= 55. */
+  def md5Words(bytes: Array[Byte], off: Int, len: Int, out: Array[Int]): Unit = {
+    if (len > 55) {
+      val digest = mdTL.get()
+      digest.reset()
+      digest.update(bytes, off, len)
+      val d = digest.digest()
+      var w = 0
+      while (w < 4) {
+        out(w) = (d(4 * w) & 0xff) | ((d(4 * w + 1) & 0xff) << 8) |
+          ((d(4 * w + 2) & 0xff) << 16) | ((d(4 * w + 3) & 0xff) << 24)
+        w += 1
+      }
+      return
+    }
+    val m = blockTL.get()
+    java.util.Arrays.fill(m, 0)
+    var j = 0
+    while (j < len) {
+      m(j >> 2) |= (bytes(off + j) & 0xff) << ((j & 3) << 3)
+      j += 1
+    }
+    m(len >> 2) |= 0x80 << ((len & 3) << 3)
+    m(14) = len << 3
+    var a = A0; var b = B0; var c = C0; var d = D0
+    var i = 0
+    while (i < 16) {
+      val f = (b & c) | (~b & d)
+      val tmp = d; d = c; c = b
+      b = b + Integer.rotateLeft(a + f + K(i) + m(i), S(i))
+      a = tmp
+      i += 1
+    }
+    while (i < 32) {
+      val f = (d & b) | (~d & c)
+      val tmp = d; d = c; c = b
+      b = b + Integer.rotateLeft(a + f + K(i) + m((5 * i + 1) & 15), S(i))
+      a = tmp
+      i += 1
+    }
+    while (i < 48) {
+      val f = b ^ c ^ d
+      val tmp = d; d = c; c = b
+      b = b + Integer.rotateLeft(a + f + K(i) + m((3 * i + 5) & 15), S(i))
+      a = tmp
+      i += 1
+    }
+    while (i < 64) {
+      val f = c ^ (b | ~d)
+      val tmp = d; d = c; c = b
+      b = b + Integer.rotateLeft(a + f + K(i) + m((7 * i) & 15), S(i))
+      a = tmp
+      i += 1
+    }
+    out(0) = a + A0; out(1) = b + B0; out(2) = c + C0; out(3) = d + D0
+  }
+
+  /** Hex nibbles [start, start+len) (1-based) straight off the state
+    * words — same values [[nibbles]] reads from the digest bytes. */
+  def nibblesOfWords(w: Array[Int], start: Int, len: Int): Long = {
+    var acc = 0L
+    var i = start - 1
+    val end = start - 1 + len
+    while (i < end) {
+      val byteIdx = i >> 1
+      val b = (w(byteIdx >> 2) >>> ((byteIdx & 3) << 3)) & 0xff
+      val nib = if ((i & 1) == 0) b >> 4 else b & 0xf
+      acc = (acc << 4) | nib
+      i += 1
+    }
+    acc
+  }
+
+  /** nibbles [start, start+nibLen) of md5(bytes[off, off+len)) — the
+    * one-call form every kernel uses. */
+  def md5Nibbles(bytes: Array[Byte], off: Int, len: Int,
+                 start: Int, nibLen: Int): Long = {
+    val w = wordsTL.get()
+    md5Words(bytes, off, len, w)
+    nibblesOfWords(w, start, nibLen)
   }
 }
 
@@ -800,11 +922,6 @@ case class Shingle3Md5Long(child: Expression, start: Int, len: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle3_md5_long"
 
-  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   override protected def nullSafeEval(sAny: Any): Any = {
     val bytes = sAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
     val n = bytes.length
@@ -824,13 +941,11 @@ case class Shingle3Md5Long(child: Expression, start: Int, len: Int)
         i += 1
       }
       wEnd(w) = n
-      val digest = md.get()
       var k = 0
       while (k < nsh) {
         val off = wStart(k)
-        digest.reset()
-        digest.update(bytes, off, wEnd(k + 2) - off)
-        out(k) = Md5NibblesLong.nibbles(digest.digest(), start, len)
+        out(k) = Md5NibblesLong.md5Nibbles(bytes, off, wEnd(k + 2) - off,
+          start, len)
         k += 1
       }
     }
@@ -919,11 +1034,6 @@ case class WinnowFps(child: Expression, w: Int, start: Int, len: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_winnow_fps"
 
-  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   override protected def nullSafeEval(sAny: Any): Any = {
     val bytes = sAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
     val n = bytes.length
@@ -944,14 +1054,12 @@ case class WinnowFps(child: Expression, w: Int, start: Int, len: Int)
       i += 1
     }
     wEnd(wi) = n
-    val digest = md.get()
     val g = new Array[Long](nsh)
     var k = 0
     while (k < nsh) {
       val off = wStart(k)
-      digest.reset()
-      digest.update(bytes, off, wEnd(k + 2) - off)
-      g(k) = Md5NibblesLong.nibbles(digest.digest(), start, len)
+      g(k) = Md5NibblesLong.md5Nibbles(bytes, off, wEnd(k + 2) - off,
+        start, len)
       k += 1
     }
     if (nsh < w) {
@@ -1067,10 +1175,6 @@ case class MinhashSigs(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
 
   @transient private lazy val aArr = a.toArray
   @transient private lazy val bArr = b.toArray
-  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
 
   override protected def nullSafeEval(sAny: Any): Any = {
     val bytes = sAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
@@ -1093,13 +1197,10 @@ case class MinhashSigs(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
       i += 1
     }
     wEnd(w) = n
-    val digest = md.get()
     var s = 0
     while (s < nsh) {
       val off = wStart(s)
-      digest.reset()
-      digest.update(bytes, off, wEnd(s + 2) - off)
-      val h = Md5NibblesLong.nibbles(digest.digest(), 1, 8) % p
+      val h = Md5NibblesLong.md5Nibbles(bytes, off, wEnd(s + 2) - off, 1, 8) % p
       var j = 0
       while (j < k) {
         val v = (aArr(j) * h + bArr(j)) % p
@@ -1130,25 +1231,18 @@ case class Simhash64(child: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_simhash64"
 
-  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   override protected def nullSafeEval(sAny: Any): Any = {
     val bytes = sAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
     val n = bytes.length
     val votes = new Array[Int](64)
-    val digest = md.get()
+    val words = new Array[Int](4)
     var start = 0
     var i = 0
     while (i <= n) {
       if (i == n || bytes(i) == ' ') {
-        digest.reset()
-        digest.update(bytes, start, i - start)
-        val d = digest.digest()
-        val lo = Md5NibblesLong.nibbles(d, 1, 8)
-        val hi = Md5NibblesLong.nibbles(d, 9, 8)
+        Md5NibblesLong.md5Words(bytes, start, i - start, words)
+        val lo = Md5NibblesLong.nibblesOfWords(words, 1, 8)
+        val hi = Md5NibblesLong.nibblesOfWords(words, 9, 8)
         var b = 0
         while (b < 32) {
           if (((lo >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -1490,15 +1490,14 @@ object Dedup {
     val k = 16
     // one-pass shingle-hash kernel with the side flags carried through
     // the projection — no zip structs or joined shingle strings exist.
-    // winnowFps at w=1 is the DISTINCT gram-hash set per document
-    // (every 1-window's min is the gram itself; the kernel's probe set
-    // dedups in the same pass): presence flags are idempotent, so the
-    // output is bit-identical to emitting every occurrence, but the
-    // within-doc repeat mass (duplicated shingles re-probing the
-    // aggregate hash table) never leaves the kernel.
+    // (Per-doc DISTINCT emission via the winnow kernel at w=1 was
+    // measured and REVERTED: the kernel-local probe-set dedup cost more
+    // than the saved aggregate probes — 2.6 s → 3.0 s at x100 — because
+    // the map-side combine already collapses duplicates before the
+    // exchange; presence flags make the extra occurrences cheap.)
     val hashed = docs.select(inA.as("_a"), inB.as("_b"),
         explode(org.apache.spark.sql.graft.VectorExprs
-          .winnowFps(col("text"), 1, 1, 8)).as("h8"))
+          .shingle3Md5Long(col("text"), 1, 8)).as("h8"))
       .select((col("h8") % lit(MinhashP)).as("h"), col("_a"), col("_b"))
     // project each permutation ONCE before the fold: perm(j) appears
     // under both sides' min-aggregates, and aggregate-expression

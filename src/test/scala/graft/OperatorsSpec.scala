@@ -2307,6 +2307,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected zx>qy to top PMI, got ${top.head}")
   }
 
+  test("fast single-block MD5 is bit-identical to MessageDigest (incl. block boundaries)") {
+    import org.apache.spark.sql.graft.Md5NibblesLong
+    val rnd = new scala.util.Random(7)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // 55 bytes is the last single-block length (56 forces a second
+    // block and takes the MessageDigest fallback) — sweep across it,
+    // at several offsets, against every nibble window the kernels use
+    for (len <- (0 to 64) ++ Seq(100, 1000); off <- 0 to 2) {
+      val b = new Array[Byte](len + 5)
+      rnd.nextBytes(b)
+      md.reset(); md.update(b, off, len)
+      val d = md.digest()
+      for ((st, nl) <- Seq((1, 8), (9, 8), (1, 15), (17, 15), (5, 4))) {
+        assert(Md5NibblesLong.md5Nibbles(b, off, len, st, nl) ===
+          Md5NibblesLong.nibbles(d, st, nl),
+          s"md5 mismatch at len=$len off=$off window=($st,$nl)")
+      }
+    }
+  }
+
   test("winnow hot fingerprint: capped buffer yields pairs identical to the unbounded formulation") {
     import org.apache.spark.sql.graft.VectorExprs
     import spark.implicits._
