@@ -83,6 +83,100 @@ object EventStreams {
         (pmod(col("value"), lit(1000L)) / lit(10.0)).as("value"),
         lit("{}").as("props"))
 
+  // ---- broker (Kafka-shape) ingest ------------------------------------
+  // A message-bus deployment differs from the file/rate sources ONLY in
+  // (a) the reader's format string + connection options and (b) the
+  // key/value-bytes projection. Both are code here — swapping a CDAP-style
+  // pipeline onto a real broker is `kafkaEvents(spark, servers, topic)`,
+  // one line, no plan changes — and StreamingSpec drives the IDENTICAL
+  // projection off the file source (the sandbox has no broker; the
+  // projection, options and payload codec are what a broker adds).
+
+  /** The exact columns `format("kafka")` emits (Spark's
+    * KafkaSourceProvider contract): key/value as raw bytes plus the
+    * broker position/timestamp metadata. */
+  val kafkaWireSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** JSON payload schema of one event on the wire: `ts` travels as
+    * epoch-MICROS long (integer-exact both directions; ISO strings
+    * round-trip timezone pain, raw nanos overflow JS consumers). */
+  val kafkaValueSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Reader options for a broker deployment. `failOnDataLoss=false` is
+    * the production default (a compacted/expired offset should degrade,
+    * not kill the query); `maxOffsetsPerTrigger` is the per-micro-batch
+    * row budget — the broker twin of maxFilesPerTrigger, and the knob
+    * that keeps catch-up batches executor-memory-sized at 100 TB/day. */
+  def kafkaOptions(bootstrapServers: String, topic: String,
+                   startingOffsets: String = "earliest",
+                   maxOffsetsPerTrigger: Option[Long] = None,
+                   failOnDataLoss: Boolean = false): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets,
+      "failOnDataLoss" -> failOnDataLoss.toString) ++
+      maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString)
+
+  /** Wire → events-schema projection: value bytes are UTF-8 JSON
+    * decoded against [[kafkaValueSchema]] (a declared schema — never
+    * inference — so a malformed producer row nulls its fields instead
+    * of corrupting the batch schema); event time comes from the PAYLOAD
+    * (`ts_us`), falling back to broker append time for producers that
+    * don't stamp one. Works identically on a batch DataFrame of the
+    * same wire shape (the spec path). */
+  def fromKafkaRecords(records: DataFrame): DataFrame =
+    records
+      .select(from_json(col("value").cast(StringType), kafkaValueSchema).as("e"),
+        col("timestamp"))
+      .select(
+        col("e.event_id").as("event_id"),
+        coalesce(timestamp_micros(col("e.ts_us")), col("timestamp")).as("ts"),
+        col("e.user_id").as("user_id"),
+        col("e.event_type").as("event_type"),
+        col("e.value").as("value"),
+        col("e.props").as("props"))
+
+  /** Events → wire projection for the producer side (writeStream
+    * format("kafka")): key = user_id bytes, so a keyed topic preserves
+    * per-entity order — the property [[cdcState]] and every
+    * mapGroupsWithState consumer rely on across partitions. */
+  def toKafkaRecords(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id").cast(StringType).cast(BinaryType).as("key"),
+      to_json(struct(
+        col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("user_id"),
+        col("event_type"),
+        col("value"),
+        col("props"))).cast(BinaryType).as("value"))
+
+  /** The one-call broker ingest — on a deployment with the Kafka
+    * connector on the classpath this is the whole swap: every stateful
+    * plan in this module accepts the result unchanged. */
+  def kafkaEvents(spark: SparkSession, bootstrapServers: String,
+                  topic: String,
+                  startingOffsets: String = "earliest",
+                  maxOffsetsPerTrigger: Option[Long] = None): DataFrame =
+    fromKafkaRecords(spark.readStream.format("kafka")
+      .options(kafkaOptions(bootstrapServers, topic, startingOffsets,
+        maxOffsetsPerTrigger))
+      .load())
+
   /** Ingest-time sampling — streaming twin of Sampling.stSample,
     * filtering on the SHARED deterministic keep predicate
     * (Sampling.eventSampleKeep; one definition, the stFunnel pattern).

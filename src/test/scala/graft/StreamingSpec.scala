@@ -47,6 +47,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream.map(_.toSeq) === batch.map(_.toSeq))
   }
 
+  test("kafka wire projection round-trips and feeds the stateful plans unchanged") {
+    // batch leg: events → (key, value) bytes → events must be lossless
+    // (ts travels as epoch micros; key is the user_id bytes that keep a
+    // keyed topic per-entity ordered)
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val wire = EventStreams.toKafkaRecords(ev)
+      .withColumn("topic", lit("events"))
+      .withColumn("partition", lit(0))
+      .withColumn("offset", monotonically_increasing_id())
+      .withColumn("timestamp", current_timestamp())
+      .withColumn("timestampType", lit(0))
+    assert(wire.schema("key").dataType === org.apache.spark.sql.types.BinaryType)
+    assert(wire.schema("value").dataType === org.apache.spark.sql.types.BinaryType)
+    val back = EventStreams.fromKafkaRecords(wire)
+      .orderBy("event_id").collect()
+    val orig = ev.orderBy("event_id").collect()
+    assert(back.map(_.toSeq) === orig.map(_.toSeq),
+      "wire codec is not lossless")
+    // options builder: the full broker config is code, not prose
+    val opts = EventStreams.kafkaOptions("broker:9092", "events",
+      maxOffsetsPerTrigger = Some(100000L))
+    assert(opts("kafka.bootstrap.servers") === "broker:9092")
+    assert(opts("subscribe") === "events")
+    assert(opts("startingOffsets") === "earliest")
+    assert(opts("failOnDataLoss") === "false")
+    assert(opts("maxOffsetsPerTrigger") === "100000")
+    // streaming leg: the SAME projection applied to a stream (file
+    // source standing in for the broker) must feed windowedCounts to
+    // the exact batch answer — proving a deployment is only the
+    // format-string swap
+    val q = EventStreams.windowedCounts(
+        EventStreams.fromKafkaRecords(
+          EventStreams.toKafkaRecords(EventStreams.readEvents(spark, eventsDir))
+            .withColumn("timestamp", current_timestamp())))
+      .writeStream.format("memory").queryName("kwc")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stream = spark.table("kwc").orderBy("window_start", "event_type").collect()
+    val batch = Relational.stWindowAgg(spark, dir).collect()
+    assert(stream.map(_.toSeq) === batch.map(_.toSeq),
+      "kafka-projected stream diverged from the batch twin")
+  }
+
   test("streaming quality funnel equals the batch drop attribution") {
     val q = EventStreams.qualityFunnel(EventStreams.readEvents(spark, eventsDir))
       .writeStream.format("memory").queryName("qf")
