@@ -9,7 +9,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.{GraftSession, Tables}
-import graft.sources.Sources
+import graft.sources.{AvroIO, Sources}
 import graft.transform.ScriptTransform
 
 /** Round-trip correctness of every source/sink format, on the real test
@@ -40,6 +40,100 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     Sources.writeCsv(li, path)
     val back = Sources.csv(spark, path, li.schema)
     assert(sortedRows(back) === sortedRows(li))
+  }
+
+  test("avro container round-trip preserves doubles, timestamps, arrays and binary exactly") {
+    // lineitem exercises long/int/double/string/date-ish columns
+    val li = Tables.lineitem(spark, dir)
+    val path = tmp() + "/li-avro"
+    AvroIO.writeAvro(li, path)
+    val back = AvroIO.readAvro(spark, path)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      li.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(sortedRows(back) === sortedRows(li))
+    // embeddings exercises array<double>; documents adds binary payloads
+    val em = Tables.embeddings(spark, dir)
+    val p2 = tmp() + "/em-avro"
+    AvroIO.writeAvro(em, p2)
+    val b2 = AvroIO.readAvro(spark, p2)
+    assert(b2.orderBy("vec_id").collect().map(_.toString) ===
+      em.orderBy("vec_id").collect().map(_.toString))
+    import spark.implicits._
+    val bin = Seq((1L, Array[Byte](1, 2, -3), new java.sql.Timestamp(123456789L)),
+      (2L, Array[Byte](), new java.sql.Timestamp(0L)))
+      .toDF("id", "payload", "ts")
+    val p3 = tmp() + "/bin-avro"
+    AvroIO.writeAvro(bin, p3)
+    val b3 = AvroIO.readAvro(spark, p3).orderBy("id").collect()
+    assert(b3(0).getAs[Array[Byte]](1).toSeq === Seq[Byte](1, 2, -3))
+    assert(b3(0).getTimestamp(2).getTime === 123456789L)
+    assert(b3(1).getAs[Array[Byte]](1).isEmpty)
+  }
+
+  test("avro enum/union/logical-type fidelity through the SchemaCodec mapping") {
+    import org.apache.avro.{LogicalTypes, Schema => ASchema}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import graft.transform.SchemaCodec
+    // hand-author an avro file a CDAP-style producer would emit: enum,
+    // heterogeneous union [string, long], nullable union [null, double],
+    // date + timestamp-micros logical types
+    val schemaJson =
+      """{"type":"record","name":"ev","namespace":"x","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"color","type":{"type":"enum","name":"col","symbols":["RED","GREEN","BLUE"]}},
+        |{"name":"tag","type":["string","long"]},
+        |{"name":"score","type":["null","double"]},
+        |{"name":"d","type":{"type":"int","logicalType":"date"}},
+        |{"name":"t","type":{"type":"long","logicalType":"timestamp-micros"}}
+        |]}""".stripMargin.replace("\n", "")
+    val aSchema = new ASchema.Parser().parse(schemaJson)
+    val d = tmp()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](aSchema))
+    w.create(aSchema, new java.io.File(d, "ev.avro"))
+    def rec(id: Long, color: String, tag: AnyRef, score: java.lang.Double,
+            days: Int, micros: Long): GenericRecord = {
+      val r = new GenericData.Record(aSchema)
+      r.put("id", id)
+      r.put("color", new GenericData.EnumSymbol(aSchema.getField("color").schema(), color))
+      r.put("tag", tag)
+      r.put("score", score)
+      r.put("d", days)
+      r.put("t", micros)
+      r
+    }
+    w.append(rec(1L, "GREEN", "alpha", 2.5, 19000, 1700000000123456L))
+    w.append(rec(2L, "RED", java.lang.Long.valueOf(77L), null, 0, 0L))
+    w.close()
+    val df = AvroIO.readAvro(spark, d)
+    // schema lands as the repo's one union/enum story
+    val colorField = df.schema("color")
+    assert(SchemaCodec.isEnumField(colorField))
+    assert(SchemaCodec.enumSymbols(colorField).toSeq === Seq("RED", "GREEN", "BLUE"))
+    val tagField = df.schema("tag")
+    assert(SchemaCodec.isUnionField(tagField))
+    assert(df.schema("score").nullable)
+    assert(df.schema("d").dataType === org.apache.spark.sql.types.DateType)
+    assert(df.schema("t").dataType === org.apache.spark.sql.types.TimestampType)
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getString(1) === "GREEN")
+    assert(rows(0).getStruct(2).getString(0) === "alpha") // member0 = string branch
+    assert(rows(0).getDouble(3) === 2.5)
+    assert(rows(0).getDate(4).toLocalDate.toEpochDay === 19000L)
+    assert(org.apache.spark.sql.functions.lit(0) != null) // keep import used
+    assert(rows(1).getStruct(2).isNullAt(0) && rows(1).getStruct(2).getLong(1) === 77L)
+    assert(rows(1).isNullAt(3))
+    // timestamp survives at micros precision
+    val t0 = rows(0).getTimestamp(5)
+    assert(t0.getTime === 1700000000123L && t0.getNanos === 123456000)
+    // and the round trip back out through writeAvro re-reads identically
+    val p2 = tmp() + "/rt"
+    AvroIO.writeAvro(df, p2)
+    val back = AvroIO.readAvro(spark, p2)
+    assert(back.orderBy("id").collect().map(_.toString) ===
+      rows.map(_.toString))
+    assert(SchemaCodec.isEnumField(back.schema("color")) &&
+      SchemaCodec.isUnionField(back.schema("tag")))
   }
 
   test("json-lines round-trip preserves the full schema") {
