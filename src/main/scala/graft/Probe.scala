@@ -65,6 +65,7 @@ object Probe {
       case "stages" => stages(rest)
       case "quantile-bhj" => quantileBhj(rest)
       case "plan" => planOf(rest)
+      case "overlap-floor" => overlapFloor(rest)
       case other =>
         System.err.println(s"unknown probe variant: $other (see scaladoc)")
         sys.exit(2)
@@ -271,6 +272,31 @@ object Probe {
   }
 
   /** (QProfile4) print the optimized plan of one query (args: dir query). */
+  /** dd_overlap cost decomposition: bare text scan → +shingle kernel →
+    * +vocab groupBy(h) → full query. Each step adds one plan component,
+    * so step deltas attribute the wall to scan / kernel / exchange+agg
+    * / sketch fold. */
+  private def overlapFloor(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_heavy/x100")
+    val spark = session(32)
+    import org.apache.spark.sql.graft.VectorExprs
+    val docs = graft.core.Tables.documents(spark, dir)
+    timed("floor", "a_scan", 3)(
+      noop(docs.select(sum(length(col("text"))).as("s"))))
+    timed("floor", "b_kernel", 3)(
+      noop(docs.select(explode(VectorExprs.shingle3Md5Long(col("text"), 1, 8)).as("h8"))
+        .agg(sum(col("h8")).as("s"))))
+    timed("floor", "c_group", 3)(
+      noop(docs.select((col("doc_id") % 2 === 0).as("_a"), (col("doc_id") % 2 === 1).as("_b"),
+          explode(VectorExprs.shingle3Md5Long(col("text"), 1, 8)).as("h8"))
+        .select((col("h8") % lit(2147483647L)).as("h"), col("_a"), col("_b"))
+        .groupBy(col("h")).agg(max(col("_a")).as("in_a"), max(col("_b")).as("in_b"))
+        .agg(count(lit(1)).as("n"))))
+    timed("floor", "d_full", 3)(
+      noop(SparkEntry.queries("dd_overlap")(spark, dir)))
+    spark.stop()
+  }
+
   private def planOf(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val qname = if (args.length > 1) args(1) else "q_calibration"

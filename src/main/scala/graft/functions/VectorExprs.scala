@@ -24,6 +24,32 @@ import org.apache.spark.sql.types._
   * formulation and to DuckDB's list_dot_product.
   */
 object VectorExprs {
+  /** Distributed bloom-filter build over xxhash64 of `c` — Spark's own
+    * BloomFilterAggregate (the runtime-filter machinery), exposed as a
+    * Column so an engine query can build a semi-join prefilter as ONE
+    * map-combined aggregate: each task folds its rows into a fixed-size
+    * bit array, partials OR together, and only `numBits/8` bytes ever
+    * reach the driver regardless of corpus size. */
+  def bloomAgg(c: Column, estimatedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    ExpressionUtils.column(new BloomFilterAggregate(
+      new XxHash64(Seq(ExpressionUtils.expression(c))),
+      Literal(estimatedItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  /** might_contain(bloomBytes, xxhash64(c)) — the probe side of
+    * [[bloomAgg]], planted as a literal so the whole prefilter stays in
+    * whole-stage codegen (BloomFilterMightContain requires a constant
+    * or scalar-subquery filter; the byte array is fixed-size by
+    * construction). */
+  def bloomMightContain(bloomBytes: Array[Byte], c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    ExpressionUtils.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      new XxHash64(Seq(ExpressionUtils.expression(c)))))
+  }
+
   /** dot(a, b) over array<double> as a codegen'd primitive loop. Arrays
     * must be null-free (embedding columns are); lengths are clamped to the
     * shorter side. */
@@ -924,6 +950,21 @@ case class Shingle3Md5Long(child: Expression, start: Int, len: Int)
 
   override protected def nullSafeEval(sAny: Any): Any = {
     val bytes = sAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val out = Shingle3Md5Long.shingleHashes(bytes, start, len)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Shingle3Md5Long =
+    copy(child = newChild)
+}
+
+object Shingle3Md5Long {
+  /** Word-3-gram MD5-nibble hashes of a space-tokenized byte string —
+    * the ONE shingle-hash definition shared by the [[Shingle3Md5Long]]
+    * expression and the fused per-partition kernels (Dedup
+    * snapshotOverlap), so every consumer sees bit-identical shingle
+    * identities. */
+  def shingleHashes(bytes: Array[Byte], start: Int, len: Int): Array[Long] = {
     val n = bytes.length
     var spaces = 0
     var i = 0
@@ -949,11 +990,8 @@ case class Shingle3Md5Long(child: Expression, start: Int, len: Int)
         k += 1
       }
     }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Shingle3Md5Long =
-    copy(child = newChild)
 }
 
 /** Word-bigram hash pairs in one pass: for every adjacent word pair,

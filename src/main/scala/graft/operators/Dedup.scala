@@ -1488,25 +1488,130 @@ object Dedup {
     * no sort, no join anywhere. */
   def snapshotOverlap(docs: DataFrame, inA: Column, inB: Column): DataFrame = {
     val k = 16
-    // one-pass shingle-hash kernel with the side flags carried through
-    // the projection — no zip structs or joined shingle strings exist.
-    // (Per-doc DISTINCT emission via the winnow kernel at w=1 was
-    // measured and REVERTED: the kernel-local probe-set dedup cost more
-    // than the saved aggregate probes — 2.6 s → 3.0 s at x100 — because
-    // the map-side combine already collapses duplicates before the
-    // exchange; presence flags make the extra occurrences cheap.)
-    val hashed = docs.select(inA.as("_a"), inB.as("_b"),
-        explode(org.apache.spark.sql.graft.VectorExprs
-          .shingle3Md5Long(col("text"), 1, 8)).as("h8"))
-      .select((col("h8") % lit(MinhashP)).as("h"), col("_a"), col("_b"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // FUSED partial-dedup kernel. The explode → hash-aggregate
+    // formulation paid Spark's generic UnsafeRow hash-agg probe per
+    // shingle OCCURRENCE — the overlap-floor decomposition (Probe
+    // overlap-floor, x100) attributes 1.85 s of the 3.2 s wall to that
+    // probe alone (scan 0.40, +kernel 0.73, +groupBy 2.58). This kernel
+    // runs the same per-partition dedup in a primitive open-addressing
+    // long→byte table instead: per shingle, one MD5 (single-block fast
+    // path), one multiply-shift probe, one OR — then emits the
+    // PARTITION-DISTINCT (h, side-flags) rows, exactly what the
+    // map-side combine would have shipped. Memory is HARD-bounded by
+    // the fixed-size table (2^21 slots ≈ 18 MiB/task): when the table
+    // fills, it drains to output and resets — duplicates across
+    // flushes (or mid-document splits) re-merge in the downstream
+    // groupBy's bit_or, so correctness never depends on table size.
+    val src = docs.select(col("text"), inA.as("_a"), inB.as("_b"))
+    val part = src.mapPartitions { rows =>
+      new scala.collection.AbstractIterator[(Long, Int)] {
+        private val bits = 21
+        private val cap = 1 << bits
+        private val mask = cap - 1
+        private val maxUsed = (cap * 3) / 4
+        private val keys = new Array[Long](cap) // h+1; 0 = empty
+        private val fl = new Array[Byte](cap)
+        private var used = 0
+        private var draining = false
+        private var drainPos = 0
+        private var haveNext = false
+        private var nextH = 0L
+        private var nextF = 0
+        // mid-document resume state for a pathological doc whose
+        // distinct shingles alone overflow the table
+        private var pendHs: Array[Long] = null
+        private var pendIdx = 0
+        private var pendF = 0
+
+        private def insert(h: Long, f: Int): Unit = {
+          val key = h + 1 // h ∈ [0, 2^31): key never 0
+          var idx = ((h * 0x9E3779B97F4A7C15L) >>> (64 - bits)).toInt & mask
+          while (true) {
+            val k0 = keys(idx)
+            if (k0 == 0L) {
+              keys(idx) = key; fl(idx) = f.toByte; used += 1; return
+            }
+            if (k0 == key) {
+              fl(idx) = (fl(idx) | f).toByte; return
+            }
+            idx = (idx + 1) & mask
+          }
+        }
+
+        /** Consume pending/incoming shingles until the table is at the
+          * flush threshold or input is exhausted. */
+        private def fill(): Unit = {
+          while (used < maxUsed) {
+            if (pendHs != null) {
+              val hs = pendHs
+              var i = pendIdx
+              val f = pendF
+              while (i < hs.length && used < maxUsed) {
+                insert(hs(i) % MinhashP, f); i += 1
+              }
+              if (i < hs.length) { pendIdx = i; return }
+              pendHs = null
+            } else if (rows.hasNext) {
+              val r = rows.next()
+              if (!r.isNullAt(0)) {
+                val f = (if (r.getBoolean(1)) 1 else 0) |
+                  (if (r.getBoolean(2)) 2 else 0)
+                if (f != 0) {
+                  val bytes = r.getString(0)
+                    .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  pendHs = org.apache.spark.sql.graft.Shingle3Md5Long
+                    .shingleHashes(bytes, 1, 8)
+                  pendIdx = 0
+                  pendF = f
+                }
+              }
+            } else return
+          }
+        }
+
+        private def advance(): Unit = {
+          while (true) {
+            if (draining) {
+              while (drainPos < cap && keys(drainPos) == 0L) drainPos += 1
+              if (drainPos < cap) {
+                nextH = keys(drainPos) - 1
+                nextF = fl(drainPos).toInt
+                drainPos += 1
+                haveNext = true
+                return
+              }
+              if (pendHs == null && !rows.hasNext) { haveNext = false; return }
+              java.util.Arrays.fill(keys, 0L)
+              java.util.Arrays.fill(fl, 0.toByte)
+              used = 0; draining = false; drainPos = 0
+            } else {
+              fill()
+              draining = true
+            }
+          }
+        }
+
+        override def hasNext: Boolean = {
+          if (!haveNext) advance()
+          haveNext
+        }
+        override def next(): (Long, Int) = {
+          if (!hasNext) throw new NoSuchElementException
+          haveNext = false
+          (nextH, nextF)
+        }
+      }
+    }.toDF("h", "flags")
     // project each permutation ONCE before the fold: perm(j) appears
     // under both sides' min-aggregates, and aggregate-expression
     // subexpression elimination does not share across aggregate
     // functions — inlined, every grouped row paid 32 multiply-mods
     // instead of 16
-    val g = hashed.groupBy(col("h")).agg(
-        max(col("_a")).as("in_a"), max(col("_b")).as("in_b"))
-      .select(Seq(col("h"), col("in_a"), col("in_b")) ++
+    val g = part.groupBy(col("h")).agg(expr("bit_or(flags)").as("_f"))
+      .select(Seq(col("h"), (col("_f").bitwiseAND(lit(1)) === 1).as("in_a"),
+        (col("_f").bitwiseAND(lit(2)) === 2).as("in_b")) ++
         (0 until k).map(j =>
           ((lit(MinhashA(j)) * col("h") + lit(MinhashB(j))) % lit(MinhashP))
             .as(s"p$j")): _*)

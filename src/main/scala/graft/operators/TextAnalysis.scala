@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
@@ -2623,15 +2624,15 @@ object TextAnalysis {
           (r1, r2)
         } finally { c2p.unpersist() }
       }
-    val c2m = new java.util.HashMap[java.lang.Long, java.lang.Long](rows2.length * 2)
-    val c1m = new java.util.HashMap[java.lang.Long, java.lang.Long](rows2.length)
+    // primitive open-addressing tables: the serve loop probes twice per
+    // bigram, and a boxed HashMap key allocation per probe is the
+    // difference between a memory-bandwidth scan and a GC churn scan
+    val c2m = new graft.core.LongLongMap(math.max(rows2.length, 16))
+    val c1m = new graft.core.LongLongMap(
+      math.max(if (rows1 != null) rows1.length else rows2.length, 16))
     rows2.foreach { r =>
       c2m.put(r.getLong(0), r.getLong(2))
-      if (rows1 == null) {
-        val k1 = r.getLong(1)
-        val prev = c1m.get(k1)
-        c1m.put(k1, if (prev == null) r.getLong(2) else prev + r.getLong(2))
-      }
+      if (rows1 == null) c1m.addTo(r.getLong(1), r.getLong(2))
     }
     if (rows1 != null)
       rows1.foreach(r => c1m.put(r.getLong(0), r.getLong(1)))
@@ -2672,17 +2673,13 @@ object TextAnalysis {
                 .hashUnsafeBytes(bytes, base + wStart(k),
                   wEnd(k + 1) - wStart(k), 42L)
               val cc2 = m2.get(k12)
-              s += (if (cc2 != null) {
-                val k1 = org.apache.spark.sql.catalyst.expressions.XXH64
-                  .hashUnsafeBytes(bytes, base + wStart(k),
-                    wEnd(k) - wStart(k), 42L)
-                bitlen(m1.get(k1)) - bitlen(cc2)
-              } else {
-                val k1 = org.apache.spark.sql.catalyst.expressions.XXH64
-                  .hashUnsafeBytes(bytes, base + wStart(k),
-                    wEnd(k) - wStart(k), 42L)
+              val k1 = org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashUnsafeBytes(bytes, base + wStart(k),
+                  wEnd(k) - wStart(k), 42L)
+              s += (if (cc2 != 0L) bitlen(m1.get(k1)) - bitlen(cc2)
+              else {
                 val cc1 = m1.get(k1)
-                if (cc1 != null) bitlen(cc1) + 4L else 20L
+                if (cc1 != 0L) bitlen(cc1) + 4L else 20L
               })
               k += 1
             }
@@ -2913,7 +2910,131 @@ object TextAnalysis {
       |FROM b GROUP BY item HAVING count(*) * 640 > (SELECT n FROM n)
       |ORDER BY cnt DESC, item""".stripMargin
 
+  // ---- lexical-diversity / keyword / vocabulary-growth group -----------
+
+  /** Type-token ratio + hapax profile per document — the classic
+    * lexical-diversity screens (low TTR = repetitive/generated text;
+    * hapax share tracks vocabulary novelty). Two map-combined
+    * aggregates over (doc, token); all ratios are single exact
+    * divisions of integer counts. */
+  def txTtr(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("_c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("ttr"),
+        (col("n_hapax").cast(DoubleType) / col("n_types").cast(DoubleType))
+          .as("hapax_ratio"))
+      .orderBy(col("doc_id"))
+
+  val txTtrSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_types,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS hapax_ratio
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Top-3 keyword terms per document by tf/df (tf-idf with the
+    * rational idf = N_docs/df — ln-idf is rank-DIFFERENT only through a
+    * monotone map per fixed tf, and ln is not bit-stable cross-engine,
+    * so the rational form is the oracle-safe scoring). The per-doc
+    * top-3 is a row_number ≤ 3 — WindowGroupLimit pushes a partial
+    * group-limit below the exchange, so a long document contributes at
+    * most 3 rows per map task to the shuffle. */
+  def txKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .withColumn("score",
+        col("tf").cast(DoubleType) / col("df").cast(DoubleType))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val txKeywordsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |s AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC,
+      |        tf.term) AS rnk
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, rnk, term, tf, df, score
+      |FROM s WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  /** Heaps'-law vocabulary growth: how many NEW term types each
+    * twentieth of the doc_id-ordered token stream introduces. Every
+    * term's first global position = its document's token-stream offset
+    * (an exact distributed prefix sum over the PER-DOC count table via
+    * Analytics.withRunningTotal — the bucket-offset pattern, no
+    * corpus-sized single-partition window) + its within-doc position;
+    * positions bucket into 20 fixed vigintiles, so the output (and the
+    * final cumulative window) is 20 rows at any corpus size. */
+  def txVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("_w"))
+    val counts = d.select(col("doc_id"), size(col("_w")).as("_n"))
+    val off = graft.queries.Analytics.withRunningTotal(counts,
+        col("doc_id").cast(DoubleType), col("doc_id"), col("_n"), "_rt")
+      .select(col("doc_id"), (col("_rt") - col("_n")).as("_off"))
+    val tot = counts.agg(sum(col("_n").cast(LongType)).as("_tot"))
+    val first = d.join(off, Seq("doc_id"))
+      .select(col("_off"), posexplode(col("_w")).as(Seq("_i", "term")))
+      .groupBy(col("term"))
+      .agg(min(col("_off") + col("_i") + 1).as("_fp"))
+    first.crossJoin(broadcast(tot))
+      .groupBy(expr("((_fp - 1) * 20) DIV _tot").as("bin"))
+      .agg(count(lit(1)).as("new_types"))
+      .withColumn("cum_types",
+        sum(col("new_types")).over(Window.orderBy(col("bin"))))
+      .orderBy(col("bin"))
+  }
+
+  val txVocabGrowthSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |c AS (SELECT doc_id, len(w) AS n FROM d),
+      |o AS (
+      |  SELECT doc_id,
+      |    sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS off
+      |  FROM c),
+      |p AS (
+      |  SELECT o.off, unnest([{'i': i, 't': w[i]} for i in range(1, len(w)+1)]) AS u
+      |  FROM d JOIN o USING (doc_id)),
+      |f AS (SELECT u.t AS term, min(off + u.i) AS fp FROM p GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+      |b AS (
+      |  SELECT CAST(((fp - 1) * 20) // tot AS BIGINT) AS bin,
+      |    count(*) AS new_types
+      |  FROM f, t GROUP BY 1)
+      |SELECT bin, new_types,
+      |  CAST(sum(new_types) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS cum_types
+      |FROM b ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_ttr" -> (txTtr _),
+    "tx_keywords" -> (txKeywords _),
+    "tx_vocab_growth" -> (txVocabGrowth _),
     "tx_heavy_hitters" -> (txHeavyHitters _),
     "tx_collocations" -> (txCollocations _),
     "tx_lm_score" -> (txLmScore _),
@@ -2958,6 +3079,9 @@ object TextAnalysis {
     "q_purge" -> (qPurge _))
 
   val oracles: Map[String, String] = Map(
+    "tx_ttr" -> txTtrSql,
+    "tx_keywords" -> txKeywordsSql,
+    "tx_vocab_growth" -> txVocabGrowthSql,
     "tx_heavy_hitters" -> txHeavyHittersSql,
     "tx_collocations" -> txCollocationsSql,
     "tx_lm_score" -> txLmScoreSql,
