@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 import graft.core.Tables
 import org.apache.spark.sql.graft.VectorExprs.md5Long
@@ -1061,7 +1061,82 @@ object Sampling {
       |                          WHEN 'click' THEN 0.5 ELSE 0.25 END
       |ORDER BY event_id""".stripMargin
 
+  /** Temperature-scaled source mixing (the multilingual-LLM sampling
+    * law): source weights ∝ n^α with α = 0.5, so low-resource sources
+    * are UP-sampled relative to proportional allocation while head
+    * sources still dominate. Weights are exact scaled integers —
+    * floor(√n·10⁶ + 0.5); sqrt is IEEE-correctly-rounded in every
+    * engine — the budget splits by Hamilton largest-remainder in pure
+    * integer arithmetic (the stratifiedQuota machinery), and each
+    * source's quota fills deterministically by salted-hash order. The
+    * allocation tables are |sources| rows; the per-source fill is a
+    * partitioned row_number with WindowGroupLimit-style early cut. */
+  def temperatureMix(df: DataFrame, source: Column, key: Column,
+                     budget: Int): DataFrame = {
+    val counts = df.groupBy(source.as("_s")).agg(count(lit(1)).as("_n"))
+      .withColumn("_w",
+        floor(sqrt(col("_n").cast(DoubleType)) * lit(1000000.0) + lit(0.5))
+          .cast(LongType))
+    val tot = counts.agg(sum(col("_w")).as("_tw")) // 1 row
+    val alloc = counts.crossJoin(broadcast(tot))
+      .withColumn("_base", expr(s"$budget * _w DIV _tw"))
+      .withColumn("_rem", expr(s"($budget * _w) % _tw"))
+    val leftover = alloc.agg((lit(budget) - sum(col("_base"))).as("_lo"))
+    val ranked = alloc
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col("_rem").desc, col("_s")))) // |sources| rows
+      .crossJoin(broadcast(leftover))
+      .select(col("_s"), col("_n").as("source_n"),
+        least(col("_base") +
+          when(col("_rk") <= col("_lo"), 1L).otherwise(0L), col("_n"))
+          .as("quota"))
+    df.withColumn("_rk2", row_number().over(
+        Window.partitionBy(source).orderBy(hashKey(key, "tempmix"), key)))
+      .join(broadcast(ranked), source === col("_s"))
+      .filter(col("_rk2") <= col("quota"))
+      .drop("_s", "_rk2")
+  }
+
+  def qTemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(Tables.documents(spark, dir), col("source"),
+        col("doc_id"), 200)
+      .groupBy(col("source"))
+      .agg(max(col("source_n")).as("source_n"), max(col("quota")).as("quota"),
+        count(lit(1)).as("n_selected"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("source"))
+
+  val qTemperatureMixSql: String =
+    """WITH c AS (SELECT source AS s, count(*) AS n FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT s, n,
+      |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w
+      |  FROM c),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+      |a AS (
+      |  SELECT s, n, 200 * w // tw AS base, (200 * w) % tw AS rem
+      |  FROM w, t),
+      |lo AS (SELECT 200 - CAST(sum(base) AS BIGINT) AS lo FROM a),
+      |r AS (
+      |  SELECT s, n, base, rem,
+      |    row_number() OVER (ORDER BY rem DESC, s) AS rk FROM a),
+      |q AS (
+      |  SELECT s, n AS source_n,
+      |    least(base + CASE WHEN rk <= (SELECT lo FROM lo) THEN 1 ELSE 0 END,
+      |      n) AS quota
+      |  FROM r),
+      |sel AS (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)||':tempmix'), doc_id) AS rk2
+      |  FROM documents)
+      |SELECT sel.source, q.source_n, CAST(q.quota AS BIGINT) AS quota,
+      |  count(*) AS n_selected, CAST(sum(sel.n_chars) AS BIGINT) AS n_chars
+      |FROM sel JOIN q ON sel.source = q.s
+      |WHERE sel.rk2 <= q.quota
+      |GROUP BY 1, 2, 3 ORDER BY sel.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_temperature_mix" -> (qTemperatureMix _),
     "st_sample" -> (stSample _),
     "q_pack_docs" -> (qPackDocs _),
     "q_pack_nextfit" -> (qPackNextfit _),
@@ -1099,5 +1174,6 @@ object Sampling {
     "q_mixture" -> qMixtureSql,
     "q_interleave" -> qInterleaveSql,
     "q_holdout" -> qHoldoutSql,
-    "q_stratified" -> qStratifiedSql)
+    "q_stratified" -> qStratifiedSql,
+    "q_temperature_mix" -> qTemperatureMixSql)
 }

@@ -41,10 +41,10 @@ object Relational {
     * beyond that, bump the scale split or re-shard groups. Both engines
     * still accumulate the same exact integers and round back to the
     * same IEEE double, so results hash-match. */
-  private val DecSum = DecimalType(38, 0)
-  private def scaled(c: Column): Column =
+  private[queries] val DecSum = DecimalType(38, 0)
+  private[queries] def scaled(c: Column): Column =
     floor(c * lit(1000000.0) + lit(0.5)).cast(LongType).cast(DecSum)
-  private def dsum(c: Column): Column = {
+  private[queries] def dsum(c: Column): Column = {
     val v = floor(c * lit(1000000.0) + lit(0.5)).cast(LongType)
     val total = sum(shiftright(v, 19)).cast(DecSum) *
       lit(524288L).cast(DecSum) +

@@ -198,6 +198,24 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Per-user session aggregation — streaming twin of
+    * Analytics.stSession: the IDENTICAL session_window(ts, 30 min)
+    * aggregate over an unbounded source. Session windows MERGE in the
+    * state store as late members arrive; the watermark closes a session
+    * once event time passes its end + delay, so state is bounded by
+    * OPEN sessions only — the per-user session is the unit of state,
+    * never the user's history. */
+  def sessionCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(24, 6))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"), col("total_value"))
+
   /** Windowed stream-quality funnel — streaming twin of
     * Relational.stFunnel: per 1-hour window, first-failing drop
     * attribution through the shared filter cascade. The stage expression

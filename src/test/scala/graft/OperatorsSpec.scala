@@ -2458,4 +2458,98 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids === Set(1L),
       s"non-conforming WAVs were scored instead of skipped: $ids")
   }
+
+  test("withRunningTotal equals the single-window row_number / running sum") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    // negatives, ties, and zero — the sortableBits bucketing must order
+    // the whole double line; ties resolve by the tie column
+    val rows = (1 to 500).map(i =>
+      (i.toLong, math.round(rnd.nextGaussian() * 3).toDouble, rnd.nextInt(5) + 1L))
+    val df = rows.toDF("id", "v", "w")
+    val got = graft.queries.Analytics.withRunningTotal(df,
+        col("v"), col("id"), col("w"), "rt", buckets = 16)
+      .select("id", "rt").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = Window.orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = df.withColumn("rt", sum(col("w")).over(w))
+      .select("id", "rt").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === exp, "bucket-offset running total diverged from the global window")
+  }
+
+  test("triangleCount: K4 plus a triangle-free path counts exactly 4") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} has C(4,3)=4 triangles; the path 10-11-12 adds none
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L)).toDF("u", "v")
+    val r = graft.queries.Analytics.triangleCount(edges).head()
+    assert(r.getAs[Long]("n_nodes") === 7L)
+    assert(r.getAs[Long]("n_edges") === 8L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+  }
+
+  test("temperatureMix: quotas hit the budget exactly and up-sample the tail") {
+    import spark.implicits._
+    // head source 900 docs, tail 100: proportional gives the tail 10% of
+    // the budget; sqrt-temperature gives it sqrt(100)/(sqrt(900)+sqrt(100)) = 25%
+    val docs = ((1 to 900).map(i => (i.toLong, "head")) ++
+      (1001 to 1100).map(i => (i.toLong, "tail")))
+      .toDF("doc_id", "source")
+    val sel = graft.operators.Sampling.temperatureMix(
+      docs, col("source"), col("doc_id"), 100)
+    val bySrc = sel.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.values.sum === 100L, s"quota sum != budget: $bySrc")
+    assert(bySrc("tail") === 25L, s"tail not temperature-up-sampled: $bySrc")
+    // deterministic: the same call selects the same doc set
+    val a = sel.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.operators.Sampling.temperatureMix(
+        docs, col("source"), col("doc_id"), 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
+  test("overlap kernel: flush-on-full path yields the same distinct count as the expression") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.VectorExprs
+    // ONE document whose distinct 3-gram shingles exceed the kernel's
+    // flush threshold ((3/4)·2^21 ≈ 1.57M) forces both the mid-document
+    // resume and at least one table flush; correctness must not depend
+    // on either (duplicates across flushes re-merge downstream).
+    val nWords = 1700000
+    val sb = new java.lang.StringBuilder(nWords * 8)
+    var i = 0
+    while (i < nWords) { if (i > 0) sb.append(' '); sb.append("w").append(i); i += 1 }
+    val doc = Seq((0L, sb.toString)).toDF("doc_id", "text")
+    val viaKernel = Dedup.snapshotOverlap(doc,
+      inA = col("doc_id") >= 0, inB = col("doc_id") < 0).head()
+    val expected = doc.select(explode(
+        VectorExprs.shingle3Md5Long(col("text"), 1, 8)).as("h8"))
+      .select((col("h8") % lit(2147483647L)).as("h"))
+      .distinct().count()
+    assert(viaKernel.getAs[Long]("n_a") === expected,
+      "flush path changed the distinct-shingle count")
+    assert(viaKernel.getAs[Long]("n_b") === 0L)
+  }
+
+  test("LongLongMap: exact over keys including zero; over-capacity throws") {
+    val m = new graft.core.LongLongMap(100)
+    val rnd = new scala.util.Random(3)
+    val ref = scala.collection.mutable.Map[Long, Long]()
+    (1 to 100).foreach { _ =>
+      val k = rnd.nextLong() >> rnd.nextInt(60)
+      val v = rnd.nextInt(1000) + 1L
+      m.addTo(k, v)
+      ref(k) = ref.getOrElse(k, 0L) + v
+    }
+    m.addTo(0L, 7L)
+    ref(0L) = ref.getOrElse(0L, 0L) + 7L
+    ref.foreach { case (k, v) => assert(m.get(k) === v, s"key $k") }
+    assert(m.get(123456789L) === (ref.getOrElse(123456789L, 0L)))
+    val tiny = new graft.core.LongLongMap(2)
+    intercept[IllegalStateException] {
+      (1 to 100).foreach(i => tiny.put(i.toLong, 1L))
+    }
+  }
 }

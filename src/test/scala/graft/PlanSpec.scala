@@ -660,4 +660,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("collect_list"),
       s"an unbounded collect_list crept back into winnow:\n$p")
   }
+
+  test("bloom semijoin: literal might_contain prefilter sits below the exact join") {
+    val df = graft.queries.Analytics.qBloomSemijoin(spark, dir)
+    val ex = df.queryExecution.executedPlan.toString
+    assert(ex.contains("might_contain"),
+      s"bloom prefilter missing from the probe side:\n$ex")
+    assert(ex.contains("LeftSemi"),
+      s"exact semi-join missing (bloom alone admits false positives):\n$ex")
+  }
+
+  test("tx_keywords: per-doc top-3 pushes a partial group-limit below the exchange") {
+    val df = graft.operators.TextAnalysis.txKeywords(spark, dir)
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    assert(ex.contains("WindowGroupLimit"),
+      s"keywords top-3 lost the WindowGroupLimit pushdown:\n$ex")
+  }
 }

@@ -47,6 +47,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream.map(_.toSeq) === batch.map(_.toSeq))
   }
 
+  test("streaming session windows equal the batch session_window aggregation") {
+    // Append-mode session windows emit only once the watermark passes
+    // session end, AND emission in batch k uses the watermark computed at
+    // the end of batch k-1 — so flushing EVERY real session needs TWO
+    // far-future sentinel files (user -1), processed one file per
+    // micro-batch: the final batch's effective watermark is then
+    // sentinel1 − delay, past every real session's end.
+    val d = Files.createTempDirectory("graft-sess-events")
+    val ev0 = d.resolve("events.parquet")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), ev0)
+    val maxTs = Tables.events(spark, dir).agg(max(col("ts"))).head.getTimestamp(0)
+    import spark.implicits._
+    // sentinels must carry a real parquet TIMESTAMP ts column — a file
+    // whose ts physical type diverges from readEvents' declared schema
+    // is silently skipped by the file source (observed: 0 rows read →
+    // watermark stuck one session short)
+    def sentinel(days: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-sess-sent")
+      Seq((-days,
+          new java.sql.Timestamp(maxTs.getTime + days * 24 * 3600 * 1000),
+          -1L, "view", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).iterator()
+      var src: java.nio.file.Path = null
+      while (f.hasNext) { val p = f.next(); if (p.toString.endsWith(".parquet")) src = p }
+      Files.copy(src, d.resolve(name))
+    }
+    sentinel(30, "s1.parquet")
+    sentinel(60, "s2.parquet")
+    // deterministic batch order: file source orders by modification time
+    java.nio.file.Files.setLastModifiedTime(ev0,
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    java.nio.file.Files.setLastModifiedTime(d.resolve("s1.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000010000L))
+    java.nio.file.Files.setLastModifiedTime(d.resolve("s2.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000020000L))
+    // NOTE: the user_id >= 0 sentinel cut must happen CLIENT-side — as a
+    // DataFrame filter it is a grouping-column predicate, so Catalyst
+    // pushes it below the aggregation AND the EventTimeWatermark node,
+    // and the sentinel then never advances the watermark (observed: the
+    // last two sessions never flush).
+    val q = EventStreams.sessionCounts(
+        EventStreams.readEvents(spark, d.toString, maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stream = spark.table("sess").filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start").collect()
+    val batch = graft.queries.Analytics.stSession(spark, dir).collect()
+    assert(stream.length === batch.length,
+      s"session count mismatch: stream ${stream.length} vs batch ${batch.length}")
+    assert(stream.map(_.toSeq) === batch.map(_.toSeq),
+      "streamed sessions diverged from the batch twin")
+  }
+
   test("kafka wire projection round-trips and feeds the stateful plans unchanged") {
     // batch leg: events → (key, value) bytes → events must be lossless
     // (ts travels as epoch micros; key is the user_id bytes that keep a
