@@ -147,6 +147,35 @@ object ScaleCheck {
       // ANN at corpus scale: deterministic synthetic embeddings (64 dims
       // of xxhash64-derived values in [0,1)) stand in for a model's
       // output; brute = the scan-once exact baseline, lsh = the bucketed
+      // distributed exact global rank (the q_rfm/q_gini machinery): a
+      // corpus-sized running total must cost two linear passes — the
+      // sortableBits bucket histogram + per-bucket windows — and NEVER a
+      // single-partition corpus window (the thing it replaces)
+      t("an_global_rank") {
+        graft.queries.Analytics.withRunningTotal(
+            docs.select(col("doc_id"),
+              pmod(xxhash64(col("doc_id"), lit(7L)), lit(1000000L))
+                .cast("double").as("v")),
+            col("v"), col("doc_id"), lit(1L), "rank")
+          .agg(sum(col("rank"))).head
+        rows
+      },
+      // degree-ordered triangle counting on a constant-average-degree
+      // random graph (nodes = rows/50, avg degree ~100): wedge volume is
+      // deg²·nodes — LINEAR in rows at constant degree, so the rehearsal
+      // proves the broadcast wedge/closure plan tracks corpus growth
+      // like every other linear op, not quadratically
+      t("an_triangles") {
+        val n = math.max(rows / 50L, 100L)
+        val e = docs.select(
+            pmod(xxhash64(col("doc_id"), lit(1L)), lit(n)).as("a"),
+            pmod(xxhash64(col("doc_id"), lit(2L)), lit(n)).as("b"))
+          .select(least(col("a"), col("b")).as("u"),
+            greatest(col("a"), col("b")).as("v"))
+          .filter(col("u") < col("v")).distinct()
+        graft.queries.Analytics.triangleCount(e)
+          .head.getAs[Long]("n_triangles")
+      },
       // scale path — both per-query cost, not all-pairs
       t("ann_brute")(Similarity.bruteTopK(synthEmb(docs), col("vec_id") < 10).count()),
       t("ann_lsh")(Similarity.lshTopK(synthEmb(docs), col("vec_id") < 10).count()),
