@@ -745,7 +745,121 @@ object Multimodal {
       |FROM pix GROUP BY doc_id, px, py
       |ORDER BY doc_id, py, px""".stripMargin
 
+  // ---- shot detection -----------------------------------------------------
+
+  /** Frame-difference shot-boundary detection — the video-pipeline
+    * segmentation pass (shot boundaries decide where to sample training
+    * frames; the metric is the classic sum-of-absolute-differences
+    * between consecutive frames). Runs over the deterministic synthetic
+    * payloads ([[synthesize]] — the mm_frames contract) framed at
+    * `frameBytes`; SAD and the boundary test are pure integers, so the
+    * oracle re-derives every diff from the byte law. Map-only per
+    * payload + a per-doc bounded window for the consecutive pairing. */
+  def shotDetect(withPayload: DataFrame, frameBytes: Int = 8,
+                 threshold: Int = 100): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("diff", LongType)))
+    val diffs = withPayload.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val p = r.getAs[Array[Byte]](1)
+          val headerOff = if (id % 3 == 1) 12 else 16
+          val nFrames = (p.length - headerOff) / frameBytes
+          (1 until nFrames).iterator.map { k =>
+            var d = 0L
+            var j = 0
+            while (j < frameBytes) {
+              val a = p(headerOff + (k - 1) * frameBytes + j) & 0xff
+              val b = p(headerOff + k * frameBytes + j) & 0xff
+              d += math.abs(b - a)
+              j += 1
+            }
+            Row(id, k, d)
+          }
+        }
+      }(Encoders.row(schema)).toDF()
+    diffs.select(col("doc_id"), col("frame_idx"), col("diff"),
+        (col("diff") > threshold).as("is_boundary"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  def mmShots(spark: SparkSession, dir: String): DataFrame =
+    shotDetect(synthesize(Tables.documents(spark, dir)))
+
+  /** Oracle: SAD between consecutive 8-byte frames of the byte law
+    * (doc_id + pos) % 256 — the diff is 8 per byte except across the
+    * 256-wrap, where it is 248. */
+  val mmShotsSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+      |    CAST(sum(abs(
+      |      CAST((doc_id + k*8 + j) % 256 AS BIGINT) -
+      |      CAST((doc_id + (k-1)*8 + j) % 256 AS BIGINT))) AS BIGINT) AS diff
+      |  FROM documents
+      |  CROSS JOIN (SELECT unnest(range(1, 8)) AS k)
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+      |  GROUP BY doc_id, k)
+      |SELECT doc_id, frame_idx, diff, diff > 100 AS is_boundary
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---- audio fingerprint ----------------------------------------------------
+
+  /** Audio fingerprint over REAL-decoded PCM (the Shazam-family shape,
+    * reduced to its distributable core): frame the signal (4 samples),
+    * compute per-frame energies through the [[vadFrames]] decoder, and
+    * pack the energy-DESCENT bits (energy_k > energy_{k+1}) into one
+    * long per document — the compact signature an audio-dedup pass
+    * bands on. The pairing window is per-document (≤ 12 frames by the
+    * generator law), and the bit packing is exact integer arithmetic,
+    * so the oracle re-derives the fingerprint from the sample law —
+    * matching only if the real javax.sound decode round-trips. */
+  def audioFingerprint(withPayload: DataFrame): DataFrame = {
+    val e = vadFrames(withPayload, frameLen = 4)
+      .select(col("doc_id"), col("frame_idx"), col("energy"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    e.withColumn("_next", lead(col("energy"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("_next").isNotNull && col("energy") > col("_next"),
+            expr("shiftleft(1L, frame_idx)")).otherwise(0L)).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  def mmAudioFp(spark: SparkSession, dir: String): DataFrame =
+    audioFingerprint(synthReal(
+      Tables.documents(spark, dir).filter(col("doc_id") % 3 === 2)))
+
+  val mmAudioFpSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, doc_id % 32 + 16 AS n FROM documents
+      |  WHERE doc_id % 3 = 2),
+      |s AS (
+      |  SELECT doc_id, unnest(range(0, n)) AS i, n FROM w),
+      |f AS (
+      |  SELECT doc_id, CAST(i // 4 AS INTEGER) AS frame_idx,
+      |    (37 * doc_id + 101 * i) % 65536 AS u
+      |  FROM s WHERE i // 4 < n // 4),
+      |e AS (
+      |  SELECT doc_id, frame_idx,
+      |    CAST(sum(abs(CASE WHEN u < 32768 THEN u ELSE u - 65536 END))
+      |      AS BIGINT) AS energy
+      |  FROM f GROUP BY doc_id, frame_idx),
+      |b AS (
+      |  SELECT doc_id, frame_idx, energy,
+      |    lead(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS nxt
+      |  FROM e)
+      |SELECT doc_id, count(*) AS n_frames,
+      |  CAST(sum(CASE WHEN nxt IS NOT NULL AND energy > nxt
+      |    THEN 1::BIGINT << frame_idx ELSE 0 END) AS BIGINT) AS fp
+      |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_shots" -> (mmShots _),
+    "mm_audio_fp" -> (mmAudioFp _),
     "mm_meta" -> (mmMeta _),
     "mm_resize" -> (mmResize _),
     "mm_frames" -> (mmFrames _),
@@ -755,6 +869,8 @@ object Multimodal {
     "mm_patches" -> (mmPatches _))
 
   val oracles: Map[String, String] = Map(
+    "mm_shots" -> mmShotsSql,
+    "mm_audio_fp" -> mmAudioFpSql,
     "mm_meta" -> mmMetaSql,
     "mm_resize" -> mmResizeSql,
     "mm_frames" -> mmFramesSql,

@@ -380,6 +380,43 @@ object Analytics {
       |FROM c JOIN t ON c.from_type = t.from_type
       |ORDER BY c.from_type, c.to_type""".stripMargin
 
+  // ---- q_decay_score ----------------------------------------------------------
+
+  /** Recency-decayed engagement score per user: each event contributes
+    * value halved per 30-day age bucket (the standard exponential-decay
+    * ranking signal). The decay is PURE INTEGER arithmetic — scaled
+    * value right-shifted by age/30 (halving = shift; no pow(), which is
+    * not bit-stable cross-engine) — so the score is exact at any scale.
+    * One broadcast of the 1-row max-ts reference, one map-combined
+    * aggregate. */
+  def qDecayScore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val ref = ev.agg(max(to_date(col("ts"))).as("_ref"))
+    ev.join(broadcast(ref))
+      .withColumn("_v",
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast(LongType))
+      .withColumn("_k",
+        least(expr("datediff(_ref, to_date(ts)) DIV 30"), lit(62))
+          .cast(IntegerType))
+      .select(col("user_id"), expr("shiftright(_v, _k)").as("_dv"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("_dv")).cast(DoubleType) / lit(1000000.0)).as("decayed_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val qDecayScoreSql: String =
+    """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS r FROM events),
+      |d AS (
+      |  SELECT user_id,
+      |    CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+      |      >> least(datediff('day', CAST(ts AS DATE), (SELECT r FROM ref)) // 30,
+      |                62) AS dv
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(dv) AS DOUBLE) / 1000000.0 AS decayed_value
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---- st_session -----------------------------------------------------------
 
   /** Per-user session aggregation via Spark's native session_window
@@ -781,6 +818,7 @@ object Analytics {
     "q_idle_customers" -> (qIdleCustomers _),
     "q_triangles" -> (qTriangles _),
     "q_bloom_semijoin" -> (qBloomSemijoin _),
+    "q_decay_score" -> (qDecayScore _),
     "st_session" -> (stSession _))
 
   val oracles: Map[String, String] = Map(
@@ -798,5 +836,6 @@ object Analytics {
     "q_idle_customers" -> qIdleCustomersSql,
     "q_triangles" -> qTrianglesSql,
     "q_bloom_semijoin" -> qBloomSemijoinSql,
+    "q_decay_score" -> qDecayScoreSql,
     "st_session" -> stSessionSql)
 }
