@@ -272,6 +272,32 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aDoc === "first line\nsecond line\n")
   }
 
+  test("gzip-compressed text and json-lines ingest transparently with lineage") {
+    // crawl dumps arrive gzipped; Spark's text/json readers decode .gz
+    // transparently. A .gz file is NOT splittable — it reads as one
+    // task — so the 100 TB layout answer is many files (task grain =
+    // file grain), which this exercises with two archives.
+    val d = tmp()
+    def gz(name: String, content: String): Unit = {
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(d, name)))
+      out.write(content.getBytes("UTF-8")); out.close()
+    }
+    gz("a.txt.gz", "alpha one\nalpha two\n")
+    gz("b.txt.gz", "beta one\n")
+    val lines = Sources.rawText(spark, d)
+    assert(lines.count() === 3)
+    val byFile = lines.groupBy("src_file").count().collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1))).toMap
+    assert(byFile === Map("a.txt.gz" -> 2L, "b.txt.gz" -> 1L))
+    // schema-explicit gzipped json-lines round-trip (no inference pass)
+    val li = Tables.lineitem(spark, dir).filter(col("l_orderkey") < 100)
+    val jd = tmp() + "/li-json-gz"
+    li.write.option("compression", "gzip").json(jd)
+    val back = spark.read.schema(li.schema).json(jd)
+    assert(sortedRows(back) === sortedRows(li))
+  }
+
   test("binary-file ingestion feeds the multimodal decode path; glob narrows modality") {
     val d = tmp()
     val png = graft.operators.Multimodal.makePng(42L)
