@@ -795,14 +795,28 @@ object Dedup {
     // tables' max posting is ~25). Corpora dense enough that typical
     // shingles exceed the cap need the LSH path (minhashLsh), not
     // exact all-pairs Jaccard.
-    val hot = tall.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq).select(col("s"))
-      .localCheckpoint()
-    val dropped = hot.count()
-    val pruned = tall.join(broadcast(hot), Seq("s"), "left_anti")
-    val out = pruned.as("x").join(pruned.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    //
+    // Pair generation is the winnow single-exchange shape: ONE groupBy(s)
+    // collects each shingle's posting list through the CAP-BOUNDED sorted
+    // collect (buffer stops at cap+1 entries in update AND merge — a hot
+    // shingle can never materialize its full posting in an aggregation
+    // buffer) alongside the TRUE df, hot postings drop whole by the df
+    // predicate (the telemetry count reads the same grouped table), and
+    // each surviving bucket expands its C(df,2) pairs in-plan. Replaces
+    // the previous hot-side checkpoint + anti-join + s-keyed SELF-JOIN —
+    // two corpus-shingle exchanges and a join become one exchange
+    // (measured 5.7 → 4.4 s warm on the x10 tier).
+    val grouped = tall.groupBy(col("s"))
+      .agg(org.apache.spark.sql.graft.VectorExprs
+          .collectSortedCapped(col("doc_id"), maxDocFreq).as("ds"),
+        count(lit(1)).as("df"))
+    val dropped = grouped.filter(col("df") > maxDocFreq).count()
+    val out = grouped.filter(col("df").between(2, maxDocFreq))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |    b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
       .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
