@@ -380,6 +380,151 @@ object Analytics {
       |FROM c JOIN t ON c.from_type = t.from_type
       |ORDER BY c.from_type, c.to_type""".stripMargin
 
+  // ---- q_changepoint ------------------------------------------------------------
+
+  /** CUSUM changepoint localization on the daily event-value series.
+    * The classic statistic C_t = Σ_{i≤t}(x_i − x̄) is kept EXACT by
+    * scaling out the mean's division: n·C_t = n·S_t − t·T (S_t = prefix
+    * sum, T = total, all scaled longs in DECIMAL(38,0)), so the argmax
+    * day — the most likely changepoint — is an exact integer
+    * comparison, and the reported curve pays ONE double division at the
+    * end. The cumulative window runs over the DAILY AGGREGATE (#days
+    * rows at any corpus size — bounded, the q_anomaly dashboard-table
+    * contract), never over events. */
+  def qChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev.groupBy(
+        datediff(to_date(col("ts")), lit("1970-01-01").cast(DateType)).as("dn"))
+      .agg(sum(scaled(col("value"))).as("_v"))
+    val tot = daily.agg(sum(col("_v")).as("_t"),
+      count(lit(1)).cast(DecSum).as("_n"))
+    val w = Window.orderBy(col("dn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cur = daily.withColumn("_s", sum(col("_v")).over(w))
+      .withColumn("_i", row_number().over(Window.orderBy(col("dn"))))
+      .crossJoin(broadcast(tot))
+      .withColumn("_nc",
+        col("_n") * col("_s") - col("_i").cast(DecSum) * col("_t"))
+    val peak = cur.agg(max(abs(col("_nc"))).as("_peak"))
+    cur.crossJoin(broadcast(peak))
+      .select(col("dn"),
+        (col("_v").cast(DoubleType) / lit(1000000.0)).as("daily_value"),
+        (col("_nc").cast(DoubleType) /
+          (col("_n") * lit(1000000L).cast(DecSum)).cast(DoubleType))
+          .as("cusum"),
+        (abs(col("_nc")) === col("_peak")).as("is_changepoint"))
+      .orderBy(col("dn"))
+  }
+
+  val qChangepointSql: String =
+    """WITH d AS (
+      |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+      |    CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS HUGEINT) AS v
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(v) AS HUGEINT) AS t, CAST(count(*) AS HUGEINT) AS n FROM d),
+      |c AS (
+      |  SELECT dn, v,
+      |    n * sum(v) OVER (ORDER BY dn ROWS UNBOUNDED PRECEDING)
+      |      - CAST(row_number() OVER (ORDER BY dn) AS HUGEINT) * t AS nc,
+      |    n
+      |  FROM d, t),
+      |p AS (SELECT max(abs(nc)) AS peak FROM c)
+      |SELECT dn, CAST(v AS DOUBLE) / 1000000.0 AS daily_value,
+      |  CAST(nc AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS cusum,
+      |  abs(nc) = (SELECT peak FROM p) AS is_changepoint
+      |FROM c ORDER BY dn""".stripMargin
+
+  // ---- q_seasonality --------------------------------------------------------------
+
+  /** Day-of-week seasonality index of order revenue: per ISO weekday,
+    * order count, exact revenue, and the seasonality index
+    * (day average ÷ overall average — two exact-operand IEEE divisions
+    * in identical order both engines). */
+  def qSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select((weekday(to_date(col("o_orderdate"))) + 1).as("isodow"),
+        scaled(col("o_totalprice")).as("_v"))
+    val tot = o.agg(sum(col("_v")).as("_tv"), count(lit(1)).as("_tn"))
+    o.groupBy(col("isodow"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("_v")).as("_dv"))
+      .crossJoin(broadcast(tot))
+      .select(col("isodow"), col("n_orders"),
+        (col("_dv").cast(DoubleType) / lit(1000000.0)).as("revenue"),
+        ((col("_dv").cast(DoubleType) / col("n_orders").cast(DoubleType)) /
+          (col("_tv").cast(DoubleType) / col("_tn").cast(DoubleType)))
+          .as("seasonality_index"))
+      .orderBy(col("isodow"))
+  }
+
+  val qSeasonalitySql: String =
+    """WITH o AS (
+      |  SELECT isodow(CAST(o_orderdate AS DATE)) AS isodow,
+      |    CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) AS v
+      |  FROM orders),
+      |t AS (SELECT CAST(sum(v) AS BIGINT) AS tv, count(*) AS tn FROM o)
+      |SELECT isodow, count(*) AS n_orders,
+      |  CAST(sum(v) AS DOUBLE) / 1000000.0 AS revenue,
+      |  (CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) /
+      |    (CAST((SELECT tv FROM t) AS DOUBLE) /
+      |     CAST((SELECT tn FROM t) AS DOUBLE)) AS seasonality_index
+      |FROM o GROUP BY isodow ORDER BY isodow""".stripMargin
+
+  // ---- q_growth_accounting ----------------------------------------------------------
+
+  /** Weekly growth accounting (the new/retained/resurrected/churned
+    * user ledger): each user's active weeks classify against their
+    * previous active week — new (no prior), retained (exactly one week
+    * prior), resurrected (gap > 1 week) — and churned(w) = active(w−1)
+    * − retained(w), derived on the week-level aggregate. Per-user lag
+    * windows are bounded by a user's own activity; the final lag runs
+    * on the #weeks-sized ledger. Week arithmetic is exact integers
+    * (Monday truncation, whole-day diffs — the q_retention contract). */
+  def qGrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val uw = ev.select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk")).distinct()
+    val lagw = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val classified = uw
+      .withColumn("_prev", lag(col("wk"), 1).over(lagw))
+      .select(col("wk"),
+        when(col("_prev").isNull, "new")
+          .when(datediff(col("wk"), col("_prev")) === 7, "retained")
+          .otherwise("resurrected").as("_cls"))
+    val ledger = classified.groupBy(col("wk"))
+      .agg(count(lit(1)).as("active"),
+        sum(when(col("_cls") === "new", 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("_cls") === "retained", 1L).otherwise(0L)).as("retained"),
+        sum(when(col("_cls") === "resurrected", 1L).otherwise(0L))
+          .as("resurrected"))
+    ledger
+      .withColumn("churned",
+        coalesce(lag(col("active"), 1).over(Window.orderBy(col("wk"))), lit(0L))
+          - col("retained"))
+      .orderBy(col("wk"))
+  }
+
+  val qGrowthAccountingSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |c AS (
+      |  SELECT wk,
+      |    CASE WHEN lag(wk) OVER w IS NULL THEN 'new'
+      |         WHEN datediff('day', lag(wk) OVER w, wk) = 7 THEN 'retained'
+      |         ELSE 'resurrected' END AS cls
+      |  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY wk)),
+      |l AS (
+      |  SELECT wk, count(*) AS active,
+      |    CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+      |    CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+      |    CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS resurrected
+      |  FROM c GROUP BY wk)
+      |SELECT wk, active, new_users, retained, resurrected,
+      |  coalesce(lag(active) OVER (ORDER BY wk), 0) - retained AS churned
+      |FROM l ORDER BY wk""".stripMargin
+
   // ---- q_decay_score ----------------------------------------------------------
 
   /** Recency-decayed engagement score per user: each event contributes
@@ -819,6 +964,9 @@ object Analytics {
     "q_triangles" -> (qTriangles _),
     "q_bloom_semijoin" -> (qBloomSemijoin _),
     "q_decay_score" -> (qDecayScore _),
+    "q_changepoint" -> (qChangepoint _),
+    "q_seasonality" -> (qSeasonality _),
+    "q_growth_accounting" -> (qGrowthAccounting _),
     "st_session" -> (stSession _))
 
   val oracles: Map[String, String] = Map(
@@ -837,5 +985,8 @@ object Analytics {
     "q_triangles" -> qTrianglesSql,
     "q_bloom_semijoin" -> qBloomSemijoinSql,
     "q_decay_score" -> qDecayScoreSql,
+    "q_changepoint" -> qChangepointSql,
+    "q_seasonality" -> qSeasonalitySql,
+    "q_growth_accounting" -> qGrowthAccountingSql,
     "st_session" -> stSessionSql)
 }
