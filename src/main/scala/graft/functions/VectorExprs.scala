@@ -1322,6 +1322,22 @@ case class BigramXxh64(child: Expression)
 
   override protected def nullSafeEval(sAny: Any): Any = {
     val bytes = sAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val out = BigramXxh64.bigramHashes(bytes)
+    if (out == null) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramXxh64 =
+    copy(child = newChild)
+}
+
+object BigramXxh64 {
+  /** Chained-xxhash bigram identities of a space-tokenized byte string —
+    * the ONE bigram-hash definition shared by the [[BigramXxh64]]
+    * expression and the fused per-partition kernels (TextAnalysis
+    * fluency). Null for fewer than two words. */
+  def bigramHashes(bytes: Array[Byte]): Array[Long] = {
     val n = bytes.length
     var spaces = 0
     var i = 0
@@ -1348,11 +1364,8 @@ case class BigramXxh64(child: Expression)
       out(k) = h(k + 1, h(k, 42L))
       k += 1
     }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): BigramXxh64 =
-    copy(child = newChild)
 }
 
 object CollectSortedCappedLong {

@@ -1566,15 +1566,113 @@ object TextAnalysis {
     // count) moves (long, long) rows — same shape dd_exact uses for
     // text identity; a 64-bit collision merging two distinct bigrams
     // is ~N^2/2^64.
-    val tall = docs.select(col("doc_id"),
-      explode(org.apache.spark.sql.graft.VectorExprs
-        .bigramXxh64(col("text"))).as("bg"))
-    // No count-join back to the tall table: a corpus-unique bigram
-    // (n == 1) occurs in exactly one document, so min(doc_id) of its
-    // count group IS that document — per-doc rare counts come from the
-    // count groups directly. And the per-doc bigram TOTAL is pure
-    // arithmetic on the word count (a zero-shuffle projection), so the
-    // doc-keyed aggregate over the tall table is gone too.
+    // FUSED partial kernel (the dd_overlap shape): uniqueness + ownership
+    // only need, per partition-distinct bigram, "seen once (by whom) or
+    // more than once" — a primitive open-addressing bg→owner table
+    // answers that per occurrence with one multiply-shift probe instead
+    // of Spark's generic UnsafeRow hash-agg probe (the dominant cost of
+    // the explode → groupBy formulation; same decomposition as Probe
+    // overlap-floor). The table is HARD-bounded (2^21 slots): on fill it
+    // drains and resets, and a mid-document split resumes via pending
+    // state. Flush epochs keep semantics EXACT: a bigram split across
+    // epochs emits two rows, and two rows (or an in-epoch repeat, owner
+    // = -1) both mean "not corpus-unique" downstream — precisely the
+    // occurrence-count semantics of the groupBy it replaces.
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    val part = docs.select(col("doc_id"), col("text")).mapPartitions { rows =>
+      new scala.collection.AbstractIterator[(Long, Long)] {
+        private val bits = 21
+        private val cap = 1 << bits
+        private val mask = cap - 1
+        private val maxUsed = (cap * 3) / 4
+        private val keys = new Array[Long](cap)
+        // 0 = empty slot; 1 = seen more than once; owner + 2 otherwise
+        private val vals = new Array[Long](cap)
+        private var used = 0
+        private var draining = false
+        private var drainPos = 0
+        private var haveNext = false
+        private var nextBg = 0L
+        private var nextOwner = 0L
+        private var pendHs: Array[Long] = null
+        private var pendIdx = 0
+        private var pendOwner = 0L
+
+        private def insert(bg: Long, owner: Long): Unit = {
+          var idx = ((bg * 0x9E3779B97F4A7C15L) >>> (64 - bits)).toInt & mask
+          while (true) {
+            val v0 = vals(idx)
+            if (v0 == 0L) {
+              keys(idx) = bg; vals(idx) = owner + 2; used += 1; return
+            }
+            if (keys(idx) == bg) {
+              vals(idx) = 1L; return
+            }
+            idx = (idx + 1) & mask
+          }
+        }
+
+        private def fill(): Unit = {
+          while (used < maxUsed) {
+            if (pendHs != null) {
+              val hs = pendHs
+              var i = pendIdx
+              while (i < hs.length && used < maxUsed) {
+                insert(hs(i), pendOwner); i += 1
+              }
+              if (i < hs.length) { pendIdx = i; return }
+              pendHs = null
+            } else if (rows.hasNext) {
+              val r = rows.next()
+              if (!r.isNullAt(1)) {
+                val hs = org.apache.spark.sql.graft.BigramXxh64.bigramHashes(
+                  r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                if (hs != null) {
+                  pendHs = hs; pendIdx = 0; pendOwner = r.getLong(0)
+                }
+              }
+            } else return
+          }
+        }
+
+        private def advance(): Unit = {
+          while (true) {
+            if (draining) {
+              while (drainPos < cap && vals(drainPos) == 0L) drainPos += 1
+              if (drainPos < cap) {
+                nextBg = keys(drainPos)
+                nextOwner = if (vals(drainPos) == 1L) -1L else vals(drainPos) - 2
+                drainPos += 1
+                haveNext = true
+                return
+              }
+              if (pendHs == null && !rows.hasNext) { haveNext = false; return }
+              java.util.Arrays.fill(vals, 0L)
+              used = 0; draining = false; drainPos = 0
+            } else {
+              fill()
+              draining = true
+            }
+          }
+        }
+
+        override def hasNext: Boolean = {
+          if (!haveNext) advance()
+          haveNext
+        }
+        override def next(): (Long, Long) = {
+          if (!hasNext) throw new NoSuchElementException
+          haveNext = false
+          (nextBg, nextOwner)
+        }
+      }
+    }.toDF("bg", "owner")
+    // No count-join back to a tall table: a corpus-unique bigram has
+    // exactly ONE partition row, with a real owner — min(owner) of a
+    // single-row group IS that document. And the per-doc bigram TOTAL is
+    // pure arithmetic on the word count (a zero-shuffle projection), so
+    // no doc-keyed aggregate over occurrences exists either.
     // bigram total = space count (split on a literal single space yields
     // spaces+1 tokens, so size(split)-1 == #spaces for every input):
     // two length() calls instead of materializing the token array on the
@@ -1585,9 +1683,9 @@ object TextAnalysis {
           length(replace(col("text"), lit(" "), lit(""))))
           .cast(LongType).as("n_bigrams"))
       .filter(col("n_bigrams") > 0)
-    val rare = tall.groupBy(col("bg"))
-      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("owner"))
-      .filter(col("n") === 1)
+    val rare = part.groupBy(col("bg"))
+      .agg(count(lit(1)).as("n"), min(col("owner")).as("owner"))
+      .filter(col("n") === 1 && col("owner") >= 0)
       .groupBy(col("owner")).agg(count(lit(1)).as("n_rare"))
     perDoc.join(rare, perDoc("doc_id") === rare("owner"), "left")
       .select(col("doc_id"), col("n_bigrams"),

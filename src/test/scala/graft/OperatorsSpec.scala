@@ -2533,6 +2533,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaKernel.getAs[Long]("n_b") === 0L)
   }
 
+  test("fluency kernel: flush-on-full path keeps exact uniqueness semantics") {
+    import spark.implicits._
+    // one document whose distinct bigrams exceed the flush threshold
+    // ((3/4)·2^21) forces mid-document resume + table flushes; every
+    // bigram occurs once, so all must come back corpus-unique
+    val nWords = 1700000
+    val sb = new java.lang.StringBuilder(nWords * 9)
+    var i = 0
+    while (i < nWords) { if (i > 0) sb.append(' '); sb.append("w").append(i); i += 1 }
+    // a second doc with an in-doc repeat and a cross-doc share:
+    // "x y x y" -> "x y" twice (not rare), "y x" once (rare);
+    // doc 2 repeats one of doc 0's bigrams ("w0 w1") -> not rare
+    val docs = Seq((0L, sb.toString), (1L, "x y x y"), (2L, "w0 w1"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fluency(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) === ((nWords - 1L, nWords - 2L)),
+      "giant doc: all bigrams unique except the one doc 2 repeats")
+    assert(out(1L) === ((3L, 1L)), "repeat doc: only 'y x' is corpus-unique")
+    assert(out(2L) === ((1L, 0L)), "shared bigram is not corpus-unique")
+  }
+
   test("LongLongMap: exact over keys including zero; over-capacity throws") {
     val m = new graft.core.LongLongMap(100)
     val rnd = new scala.util.Random(3)
