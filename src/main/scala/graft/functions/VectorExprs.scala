@@ -1014,16 +1014,35 @@ case class BigramKeyPairs(child: Expression)
 
   override protected def nullSafeEval(sAny: Any): Any = {
     val s = sAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-    val bytes = s.getBytes
+    val packed = BigramKeyPairs.keyPairsInterleaved(s.getBytes)
+    val nb = packed.length / 2
+    val out = new Array[Any](nb)
+    var k = 0
+    while (k < nb) {
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        packed(2 * k), packed(2 * k + 1))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramKeyPairs =
+    copy(child = newChild)
+}
+
+object BigramKeyPairs {
+  /** Interleaved [k1_0, k12_0, k1_1, k12_1, …] unigram/bigram xxh64 key
+    * pairs — the ONE definition shared by the [[BigramKeyPairs]]
+    * expression and the fused train-count kernel (TextAnalysis
+    * lmScore). Empty for fewer than two words. */
+  def keyPairsInterleaved(bytes: Array[Byte]): Array[Long] = {
     val n = bytes.length
     var spaces = 0
     var i = 0
     while (i < n) { if (bytes(i) == ' ') spaces += 1; i += 1 }
     val nWords = spaces + 1
     val nb = math.max(0, nWords - 1)
-    if (nb == 0)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array.empty[Any])
+    if (nb == 0) return Array.emptyLongArray
     val wStart = new Array[Int](nWords)
     val wEnd = new Array[Int](nWords)
     var wi = 0
@@ -1034,21 +1053,17 @@ case class BigramKeyPairs(child: Expression)
     }
     wEnd(wi) = n
     val base = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
-    val out = new Array[Any](nb)
+    val out = new Array[Long](nb * 2)
     var k = 0
     while (k < nb) {
-      val k1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      out(2 * k) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
         bytes, base + wStart(k), wEnd(k) - wStart(k), 42L)
-      val k12 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      out(2 * k + 1) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
         bytes, base + wStart(k), wEnd(k + 1) - wStart(k), 42L)
-      out(k) = org.apache.spark.sql.catalyst.InternalRow(k1, k12)
       k += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): BigramKeyPairs =
-    copy(child = newChild)
 }
 
 /** Winnowing fingerprint selection in one pass — the distinct sliding-

@@ -2676,12 +2676,110 @@ object TextAnalysis {
     // string formulation) into a map-combined vocab-sized count
     // aggregate. c1 = Σ_w2 c2 — the unigram table FOLDS OUT of the
     // bigram table, so the train half is scanned once.
-    val c2 = docs.filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id"), explode(
-        org.apache.spark.sql.graft.VectorExprs.bigramHashes(col("text")))
-        .as("b"))
-      .groupBy(col("b.k12").as("k12"), col("b.k1").as("k1"))
-      .agg(count(lit(1)).as("c2"))
+    // FUSED train-count kernel (the fluency/dd_overlap shape): the
+    // per-occurrence work drops from a generic two-long-key UnsafeRow
+    // hash-agg probe to one multiply-shift probe of a primitive
+    // (k12, k1) → count table; partition-partial (k12, k1, cnt) rows
+    // flow into an exact sum merge. Hard-bounded (2^21 slots,
+    // drain-and-reset on fill, mid-document resume); counts split
+    // across flush epochs re-sum downstream, so any table size is
+    // correct. Probes match on BOTH keys — a k12 collision between
+    // distinct (k12, k1) pairs stays two entries, exactly as the
+    // groupBy it replaces treated it.
+    val spark1 = docs.sparkSession
+    import spark1.implicits._
+    val trainPart = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("text")).mapPartitions { rows =>
+        new scala.collection.AbstractIterator[(Long, Long, Long)] {
+          private val bits = 21
+          private val cap = 1 << bits
+          private val mask = cap - 1
+          private val maxUsed = (cap * 3) / 4
+          private val k12s = new Array[Long](cap)
+          private val k1s = new Array[Long](cap)
+          private val cnts = new Array[Long](cap) // 0 = empty slot
+          private var used = 0
+          private var draining = false
+          private var drainPos = 0
+          private var haveNext = false
+          private var nk12 = 0L
+          private var nk1 = 0L
+          private var ncnt = 0L
+          private var pend: Array[Long] = null
+          private var pendIdx = 0
+
+          private def insert(k1: Long, k12: Long): Unit = {
+            var idx = (((k12 ^ k1) * 0x9E3779B97F4A7C15L) >>> (64 - bits))
+              .toInt & mask
+            while (true) {
+              val c0 = cnts(idx)
+              if (c0 == 0L) {
+                k12s(idx) = k12; k1s(idx) = k1; cnts(idx) = 1L; used += 1
+                return
+              }
+              if (k12s(idx) == k12 && k1s(idx) == k1) {
+                cnts(idx) = c0 + 1; return
+              }
+              idx = (idx + 1) & mask
+            }
+          }
+
+          private def fill(): Unit = {
+            while (used < maxUsed) {
+              if (pend != null) {
+                val hs = pend
+                var i = pendIdx
+                while (i < hs.length && used < maxUsed) {
+                  insert(hs(i), hs(i + 1)); i += 2
+                }
+                if (i < hs.length) { pendIdx = i; return }
+                pend = null
+              } else if (rows.hasNext) {
+                val r = rows.next()
+                if (!r.isNullAt(0)) {
+                  val hs = org.apache.spark.sql.graft.BigramKeyPairs
+                    .keyPairsInterleaved(r.getString(0)
+                      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                  if (hs.nonEmpty) { pend = hs; pendIdx = 0 }
+                }
+              } else return
+            }
+          }
+
+          private def advance(): Unit = {
+            while (true) {
+              if (draining) {
+                while (drainPos < cap && cnts(drainPos) == 0L) drainPos += 1
+                if (drainPos < cap) {
+                  nk12 = k12s(drainPos); nk1 = k1s(drainPos)
+                  ncnt = cnts(drainPos)
+                  drainPos += 1
+                  haveNext = true
+                  return
+                }
+                if (pend == null && !rows.hasNext) { haveNext = false; return }
+                java.util.Arrays.fill(cnts, 0L)
+                used = 0; draining = false; drainPos = 0
+              } else {
+                fill()
+                draining = true
+              }
+            }
+          }
+
+          override def hasNext: Boolean = {
+            if (!haveNext) advance()
+            haveNext
+          }
+          override def next(): (Long, Long, Long) = {
+            if (!hasNext) throw new NoSuchElementException
+            haveNext = false
+            (nk12, nk1, ncnt)
+          }
+        }
+      }.toDF("k12", "k1", "cnt")
+    val c2 = trainPart.groupBy(col("k12"), col("k1"))
+      .agg(sum(col("cnt")).as("c2"))
     // SERVE: the production LM-filter shape (CCNet ships a compiled LM
     // binary to every worker the same way) — collect the model ONCE and
     // score each document in one mapPartitions scan with primitive
