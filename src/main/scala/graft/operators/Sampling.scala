@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StructField, StructType}
 
 import graft.core.Tables
 import org.apache.spark.sql.graft.VectorExprs.md5Long
@@ -1135,8 +1135,43 @@ object Sampling {
       |WHERE sel.rk2 <= q.quota
       |GROUP BY 1, 2, 3 ORDER BY sel.source""".stripMargin
 
+  /** Per-shard export integrity manifest: row count plus an
+    * ORDER-INDEPENDENT content checksum (sum of per-row md5-derived
+    * 60-bit hashes, folded mod 2^31−1) for every rendezvous shard — the
+    * manifest a consumer re-computes after transfer to prove a shard
+    * arrived complete and unaltered, without any agreed row order. The
+    * row hash covers every exported field (content digest included), so
+    * a single flipped byte, dropped row, or duplicated row changes the
+    * shard checksum. One map-combined aggregate; commutative sum means
+    * partitioning/ordering can never affect the manifest. */
+  def exportChecksums(docs: DataFrame, shards: Int = 16): DataFrame = {
+    val rowHash = md5Long(
+      concat_ws(":", col("doc_id").cast("string"), col("lang"),
+        col("source"), col("n_chars").cast("string"), md5(col("text"))),
+      1, 15)
+    docs.select(pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        rowHash.as("_h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("_h").cast(DecimalType(38, 0))) % lit(2147483647L))
+          .cast(LongType).as("checksum"))
+      .orderBy(col("shard"))
+  }
+
+  def qExportChecksums(spark: SparkSession, dir: String): DataFrame =
+    exportChecksums(Tables.documents(spark, dir))
+
+  val qExportChecksumsSql: String =
+    """SELECT doc_id % 16 AS shard, count(*) AS n_rows,
+      |  CAST(CAST(sum(('0x' || substr(md5(
+      |      CAST(doc_id AS VARCHAR) || ':' || lang || ':' || source || ':' ||
+      |      CAST(n_chars AS VARCHAR) || ':' || md5(text)), 1, 15))::BIGINT)
+      |    AS HUGEINT) % 2147483647 AS BIGINT) AS checksum
+      |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_temperature_mix" -> (qTemperatureMix _),
+    "q_export_checksums" -> (qExportChecksums _),
     "st_sample" -> (stSample _),
     "q_pack_docs" -> (qPackDocs _),
     "q_pack_nextfit" -> (qPackNextfit _),
@@ -1175,5 +1210,6 @@ object Sampling {
     "q_interleave" -> qInterleaveSql,
     "q_holdout" -> qHoldoutSql,
     "q_stratified" -> qStratifiedSql,
-    "q_temperature_mix" -> qTemperatureMixSql)
+    "q_temperature_mix" -> qTemperatureMixSql,
+    "q_export_checksums" -> qExportChecksumsSql)
 }
