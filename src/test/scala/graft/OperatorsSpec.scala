@@ -2555,6 +2555,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) === ((1L, 0L)), "shared bigram is not corpus-unique")
   }
 
+  test("export checksums are invariant to partitioning and catch any row change") {
+    val docs = Tables.documents(spark, dir)
+    val base = graft.operators.Sampling.exportChecksums(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val shuffled = graft.operators.Sampling.exportChecksums(
+        docs.repartition(17, col("lang")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(base === shuffled, "manifest changed under repartitioning")
+    // a single-row content change must move its shard's checksum
+    val tampered = graft.operators.Sampling.exportChecksums(
+        docs.withColumn("text",
+          when(col("doc_id") === 16, concat(col("text"), lit("x")))
+            .otherwise(col("text"))))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val baseMap = base.map(r => r._1 -> r._3).toMap
+    assert(tampered(0L) !== baseMap(0L), "tampered shard 0 checksum unchanged")
+    assert((1L until 16L).forall(s => tampered(s) === baseMap(s)),
+      "untouched shards changed")
+  }
+
   test("LongLongMap: exact over keys including zero; over-capacity throws") {
     val m = new graft.core.LongLongMap(100)
     val rnd = new scala.util.Random(3)
