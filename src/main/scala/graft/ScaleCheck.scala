@@ -176,6 +176,24 @@ object ScaleCheck {
         graft.queries.Analytics.triangleCount(e)
           .head.getAs[Long]("n_triangles")
       },
+      // the OVER-GATE path: force the edge-count gate shut so the same
+      // graph runs through the shuffled node-iterator fallback — the
+      // plan a 100x graph takes automatically. Completing (and matching
+      // the broadcast path's count) without a driver-side edge broadcast
+      // is the rehearsal the gate's scaladoc promises.
+      t("an_triangles_fallback") {
+        val n = math.max(rows / 50L, 100L)
+        val e = docs.select(
+            pmod(xxhash64(col("doc_id"), lit(1L)), lit(n)).as("a"),
+            pmod(xxhash64(col("doc_id"), lit(2L)), lit(n)).as("b"))
+          .select(least(col("a"), col("b")).as("u"),
+            greatest(col("a"), col("b")).as("v"))
+          .filter(col("u") < col("v")).distinct()
+        spark.conf.set("graft.triangles.maxBroadcastEdges", "0")
+        try graft.queries.Analytics.triangleCount(e)
+          .head.getAs[Long]("n_triangles")
+        finally spark.conf.unset("graft.triangles.maxBroadcastEdges")
+      },
       // scale path — both per-query cost, not all-pairs
       t("ann_brute")(Similarity.bruteTopK(synthEmb(docs), col("vec_id") < 10).count()),
       t("ann_lsh")(Similarity.lshTopK(synthEmb(docs), col("vec_id") < 10).count()),

@@ -25,37 +25,38 @@ final class LongLongMap(expectedSize: Int) extends Serializable {
   private def idx0(k: Long): Int =
     ((k * 0x9E3779B97F4A7C15L) >>> (64 - bits)).toInt & mask
 
+  /** Reject an insert that would fill the LAST empty bucket: get()'s
+    * linear probe terminates on an empty slot or a match, so a 100%-full
+    * table would spin forever on a lookup for an absent key. Keeping one
+    * bucket free guarantees every probe sequence terminates. */
+  private def checkRoom(): Unit =
+    if (n + 1 >= cap)
+      throw new IllegalStateException(
+        s"LongLongMap over capacity: $n entries, sized for $expectedSize")
+
   /** Insert or overwrite. The table is fixed-capacity (2× expected):
-    * inserting more than `cap` distinct keys throws rather than loops. */
+    * inserting more than `cap - 1` distinct keys throws rather than loops. */
   def put(k: Long, v: Long): Unit = {
     if (k == 0L) { zeroVal = v; return }
     var i = idx0(k)
-    var probes = 0
-    while (probes <= cap) {
+    while (true) {
       val k0 = keys(i)
-      if (k0 == 0L) { keys(i) = k; vals(i) = v; n += 1; return }
+      if (k0 == 0L) { checkRoom(); keys(i) = k; vals(i) = v; n += 1; return }
       if (k0 == k) { vals(i) = v; return }
       i = (i + 1) & mask
-      probes += 1
     }
-    throw new IllegalStateException(
-      s"LongLongMap over capacity: $n entries, sized for $expectedSize")
   }
 
   /** Add `v` to the current value (0 if absent) — the fold-build form. */
   def addTo(k: Long, v: Long): Unit = {
     if (k == 0L) { zeroVal += v; return }
     var i = idx0(k)
-    var probes = 0
-    while (probes <= cap) {
+    while (true) {
       val k0 = keys(i)
-      if (k0 == 0L) { keys(i) = k; vals(i) = v; n += 1; return }
+      if (k0 == 0L) { checkRoom(); keys(i) = k; vals(i) = v; n += 1; return }
       if (k0 == k) { vals(i) += v; return }
       i = (i + 1) & mask
-      probes += 1
     }
-    throw new IllegalStateException(
-      s"LongLongMap over capacity: $n entries, sized for $expectedSize")
   }
 
   /** Count for `k`, or 0 when absent (counts are ≥ 1 by contract). */

@@ -759,33 +759,37 @@ object Dedup {
     * degenerate (stopword-only) shingle bounds fan-in — production adds a
     * document-frequency cap on shingles; the planted corpus needs none. */
   def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5,
-                   maxDocFreq: Int = 1000): DataFrame = {
-    val (out, dropped) = ngramJaccardWithStats(docs, minJaccard, maxDocFreq)
-    if (dropped > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"ngramJaccard: df cap ($maxDocFreq) dropped $dropped hot shingles " +
-          "from pair generation; Jaccard is a lower bound for pairs that " +
-          "shared them — dense corpora belong on the minhashLsh path")
-    out
-  }
+                   maxDocFreq: Int = 1000): DataFrame =
+    ngramJaccardWithStats(docs, minJaccard, maxDocFreq)._1
 
   /** [[ngramJaccard]] plus its truncation telemetry (no-silent-truncation
-    * rule): the second element is the number of distinct shingle hashes
-    * the df cap removed from pair generation — 0 means the result is
-    * exact, >0 quantifies exactly how much signal the cap traded away.
-    * The count is an eager side-output over the already-materialized
-    * (localCheckpointed) shingle table, so it costs one tiny aggregation,
-    * not a recompute. */
+    * rule): the second element, WHEN CALLED, returns the number of
+    * distinct shingle hashes the df cap removed from pair generation —
+    * 0 means the result is exact, >0 quantifies exactly how much signal
+    * the cap traded away. Telemetry is fully lazy: building the operator
+    * triggers ZERO Spark jobs (plan-only callers — Explain, PLANS.md
+    * regeneration, registry enumeration — pay nothing), and the pair
+    * DataFrame additionally carries an in-plan `observe` metric
+    * (`ngram_df_cap.dropped`) that a once-per-session listener turns into
+    * the truncation warning whenever an action actually runs — the
+    * warning costs no extra job either. Calling the thunk runs one
+    * aggregation over the shingle table; the table is a LAZY
+    * localCheckpoint shared with the pair pipeline, so after the pairs
+    * have materialized the thunk reuses the cached shingles. */
   def ngramJaccardWithStats(docs: DataFrame, minJaccard: Double = 0.5,
-                            maxDocFreq: Int = 1000): (DataFrame, Long) = {
+                            maxDocFreq: Int = 1000): (DataFrame, () => Long) = {
     // join on a 60-bit hash of the shingle, not the string: the shuffle
     // carries 8-byte keys instead of ~20-byte text, and the per-doc
     // distinct runs on longs (cheap) not strings. Both engines use the
     // same md5-derived hash, so results are identical by construction
     // (within-doc 60-bit collisions: ~1e-15 per doc, ignored).
+    // persist(), NOT localCheckpoint: checkpointing calls toRdd, which
+    // under AQE materializes the distinct's shuffle stages AT CONSTRUCTION
+    // — a plan-time Spark job. persist() stays fully lazy (cached on first
+    // action) and both consumers (sizes + grouped) share the one compute.
     val tall = hashedShingles(docs).withColumnRenamed("sh", "s")
       .distinct()
-      .localCheckpoint()
+      .persist()
     val sizes = tall.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // document-frequency cap: a shingle appearing in >maxDocFreq docs (a
     // stopword run) contributes O(df^2) candidate pairs and no near-dup
@@ -810,8 +814,19 @@ object Dedup {
       .agg(org.apache.spark.sql.graft.VectorExprs
           .collectSortedCapped(col("doc_id"), maxDocFreq).as("ds"),
         count(lit(1)).as("df"))
-    val dropped = grouped.filter(col("df") > maxDocFreq).count()
-    val out = grouped.filter(col("df").between(2, maxDocFreq))
+    // telemetry: (a) on-demand exact count — one tiny aggregation over the
+    // lazily-checkpointed shingle table, run only when the caller asks;
+    // (b) an in-plan observe metric so any ACTION on the pairs reports the
+    // cap's effect through the session listener with zero extra jobs
+    val dropped: () => Long =
+      () => grouped.filter(col("df") > maxDocFreq).count()
+    DfCapTelemetry.ensureListener(docs.sparkSession)
+    val observed = grouped.observe(
+      DfCapTelemetry.metricName + java.util.UUID.randomUUID().toString.take(8),
+      sum(when(col("df") > maxDocFreq, lit(1L)).otherwise(lit(0L)))
+        .as("dropped"),
+      max(lit(maxDocFreq)).as("cap"))
+    val out = observed.filter(col("df").between(2, maxDocFreq))
       .select(explode(expr(
         """flatten(transform(ds, (a, i) ->
           |  transform(slice(ds, i + 2, size(ds)),
@@ -1843,4 +1858,41 @@ object Dedup {
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_threshold_hist" -> ddThresholdHistSql,
     "dd_embed_cosine" -> ddEmbedCosineSql)
+}
+
+/** Session-level listener that turns the `ngram_df_cap*` observe metric
+  * into the no-silent-truncation warning. Registered at most once per
+  * SparkSession; observing costs one CollectMetrics node in the plan and
+  * zero extra jobs — the metric rides along whatever action the caller
+  * runs, so even a caller that never asks for telemetry still gets the
+  * cap's effect surfaced in the log. */
+private[operators] object DfCapTelemetry {
+  val metricName = "ngram_df_cap_"
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  def ensureListener(spark: SparkSession): Unit =
+    if (registered.add(spark)) {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith(metricName) && !row.isNullAt(0)) {
+                val dropped = row.getLong(0)
+                if (dropped > 0) log.warn(
+                  s"ngramJaccard: df cap (${row.get(1)}) dropped $dropped " +
+                    "hot shingles from pair generation; Jaccard is a lower " +
+                    "bound for pairs that shared them — dense corpora " +
+                    "belong on the minhashLsh path")
+              }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    }
 }

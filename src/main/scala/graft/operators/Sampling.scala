@@ -1145,9 +1145,18 @@ object Sampling {
     * shard checksum. One map-combined aggregate; commutative sum means
     * partitioning/ordering can never affect the manifest. */
   def exportChecksums(docs: DataFrame, shards: Int = 16): DataFrame = {
+    // each field is md5'd SEPARATELY before concatenation: the 32-hex-char
+    // fixed width removes separator ambiguity (a ':' inside lang/source can
+    // no longer slide across field boundaries), and NULL coalesces to a
+    // 0x01-byte sentinel so a null field changes the hash instead of being
+    // silently skipped (concat_ws drops nulls; the oracle's || propagates
+    // them — both wrong for an integrity manifest)
+    def fieldHash(c: Column): Column =
+      md5(coalesce(c.cast("string"), lit("\u0001")))
     val rowHash = md5Long(
-      concat_ws(":", col("doc_id").cast("string"), col("lang"),
-        col("source"), col("n_chars").cast("string"), md5(col("text"))),
+      concat(fieldHash(col("doc_id")), fieldHash(col("lang")),
+        fieldHash(col("source")), fieldHash(col("n_chars")),
+        fieldHash(col("text"))),
       1, 15)
     docs.select(pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
         rowHash.as("_h"))
@@ -1164,8 +1173,11 @@ object Sampling {
   val qExportChecksumsSql: String =
     """SELECT doc_id % 16 AS shard, count(*) AS n_rows,
       |  CAST(CAST(sum(('0x' || substr(md5(
-      |      CAST(doc_id AS VARCHAR) || ':' || lang || ':' || source || ':' ||
-      |      CAST(n_chars AS VARCHAR) || ':' || md5(text)), 1, 15))::BIGINT)
+      |      md5(coalesce(CAST(doc_id AS VARCHAR), chr(1))) ||
+      |      md5(coalesce(lang, chr(1))) ||
+      |      md5(coalesce(source, chr(1))) ||
+      |      md5(coalesce(CAST(n_chars AS VARCHAR), chr(1))) ||
+      |      md5(coalesce(text, chr(1)))), 1, 15))::BIGINT)
       |    AS HUGEINT) % 2147483647 AS BIGINT) AS checksum
       |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
 

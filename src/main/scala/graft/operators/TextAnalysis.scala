@@ -2668,8 +2668,29 @@ object TextAnalysis {
     * this scale), so no corpus-token row ever crosses an exchange
     * before the per-doc aggregate; that aggregate shuffles (doc_id,
     * partial) only. For unbounded vocabularies, drop the broadcast()
-    * hints and the same plan shuffle-joins on the bigram key. */
-  def lmScore(docs: DataFrame, minCount: Long = 1): DataFrame = {
+    * hints and the same plan shuffle-joins on the bigram key.
+    *
+    * LAZY construction: the returned frame is a [[org.apache.spark.sql
+    * .graft.DeferredDF]] — building it runs ZERO Spark jobs. The
+    * train-half aggregation and the model collect happen at first
+    * ACTION (driver-side, inside the deferred node's doExecute), so
+    * plan-only callers (Explain, PLANS.md, registry enumeration) pay
+    * nothing, and repeated executions reuse the memoized model. */
+  def lmScore(docs: DataFrame, minCount: Long = 1): DataFrame =
+    org.apache.spark.sql.graft.DeferredDF(docs.sparkSession,
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_bigrams", LongType, nullable = false),
+        StructField("surprise_bits", LongType, nullable = false),
+        StructField("surprise_per_kbi", DoubleType, nullable = true),
+        StructField("lm_keep", BooleanType, nullable = true))),
+      () => lmScoreEager(docs, minCount))
+
+  /** The eager body of [[lmScore]]: runs the train job and collects the
+    * (pruned) model AT CALL TIME. Callers wanting laziness go through
+    * [[lmScore]]; this stays public for specs that pin the serve
+    * semantics directly. */
+  def lmScoreEager(docs: DataFrame, minCount: Long = 1): DataFrame = {
     // TRAIN: the BigramKeyPairs kernel emits (k1, k12) XXH64 key pairs
     // straight off the text bytes (no string materialization; keys
     // spec-pinned bit-equal to xxhash64(w1)/xxhash64(w1||' '||w2) of the
@@ -2938,6 +2959,16 @@ object TextAnalysis {
   def txLmScore(spark: SparkSession, dir: String): DataFrame =
     lmScore(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** tx_lm_score_pruned: the BOUNDED-model configuration — minCount=2
+    * prunes singleton bigrams from the collected table before the
+    * driver sees it (model size <= total_train_bigrams/minCount by the
+    * counting argument in [[lmScore]]); pruned bigrams score as unseen
+    * continuations. THIS is the 100 TB production default — the exact
+    * minCount=1 path ([[txLmScore]]) stays for corpora whose bigram
+    * table fits the driver outright. */
+  def txLmScorePruned(spark: SparkSession, dir: String): DataFrame =
+    lmScore(Tables.documents(spark, dir), minCount = 2).orderBy("doc_id")
+
   /** Oracle replays the model: parallel-unnest bigrams, the same count
     * tables, and length(bin(n)) for the exact integer bit length. */
   val txLmScoreSql: String =
@@ -2948,6 +2979,37 @@ object TextAnalysis {
       |  FROM toks WHERE len(w) >= 2),
       |tb AS (SELECT w1, w2 FROM b WHERE doc_id % 2 = 0),
       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM tb GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM tb GROUP BY w1),
+      |sb AS (
+      |  SELECT b.doc_id,
+      |    CASE WHEN c2.c2 IS NOT NULL
+      |           THEN length(bin(c1.c1)) - length(bin(c2.c2))
+      |         WHEN c1.c1 IS NOT NULL THEN length(bin(c1.c1)) + 4
+      |         ELSE 20 END AS s
+      |  FROM b LEFT JOIN c1 USING (w1) LEFT JOIN c2 USING (w1, w2)
+      |  WHERE b.doc_id % 2 = 1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(s) AS BIGINT) AS surprise_bits,
+      |  CAST(sum(s) * 1000 AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    AS surprise_per_kbi,
+      |  CAST(sum(s) * 1000 AS DOUBLE) / CAST(count(*) AS DOUBLE) < 12000.0
+      |    AS lm_keep
+      |FROM sb GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Oracle replays the PRUNE: the bigram table keeps only c2 >= 2
+    * (HAVING), the unigram table stays exact (aggregated from the full
+    * stream, exactly as the implementation folds c1 before filtering),
+    * and pruned heads fall through to the unseen-continuation backoff
+    * via the LEFT JOIN's NULL. */
+  val txLmScorePrunedSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |b AS (
+      |  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+      |  FROM toks WHERE len(w) >= 2),
+      |tb AS (SELECT w1, w2 FROM b WHERE doc_id % 2 = 0),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM tb GROUP BY w1, w2
+      |       HAVING count(*) >= 2),
       |c1 AS (SELECT w1, count(*) AS c1 FROM tb GROUP BY w1),
       |sb AS (
       |  SELECT b.doc_id,
@@ -3234,6 +3296,7 @@ object TextAnalysis {
     "tx_heavy_hitters" -> (txHeavyHitters _),
     "tx_collocations" -> (txCollocations _),
     "tx_lm_score" -> (txLmScore _),
+    "tx_lm_score_pruned" -> (txLmScorePruned _),
     "q_curation_e2e" -> (qCurationE2e _),
     "q_curation_incr" -> ((s: SparkSession, d: String) => qCurationIncr(s, d)),
     "q_corpus_report" -> (qCorpusReport _),
@@ -3281,6 +3344,7 @@ object TextAnalysis {
     "tx_heavy_hitters" -> txHeavyHittersSql,
     "tx_collocations" -> txCollocationsSql,
     "tx_lm_score" -> txLmScoreSql,
+    "tx_lm_score_pruned" -> txLmScorePrunedSql,
     "q_curation_e2e" -> qCurationE2eSql,
     "q_curation_incr" -> qCurationIncrSql,
     "q_corpus_report" -> qCorpusReportSql,

@@ -848,18 +848,47 @@ object Analytics {
     * BROADCAST left-semi probe — the wedge stream (Σ out-deg², the
     * dominant cardinality: 41M wedges over 1.2M edges on the sf0.1
     * graph) flows map-side through a broadcast of the edge set and
-    * never crosses an exchange. Past broadcast size (~100M edges) drop
-    * the hint and the same plan degrades to a shuffled semi-join of
-    * wedges — still the bounded-fan-out node-iterator algorithm. */
-  private[graft] def triangleCount(edges0: DataFrame): DataFrame = {
-    val edges = edges0.persist()
+    * never crosses an exchange.
+    *
+    * The broadcast hints are GATED IN CODE, not by a comment: the
+    * returned frame is a DeferredDF whose first action counts the
+    * (persisted) edge table — needed for the n_edges output anyway —
+    * and compares it against `graft.triangles.maxBroadcastEdges`
+    * (default 100M, ~1.6 GB of packed longs). At or under the gate the
+    * edge-table hints apply and the wedge stream never crosses an
+    * exchange; OVER the gate the hints are omitted and the same
+    * node-iterator plan runs as shuffled joins (AQE may still pick
+    * broadcast from RUNTIME sizes, which cannot driver-OOM the way a
+    * forced hint on a 100x graph would). */
+  private[graft] def triangleCount(edges0: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.DeferredDF(edges0.sparkSession,
+      StructType(Seq(
+        StructField("n_nodes", LongType, nullable = false),
+        StructField("n_edges", LongType, nullable = false),
+        StructField("n_triangles", LongType, nullable = false))),
+      () => {
+        val edges = edges0.persist()
+        val ne = edges.count() // materializes the persist; reused as n_edges
+        triangleCountPlan(edges, ne)
+      })
+
+  /** The gated plan body: `ne` is the known edge count (decides the
+    * broadcast hints); exposed for PlanSpec to pin BOTH paths. */
+  private[graft] def triangleCountPlan(edges: DataFrame, ne: Long): DataFrame = {
+    val maxBroadcastEdges = edges.sparkSession.conf
+      .getOption("graft.triangles.maxBroadcastEdges")
+      .map(_.toLong).getOrElse(100000000L)
+    val hint = ne <= maxBroadcastEdges
+    def gated(df: DataFrame): DataFrame = if (hint) broadcast(df) else df
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // the degree table is node-sized (<= 2|E| before grouping, |V| after)
+    // — gate it with the same edge-count signal
     val keyed = edges
-      .join(broadcast(deg.withColumnRenamed("node", "u")
+      .join(gated(deg.withColumnRenamed("node", "u")
         .withColumnRenamed("d", "du")), Seq("u"))
-      .join(broadcast(deg.withColumnRenamed("node", "v")
+      .join(gated(deg.withColumnRenamed("node", "v")
         .withColumnRenamed("d", "dv")), Seq("v"))
       .select(
         (col("du") * lit(4294967296L) + col("u")).as("ku"),
@@ -868,19 +897,19 @@ object Analytics {
         when(col("ku") < col("kv"), col("ku")).otherwise(col("kv")).as("src"),
         when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("dst"))
       .persist()
-    // wedge generation is ALSO a broadcast join (same size argument as
-    // the closure probe): the 41M-wedge stream exists only map-side
-    // between two broadcast hash joins and a partial count — zero
-    // wedge-sized exchanges anywhere in the plan
-    val wedges = oriented.as("e1").join(broadcast(oriented.as("e2")),
+    // wedge generation is ALSO a gated join (same size argument as the
+    // closure probe): under the gate the 41M-wedge stream exists only
+    // map-side between two broadcast hash joins and a partial count —
+    // zero wedge-sized exchanges anywhere in the plan
+    val wedges = oriented.as("e1").join(gated(oriented.as("e2")),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.dst").as("b"), col("e2.dst").as("c"))
-    val tri = wedges.join(broadcast(oriented),
+    val tri = wedges.join(gated(oriented),
         col("b") === col("src") && col("c") === col("dst"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val nn = deg.agg(count(lit(1)).as("n_nodes"))
-    val ne = edges.agg(count(lit(1)).as("n_edges"))
-    nn.join(ne).join(tri)
+    nn.join(tri).select(col("n_nodes"), lit(ne).as("n_edges"),
+      col("n_triangles"))
   }
 
   val qTrianglesSql: String =

@@ -2077,10 +2077,13 @@ object Relational {
   def qPaths(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     topPaths(Tables.events(spark, dir), k)
 
-  /** Core of [[qPaths]] over any (user_id, ts, event_type) stream. */
+  /** Core of [[qPaths]] over any (user_id, ts, event_type) stream.
+    * The window orders by (ts, event_id) — the unique id breaks
+    * same-timestamp ties so rn assignment (and therefore the path
+    * strings) is deterministic across partitionings and engines. */
   def topPaths(ev: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    ev.select(col("user_id"), col("ts"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .groupBy(col("user_id"))
@@ -2094,11 +2097,12 @@ object Relational {
 
   val qPathsSql: String =
     """WITH ev AS (
-      |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type
+      |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |    event_id, event_type
       |  FROM events),
       |r AS (
       |  SELECT user_id, event_type,
-      |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       |  FROM ev),
       |p AS (
       |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path

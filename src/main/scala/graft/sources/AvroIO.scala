@@ -179,28 +179,46 @@ object AvroIO {
 
   // ---- value conversion -----------------------------------------------
 
-  private def toSpark(v: Any, f: StructField): Any =
-    if (SchemaCodec.isUnionField(f)) unionToRow(v, f)
-    else if (v != null && f.dataType == TimestampType &&
-      f.metadata.contains(TsMillisMarker))
-      new java.sql.Timestamp(v.asInstanceOf[java.lang.Long])
-    else toSparkValue(v, f.dataType)
+  /** Decode one field value. `sch` is the field's WRITER schema (possibly a
+    * nullable union); it travels with the value so logical-type precision
+    * (timestamp-millis vs -micros) is honored at ANY nesting depth — record
+    * fields, array elements, map values, and heterogeneous-union branches
+    * all consult the writer schema, not just top-level fields. */
+  private def toSpark(v: Any, f: StructField, sch: ASchema): Any =
+    if (SchemaCodec.isUnionField(f)) unionToRow(v, f, sch)
+    else toSparkValue(v, f.dataType, nonNullOf(sch))
 
-  private def unionToRow(v: Any, f: StructField): Any = {
+  /** Strip the `null` branch off a nullable union; identity otherwise. */
+  private def nonNullOf(sch: ASchema): ASchema =
+    if (sch != null && sch.getType == ASchema.Type.UNION) {
+      val nn = sch.getTypes.asScala.filter(_.getType != ASchema.Type.NULL)
+      if (nn.length == 1) nn.head else sch
+    } else sch
+
+  private def unionToRow(v: Any, f: StructField, sch: ASchema): Any = {
     if (v == null) return null
     val ut = f.dataType.asInstanceOf[StructType]
+    // non-null avro branches are positionally the marked struct's fields
+    // (fieldFor built the struct from exactly this filtered list)
+    val branches: Seq[ASchema] =
+      if (sch != null && sch.getType == ASchema.Type.UNION)
+        sch.getTypes.asScala.filter(_.getType != ASchema.Type.NULL).toSeq
+      else Seq.fill(ut.fields.length)(null)
     // resolve branch by the same first-runtime-match rule SchemaCodec
     // applies on encode — convert each candidate, first success wins
     val idx = ut.fields.indexWhere(bf => runtimeMatches(v, bf.dataType))
     require(idx >= 0, s"avro union value $v matches no branch of $ut")
     Row.fromSeq(ut.fields.indices.map(i =>
-      if (i == idx) toSparkValue(v, ut.fields(idx).dataType) else null))
+      if (i == idx) toSparkValue(v, ut.fields(idx).dataType, branches(idx))
+      else null))
   }
 
   private def runtimeMatches(v: Any, dt: DataType): Boolean = (v, dt) match {
     case (_: java.lang.Boolean, BooleanType) => true
     case (_: java.lang.Integer, IntegerType) => true
     case (_: java.lang.Long, LongType) => true
+    case (_: java.lang.Long, TimestampType | TimestampNTZType) => true
+    case (_: java.lang.Integer, DateType) => true
     case (_: java.lang.Float, FloatType) => true
     case (_: java.lang.Double, DoubleType) => true
     case (_: CharSequence, StringType) => true
@@ -213,7 +231,10 @@ object AvroIO {
     case _ => false
   }
 
-  private def toSparkValue(v: Any, dt: DataType): Any = (v, dt) match {
+  /** `sch` is the writer schema for this position (never a nullable union —
+    * callers unwrap first; null only when writer schema is unavailable, in
+    * which case longs are assumed micros, the container default). */
+  private def toSparkValue(v: Any, dt: DataType, sch: ASchema): Any = (v, dt) match {
     case (null, _) => null
     case (s: CharSequence, StringType) => s.toString
     case (e: GenericData.EnumSymbol, StringType) => e.toString
@@ -223,10 +244,14 @@ object AvroIO {
     case (i: java.lang.Integer, DateType) =>
       java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
     case (l: java.lang.Long, TimestampType) =>
-      // writer schema decides millis vs micros; the reader normalized to
-      // micros at schema conversion, and readAvro passes micros through
-      val ts = new java.sql.Timestamp(Math.floorDiv(l, 1000000L) * 1000L)
-      ts.setNanos((Math.floorMod(l, 1000000L) * 1000L).toInt)
+      // the WRITER schema decides millis vs micros, at any nesting depth
+      val micros =
+        if (sch != null &&
+          sch.getLogicalType.isInstanceOf[LogicalTypes.TimestampMillis])
+          Math.multiplyExact(l.longValue(), 1000L)
+        else l.longValue()
+      val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
       ts
     case (l: java.lang.Long, TimestampNTZType) =>
       java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(l, 1000000L),
@@ -235,13 +260,18 @@ object AvroIO {
       val out = new Array[Byte](b.remaining()); b.duplicate().get(out)
       new java.math.BigDecimal(new java.math.BigInteger(out), d.scale)
     case (c: java.util.Collection[_], ArrayType(et, _)) =>
-      c.asScala.map(toSparkValue(_, et)).toSeq
+      val elSch = if (sch == null) null else nonNullOf(sch.getElementType)
+      c.asScala.map(toSparkValue(_, et, elSch)).toSeq
     case (m: java.util.Map[_, _], MapType(StringType, vt, _)) =>
+      val vSch = if (sch == null) null else nonNullOf(sch.getValueType)
       m.asScala.map { case (k, mv) =>
-        k.toString -> toSparkValue(mv, vt)
+        k.toString -> toSparkValue(mv, vt, vSch)
       }.toMap
     case (r: GenericRecord, st: StructType) =>
-      Row.fromSeq(st.fields.map(f => toSpark(r.get(f.name), f)).toSeq)
+      Row.fromSeq(st.fields.map { f =>
+        val af = if (sch == null) null else sch.getField(f.name)
+        toSpark(r.get(f.name), f, if (af == null) null else af.schema())
+      }.toSeq)
     case (x, _) => x
   }
 
@@ -347,8 +377,13 @@ object AvroIO {
           }
           override def next(): Row = {
             val rec = reader.next()
+            val recSchema = rec.getSchema
             new GenericRowWithSchema(
-              sparkSchema.fields.map(f => toSpark(rec.get(f.name), f)),
+              sparkSchema.fields.map { f =>
+                val af = recSchema.getField(f.name)
+                toSpark(rec.get(f.name), f,
+                  if (af == null) null else af.schema())
+              },
               sparkSchema)
           }
         }

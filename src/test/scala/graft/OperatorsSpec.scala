@@ -48,14 +48,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the telemetry must say so
     val (_, droppedClean) =
       Dedup.ngramJaccardWithStats(Tables.documents(spark, dir))
-    assert(droppedClean === 0L, s"df cap silently active on clean corpus: $droppedClean")
+    assert(droppedClean() === 0L,
+      s"df cap silently active on clean corpus: ${droppedClean()}")
     // stopword flood: one shingle ("the of and ...") shared by every doc
     // exceeds a df cap of 5 and must be counted as dropped, not silent
     val flood = (0 until 20).map { i =>
       (i.toLong, s"the of and to unique$i trailing words here")
     }.toDF("doc_id", "text")
     val (pairs, droppedFlood) = Dedup.ngramJaccardWithStats(flood, 0.1, maxDocFreq = 5)
-    assert(droppedFlood > 0L, "flooded shingles not reported as dropped")
+    assert(droppedFlood() > 0L, "flooded shingles not reported as dropped")
     pairs.collect() // pair generation still runs on the pruned index
   }
 
@@ -2379,7 +2380,9 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // user 2: a short clean journey
     val bot = (0 until 10000).map(i => (1L, ts(i), s"e${math.min(i, 9)}"))
     val clean = (0 until 3).map(i => (2L, ts(i), s"c$i"))
-    val ev = (bot ++ clean).toDF("user_id", "ts", "event_type")
+    val ev = (bot ++ clean).zipWithIndex
+      .map { case ((u, t, e), i) => (u, t, i.toLong, e) }
+      .toDF("user_id", "ts", "event_id", "event_type")
     val rows = graft.queries.Relational.topPaths(ev, 5).collect()
     val paths = rows.map(r => (r.getString(0), r.getLong(1))).toMap
     assert(paths("e0>e1>e2>e3>e4") == 1L, s"bot path wrong: $paths")
@@ -2593,5 +2596,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalStateException] {
       (1 to 100).foreach(i => tiny.put(i.toLong, 1L))
     }
+    // at the rejection point the table still has an empty bucket, so a
+    // lookup for an ABSENT key must terminate (the full-table probe would
+    // spin forever if put were allowed to fill the last slot)
+    assert(tiny.get(999999L) === 0L)
+    // fill a map to exactly its last allowed slot and probe misses
+    val edge = new graft.core.LongLongMap(4) // cap = 8, allows 7 distinct
+    val inserted = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      var i = 1L
+      while (true) { edge.put(i, i); inserted += i; i += 1 }
+    } catch { case _: IllegalStateException => () }
+    inserted.foreach(k => assert(edge.get(k) === k))
+    assert(edge.get(-42L) === 0L) // absent-key probe terminates when maximally full
   }
 }

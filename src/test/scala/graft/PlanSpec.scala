@@ -601,7 +601,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BaseJoinExec
-    val df = graft.operators.TextAnalysis.txLmScore(spark, dir)
+    // inspect the EAGER serve plan (the deferred wrapper is an opaque
+    // leaf by design — its zero-job construction is pinned separately)
+    val df = graft.operators.TextAnalysis
+      .lmScoreEager(Tables.documents(spark, dir)).orderBy("doc_id")
     df.collect()
     def nodes(p: SparkPlan): Seq[SparkPlan] = graft.core.Util.planNodes(p)
     val ns = nodes(df.queryExecution.executedPlan)
@@ -615,6 +618,68 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ns.exists(n => n.isInstanceOf[ShuffleExchangeLike] &&
       n.asInstanceOf[ShuffleExchangeLike].child.output.exists(_.name == "text")),
       "document text crossed an exchange in the lm serve")
+  }
+
+  test("lm score / ngram jaccard: construction and explain trigger zero Spark jobs") {
+    // plan-only callers (Explain, PLANS.md regeneration, registry
+    // enumeration) must pay nothing: the lm model collect is deferred to
+    // first action (DeferredDF) and the ngram telemetry count became an
+    // on-demand thunk + in-plan observe metric
+    val docs = Tables.documents(spark, dir)
+    docs.count() // warm the parquet footer listing — the source's cost
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // same-df construction, as the IVF action-free test: a fresh
+      // spark.read.parquet runs a footer/schema job — the SOURCE's cost
+      val lm = graft.operators.TextAnalysis.lmScore(docs).orderBy("doc_id")
+      lm.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      val (nj, _) = Dedup.ngramJaccardWithStats(docs)
+      nj.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      Thread.sleep(500) // let any stray job-start event land
+      assert(jobs === 0,
+        s"plan-only construction launched $jobs job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the deferred lm frame still EXECUTES correctly (model built at
+    // first action, memoized): spot-check row count parity with the
+    // eager serve
+    val lazyRows = graft.operators.TextAnalysis.txLmScore(spark, dir).count()
+    val eagerRows = graft.operators.TextAnalysis
+      .lmScoreEager(docs).count()
+    assert(lazyRows === eagerRows && lazyRows > 0)
+  }
+
+  test("triangles: broadcast hints gated on edge count, both paths agree") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant edge 3-4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    def hints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    // UNDER the gate (default 100M): edge/degree sides carry the hint
+    val below = graft.queries.Analytics.triangleCountPlan(edges, ne = 4L)
+    assert(hints(below).nonEmpty,
+      "broadcast hints missing under the edge-count gate")
+    // OVER the gate: hints absent — the shuffled node-iterator fallback
+    // is taken automatically (AQE may still broadcast from runtime sizes,
+    // which cannot driver-OOM the way a forced hint can)
+    spark.conf.set("graft.triangles.maxBroadcastEdges", "3")
+    try {
+      val above = graft.queries.Analytics.triangleCountPlan(edges, ne = 4L)
+      assert(hints(above).isEmpty,
+        "broadcast hint forced past the edge-count gate")
+      val want = Seq((4L, 4L, 1L))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows(below) === want && rows(above) === want,
+        "gated paths disagree on the triangle count")
+    } finally spark.conf.unset("graft.triangles.maxBroadcastEdges")
   }
 
   test("winnow: per-row kernel projection — no exchange carries text") {

@@ -136,6 +136,53 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       SchemaCodec.isUnionField(back.schema("tag")))
   }
 
+  test("avro timestamp-millis decodes correctly at every nesting depth") {
+    import org.apache.avro.{Schema => ASchema}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    // millis-precision writers nest the logical type inside arrays, map
+    // values, a union branch, and a sub-record — each must decode at the
+    // same instant a top-level millis field does (not 1000x off)
+    val schemaJson =
+      """{"type":"record","name":"mev","namespace":"x","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"top","type":{"type":"long","logicalType":"timestamp-millis"}},
+        |{"name":"arr","type":{"type":"array","items":{"type":"long","logicalType":"timestamp-millis"}}},
+        |{"name":"m","type":{"type":"map","values":{"type":"long","logicalType":"timestamp-millis"}}},
+        |{"name":"u","type":["string",{"type":"long","logicalType":"timestamp-millis"}]},
+        |{"name":"sub","type":{"type":"record","name":"subr","fields":[
+        |  {"name":"st","type":{"type":"long","logicalType":"timestamp-millis"}}]}}
+        |]}""".stripMargin.replace("\n", "")
+    val aSchema = new ASchema.Parser().parse(schemaJson)
+    val d = tmp()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](aSchema))
+    w.create(aSchema, new java.io.File(d, "mev.avro"))
+    val ms = 1700000000123L // one instant, written as millis everywhere
+    val r = new GenericData.Record(aSchema)
+    r.put("id", 1L)
+    r.put("top", ms)
+    r.put("arr", java.util.List.of(java.lang.Long.valueOf(ms)))
+    r.put("m", java.util.Map.of("k", java.lang.Long.valueOf(ms)))
+    r.put("u", java.lang.Long.valueOf(ms))
+    val sub = new GenericData.Record(aSchema.getField("sub").schema())
+    sub.put("st", ms)
+    r.put("sub", sub)
+    w.append(r)
+    w.close()
+    val rows = AvroIO.readAvro(spark, d).collect()
+    val row = rows(0)
+    assert(row.getTimestamp(1).getTime === ms, "top-level millis")
+    assert(row.getSeq[java.sql.Timestamp](2).head.getTime === ms,
+      "array<timestamp-millis> element")
+    assert(row.getMap[String, java.sql.Timestamp](3)("k").getTime === ms,
+      "map value timestamp-millis")
+    val u = row.getStruct(4)
+    assert(u.isNullAt(0) && u.getTimestamp(1).getTime === ms,
+      "union branch timestamp-millis")
+    assert(row.getStruct(5).getTimestamp(0).getTime === ms,
+      "nested record timestamp-millis")
+  }
+
   test("json-lines round-trip preserves the full schema") {
     val li = Tables.lineitem(spark, dir)
     val path = tmp() + "/li-json"
