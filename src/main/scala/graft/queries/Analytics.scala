@@ -752,10 +752,14 @@ object Analytics {
         countDistinct(when(late, col("l_suppkey"))).as("_nlate"),
         max(when(late, col("l_suppkey"))).as("_late_supp"))
       .filter(col("_nsupp") >= 2 && col("_nlate") === 1)
-    per.groupBy(col("_late_supp")).agg(count(lit(1)).as("numwait"))
+    // key-level aggregate FIRST (shrinks to supplier cardinality before
+    // the dim join), then a NAME-level re-aggregate: Q21 reports by
+    // s_name, and two suppkeys sharing a name must merge — grouping by
+    // key alone silently diverges the moment names aren't unique
+    per.groupBy(col("_late_supp")).agg(count(lit(1)).as("_nw"))
       .join(Tables.supplier(spark, dir),
         col("_late_supp") === col("s_suppkey"))
-      .select(col("s_name"), col("numwait"))
+      .groupBy(col("s_name")).agg(sum(col("_nw")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(25)
   }
