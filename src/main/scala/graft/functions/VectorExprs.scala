@@ -143,6 +143,20 @@ object VectorExprs {
   def termCounts(s: Column): Column =
     ExpressionUtils.column(TermCounts(ExpressionUtils.expression(s)))
 
+  /** distinctTermHashes(text): xxhash64 of every DISTINCT non-empty term
+    * as array<long> in ONE pass — the df side of tfidf-shaped pipelines.
+    * A document-frequency aggregate needs only (term-hash) per
+    * (doc, distinct term): materializing the term STRINGS and tf counts
+    * ([[termCounts]] + explode + xxhash64) just to throw both away pays
+    * struct allocation, UTF8String slices, and a per-term hash of a
+    * re-materialized string. This kernel hashes each word's byte span
+    * in place (XXH64 seed 42 — bit-identical to xxhash64(term) of the
+    * split term by the same byte-range identity shingle3Md5Long uses),
+    * dedups in a primitive open-addressing set, and emits
+    * first-occurrence order. */
+  def distinctTermHashes(s: Column): Column =
+    ExpressionUtils.column(DistinctTermHashes(ExpressionUtils.expression(s)))
+
   /** shingle3Md5Long(text, start, len): md5-prefix longs of every word
     * 3-gram of `text` as array<long>, in ONE pass with ZERO per-shingle
     * allocation. The key identity: splitting on a single space and
@@ -929,6 +943,76 @@ case class TermCounts(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+}
+
+/** Distinct-term xxhash64 values in one pass — see
+  * [[VectorExprs.distinctTermHashes]]. Eval-based (the TermCounts
+  * rationale). Hashes each word's byte span directly out of the input
+  * buffer (no slice objects); dedup is a primitive open-addressing long
+  * set sized to the doc's word count, with a side flag for the one hash
+  * value (0) the empty-bucket sentinel can't represent. */
+case class DistinctTermHashes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_distinct_term_hashes"
+
+  override protected def nullSafeEval(sAny: Any): Any = {
+    val bytes = sAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .getBytes
+    val n = bytes.length
+    val base = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    // pass 1: word count bounds the dedup table size
+    var words = 0
+    var i = 0
+    while (i <= n) {
+      var j = i
+      while (j < n && bytes(j) != ' ') j += 1
+      if (j > i) words += 1
+      i = j + 1
+    }
+    if (words == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Long](0))
+    var bits = 3
+    while ((1 << bits) < words * 2) bits += 1
+    val cap = 1 << bits
+    val mask = cap - 1
+    val table = new Array[Long](cap) // 0 = empty
+    val out = new Array[Long](words) // first-occurrence order
+    var k = 0
+    var sawZero = false
+    i = 0
+    while (i <= n) {
+      var j = i
+      while (j < n && bytes(j) != ' ') j += 1
+      if (j > i) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes, base + i, j - i, 42L)
+        if (h == 0L) {
+          if (!sawZero) { sawZero = true; out(k) = 0L; k += 1 }
+        } else {
+          var idx = ((h * 0x9E3779B97F4A7C15L) >>> (64 - bits)).toInt & mask
+          var continue = true
+          while (continue) {
+            val v = table(idx)
+            if (v == 0L) {
+              table(idx) = h; out(k) = h; k += 1; continue = false
+            } else if (v == h) continue = false
+            else idx = (idx + 1) & mask
+          }
+        }
+      }
+      i = j + 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, k))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctTermHashes =
     copy(child = newChild)
 }
 

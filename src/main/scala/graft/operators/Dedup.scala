@@ -773,24 +773,30 @@ object Dedup {
     * (`ngram_df_cap.dropped`) that a once-per-session listener turns into
     * the truncation warning whenever an action actually runs — the
     * warning costs no extra job either. Calling the thunk runs one
-    * aggregation over the shingle table; the table is a LAZY
-    * localCheckpoint shared with the pair pipeline, so after the pairs
-    * have materialized the thunk reuses the cached shingles. */
+    * aggregation over the shingle table; the shingle table is a
+    * pure projection (array_distinct of the per-row kernel), so the
+    * thunk re-scans text once — no cache, no checkpoint. */
   def ngramJaccardWithStats(docs: DataFrame, minJaccard: Double = 0.5,
                             maxDocFreq: Int = 1000): (DataFrame, () => Long) = {
-    // join on a 60-bit hash of the shingle, not the string: the shuffle
-    // carries 8-byte keys instead of ~20-byte text, and the per-doc
-    // distinct runs on longs (cheap) not strings. Both engines use the
-    // same md5-derived hash, so results are identical by construction
-    // (within-doc 60-bit collisions: ~1e-15 per doc, ignored).
-    // persist(), NOT localCheckpoint: checkpointing calls toRdd, which
-    // under AQE materializes the distinct's shuffle stages AT CONSTRUCTION
-    // — a plan-time Spark job. persist() stays fully lazy (cached on first
-    // action) and both consumers (sizes + grouped) share the one compute.
-    val tall = hashedShingles(docs).withColumnRenamed("sh", "s")
-      .distinct()
-      .persist()
-    val sizes = tall.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // join on a 60-bit hash of the shingle, not the string: the one
+    // remaining shuffle carries 8-byte keys instead of ~20-byte text,
+    // and the per-doc distinct runs on longs (cheap) not strings. Both
+    // engines use the same md5-derived hash, so results are identical
+    // by construction (within-doc 60-bit collisions: ~1e-15/doc).
+    // Within-doc shingle dedup is ROW-LOCAL (doc_id rides every row), so
+    // the corpus-wide distinct() exchange the previous shape paid is a
+    // per-row array_distinct PROJECTION — one full corpus shuffle gone —
+    // and the per-doc set size falls out as size(array), turning the
+    // sizes aggregate (another corpus-keyed exchange) into a projection
+    // too. Docs with <3 words produce a NULL shingle array (kernel
+    // contract) and are filtered exactly as they had no tall rows before.
+    val hs = docs.select(col("doc_id"),
+        array_distinct(org.apache.spark.sql.graft.VectorExprs
+          .shingle3Md5Long(col("text"), 1, 15)).as("_hs"))
+      .filter(col("_hs").isNotNull)
+    val sizes = hs.select(col("doc_id"),
+      size(col("_hs")).cast(LongType).as("n"))
+    val tall = hs.select(col("doc_id"), explode(col("_hs")).as("s"))
     // document-frequency cap: a shingle appearing in >maxDocFreq docs (a
     // stopword run) contributes O(df^2) candidate pairs and no near-dup
     // signal — drop it from pair *generation* (set sizes keep the full
@@ -814,8 +820,8 @@ object Dedup {
       .agg(org.apache.spark.sql.graft.VectorExprs
           .collectSortedCapped(col("doc_id"), maxDocFreq).as("ds"),
         count(lit(1)).as("df"))
-    // telemetry: (a) on-demand exact count — one tiny aggregation over the
-    // lazily-checkpointed shingle table, run only when the caller asks;
+    // telemetry: (a) on-demand exact count — one aggregation over the
+    // recomputed (projection-only) shingle table, run only when asked;
     // (b) an in-plan observe metric so any ACTION on the pairs reports the
     // cap's effect through the session listener with zero extra jobs
     val dropped: () => Long =
@@ -863,19 +869,24 @@ object Dedup {
     // distinct and the join run on longs, not ~20-byte strings (measured
     // 149 s → string distinct dominated at 2M docs / ~100M shingles);
     // cross-engine by construction, collisions ~1e-15/doc ignored
-    def hashed(df: DataFrame) = hashedShingles(df)
-      .withColumnRenamed("sh", "s")
-      .distinct()
-    // recompute-by-design for BOTH consumers (sizes aggregate + benchmark
-    // join), per the tallShingles scaladoc rationale: the corpus-wide
-    // shingle table is ~50 rows/doc, so a localCheckpoint materializes
-    // ~100M deserialized rows per 2M docs — a memory cliff that measured
-    // no faster than the two cheap scan+explode passes it saves (58 s
-    // recomputed vs 105-121 s checkpointed at 2M docs, noisy host) and
-    // at cluster scale risks eviction where recompute cannot
-    val d = hashed(docs)
-    val sizes = d.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val b = hashed(bench).select(col("s")).distinct()
+    // within-doc dedup is ROW-LOCAL: array_distinct of the per-row
+    // kernel replaces the corpus-wide distinct() EXCHANGE the previous
+    // shape paid, and the per-doc set size becomes size(array) — a pure
+    // projection instead of a second corpus-keyed aggregate.
+    // recompute-by-design for BOTH consumers (sizes projection +
+    // benchmark join), per the tallShingles scaladoc rationale: a
+    // localCheckpoint materializes ~100M deserialized rows per 2M docs —
+    // a memory cliff that measured no faster than the cheap scan passes
+    // it saves, and at cluster scale risks eviction where recompute
+    // cannot
+    def hashedSets(df: DataFrame) = df.select(col("doc_id"),
+        array_distinct(org.apache.spark.sql.graft.VectorExprs
+          .shingle3Md5Long(col("text"), 1, 15)).as("_hs"))
+      .filter(col("_hs").isNotNull)
+    val d = hashedSets(docs).select(col("doc_id"), explode(col("_hs")).as("s"))
+    val sizes = hashedSets(docs).select(col("doc_id"),
+      size(col("_hs")).cast(LongType).as("n_shingles"))
+    val b = hashedSets(bench).select(explode(col("_hs")).as("s")).distinct()
     d.join(broadcast(b), Seq("s"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
       .join(sizes, Seq("doc_id"))
@@ -1533,7 +1544,8 @@ object Dedup {
     // fills, it drains to output and resets — duplicates across
     // flushes (or mid-document splits) re-merge in the downstream
     // groupBy's bit_or, so correctness never depends on table size.
-    val src = docs.select(col("text"), inA.as("_a"), inB.as("_b"))
+    // binary cast, not getString: skips the UTF-16 round-trip per doc
+    val src = docs.select(col("text").cast("binary"), inA.as("_a"), inB.as("_b"))
     val part = src.mapPartitions { rows =>
       new scala.collection.AbstractIterator[(Long, Int)] {
         private val bits = 21
@@ -1588,8 +1600,7 @@ object Dedup {
                 val f = (if (r.getBoolean(1)) 1 else 0) |
                   (if (r.getBoolean(2)) 2 else 0)
                 if (f != 0) {
-                  val bytes = r.getString(0)
-                    .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  val bytes = r.getAs[Array[Byte]](0)
                   pendHs = org.apache.spark.sql.graft.Shingle3Md5Long
                     .shingleHashes(bytes, 1, 8)
                   pendIdx = 0

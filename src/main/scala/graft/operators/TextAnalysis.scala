@@ -442,8 +442,16 @@ object TextAnalysis {
     val scored =
       if (broadcastDf) {
         // df's exchange is vocab-sized (map-side combine collapses each
-        // partition's tokens to its local vocab before the wire)
-        val df = tf.groupBy(col("th")).agg(count(lit(1)).as("df"))
+        // partition's tokens to its local vocab before the wire). The df
+        // branch never needs term STRINGS or tf counts — the
+        // distinctTermHashes kernel emits just the per-doc distinct
+        // xxhash64 longs (bit-identical to xxhash64 over termCounts'
+        // terms, spec-pinned), skipping the struct/slice materialization
+        // the second termCounts parse paid.
+        val df = docs.select(explode(
+            org.apache.spark.sql.graft.VectorExprs
+              .distinctTermHashes(col("text"))).as("th"))
+          .groupBy(col("th")).agg(count(lit(1)).as("df"))
         tf.join(broadcast(df), Seq("th"))
       } else {
         tf.withColumn("df", count(lit(1)).over(
@@ -1580,7 +1588,10 @@ object TextAnalysis {
     // occurrence-count semantics of the groupBy it replaces.
     val spark0 = docs.sparkSession
     import spark0.implicits._
-    val part = docs.select(col("doc_id"), col("text")).mapPartitions { rows =>
+    // text arrives CAST TO BINARY: UTF8String.getBytes is one array copy,
+    // where getString would decode to UTF-16 and re-encode to UTF-8 per doc
+    val part = docs.select(col("doc_id"), col("text").cast("binary"))
+      .mapPartitions { rows =>
       new scala.collection.AbstractIterator[(Long, Long)] {
         private val bits = 21
         private val cap = 1 << bits
@@ -1627,7 +1638,7 @@ object TextAnalysis {
               val r = rows.next()
               if (!r.isNullAt(1)) {
                 val hs = org.apache.spark.sql.graft.BigramXxh64.bigramHashes(
-                  r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                  r.getAs[Array[Byte]](1))
                 if (hs != null) {
                   pendHs = hs; pendIdx = 0; pendOwner = r.getLong(0)
                 }
@@ -2709,8 +2720,9 @@ object TextAnalysis {
     // groupBy it replaces treated it.
     val spark1 = docs.sparkSession
     import spark1.implicits._
+    // binary cast, not getString: skips the UTF-16 round-trip per doc
     val trainPart = docs.filter(col("doc_id") % 2 === 0)
-      .select(col("text")).mapPartitions { rows =>
+      .select(col("text").cast("binary")).mapPartitions { rows =>
         new scala.collection.AbstractIterator[(Long, Long, Long)] {
           private val bits = 21
           private val cap = 1 << bits
@@ -2759,8 +2771,7 @@ object TextAnalysis {
                 val r = rows.next()
                 if (!r.isNullAt(0)) {
                   val hs = org.apache.spark.sql.graft.BigramKeyPairs
-                    .keyPairsInterleaved(r.getString(0)
-                      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                    .keyPairsInterleaved(r.getAs[Array[Byte]](0))
                   if (hs.nonEmpty) { pend = hs; pendIdx = 0 }
                 }
               } else return
@@ -2861,12 +2872,12 @@ object TextAnalysis {
       StructField("surprise_bits", LongType, nullable = false)))
     def bitlen(n: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(n)
     val scored = docs.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text").cast("binary"))
       .mapPartitions { iter =>
         val (m1, m2) = bc.value
         val base = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
         iter.flatMap { row =>
-          val bytes = row.getString(1).getBytes("UTF-8")
+          val bytes = row.getAs[Array[Byte]](1)
           val n = bytes.length
           var spaces = 0
           var i = 0

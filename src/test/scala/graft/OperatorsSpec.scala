@@ -2578,6 +2578,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "untouched shards changed")
   }
 
+  test("distinctTermHashes kernel: bit-equal to xxhash64 over termCounts' terms") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.VectorExprs
+    val docs = Seq(
+      (1L, "a b c a  b"), // dup terms + a double space (empty token)
+      (2L, ""), // empty doc -> empty array -> zero exploded rows
+      (3L, "   "), // only separators
+      (4L, "solo"),
+      (5L, (1 to 200).map(i => s"w${i % 37}").mkString(" "))) // growth + dups
+      .toDF("doc_id", "text")
+    val viaKernel = docs.select(col("doc_id"),
+        explode(VectorExprs.distinctTermHashes(col("text"))).as("th"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaTerms = docs.select(col("doc_id"),
+        explode(VectorExprs.termCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), xxhash64(col("tc.term")).as("th"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaKernel === viaTerms)
+    // the df-branch swap is invisible end-to-end: tfidf's broadcast path
+    // (kernel-df) and window path (tf-derived df) stay bit-equal
+    val b = TextAnalysis.tfidf(Tables.documents(spark, dir))
+      .orderBy("doc_id", "rank").collect().map(_.toString)
+    val w = TextAnalysis.tfidf(Tables.documents(spark, dir), broadcastDf = false)
+      .orderBy("doc_id", "rank").collect().map(_.toString)
+    assert(b.sameElements(w), "tfidf broadcast/window paths diverged")
+  }
+
   test("LongLongMap: exact over keys including zero; over-capacity throws") {
     val m = new graft.core.LongLongMap(100)
     val rnd = new scala.util.Random(3)
