@@ -1901,9 +1901,11 @@ object TextAnalysis {
       .join(broadcast(offsets), col("_bkt") === col("_b"))
       .withColumn("_cuma", col("_offa") + sum(col("_ca")).over(wIn))
       .withColumn("_cumb", col("_offb") + sum(col("_cb")).over(wIn))
-    val tot = df.select(value.as("_v"), isA.as("_ia"))
-      .agg(sum(when(col("_ia"), 1L).otherwise(0L)).as("_na"),
-        sum(when(!col("_ia"), 1L).otherwise(0L)).as("_nb"))
+    // totals fold out of the per-value table — a second scan of `df`
+    // would recompute the whole upstream chain (for tx_ks_drift that is
+    // a full mlQuality scoring pass) just to count rows per side
+    val tot = perV
+      .agg(sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"))
     cum.crossJoin(broadcast(tot))
       .groupBy(col("_na"), col("_nb"))
       .agg(max(abs(col("_nb") * col("_cuma") - col("_na") * col("_cumb")))

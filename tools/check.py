@@ -10,6 +10,7 @@ values (sorted columns by name, rows sorted, exact match after
 normalization).
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -40,6 +41,9 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    threads = os.environ.get("DUCKDB_THREADS")
+    if threads:
+        con.execute(f"SET threads TO {int(threads)}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
