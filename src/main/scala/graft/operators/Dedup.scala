@@ -828,7 +828,7 @@ object Dedup {
       () => grouped.filter(col("df") > maxDocFreq).count()
     DfCapTelemetry.ensureListener(docs.sparkSession)
     val observed = grouped.observe(
-      DfCapTelemetry.metricName + java.util.UUID.randomUUID().toString.take(8),
+      DfCapTelemetry.metricName + DfCapTelemetry.nextId(),
       sum(when(col("df") > maxDocFreq, lit(1L)).otherwise(lit(0L)))
         .as("dropped"),
       max(lit(maxDocFreq)).as("cap"))
@@ -1879,6 +1879,10 @@ object Dedup {
   * cap's effect surfaced in the log. */
 private[operators] object DfCapTelemetry {
   val metricName = "ngram_df_cap_"
+  // observe names must be unique within one query; a counter (not a
+  // UUID) keeps plan snapshots deterministic across regenerations
+  private val ids = new java.util.concurrent.atomic.AtomicLong()
+  def nextId(): Long = ids.incrementAndGet()
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val registered =
     java.util.Collections.newSetFromMap(
