@@ -139,6 +139,93 @@ object TextAnalysis {
       |       ELSE 'de' END AS lang_pred
       |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Language-ID evaluation against the curated `lang` label: per-
+    * language support / prediction counts, true positives, and
+    * precision / recall / F1 — the quality report a curation team runs
+    * before trusting a classifier to route 100 TB of documents (and the
+    * reason `und`-heavy or unsupported languages, like this corpus's
+    * zh, show recall 0 rather than silently vanishing).
+    *
+    * One corpus scan: the SAME stopword-hit expression as [[langId]]
+    * computed next to the label, reduced to a languages²-sized
+    * confusion table (map-combined); every later step re-aggregates
+    * that tiny table. Metrics are single divisions of exact integer
+    * counts (F1 via the harmonic identity 2·tp/(n_pred+n_label) — one
+    * terminal division, no p·r/(p+r) double chain), so values are
+    * bit-identical cross-engine; 0-denominator cells are NULL. */
+  def langIdEval(docs: DataFrame): DataFrame = {
+    val hits = stopwords.map { case (lang, words) =>
+      regexp_count(col("text"), lit(wordAlt(words))).as(s"h_$lang")
+    }
+    val Seq(en, es, fr, de) = stopwords.map { case (l, _) => col(s"h_$l") }
+    val conf = docs.select(col("lang") +: hits: _*)
+      .withColumn("lang_pred",
+        when(en + es + fr + de === 0, "und")
+          .when(en >= es && en >= fr && en >= de, "en")
+          .when(es >= fr && es >= de, "es")
+          .when(fr >= de, "fr")
+          .otherwise("de"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val labels = conf.groupBy(col("lang").as("language"))
+      .agg(sum(col("n")).as("n_label"))
+    val preds = conf.groupBy(col("lang_pred").as("language"))
+      .agg(sum(col("n")).as("n_pred"))
+    val tp = conf.filter(col("lang") === col("lang_pred"))
+      .select(col("lang").as("language"), col("n").as("tp"))
+    labels.join(preds, Seq("language"), "full_outer")
+      .join(tp, Seq("language"), "left_outer")
+      .select(col("language"),
+        coalesce(col("n_label"), lit(0L)).as("n_label"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision",
+        when(col("n_pred") === 0L, lit(null).cast(DoubleType))
+          .otherwise(col("tp").cast(DoubleType) / col("n_pred").cast(DoubleType)))
+      .withColumn("recall",
+        when(col("n_label") === 0L, lit(null).cast(DoubleType))
+          .otherwise(col("tp").cast(DoubleType) / col("n_label").cast(DoubleType)))
+      .withColumn("f1",
+        (lit(2.0) * col("tp").cast(DoubleType)) /
+          (col("n_pred") + col("n_label")).cast(DoubleType))
+      .orderBy(col("language"))
+  }
+
+  def txLangidEval(spark: SparkSession, dir: String): DataFrame =
+    langIdEval(Tables.documents(spark, dir))
+
+  val txLangidEvalSql: String =
+    """WITH h AS (SELECT lang,
+      |  len(regexp_extract_all(text, '\b(and|the|is|of|to|a)\b')) AS h_en,
+      |  len(regexp_extract_all(text, '\b(que|de|el|en|la|y)\b')) AS h_es,
+      |  len(regexp_extract_all(text, '\b(des|les|une|et|le|un)\b')) AS h_fr,
+      |  len(regexp_extract_all(text, '\b(das|der|die|ein|ist|und)\b')) AS h_de
+      |  FROM documents),
+      |p AS (SELECT lang,
+      |  CASE WHEN h_en + h_es + h_fr + h_de = 0 THEN 'und'
+      |       WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+      |       WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+      |       WHEN h_fr >= h_de THEN 'fr'
+      |       ELSE 'de' END AS lang_pred
+      |  FROM h),
+      |conf AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2),
+      |l AS (SELECT lang AS language, CAST(sum(n) AS BIGINT) AS n_label
+      |      FROM conf GROUP BY 1),
+      |pr AS (SELECT lang_pred AS language, CAST(sum(n) AS BIGINT) AS n_pred
+      |       FROM conf GROUP BY 1),
+      |t AS (SELECT lang AS language, n AS tp FROM conf WHERE lang = lang_pred),
+      |m AS (SELECT language, coalesce(n_label, 0) AS n_label,
+      |        coalesce(n_pred, 0) AS n_pred, coalesce(tp, 0) AS tp
+      |      FROM l FULL OUTER JOIN pr USING (language)
+      |        LEFT JOIN t USING (language))
+      |SELECT language, n_label, n_pred, tp,
+      |  CASE WHEN n_pred = 0 THEN NULL
+      |       ELSE CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS "precision",
+      |  CASE WHEN n_label = 0 THEN NULL
+      |       ELSE CAST(tp AS DOUBLE) / CAST(n_label AS DOUBLE) END AS recall,
+      |  (2.0 * CAST(tp AS DOUBLE)) / CAST(n_pred + n_label AS DOUBLE) AS f1
+      |FROM m ORDER BY language""".stripMargin
+
   /** Document fingerprinting: full-content md5 plus a 60-bit integer
     * fingerprint (md5-derived so the oracle matches; hot paths with no
     * oracle requirement would use xxhash64, also codegen'd). */
@@ -3343,6 +3430,7 @@ object TextAnalysis {
     "tx_tokens" -> (txTokens _),
     "tx_quality" -> (txQuality _),
     "tx_langid" -> (txLangid _),
+    "tx_langid_eval" -> (txLangidEval _),
     "tx_pii" -> (txPii _),
     "tx_bigrams" -> (txBigrams _),
     "tx_repetition" -> (txRepetition _),
@@ -3391,6 +3479,7 @@ object TextAnalysis {
     "tx_tokens" -> txTokensSql,
     "tx_quality" -> txQualitySql,
     "tx_langid" -> txLangidSql,
+    "tx_langid_eval" -> txLangidEvalSql,
     "tx_pii" -> txPiiSql,
     "tx_bigrams" -> txBigramsSql,
     "tx_repetition" -> txRepetitionSql,

@@ -979,6 +979,174 @@ object Analytics {
       |    AND c_mktsegment = 'BUILDING' AND c_acctbal > 5000)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q_expectations --------------------------------------------------------
+
+  /** Rule-based data-expectation suite (the Deequ / Great-Expectations
+    * assertion shape — the gate a pipeline runs BEFORE training export,
+    * complementing q_profile's per-column statistics): each output row
+    * is one named rule with its checked/violated counts and a pass flag.
+    *
+    * Scale shape: every rule reduces to a 1-row aggregate, so the
+    * result is rule-count-sized regardless of input volume. All
+    * row-level rules on a table FUSE into ONE map-combined scan
+    * (conditional sums — adding a rule costs a column, not a pass);
+    * PK uniqueness is one keyed aggregate (excess rows beyond the first
+    * per key, map-combinable); referential rules are anti-joins whose
+    * build side AQE sizes (broadcast for dimension-shaped parents,
+    * shuffled for fact-to-fact like lineitem→orders). */
+  def expectations(orders: DataFrame, lineitem: DataFrame,
+      customer: DataFrame): DataFrame = {
+    def rule(name: String, tbl: String, checked: Column, viol: Column) =
+      struct(lit(name).as("rule"), lit(tbl).as("tbl"),
+        checked.cast(LongType).as("n_checked"),
+        viol.cast(LongType).as("n_violations"))
+    def violWhen(bad: Column) = sum(when(bad, 1L).otherwise(0L))
+
+    // one fused scan: every row-level orders rule + the count the
+    // referential rule reuses (1 row × 1 row cross joins, never data)
+    val ordAgg = orders.agg(
+      count(lit(1)).as("n_ord"),
+      violWhen(!col("o_orderstatus").isin("O", "F", "P")).as("v_status"),
+      violWhen(col("o_totalprice").isNull || col("o_totalprice") <= 0)
+        .as("v_price"))
+    val ordRi = orders.select(col("o_custkey"))
+      .join(customer.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v_ri"))
+    val ordRules = ordAgg.crossJoin(ordRi)
+      .select(explode(array(
+        rule("orders_status_domain", "orders", col("n_ord"), col("v_status")),
+        rule("orders_totalprice_positive", "orders", col("n_ord"),
+          col("v_price")),
+        rule("orders_custkey_ri", "orders", col("n_ord"), col("v_ri")))).as("r"))
+
+    val pkRule = orders.groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n"), sum(col("c") - lit(1L)).as("v"))
+      .select(rule("orders_pk_unique", "orders", col("n"), col("v")).as("r"))
+
+    val liAgg = lineitem.agg(
+      count(lit(1)).as("n_li"),
+      violWhen(col("l_quantity").isNull ||
+        col("l_quantity") < 1 || col("l_quantity") > 50).as("v_qty"),
+      violWhen(col("l_discount").isNull ||
+        col("l_discount") < 0 || col("l_discount") > 0.1).as("v_disc"),
+      violWhen(col("l_shipdate").isNull).as("v_ship"))
+    val liRi = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v_ri"))
+    val liRules = liAgg.crossJoin(liRi)
+      .select(explode(array(
+        rule("lineitem_quantity_range", "lineitem", col("n_li"), col("v_qty")),
+        rule("lineitem_discount_range", "lineitem", col("n_li"), col("v_disc")),
+        rule("lineitem_shipdate_present", "lineitem", col("n_li"),
+          col("v_ship")),
+        rule("lineitem_orderkey_ri", "lineitem", col("n_li"), col("v_ri"))))
+        .as("r"))
+
+    ordRules.unionByName(pkRule).unionByName(liRules)
+      .select(col("r.rule").as("rule"), col("r.tbl").as("tbl"),
+        col("r.n_checked").as("n_checked"),
+        col("r.n_violations").as("n_violations"))
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy(col("rule"))
+  }
+
+  def qExpectations(spark: SparkSession, dir: String): DataFrame =
+    expectations(Tables.orders(spark, dir), Tables.lineitem(spark, dir),
+      Tables.customer(spark, dir))
+
+  val qExpectationsSql: String =
+    """WITH o AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS v_status,
+      |    sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price
+      |  FROM orders),
+      |ori AS (
+      |  SELECT count(*) AS v FROM orders
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)),
+      |pk AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(c - 1) AS BIGINT) AS v
+      |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)),
+      |li AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_qty,
+      |    sum(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS v_disc,
+      |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_ship
+      |  FROM lineitem),
+      |lri AS (
+      |  SELECT count(*) AS v FROM lineitem
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)),
+      |rules AS (
+      |  SELECT 'orders_status_domain' AS rule, 'orders' AS tbl,
+      |    n AS n_checked, v_status AS n_violations FROM o
+      |  UNION ALL SELECT 'orders_totalprice_positive', 'orders', n, v_price FROM o
+      |  UNION ALL SELECT 'orders_custkey_ri', 'orders', o.n, ori.v FROM o, ori
+      |  UNION ALL SELECT 'orders_pk_unique', 'orders', n, v FROM pk
+      |  UNION ALL SELECT 'lineitem_quantity_range', 'lineitem', n, v_qty FROM li
+      |  UNION ALL SELECT 'lineitem_discount_range', 'lineitem', n, v_disc FROM li
+      |  UNION ALL SELECT 'lineitem_shipdate_present', 'lineitem', n, v_ship FROM li
+      |  UNION ALL SELECT 'lineitem_orderkey_ri', 'lineitem', li.n, lri.v FROM li, lri)
+      |SELECT rule, tbl, CAST(n_checked AS BIGINT) AS n_checked,
+      |  CAST(n_violations AS BIGINT) AS n_violations,
+      |  n_violations = 0 AS pass
+      |FROM rules ORDER BY rule""".stripMargin
+
+  // ---- q_chisq ---------------------------------------------------------------
+
+  /** Chi-square independence decomposition for two categorical columns
+    * (documents lang × source) — the composition-bias check a curation
+    * team runs before mixing sources: which (language, source) cells
+    * are over/under-represented vs independence, and by how much.
+    *
+    * Per-cell output instead of one statistic: `dev` = N·obs − row·col
+    * is the EXACT integer deviation (zero ⇔ cell exactly independent),
+    * `contrib` the cell's χ² term dev²/(N·row·col). Each contrib is a
+    * fixed dag of IEEE ops (two casts, one multiply, two multiplies,
+    * one terminal division — no order-dependent double summation), so
+    * it is bit-identical cross-engine; consumers that want the scalar
+    * χ² sum the column (or the exact integer dev² table).
+    *
+    * Scale shape: ONE map-combined corpus aggregate to the contingency
+    * table; margins re-aggregate that tiny table (never a second corpus
+    * pass) and join back broadcast. */
+  def chisq(rows: DataFrame, a: Column, b: Column): DataFrame = {
+    val obs = rows.groupBy(a.as("a"), b.as("b")).agg(count(lit(1)).as("n_obs"))
+    val rowT = obs.groupBy(col("a")).agg(sum(col("n_obs")).as("n_row"))
+    val colT = obs.groupBy(col("b")).agg(sum(col("n_obs")).as("n_col"))
+    val tot = obs.agg(sum(col("n_obs")).as("n_total"))
+    val dev = col("n_total") * col("n_obs") - col("n_row") * col("n_col")
+    obs.join(broadcast(rowT), "a").join(broadcast(colT), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n_obs"), col("n_row"), col("n_col"),
+        col("n_total"), dev.as("dev"))
+      .withColumn("contrib",
+        (col("dev").cast(DoubleType) * col("dev").cast(DoubleType)) /
+          ((col("n_total").cast(DoubleType) * col("n_row").cast(DoubleType)) *
+            col("n_col").cast(DoubleType)))
+      .orderBy(col("a"), col("b"))
+  }
+
+  def qChisq(spark: SparkSession, dir: String): DataFrame =
+    chisq(Tables.documents(spark, dir), col("lang"), col("source"))
+      .withColumnRenamed("a", "lang").withColumnRenamed("b", "source")
+
+  val qChisqSql: String =
+    """WITH obs AS (
+      |  SELECT lang, source, count(*) AS n_obs FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, CAST(sum(n_obs) AS BIGINT) AS n_row FROM obs GROUP BY 1),
+      |c AS (SELECT source, CAST(sum(n_obs) AS BIGINT) AS n_col FROM obs GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM obs)
+      |SELECT obs.lang, obs.source, n_obs, n_row, n_col, n_total,
+      |  n_total * n_obs - n_row * n_col AS dev,
+      |  (CAST(n_total * n_obs - n_row * n_col AS DOUBLE)
+      |     * CAST(n_total * n_obs - n_row * n_col AS DOUBLE)) /
+      |  ((CAST(n_total AS DOUBLE) * CAST(n_row AS DOUBLE))
+      |     * CAST(n_col AS DOUBLE)) AS contrib
+      |FROM obs JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+      |ORDER BY lang, source""".stripMargin
+
   // ---- registry --------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1000,7 +1168,9 @@ object Analytics {
     "q_changepoint" -> (qChangepoint _),
     "q_seasonality" -> (qSeasonality _),
     "q_growth_accounting" -> (qGrowthAccounting _),
-    "st_session" -> (stSession _))
+    "st_session" -> (stSession _),
+    "q_expectations" -> (qExpectations _),
+    "q_chisq" -> (qChisq _))
 
   val oracles: Map[String, String] = Map(
     "q_rfm" -> qRfmSql,
@@ -1021,5 +1191,7 @@ object Analytics {
     "q_changepoint" -> qChangepointSql,
     "q_seasonality" -> qSeasonalitySql,
     "q_growth_accounting" -> qGrowthAccountingSql,
-    "st_session" -> stSessionSql)
+    "st_session" -> stSessionSql,
+    "q_expectations" -> qExpectationsSql,
+    "q_chisq" -> qChisqSql)
 }

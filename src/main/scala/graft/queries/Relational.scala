@@ -1664,6 +1664,55 @@ object Relational {
       |  CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_value
       |FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** Terminal rank over an already-windowed count table — the shared
+    * stage between [[stTopk]] and the streaming twin (StreamingSpec
+    * ranks EventStreams.windowedCounts' state table with THIS function,
+    * so batch and stream cannot drift). Input is window-count ×
+    * type-count rows, never events; each rank partition holds at most
+    * one row per event type, and WindowGroupLimit prunes to ≤k rows per
+    * window before the final exchange. */
+  def rankWindowTopk(counts: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts.select(col("window_start"), col("event_type"), col("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy(col("window_start"), col("rk"))
+  }
+
+  /** Per-window top-k event types (tumbling 1-hour windows, top 3 by
+    * count, ties to the lexicographically first type) — the streaming-
+    * dashboard staple. The split matters for the 100 TB stream: the
+    * COUNTS are what streaming maintains incrementally (state =
+    * windows × types, independent of event volume); the rank is a
+    * read-time projection over that tiny table, never a stateful
+    * top-k over events. */
+  def stTopk(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    rankWindowTopk(
+      ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n")),
+      k = 3)
+  }
+
+  val stTopkSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts
+      |  FROM main.events),
+      |c AS (
+      |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+      |    count(*) AS n
+      |  FROM ev GROUP BY 1, 2),
+      |r AS (
+      |  SELECT window_start, event_type, n, CAST(row_number() OVER (
+      |      PARTITION BY window_start ORDER BY n DESC, event_type)
+      |    AS INTEGER) AS rk
+      |  FROM c)
+      |SELECT window_start, event_type, n, rk FROM r WHERE rk <= 3
+      |ORDER BY window_start, rk""".stripMargin
+
   /** Purchase attribution — batch twin of the event-time-bounded
     * stream-stream join in EventStreams: each purchase joins the most
     * recent click by the same user within the preceding 30 minutes.
@@ -2499,7 +2548,8 @@ object Relational {
     "q_retention" -> (qRetention _),
     "q_skyline" -> (qSkyline _),
     "q_anomaly" -> (qAnomaly _),
-    "st_window_agg" -> (stWindowAgg _))
+    "st_window_agg" -> (stWindowAgg _),
+    "st_topk" -> (stTopk _))
 
   val oracles: Map[String, String] = Map(
     "st_attribution" -> stAttributionSql,
@@ -2559,5 +2609,6 @@ object Relational {
     "q_retention" -> qRetentionSql,
     "q_skyline" -> qSkylineSql,
     "q_anomaly" -> qAnomalySql,
-    "st_window_agg" -> stWindowAggSql)
+    "st_window_agg" -> stWindowAggSql,
+    "st_topk" -> stTopkSql)
 }

@@ -2637,4 +2637,86 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     inserted.foreach(k => assert(edge.get(k) === k))
     assert(edge.get(-42L) === 0L) // absent-key probe terminates when maximally full
   }
+
+  test("expectations detects every planted violation with exact counts") {
+    import spark.implicits._
+    // orders: duplicate PK (7), bad status (4), zero price (2),
+    // dangling custkey (5, customer table = {1,2})
+    val orders = Seq(
+      (1L, 1L, "O", 10.0), (2L, 1L, "F", 20.0), (3L, 2L, "P", 30.0),
+      (3L, 2L, "X", 0.0), // dup PK + bad status + bad price
+      (4L, 2L, "O", 40.0), (5L, 9L, "O", 50.0) // custkey 9 dangling
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val lineitem = Seq(
+      (1L, 10.0, 0.05, "1995-01-01"), (2L, 0.0, 0.05, "1995-01-01"),
+      (2L, 10.0, 0.5, "1995-01-01"), (9L, 10.0, 0.05, null)
+    ).toDF("l_orderkey", "l_quantity", "l_discount", "_d")
+      .withColumn("l_shipdate", col("_d").cast("timestamp")).drop("_d")
+    val customer = Seq(1L, 2L).toDF("c_custkey")
+
+    val got = graft.queries.Analytics
+      .expectations(orders, lineitem, customer)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got("orders_pk_unique") === ((6L, 1L, false)))
+    assert(got("orders_status_domain") === ((6L, 1L, false)))
+    assert(got("orders_totalprice_positive") === ((6L, 1L, false)))
+    assert(got("orders_custkey_ri") === ((6L, 1L, false)))
+    assert(got("lineitem_quantity_range") === ((4L, 1L, false)))
+    assert(got("lineitem_discount_range") === ((4L, 1L, false)))
+    assert(got("lineitem_shipdate_present") === ((4L, 1L, false)))
+    assert(got("lineitem_orderkey_ri") === ((4L, 1L, false)))
+    // and a clean table passes every rule
+    val clean = graft.queries.Analytics.expectations(
+      Seq((1L, 1L, "O", 10.0), (2L, 2L, "F", 20.0))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+      Seq((1L, 10.0, 0.05, "1995-01-01"))
+        .toDF("l_orderkey", "l_quantity", "l_discount", "_d")
+        .withColumn("l_shipdate", col("_d").cast("timestamp")).drop("_d"),
+      customer).collect()
+    assert(clean.length === 8 && clean.forall(_.getBoolean(4)))
+  }
+
+  test("chisq matches the hand-computed 2x2 decomposition") {
+    import spark.implicits._
+    val rows = (Seq.fill(30)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(50)(("y", "v"))).toDF("a", "b")
+    val got = graft.queries.Analytics.chisq(rows, col("a"), col("b"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(6), r.getDouble(7)))).toMap
+    // N=100, rows x=40/y=60, cols u=40/v=60; dev = N*obs - row*col
+    assert(got(("x", "u")) === ((30L, 1400L, 12.25)))
+    assert(got(("x", "v"))._2 === -1400L)
+    assert(got(("y", "u"))._2 === -1400L)
+    assert(got(("y", "v"))._2 === 1400L)
+    // contrib = dev^2/(N*row*col), exact for the xv cell: 1.96e6/2.4e5
+    assert(math.abs(got(("x", "v"))._3 - 1960000.0 / 240000.0) < 1e-12)
+    // zero-dev table decomposes to all-zero contribs
+    val indep = (Seq.fill(20)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(20)(("y", "u")) ++ Seq.fill(20)(("y", "v"))).toDF("a", "b")
+    assert(graft.queries.Analytics.chisq(indep, col("a"), col("b"))
+      .collect().forall(r => r.getLong(6) === 0L && r.getDouble(7) === 0.0))
+  }
+
+  test("langIdEval confusion rollup is consistent with langId per-doc output") {
+    val docs = Tables.documents(spark, dir)
+    val eval = TextAnalysis.langIdEval(docs).collect()
+    val nDocs = docs.count()
+    assert(eval.map(_.getLong(1)).sum === nDocs) // labels partition the corpus
+    assert(eval.map(_.getLong(2)).sum === nDocs) // predictions do too
+    // per-doc recount of the same classifier
+    val perDoc = TextAnalysis.langId(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    eval.foreach { r =>
+      val lang = r.getString(0)
+      val (nLabel, nPred, tp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tp <= nLabel && tp <= nPred)
+      assert(perDoc.filter(col("lang_pred") === lang).count() === nPred)
+      assert(perDoc.filter(col("lang") === lang &&
+        col("lang_pred") === lang).count() === tp)
+      // F1 is the harmonic identity of the two single-division metrics
+      if (nPred + nLabel > 0)
+        assert(r.getDouble(6) === 2.0 * tp / (nPred + nLabel).toDouble)
+    }
+  }
 }

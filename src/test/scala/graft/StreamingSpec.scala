@@ -47,6 +47,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream.map(_.toSeq) === batch.map(_.toSeq))
   }
 
+  test("stream-maintained window counts rank to the batch top-k") {
+    // st_topk's split: streaming maintains the windowed COUNTS (state =
+    // windows x types, independent of event volume); the rank is a
+    // read-time projection over that table — applied HERE via the same
+    // shared rankWindowTopk stage the batch query uses, so stream and
+    // batch cannot drift.
+    val q = EventStreams.windowedCounts(EventStreams.readEvents(spark, eventsDir))
+      .writeStream.format("memory").queryName("wtk")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stream = Relational.rankWindowTopk(spark.table("wtk"), 3).collect()
+    val batch = Relational.stTopk(spark, dir).collect()
+    assert(stream.length === batch.length)
+    assert(stream.map(_.toSeq) === batch.map(_.toSeq))
+  }
+
   test("streaming session windows equal the batch session_window aggregation") {
     // Append-mode session windows emit only once the watermark passes
     // session end, AND emission in batch k uses the watermark computed at
