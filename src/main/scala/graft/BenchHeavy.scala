@@ -86,17 +86,11 @@ object BenchHeavy {
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  def main(args: Array[String]): Unit = {
-    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outDir = args.headOption.getOrElse("/tmp/graft_heavy")
-    val reps = 10
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.core.GraftSession.builder(s"local[$cpus]", 64)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    def replicate(dir: String, nReps: Int,
-                  tables: Set[String] = Set("documents", "lineitem")): Unit = {
+  /** Build the deterministic nReps-replica tier under `dir` (also used
+    * by Probe to rebuild a tier's data without running the suite). */
+  def buildReplicas(spark: org.apache.spark.sql.SparkSession,
+                    srcDir: String, dir: String, nReps: Int,
+                    tables: Set[String] = Set("documents", "lineitem")): Unit = {
       // per-table markers: tiers acquired lineitem at different times, so
       // an existing docs replica must not block the lineitem build
       // (legacy "_done" marker counts as the docs marker)
@@ -145,13 +139,23 @@ object BenchHeavy {
           .repartition(64) // scatter replicas — see the documents note
           .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       }
-    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = args.headOption.getOrElse("/tmp/graft_heavy")
+    val reps = 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.builder(s"local[$cpus]", 64)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
     val x10 = s"$outDir/x10"
     val x100 = s"$outDir/x100"
     val x600 = s"$outDir/x600"
-    replicate(x10, reps)
-    replicate(x100, reps * 10)
-    replicate(x600, reps * 60, Set("lineitem"))
+    buildReplicas(spark, srcDir, x10, reps)
+    buildReplicas(spark, srcDir, x100, reps * 10)
+    buildReplicas(spark, srcDir, x600, reps * 60, Set("lineitem"))
     val dirFor: Map[String, String] =
       (heavyX10.map(_ -> x10) ++ heavyX100.map(_ -> x100) ++
         heavyX600.map(_ -> x600)).toMap

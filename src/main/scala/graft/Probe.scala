@@ -61,6 +61,7 @@ object Probe {
       case "q1-grid" => q1Grid(rest)
       case "q1-repeat" => q1Repeat(rest)
       case "q1-floor" => q1Floor(rest)
+      case "heavy-gen" => heavyGen(rest)
       case "quantile-parts" => quantileParts(rest)
       case "stages" => stages(rest)
       case "quantile-bhj" => quantileBhj(rest)
@@ -198,6 +199,24 @@ object Probe {
   }
 
   /** (QProfile) quantile machinery component times. */
+  /** Rebuild heavy-tier replica data without running the suite
+    * (args: [outDir] [tiers...] — default all three). */
+  private def heavyGen(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/graft_heavy")
+    val tiers = if (args.length > 1) args.drop(1).toSeq
+      else Seq("x10", "x100", "x600")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session(32)
+    tiers.foreach {
+      case "x10" => BenchHeavy.buildReplicas(spark, src, s"$outDir/x10", 10)
+      case "x100" => BenchHeavy.buildReplicas(spark, src, s"$outDir/x100", 100)
+      case "x600" =>
+        BenchHeavy.buildReplicas(spark, src, s"$outDir/x600", 600, Set("lineitem"))
+      case other => sys.error(s"unknown tier $other")
+    }
+    spark.stop()
+  }
+
   private def quantileParts(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_heavy/x10")
     val spark = session(32)

@@ -1325,7 +1325,7 @@ object Dedup {
     * (no blocks to segment).
     *
     * Scale shape (100 TB): block text is consumed AT THE SCAN — the
-    * count stage shuffles `(16-byte md5, packed long)` per block, the
+    * count stage shuffles `(8-byte md5Long, packed long)` per block, the
     * decision join moves only `(hash, keep_key)` for duplicated hashes
     * (dup mass, not corpus mass), and the kept-position aggregation
     * shuffles ints. Corpus text crosses the wire exactly once, at the
@@ -1341,7 +1341,12 @@ object Dedup {
         lit(blockWords))))
     val slim = docs
       .select(col("doc_id"), posexplode(blocksArr).as(Seq("pos", "block")))
-      .select(col("doc_id"), col("pos"), md5(col("block")).as("h"),
+      // 60-bit md5Long block key, not the 32-char md5 string: the
+      // corpus-wide count stage shuffles one row PER BLOCK, so the key
+      // width is the exchange (8 bytes vs ~48 with string overhead) and
+      // a long-keyed aggregate probes without byte-wise string hashing.
+      // Same truncated-digest contract as the shingle/winnow kernels.
+      .select(col("doc_id"), col("pos"), md5Long(col("block"), 1, 15).as("h"),
         // single-long first-occurrence key: doc_id * 2^24 + pos. The
         // shift bounds the contract at 2^24 blocks/doc (134M words at
         // blockWords=8) and doc_id < 2^39 — beyond either, packed keys
@@ -1379,7 +1384,8 @@ object Dedup {
       |    array_to_string(w[(i*8+1):(i*8+8)], ' ') AS block
       |  FROM (SELECT doc_id, w, CAST(ceil(len(w) / 8.0) AS BIGINT) AS nb
       |        FROM w), unnest(range(0, nb)) r(i)),
-      |keyed AS (SELECT doc_id, n_blocks, pos, block, md5(block) AS h,
+      |keyed AS (SELECT doc_id, n_blocks, pos, block,
+      |                 ('0x'||substr(md5(block),1,15))::BIGINT AS h,
       |                 doc_id*16777216 + pos AS k FROM blocks),
       |g AS (SELECT h, min(k) AS keep_k, count(*) AS n FROM keyed GROUP BY h),
       |kept AS (
@@ -1402,7 +1408,7 @@ object Dedup {
     * lengths (the trailing block of a document may be short).
     *
     * Scale shape: identical to paragraphDedup up to the drop decision —
-    * block text dies at the scan, the count stage shuffles (16-byte md5,
+    * block text dies at the scan, the count stage shuffles (8-byte md5Long,
     * packed long, word count) per block. The run logic adds one window +
     * one groupBy, both over DROP-CANDIDATE rows only (duplicated mass,
     * not corpus mass), partitioned by doc_id with per-partition size
@@ -1419,7 +1425,8 @@ object Dedup {
     val slim = docs
       .select(col("doc_id"), size(words).as("n_words"),
         posexplode(blocksArr).as(Seq("pos", "block")))
-      .select(col("doc_id"), col("pos"), md5(col("block")).as("h"),
+      // 60-bit md5Long key — see the paragraphDedup note
+      .select(col("doc_id"), col("pos"), md5Long(col("block"), 1, 15).as("h"),
         (col("doc_id") * 16777216L + col("pos")).as("k"),
         least(lit(blockWords), col("n_words") - col("pos") * blockWords)
           .as("wc"))
@@ -1476,7 +1483,8 @@ object Dedup {
       |  FROM (SELECT doc_id, w, len(w) AS nw,
       |               CAST(ceil(len(w) / 8.0) AS BIGINT) AS nb
       |        FROM w), unnest(range(0, nb)) r(i)),
-      |keyed AS (SELECT doc_id, n_blocks, pos, block, wc, md5(block) AS h,
+      |keyed AS (SELECT doc_id, n_blocks, pos, block, wc,
+      |                 ('0x'||substr(md5(block),1,15))::BIGINT AS h,
       |                 doc_id*16777216 + pos AS k FROM blocks),
       |g AS (SELECT h, min(k) AS keep_k, count(*) AS n FROM keyed GROUP BY h),
       |cand AS (
