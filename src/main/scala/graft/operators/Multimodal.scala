@@ -857,7 +857,89 @@ object Multimodal {
       |    THEN 1::BIGINT << frame_idx ELSE 0 END) AS BIGINT) AS fp
       |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- blur / sharpness score ----------------------------------------------
+
+  /** Variance-of-Laplacian sharpness score over REAL-decoded PNG
+    * rasters — the classic blur filter an image-training pipeline runs
+    * before anything expensive (a defocused/blank image has a flat
+    * Laplacian response; OpenCV's `cv2.Laplacian(...).var()` is this
+    * statistic). For each interior pixel the 4-neighbor Laplacian is
+    * lap = 4·l − l_left − l_right − l_up − l_down; the per-image score
+    * is Σ lap² / n_interior — exact integer moments and ONE terminal
+    * division (the Simpson/diversity lesson), so the oracle re-derives
+    * it from the pixel law and matches only if the real javax.imageio
+    * decode round-trips. Map-only: one decode per payload, no shuffle;
+    * at 100 TB this is a per-file decode pass emitting ~32 bytes/image. */
+  def blurScore(withPayload: DataFrame,
+                threshold: Double = 10000.0): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_interior", LongType),
+      StructField("lap_sq_sum", LongType)))
+    withPayload.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      val reader = pngReader() // reused across the whole partition
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = readPng(reader, r.getAs[Array[Byte]](1))
+        val w = img.getWidth
+        val h = img.getHeight
+        val l = img.getRaster.getSamples(0, 0, w, h, 0, null: Array[Int])
+        var s = 0L
+        var n = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            val lap = 4L * l(y * w + x) -
+              l(y * w + x - 1) - l(y * w + x + 1) -
+              l((y - 1) * w + x) - l((y + 1) * w + x)
+            s += lap * lap
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, n, s)
+      }
+    }(Encoders.row(schema)).toDF()
+      .select(col("doc_id"), col("n_interior"), col("lap_sq_sum"),
+        (col("lap_sq_sum").cast(DoubleType) /
+          col("n_interior").cast(DoubleType)).as("sharpness"))
+      .withColumn("is_blurry", col("sharpness") < threshold)
+      .orderBy("doc_id")
+  }
+
+  def mmBlur(spark: SparkSession, dir: String): DataFrame =
+    blurScore(synthReal(
+      Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0)))
+
+  /** Oracle: the ramp law luma(x,y) = (id + 7x + 13y) mod 256 makes
+    * every in-range Laplacian cancel to 0; only mod-256 wraps in a
+    * neighbor contribute (±256 per wrapped term), so lap² counts wrap
+    * boundaries — derivable analytically, but only reachable through
+    * an exact decode of the real PNG. */
+  val mmBlurSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, CAST(doc_id % 24 + 8 AS BIGINT) AS w,
+      |         CAST(doc_id % 18 + 6 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT doc_id,
+      |    4*((doc_id + 7*x + 13*y) % 256)
+      |      - ((doc_id + 7*(x-1) + 13*y) % 256)
+      |      - ((doc_id + 7*(x+1) + 13*y) % 256)
+      |      - ((doc_id + 7*x + 13*(y-1)) % 256)
+      |      - ((doc_id + 7*x + 13*(y+1)) % 256) AS lap
+      |  FROM m, unnest(range(1, w-1)) rx(x), unnest(range(1, h-1)) ry(y))
+      |SELECT doc_id, count(*) AS n_interior,
+      |  CAST(sum(lap*lap) AS BIGINT) AS lap_sq_sum,
+      |  CAST(sum(lap*lap) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS sharpness,
+      |  CAST(sum(lap*lap) AS DOUBLE) / CAST(count(*) AS DOUBLE) < 10000.0
+      |    AS is_blurry
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_blur" -> (mmBlur _),
     "mm_shots" -> (mmShots _),
     "mm_audio_fp" -> (mmAudioFp _),
     "mm_meta" -> (mmMeta _),
@@ -869,6 +951,7 @@ object Multimodal {
     "mm_patches" -> (mmPatches _))
 
   val oracles: Map[String, String] = Map(
+    "mm_blur" -> mmBlurSql,
     "mm_shots" -> mmShotsSql,
     "mm_audio_fp" -> mmAudioFpSql,
     "mm_meta" -> mmMetaSql,

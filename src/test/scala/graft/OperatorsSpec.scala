@@ -643,6 +643,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       img.getRaster.getSample(0, 0, 0)) <= 16)
   }
 
+  test("blurScore: flat image scores 0, checkerboard scores the exact law") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val flat = Array.fill[Byte](64)(100.toByte)
+    val checker = Array.tabulate[Byte](64)(i =>
+      if ((i % 8 + i / 8) % 2 == 0) 0.toByte else 255.toByte)
+    val payloads = Seq(
+      (0L, Multimodal.lumaPng(flat)), (1L, Multimodal.lumaPng(checker)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.blurScore(payloads).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // flat: every Laplacian is 0 — the defocused/blank signature
+    assert(got(0L) === ((36L, 0L, 0.0, true)))
+    // checkerboard: each interior pixel has 4 opposite-color neighbors,
+    // |lap| = 4*255 = 1020 exactly, 36 interior pixels in an 8x8
+    assert(got(1L) === ((36L, 36L * 1020L * 1020L, 1020.0 * 1020.0, false)))
+  }
+
   test("real JPEG codec: exact geometry, bounded pixel error, deterministic") {
     import graft.operators.Multimodal
     // the lossy half of the mm_meta contract: the SQL oracle pins the
