@@ -1625,6 +1625,108 @@ object Relational {
       |  CAST(max(lag_us) AS BIGINT) AS max_lag_us
       |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Scalar anomaly law shared by the batch twin and the streaming
+    * state machine (EventStreams.anomalyState): value v is anomalous
+    * against prior exact moments (n, s = Σv, s2 = Σv²) when n ≥ warmup
+    * and (n·v − s)² > k²·(n·s2 − s²) — the 3-sigma test cleared of its
+    * divisions, so it is pure integer arithmetic (bit-identical across
+    * engines; no stddev/sqrt libm drift). */
+  private[graft] def anomalousLaw(n: Long, s: BigInt, s2: BigInt, v: Long,
+      warmup: Int = 30, k: Int = 3): Boolean =
+    n >= warmup && {
+      val lhs = BigInt(n) * v - s
+      lhs * lhs > BigInt(k.toLong * k) * (BigInt(n) * s2 - s * s)
+    }
+
+  /** Streaming z-score anomaly counts per event type — the alerting
+    * pass an ingest pipeline runs on a firehose: an event is anomalous
+    * when it deviates more than 3σ from the PRIOR (event-time-ordered)
+    * running mean of its type, with a 30-event warm-up. Exact integer
+    * moments (1e-6-scaled values; Σv and Σv² accumulate in
+    * DECIMAL(38,0) — v² fits a long for |value| < ~9.2e9 at this
+    * scale, the generator's ceiling by orders of magnitude), so the
+    * decision is [[anomalousLaw]] exactly, never a float stddev.
+    *
+    * Scale shape: running (n, Σv, Σv²) per type over (ts, event_id)
+    * order via the two-phase split (the stLateAudit/tokenBudget
+    * machinery) — per-(type, hour-bucket) partials, exclusive prefix
+    * over the tiny bucket table, broadcast back, within-bucket
+    * windows — never a per-type corpus-sized window partition. The
+    * streaming twin (EventStreams.anomalyState, flatMapGroupsWithState)
+    * carries (n, Σv, Σv², count) per key — constant state — and the
+    * spec asserts its final counts equal this batch result across
+    * micro-batch splits. */
+  def anomalyCounts(ev0: DataFrame, warmup: Int = 30, k: Int = 3): DataFrame = {
+    val dec = DataTypes.createDecimalType(38, 0)
+    val ev = ev0.select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("_tm"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast(LongType).as("_v"))
+      .withColumn("_bkt", expr("_tm div 3600000000"))
+    val zero = lit(0L).cast(dec)
+    val parts = ev.groupBy(col("event_type").as("_g"), col("_bkt").as("_b"))
+      .agg(count(lit(1)).as("_pn"),
+        sum(col("_v").cast(dec)).as("_ps"),
+        sum((col("_v") * col("_v")).cast(dec)).as("_ps2"))
+    val wOff = Window.partitionBy(col("_g")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parts.select(col("_g"), col("_b"),
+      coalesce(sum(col("_pn")).over(wOff), lit(0L)).as("_on"),
+      coalesce(sum(col("_ps")).over(wOff), zero).as("_os"),
+      coalesce(sum(col("_ps2")).over(wOff), zero).as("_os2"))
+    val wIn = Window.partitionBy(col("event_type"), col("_bkt"))
+      .orderBy(col("_tm"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = ev
+      .join(broadcast(offs),
+        col("event_type") === col("_g") && col("_bkt") === col("_b"))
+      .withColumn("_rn", col("_on") + count(lit(1)).over(wIn))
+      .withColumn("_rs",
+        (col("_os") + coalesce(sum(col("_v").cast(dec)).over(wIn), zero))
+          .cast(dec))
+      .withColumn("_rs2",
+        (col("_os2") +
+          coalesce(sum((col("_v") * col("_v")).cast(dec)).over(wIn), zero))
+          .cast(dec))
+    val nD = col("_rn").cast(dec)
+    val vD = col("_v").cast(dec)
+    val lhs = (nD * vD - col("_rs")).cast(dec)
+    val anom = col("_rn") >= warmup.toLong &&
+      (lhs * lhs).cast(dec) >
+        (lit(k.toLong * k).cast(dec) *
+          (nD * col("_rs2") - col("_rs") * col("_rs")).cast(dec)).cast(dec)
+    run.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(anom, 1L).otherwise(0L)).as("n_anomalies"))
+      .orderBy(col("event_type"))
+  }
+
+  def stAnomaly(spark: SparkSession, dir: String): DataFrame =
+    anomalyCounts(Tables.events(spark, dir))
+
+  /** Oracle = the single running-moment window over the same
+    * (ts, event_id) order, HUGEINT-exact, which the two-phase split
+    * must reproduce bit-for-bit. */
+  val stAnomalySql: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id,
+      |    epoch_us(make_timestamp(epoch_ns(ts) // 1000)) AS tm,
+      |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, v,
+      |    count(*) OVER w AS n,
+      |    CAST(coalesce(sum(v) OVER w, 0) AS HUGEINT) AS s,
+      |    CAST(coalesce(sum(v*v) OVER w, 0) AS HUGEINT) AS s2
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY tm, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN n >= 30 AND
+      |      (CAST(n AS HUGEINT)*v - s)*(CAST(n AS HUGEINT)*v - s)
+      |        > 9*(CAST(n AS HUGEINT)*s2 - s*s)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def stDedup(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -2549,7 +2651,8 @@ object Relational {
     "q_skyline" -> (qSkyline _),
     "q_anomaly" -> (qAnomaly _),
     "st_window_agg" -> (stWindowAgg _),
-    "st_topk" -> (stTopk _))
+    "st_topk" -> (stTopk _),
+    "st_anomaly" -> (stAnomaly _))
 
   val oracles: Map[String, String] = Map(
     "st_attribution" -> stAttributionSql,
@@ -2610,5 +2713,6 @@ object Relational {
     "q_skyline" -> qSkylineSql,
     "q_anomaly" -> qAnomalySql,
     "st_window_agg" -> stWindowAggSql,
-    "st_topk" -> stTopkSql)
+    "st_topk" -> stTopkSql,
+    "st_anomaly" -> stAnomalySql)
 }

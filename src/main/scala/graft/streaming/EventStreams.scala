@@ -426,6 +426,53 @@ object EventStreams {
       }
   }
 
+  /** Exact running moments per event type for the streaming anomaly
+    * twin — Σv and Σv² as decimal STRINGS because the state must hold
+    * arbitrary-magnitude integers (the default BigDecimal encoder's
+    * (38,18) scale would cap Σv² at 20 integer digits). */
+  case class AnomalyState(n: Long, s: String, s2: String, anomalies: Long)
+  case class AnomalyCount(event_type: String, n_events: Long,
+                          n_anomalies: Long)
+
+  /** Streaming twin of Relational.stAnomaly: per-event-type z-score
+    * anomaly counting via flatMapGroupsWithState. State per key is the
+    * exact integer moment triple (n, Σv, Σv²) plus the running anomaly
+    * count — CONSTANT size regardless of event volume — and each event
+    * is judged by the SAME scalar law (Relational.anomalousLaw) the
+    * batch two-phase split evaluates columnar-side, so stream and batch
+    * cannot drift. Rows are applied in (ts, event_id) order within each
+    * micro-batch; cross-batch event-time order is the replay's contract
+    * (StreamingSpec splits the feed into time-ordered files). */
+  def anomalyState(events: DataFrame, warmup: Int = 30,
+                   k: Int = 3): Dataset[AnomalyCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tm"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("v"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomalyState, AnomalyCount](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, Long, Long)],
+         state: GroupState[AnomalyState]) =>
+          val st0 = state.getOption.getOrElse(AnomalyState(0L, "0", "0", 0L))
+          var n = st0.n
+          var s = BigInt(st0.s)
+          var s2 = BigInt(st0.s2)
+          var an = st0.anomalies
+          it.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, _, _, v) =>
+            if (graft.queries.Relational.anomalousLaw(n, s, s2, v, warmup, k))
+              an += 1
+            n += 1
+            s += v
+            s2 += BigInt(v) * v
+          }
+          state.update(AnomalyState(n, s.toString, s2.toString, an))
+          Iterator(AnomalyCount(key, n, an))
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * count and value total — the shape (arbitrary state + arbitrary update
     * logic) that windowed aggregation can't express. State lives in the

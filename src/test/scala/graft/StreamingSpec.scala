@@ -123,6 +123,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streamed sessions diverged from the batch twin")
   }
 
+  test("streaming anomaly state equals the batch two-phase split") {
+    // the feed is replayed as 3 event-time-ordered slices (one per
+    // micro-batch) — the anomaly law is prefix-dependent, so this is
+    // the real cross-batch state-carry test, not just re-aggregation
+    import org.apache.spark.sql.expressions.Window
+    val d = Files.createTempDirectory("graft-anom-events")
+    val ev = Tables.events(spark, dir)
+      .withColumn("_sl", ntile(3).over(
+        Window.orderBy(col("ts"), col("event_id"))))
+    def slice(sl: Int, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-anom-slice")
+      ev.filter(col("_sl") === sl).drop("_sl")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val it = java.nio.file.Files.list(tmp).iterator()
+      var src: java.nio.file.Path = null
+      while (it.hasNext) {
+        val p = it.next(); if (p.toString.endsWith(".parquet")) src = p
+      }
+      Files.copy(src, d.resolve(name))
+      java.nio.file.Files.setLastModifiedTime(d.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    slice(1, "a.parquet", 1000000000000L)
+    slice(2, "b.parquet", 1000000010000L)
+    slice(3, "c.parquet", 1000000020000L)
+    val q = EventStreams.anomalyState(
+        EventStreams.readEvents(spark, d.toString, maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("anomst")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("anomst")
+    // every key emits once per micro-batch it appears in — more rows
+    // than keys proves the state actually crossed batch boundaries
+    assert(emitted.count() > emitted.select("event_type").distinct().count())
+    // n_events is monotone per key, so max(struct) is the final state
+    val stream = emitted.groupBy("event_type")
+      .agg(max(struct(col("n_events"), col("n_anomalies"))).as("m"))
+      .select(col("event_type"), col("m.n_events"), col("m.n_anomalies"))
+      .orderBy("event_type").collect()
+    val batch = Relational.stAnomaly(spark, dir).collect()
+    assert(batch.map(_.getLong(2)).sum > 0, "no anomalies in the feed")
+    assert(stream.map(_.toSeq) === batch.map(_.toSeq))
+  }
+
   test("kafka wire projection round-trips and feeds the stateful plans unchanged") {
     // batch leg: events → (key, value) bytes → events must be lossless
     // (ts travels as epoch micros; key is the user_id bytes that keep a
