@@ -167,18 +167,27 @@ object TextAnalysis {
           .otherwise("de"))
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n"))
-    val labels = conf.groupBy(col("lang").as("language"))
-      .agg(sum(col("n")).as("n_label"))
-    val preds = conf.groupBy(col("lang_pred").as("language"))
-      .agg(sum(col("n")).as("n_pred"))
-    val tp = conf.filter(col("lang") === col("lang_pred"))
-      .select(col("lang").as("language"), col("n").as("tp"))
-    labels.join(preds, Seq("language"), "full_outer")
-      .join(tp, Seq("language"), "left_outer")
-      .select(col("language"),
-        coalesce(col("n_label"), lit(0L)).as("n_label"),
-        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
-        coalesce(col("tp"), lit(0L)).as("tp"))
+    // Each confusion cell contributes to TWO per-language rollups (its
+    // label row and its prediction row) — emitted as one explode over
+    // the tiny table, NOT three separate conf consumers: separate
+    // labels/preds/tp branches each re-plan conf's whole lineage, and
+    // only identical exchanges get reused, so the corpus scan (4
+    // regexp_counts over text) ran multiple times (measured: 1.11 s vs
+    // tx_langid's 0.61 at sf0.1 before this shape).
+    val tall = conf.select(explode(array(
+        struct(lit("l").as("role"), col("lang").as("language"), col("n"),
+          (col("lang") === col("lang_pred")).as("eq")),
+        struct(lit("p").as("role"), col("lang_pred").as("language"),
+          col("n"), lit(false).as("eq")))).as("t"))
+      .select(col("t.role").as("role"), col("t.language").as("language"),
+        col("t.n").as("n"), col("t.eq").as("eq"))
+    tall.groupBy(col("language"))
+      .agg(
+        coalesce(sum(when(col("role") === "l", col("n"))), lit(0L))
+          .as("n_label"),
+        coalesce(sum(when(col("role") === "p", col("n"))), lit(0L))
+          .as("n_pred"),
+        coalesce(sum(when(col("eq"), col("n"))), lit(0L)).as("tp"))
       .withColumn("precision",
         when(col("n_pred") === 0L, lit(null).cast(DoubleType))
           .otherwise(col("tp").cast(DoubleType) / col("n_pred").cast(DoubleType)))

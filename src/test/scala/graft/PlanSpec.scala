@@ -742,4 +742,72 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.contains("WindowGroupLimit"),
       s"keywords top-3 lost the WindowGroupLimit pushdown:\n$ex")
   }
+
+  test("langid eval: one corpus scan feeds the whole confusion rollup") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = graft.operators.TextAnalysis.txLangidEval(spark, dir)
+    df.collect()
+    val scans = graft.core.Util.planNodes(df.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+    // labels/preds/tp as separate conf consumers re-ran the 4-regexp
+    // corpus scan per branch; the role-explode rollup must keep it at 1
+    assert(scans.length === 1,
+      s"expected a single documents scan, got ${scans.length}")
+    // and only (text, lang) are read — never the full row
+    assert(scans.head.schema.fieldNames.sorted.toSeq === Seq("lang", "text"))
+  }
+
+  test("st_topk: rank prunes to k per window below the final exchange") {
+    val df = Relational.stTopk(spark, dir)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
+  test("st_anomaly: corpus rows shuffle on (type, bucket), offsets broadcast") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = Relational.stAnomaly(spark, dir)
+    df.collect()
+    val nodes = graft.core.Util.planNodes(df.queryExecution.executedPlan)
+    val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
+    // every corpus-row exchange (rows still carrying the value column)
+    // must partition by (event_type, _bkt) — event_type alone is the
+    // unbounded per-key window partition this operator exists to avoid
+    val corpus = shuffles.filter(_.child.output.exists(_.name == "_v"))
+    assert(corpus.nonEmpty)
+    corpus.foreach { e =>
+      val part = e.outputPartitioning.toString
+      assert(part.contains("_bkt"),
+        s"corpus rows partitioned without the hour bucket: $part")
+    }
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "prefix offsets joined by shuffle, not broadcast")
+  }
+
+  test("mm_blur: map-only decode — no exchange before the final sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = graft.operators.Multimodal.queries("mm_blur")(spark, dir)
+    df.collect()
+    val shuffles = graft.core.Util
+      .planNodes(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    // the only allowed exchange is the terminal orderBy range partition
+    assert(shuffles.length <= 1, s"decode pass shuffles: $shuffles")
+    shuffles.foreach(e => assert(
+      e.outputPartitioning.toString.contains("rangepartitioning"),
+      s"non-sort exchange in a map-only operator: ${e.outputPartitioning}"))
+  }
+
+  test("q_expectations: row-level rules fuse — bounded scans per table") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = graft.queries.Analytics.qExpectations(spark, dir)
+    df.collect()
+    val scans = graft.core.Util.planNodes(df.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+    def of(t: String) = scans.count(_.toString.contains(s"$t.parquet"))
+    // orders: fused row-rule agg + PK agg + its own RI probe + the
+    // lineitem RI's parent side; lineitem: fused row-rule agg + RI child.
+    // More means a rule stopped fusing and bought its own pass.
+    assert(of("orders") <= 4, s"orders scanned ${of("orders")}x")
+    assert(of("lineitem") <= 2, s"lineitem scanned ${of("lineitem")}x")
+  }
 }
