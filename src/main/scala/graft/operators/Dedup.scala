@@ -33,6 +33,48 @@ object Dedup {
     """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  /** Normalization-fold exact dedup: case / ASCII-punctuation /
+    * whitespace variants of the same content collapse into one cluster
+    * (the crawl reality exact() misses: the same article re-serialized
+    * with different casing, smart-quote stripping, or whitespace
+    * reflow). Two-level rollup — (norm_h, raw_h) first, then norm_h —
+    * so n_copies and n_variants come from two map-combined aggregates
+    * instead of one count+countDistinct Expand (the Expand lesson);
+    * both shuffles carry (8-byte hash, 8-byte hash, id) rows, never
+    * text. The fold is deliberately ASCII-range-explicit (lower +
+    * strip `[!-/:-@[-`{-~]` + collapse \s+) so the Java and RE2 regex
+    * engines agree byte-for-byte. */
+  def normalizedDedup(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[!-/:-@\\[-`{-~]", ""), "\\s+", " "))
+    docs.select(col("doc_id"),
+        md5Long(norm, 1, 15).as("h"),
+        md5Long(col("text"), 1, 15).as("_rh"))
+      .groupBy(col("h"), col("_rh"))
+      .agg(min(col("doc_id")).as("_mid"), count(lit(1)).as("_c"))
+      .groupBy(col("h"))
+      .agg(min(col("_mid")).as("keep_id"),
+        sum(col("_c")).as("n_copies"),
+        count(lit(1)).as("n_variants"))
+      .orderBy("keep_id")
+  }
+
+  def ddNormalized(spark: SparkSession, dir: String): DataFrame =
+    normalizedDedup(Tables.documents(spark, dir))
+
+  val ddNormalizedSql: String =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    ('0x'||substr(md5(trim(regexp_replace(regexp_replace(lower(text),
+      |       '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g'))),1,15))::BIGINT AS h,
+      |    ('0x'||substr(md5(text),1,15))::BIGINT AS rh
+      |  FROM documents),
+      |g1 AS (SELECT h, rh, min(doc_id) AS mid, count(*) AS c
+      |       FROM k GROUP BY 1, 2)
+      |SELECT h, min(mid) AS keep_id, CAST(sum(c) AS BIGINT) AS n_copies,
+      |  count(*) AS n_variants
+      |FROM g1 GROUP BY h ORDER BY keep_id""".stripMargin
+
   /** Soft dedup: instead of DROPPING duplicates, DOWN-WEIGHT them —
     * every member of an exact-duplicate cluster gets weight 1/n_copies,
     * so the cluster contributes exactly one document's worth of mass to
@@ -1843,6 +1885,7 @@ object Dedup {
     "dd_contamination" -> (ddContamination _),
     "dd_editdist" -> (ddEditdist _),
     "dd_exact" -> (ddExact _),
+    "dd_normalized" -> (ddNormalized _),
     "dd_soft" -> (ddSoftDedup _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
@@ -1867,6 +1910,7 @@ object Dedup {
     "dd_contamination" -> ddContaminationSql,
     "dd_editdist" -> ddEditdistSql,
     "dd_exact" -> ddExactSql,
+    "dd_normalized" -> ddNormalizedSql,
     "dd_soft" -> ddSoftDedupSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_simhash" -> ddSimhashSql,

@@ -2696,6 +2696,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clean.length === 8 && clean.forall(_.getBoolean(4)))
   }
 
+  test("normalizedDedup folds case/punct/whitespace variants into one cluster") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO   WORLD"),
+      (4L, "hello world"), // raw-dup of 2
+      (5L, "something else entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.normalizedDedup(docs).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // one fold cluster of 4 copies across 3 raw variants, one singleton
+    assert(got === Map(1L -> ((4L, 3L)), 5L -> ((1L, 1L))))
+    // raw exact dedup sees only the verbatim pair — the fold is strictly
+    // coarser, never finer
+    val rawClusters = Dedup.exact(docs).collect()
+    assert(rawClusters.length === 4)
+  }
+
   test("chisq matches the hand-computed 2x2 decomposition") {
     import spark.implicits._
     val rows = (Seq.fill(30)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
