@@ -470,7 +470,25 @@ object ScaleCheck {
       // scan + broadcast probes (the plan PlanSpec pins). sum forces
       // the surprise arithmetic corpus-wide
       t("tx_lm_score")(TextAnalysis.lmScore(docs)
-        .agg(sum(col("surprise_bits"))).head.getLong(0))).flatten
+        .agg(sum(col("surprise_bits"))).head.getLong(0)),
+      // exact-moment anomaly detection at corpus scale: the two-phase
+      // bucket split (per-(type, hour) partials + broadcast prefix
+      // offsets + within-bucket windows) must stay scan-bound however
+      // few the keys are — a per-type corpus-sized window here would
+      // serialize one task per event type. Synthetic stream: 5 types,
+      // hour-granular event time, xxhash-derived exponential-ish values
+      t("st_anomaly") {
+        val ev = docs.select(
+          col("doc_id").as("event_id"),
+          timestamp_micros(lit(1700000000000000L) +
+            col("doc_id") * 3600000L).as("ts"),
+          concat(lit("t"), pmod(col("doc_id"), lit(5L))).as("event_type"),
+          (pmod(xxhash64(col("doc_id")), lit(1000000L)).cast("double") *
+            pmod(xxhash64(col("doc_id"), lit(1)), lit(4L)).cast("double") /
+            lit(10000.0)).as("value"))
+        graft.queries.Relational.anomalyCounts(ev)
+          .agg(sum(col("n_anomalies"))).head.getLong(0)
+      }).flatten
     // the end-to-end pipeline (anti-join on the corpus-scale drop set)
     // only says something new under planted dup density
     val results = if (dupPct > 0)
