@@ -1147,6 +1147,51 @@ object Analytics {
       |FROM obs JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
       |ORDER BY lang, source""".stripMargin
 
+  // ---- q_kanon ---------------------------------------------------------------
+
+  /** k-anonymity audit over a quasi-identifier tuple — the privacy-risk
+    * report a release pipeline runs before exporting event-level data:
+    * how many rows sit in quasi-identifier groups smaller than k (each
+    * such row is re-identifiable by joining the quasi columns against
+    * an external source). Quasi tuple here: (event_type, hour-of-day,
+    * value decade) on events.
+    *
+    * Output is the group-SIZE histogram (size, n_groups, n_rows,
+    * at_risk) rather than the groups themselves — the report stays
+    * size-distribution-sized (≤ max group cardinality rows) and never
+    * leaks a quasi tuple, and the k decision is a filter on it.
+    *
+    * Scale shape: one map-combined aggregate to the quasi-group table
+    * (cardinality = the quasi DOMAIN, bounded by design — auditing an
+    * unbounded-cardinality tuple is the degenerate every-row-unique
+    * case where the report is trivially "all at risk"), then a second
+    * tiny aggregate over group sizes. */
+  def kAnonymity(rows: DataFrame, quasi: Seq[Column], k: Int = 5): DataFrame =
+    rows.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("_gs"))
+      .groupBy(col("_gs").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("_gs")).as("n_rows"))
+      .withColumn("at_risk", col("group_size") < k.toLong)
+      .orderBy(col("group_size"))
+
+  def qKanon(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    kAnonymity(ev, Seq(
+      col("event_type"),
+      hour(col("ts")).as("hod"),
+      floor(col("value") / lit(10.0)).cast(LongType).as("vdec")))
+  }
+
+  val qKanonSql: String =
+    """WITH g AS (
+      |  SELECT event_type, extract(hour FROM make_timestamp(epoch_ns(ts) // 1000)) AS hod,
+      |    CAST(floor(value / 10.0) AS BIGINT) AS vdec, count(*) AS gs
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT gs AS group_size, count(*) AS n_groups,
+      |  CAST(sum(gs) AS BIGINT) AS n_rows, gs < 5 AS at_risk
+      |FROM g GROUP BY gs ORDER BY group_size""".stripMargin
+
   // ---- registry --------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1170,7 +1215,8 @@ object Analytics {
     "q_growth_accounting" -> (qGrowthAccounting _),
     "st_session" -> (stSession _),
     "q_expectations" -> (qExpectations _),
-    "q_chisq" -> (qChisq _))
+    "q_chisq" -> (qChisq _),
+    "q_kanon" -> (qKanon _))
 
   val oracles: Map[String, String] = Map(
     "q_rfm" -> qRfmSql,
@@ -1193,5 +1239,6 @@ object Analytics {
     "q_growth_accounting" -> qGrowthAccountingSql,
     "st_session" -> stSessionSql,
     "q_expectations" -> qExpectationsSql,
-    "q_chisq" -> qChisqSql)
+    "q_chisq" -> qChisqSql,
+    "q_kanon" -> qKanonSql)
 }

@@ -2734,6 +2734,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().forall(r => r.getLong(6) === 0L && r.getDouble(7) === 0.0))
   }
 
+  test("kAnonymity histogram counts planted group sizes exactly") {
+    import spark.implicits._
+    // groups of size 1, 1, 2, 5 over quasi (a, b) with k=3
+    val rows = Seq(("x", 1), ("y", 1), ("z", 1), ("z", 1),
+      ("w", 2), ("w", 2), ("w", 2), ("w", 2), ("w", 2)).toDF("a", "b")
+    val got = graft.queries.Analytics
+      .kAnonymity(rows, Seq(col("a"), col("b")), k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 2L, true)),   // two singleton groups, both at risk
+      2L -> ((1L, 2L, true)),   // one pair group, below k=3
+      5L -> ((1L, 5L, false)))) // one big group, safe
+    // invariant: n_rows sums back to the input row count
+    assert(got.values.map(_._2).sum === rows.count())
+  }
+
   test("langIdEval confusion rollup is consistent with langId per-doc output") {
     val docs = Tables.documents(spark, dir)
     val eval = TextAnalysis.langIdEval(docs).collect()
