@@ -807,6 +807,76 @@ object Similarity {
     int8TopK(Tables.embeddings(spark, dir), col("vec_id") < 10)
       .orderBy("q_id", "rk")
 
+  /** 1-bit sign quantization + Hamming top-k — the 64x-compression ANN
+    * tier below int8 (a 64-dim float vector becomes 8 BYTES; at 100 TB
+    * of embeddings the sweep reads 1.6 TB) with XOR+popcount as the
+    * whole distance kernel. Sign bits pack into TWO 32-bit halves
+    * (sig_lo bits 0..31, sig_hi 32..63) — the simhash/dHash signed-safe
+    * carriage, because a bit-63 long pack wraps negative in Spark while
+    * DuckDB sums into HUGEINT, and the halves keep both engines in
+    * exact positive integers. Same broadcast-queries scan-once plan as
+    * bruteTopK; ties broken by vec_id so top-k is deterministic in the
+    * heavily-collided Hamming space. Recall vs the float baseline is a
+    * spec concern (OperatorsSpec), not an oracle one — the oracle pins
+    * the quantized result bit-for-bit. */
+  def hammingTopK(emb: DataFrame, isQuery: Column, k: Int = 5): DataFrame = {
+    val packLo =
+      "aggregate(transform(sequence(0, 31), d -> " +
+        "IF(element_at(_v, d + 1) > 0D, shiftleft(1L, d), 0L)), 0L, (a, x) -> a + x)"
+    val packHi =
+      "aggregate(transform(sequence(32, 63), d -> " +
+        "IF(element_at(_v, d + 1) > 0D, shiftleft(1L, d - 32), 0L)), 0L, (a, x) -> a + x)"
+    val sigs = emb.select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("_v"))
+      .filter(size(col("_v")) === 64)
+      .select(col("vec_id"), expr(packLo).as("sig_lo"), expr(packHi).as("sig_hi"))
+    val queries = sigs.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("sig_lo").as("qlo"),
+        col("sig_hi").as("qhi"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    broadcast(queries)
+      .join(sigs, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (bit_count(col("qlo").bitwiseXOR(col("sig_lo"))) +
+          bit_count(col("qhi").bitwiseXOR(col("sig_hi"))))
+          .cast(LongType).as("hamming"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"),
+        col("hamming"))
+  }
+
+  def annHammingTopK(spark: SparkSession, dir: String): DataFrame =
+    hammingTopK(Tables.embeddings(spark, dir), col("vec_id") < 10)
+      .orderBy("q_id", "rk")
+
+  val annHammingTopKSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |           WHERE len(embedding) = 64),
+      |s AS (SELECT vec_id,
+      |        CAST(list_sum(list_transform(range(0, 32), d ->
+      |          CASE WHEN v[d + 1] > 0 THEN (1::BIGINT << d) ELSE 0 END))
+      |          AS BIGINT) AS sig_lo,
+      |        CAST(list_sum(list_transform(range(32, 64), d ->
+      |          CASE WHEN v[d + 1] > 0 THEN (1::BIGINT << (d - 32)) ELSE 0 END))
+      |          AS BIGINT) AS sig_hi
+      |      FROM v),
+      |q AS (SELECT vec_id AS q_id, sig_lo AS qlo, sig_hi AS qhi FROM s
+      |      WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q_id, s.vec_id,
+      |    CAST(bit_count(xor(qlo, s.sig_lo)) + bit_count(xor(qhi, s.sig_hi))
+      |      AS BIGINT) AS hamming
+      |  FROM q JOIN s ON q_id <> s.vec_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, hamming, CAST(
+      |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id)
+      |    AS INTEGER) AS rk
+      |  FROM scored)
+      |SELECT q_id, vec_id AS neighbor_id, rk, hamming FROM ranked
+      |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   /** DuckDB rebuilds the identical quantization (same IEEE scale and
     * floor(x*scale + 0.5) bytes) and the integer dots are exact, so the
     * quantized ANN hash-matches bit-for-bit. */
@@ -1291,6 +1361,7 @@ object Similarity {
     "ann_rp" -> (annRp _),
     "ann_kmeans" -> (annKmeans _),
     "ann_int8_topk" -> (annInt8TopK _),
+    "ann_hamming_topk" -> (annHammingTopK _),
     "ann_brute_topk" -> (annBruteTopK _),
     "ann_filtered" -> (annFiltered _),
     "ann_lsh_topk" -> (annLshTopK _),
@@ -1307,6 +1378,7 @@ object Similarity {
     "ann_rp" -> annRpSql,
     "ann_kmeans" -> annKmeansSql,
     "ann_int8_topk" -> annInt8TopKSql,
+    "ann_hamming_topk" -> annHammingTopKSql,
     "ann_brute_topk" -> annBruteTopKSql,
     "ann_filtered" -> annFilteredSql,
     "ann_lsh_topk" -> annLshTopKSql,

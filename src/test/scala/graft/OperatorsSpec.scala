@@ -2734,6 +2734,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().forall(r => r.getLong(6) === 0L && r.getDouble(7) === 0.0))
   }
 
+  test("hammingTopK: sign packing and distances match the hand law") {
+    import spark.implicits._
+    def vec(f: Int => Double): Array[Double] = Array.tabulate(64)(f)
+    val emb = Seq(
+      (0L, vec(_ => 1.0)),                       // all bits set
+      (1L, vec(_ => -1.0)),                      // no bits set -> hamming 64
+      (2L, vec(d => if (d == 0) -1.0 else 1.0)), // one bit off -> hamming 1
+      (3L, vec(d => if (d < 32) 1.0 else -1.0))  // half off -> hamming 32
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.hammingTopK(emb, col("vec_id") === 0, k = 3)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq === Seq((2L, 1, 1L), (3L, 2, 32L), (1L, 3, 64L)))
+    // quantized neighbors still overlap the float truth on real data:
+    // every query's hamming-top-5 must share candidates with the
+    // cosine-top-5 somewhere in the query set (sign bits are a coarse
+    // sketch — per-query recall isn't guaranteed, corpus-level overlap is)
+    val embR = Tables.embeddings(spark, dir)
+    val hm = Similarity.hammingTopK(embR, col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cos = Similarity.bruteTopK(embR, col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hm.nonEmpty && cos.nonEmpty)
+    assert((hm intersect cos).nonEmpty,
+      "sign-bit ANN shares no candidates at all with the float baseline")
+  }
+
   test("kAnonymity histogram counts planted group sizes exactly") {
     import spark.implicits._
     // groups of size 1, 1, 2, 5 over quasi (a, b) with k=3
