@@ -121,9 +121,10 @@ object Bench {
     // fixes: (a) the flag multiplier tightens to 2x whenever the run
     // STARTS on a contended host (loadavg > cpus/8 — background load
     // that will steal from all 32 worker threads); (b) the baseline
-    // update below is clamped so no single run can raise a query's
-    // baseline by more than 2x (legitimate permanent slowdowns still
-    // converge over successive clean rounds; noise never compounds).
+    // update below allows upward moves only from a quiet-start run
+    // (loadavg < 2) and clamps them to 2x per run — a loaded run can
+    // only LOWER a baseline (legitimate permanent slowdowns still
+    // converge over successive quiet rounds; noise never compounds).
     val noisyMult = if (la0 > cpus.toInt / 8.0) 2.0 else 3.0
     runOnce("q1_agg") // warm-up (reported failure is visible but untimed)
     // optional args = substring filters for a fast local iteration loop
@@ -201,18 +202,26 @@ object Bench {
       } else full = true
     }
     println(render(compactQs.toSeq, okSorted.size - compactQs.size))
-    // guard baseline: a clean measurement updates it; a noisy one keeps
-    // the prior value; and even an unflagged measurement can raise a
-    // query's baseline by at most 2x per run (downward always free) — so
-    // sub-threshold contention inflation can never ratchet the guard,
-    // while a real permanent slowdown converges over clean rounds. A
-    // failed query records nothing.
+    // guard baseline: downward moves are always free; UPWARD moves are
+    // allowed only from a run that STARTED on a quiet host (loadavg < 2
+    // — the PLANS.md adjudication gate), and even then by at most 2x
+    // per run. Round-12 lesson: this box's phantom kernel-load waves
+    // inflate most queries 1.2-2x without tripping the 3x noisy flag,
+    // and a loaded run that writes those values ratchets the guard's
+    // reference upward so the NEXT round's real regressions under-fire.
+    // A loaded-start run can therefore only improve the baseline
+    // (min(new, prior)); legitimate permanent slowdowns still converge
+    // over successive quiet rounds. Noisy-flagged queries keep the
+    // prior value outright; a failed query records nothing.
     if (args.isEmpty) { // partial filtered runs must not shrink the baseline
+      val quietStart = la0 >= 0 && la0 < 2.0
       val baseQs = results.collect {
         case (k, v, _, true, noisy) =>
           val p = prior.get(k)
           k -> (if (noisy) p.getOrElse(v)
-                else p.filter(_ > 0).fold(v)(pv => math.min(v, pv * 2)))
+                else if (quietStart)
+                  p.filter(_ > 0).fold(v)(pv => math.min(v, pv * 2))
+                else p.filter(_ > 0).fold(v)(pv => math.min(v, pv)))
       }
       val baseJson = baseQs.map { case (k, v) => s""""$k":$v""" }
         .mkString("""{"queries":{""", ",", "}}")

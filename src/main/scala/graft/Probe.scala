@@ -198,7 +198,6 @@ object Probe {
     spark.stop()
   }
 
-  /** (QProfile) quantile machinery component times. */
   /** Rebuild heavy-tier replica data without running the suite
     * (args: [outDir] [tiers...] — default all three). */
   private def heavyGen(args: Array[String]): Unit = {
@@ -217,6 +216,7 @@ object Probe {
     spark.stop()
   }
 
+  /** (QProfile) quantile machinery component times. */
   private def quantileParts(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_heavy/x10")
     val spark = session(32)

@@ -476,7 +476,9 @@ object ScaleCheck {
       // offsets + within-bucket windows) must stay scan-bound however
       // few the keys are — a per-type corpus-sized window here would
       // serialize one task per event type. Synthetic stream: 5 types,
-      // hour-granular event time, xxhash-derived exponential-ish values
+      // 3.6 s event-time steps (~1000 events per hour bucket, so the
+      // two-phase bucket split is genuinely exercised), xxhash-derived
+      // exponential-ish values
       t("st_anomaly") {
         val ev = docs.select(
           col("doc_id").as("event_id"),

@@ -236,6 +236,19 @@ object VectorExprs {
   def bigramXxh64(text: Column): Column =
     ExpressionUtils.column(BigramXxh64(ExpressionUtils.expression(text)))
 
+  /** signPack(v, start): one 32-bit half of the 1-bit sign quantization
+    * — bit b (of the result's low 32) set iff v[start+b] > 0.0 — as a
+    * codegen'd primitive loop. Replaces the
+    * `aggregate(transform(sequence(...)))` HOF pack, which is
+    * CodegenFallback (interpreted lambda per row, enclosing operator
+    * drops out of whole-stage codegen) on the one scan that IS the
+    * Hamming-ANN workload at 100 TB. Bit-equal to the HOF fold by
+    * construction: distinct powers of two sum == or; out-of-range and
+    * NULL elements contribute 0 exactly as IF(NULL > 0D, ..) takes the
+    * else branch (spec-pinned in OperatorsSpec). */
+  def signPack(v: Column, start: Int): Column =
+    ExpressionUtils.column(SignPack(ExpressionUtils.expression(v), start))
+
   /** nearestCell(v, n2, cents): IVF coarse-quantizer assignment as one
     * codegen'd argmin loop. `cents` is array<struct<label, cvec, c2>>
     * (attached per-row from a broadcast single-row DataFrame), and the
@@ -1403,6 +1416,50 @@ case class Simhash64(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+}
+
+/** 1-bit sign quantization pack — see [[VectorExprs.signPack]]. */
+case class SignPack(child: Expression, start: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sign_pack"
+
+  override protected def nullSafeEval(vAny: Any): Any = {
+    val v = vAny.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var acc = 0L
+    var b = 0
+    while (b < 32) {
+      val i = start + b
+      if (i < n && !v.isNullAt(i) && v.getDouble(i) > 0.0) acc |= (1L << b)
+      b += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $v.numElements();
+         |long $acc = 0L;
+         |for (int $b = 0; $b < 32; $b++) {
+         |  int $i = $start + $b;
+         |  if ($i < $n && !$v.isNullAt($i) && $v.getDouble($i) > 0.0) {
+         |    $acc |= (1L << $b);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignPack =
     copy(child = newChild)
 }
 

@@ -42,11 +42,14 @@ object Dedup {
     * instead of one count+countDistinct Expand (the Expand lesson);
     * both shuffles carry (8-byte hash, 8-byte hash, id) rows, never
     * text. The fold is deliberately ASCII-range-explicit (lower +
-    * strip `[!-/:-@[-`{-~]` + collapse \s+) so the Java and RE2 regex
-    * engines agree byte-for-byte. */
+    * strip `[!-/:-@[-`{-~]` + collapse an EXPLICIT whitespace class
+    * `[ \t\n\x0B\f\r]+`) so the Java and RE2 regex engines agree
+    * byte-for-byte — Java's \s includes \x0B (vertical tab) while
+    * RE2's does not, so a bare \s+ would normalize a \x0B-bearing
+    * document differently in the two engines. */
   def normalizedDedup(docs: DataFrame): DataFrame = {
     val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
-      "[!-/:-@\\[-`{-~]", ""), "\\s+", " "))
+      "[!-/:-@\\[-`{-~]", ""), "[ \\t\\n\\x0B\\f\\r]+", " "))
     docs.select(col("doc_id"),
         md5Long(norm, 1, 15).as("h"),
         md5Long(col("text"), 1, 15).as("_rh"))
@@ -66,7 +69,8 @@ object Dedup {
     """WITH k AS (
       |  SELECT doc_id,
       |    ('0x'||substr(md5(trim(regexp_replace(regexp_replace(lower(text),
-      |       '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g'))),1,15))::BIGINT AS h,
+      |       '[!-/:-@\[-`{-~]', '', 'g'),
+      |       '[ \t\n\x0B\f\r]+', ' ', 'g'))),1,15))::BIGINT AS h,
       |    ('0x'||substr(md5(text),1,15))::BIGINT AS rh
       |  FROM documents),
       |g1 AS (SELECT h, rh, min(doc_id) AS mid, count(*) AS c

@@ -820,16 +820,16 @@ object Similarity {
     * spec concern (OperatorsSpec), not an oracle one — the oracle pins
     * the quantized result bit-for-bit. */
   def hammingTopK(emb: DataFrame, isQuery: Column, k: Int = 5): DataFrame = {
-    val packLo =
-      "aggregate(transform(sequence(0, 31), d -> " +
-        "IF(element_at(_v, d + 1) > 0D, shiftleft(1L, d), 0L)), 0L, (a, x) -> a + x)"
-    val packHi =
-      "aggregate(transform(sequence(32, 63), d -> " +
-        "IF(element_at(_v, d + 1) > 0D, shiftleft(1L, d - 32), 0L)), 0L, (a, x) -> a + x)"
+    // native SignPack codegen kernel, not the aggregate(transform(...))
+    // HOF (CodegenFallback — interpreted lambda per corpus row, and the
+    // packing projection falls out of whole-stage codegen; the HOF
+    // formulation is spec-pinned bit-equal in OperatorsSpec)
+    import org.apache.spark.sql.graft.VectorExprs.signPack
     val sigs = emb.select(col("vec_id"),
         col("embedding").cast(ArrayType(DoubleType)).as("_v"))
       .filter(size(col("_v")) === 64)
-      .select(col("vec_id"), expr(packLo).as("sig_lo"), expr(packHi).as("sig_hi"))
+      .select(col("vec_id"), signPack(col("_v"), 0).as("sig_lo"),
+        signPack(col("_v"), 32).as("sig_hi"))
     val queries = sigs.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("sig_lo").as("qlo"),
         col("sig_hi").as("qhi"))
@@ -1247,6 +1247,87 @@ object Similarity {
         |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** Broadcast-weight LINEAR reranker over the overfetch candidates —
+    * the learned-reranker serving shape that closes the two-stage
+    * retrieval loop (stage 1 recalls, stage 2 REORDERS by a model, not
+    * just by exact distance). Features per (query, candidate) pair are
+    * all computable from columns the exact rerank already touches —
+    * exact cosine, the stage-1 ADC approximate cosine (how much the
+    * index flattered this candidate), and the norm ratio
+    * qn2/(qn2+n2) — so the plan is ivfPqRerank's plan with three extra
+    * arithmetic columns: zero new shuffle shape, and the "model" is
+    * three broadcast weight constants (a trained reranker swaps in its
+    * coefficients, nothing else changes — the tx_mlquality contract).
+    *
+    * Default weights are the mlQuality md5 chain (w_i =
+    * md5Long("rw:i") 40-bit / 2^40 * 2 - 1): deterministic constants
+    * both engines derive identically, constant-folded by Catalyst.
+    * Every feature is cross-engine bit-exact (cos and cospq already
+    * hash-checked by ann_rerank/ann_ivfpq_topk; the ratio and the
+    * weighted sum use one fixed association order in both engines), so
+    * the score hash-matches the oracle. With weights (1, 0, 0) the
+    * ranking equals [[ivfPqRerank]]'s pointwise (spec-pinned). */
+  def ivfPqRerankMl(emb: DataFrame, isQuery: Column => Column, k: Int = 5,
+                    overfetch: Int = 20,
+                    weights: Option[(Column, Column, Column)] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.graft.VectorExprs.md5Long
+    def wMd5(i: Int): Column =
+      (md5Long(lit(s"rw:$i"), 1, 10).cast(DoubleType) /
+        lit(1099511627776.0)) * lit(2.0) - lit(1.0)
+    val (w0, w1, w2) = weights.getOrElse((wMd5(0), wMd5(1), wMd5(2)))
+    val n2f = dot(col("embedding").cast(ArrayType(DoubleType)),
+      col("embedding").cast(ArrayType(DoubleType)))
+    val all = normed(emb.filter(n2f > 0 && n2f < lit(Double.PositiveInfinity)))
+    val cand = ivfPqTopK(emb, isQuery, overfetch)
+      .select(col("q_id"), col("neighbor_id"), col("cospq"))
+    val qv = all.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("mlscore").desc, col("neighbor_id"))
+    broadcast(cand.join(qv, Seq("q_id")))
+      .join(all, col("neighbor_id") === col("vec_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        // one fixed association order — (w0·cos + w1·cospq) + w2·nr —
+        // mirrored verbatim in the oracle so the double is bit-exact
+        ((w0 * (dot(col("qv"), col("v")) /
+            (sqrt(col("qn2")) * sqrt(col("n2")))) +
+          w1 * col("cospq")) +
+          w2 * (col("qn2") / (col("qn2") + col("n2")))).as("mlscore"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rk"), col("mlscore"))
+  }
+
+  def annRerankMl(spark: SparkSession, dir: String): DataFrame =
+    ivfPqRerankMl(Tables.embeddings(spark, dir), v => v < 10)
+      .orderBy("q_id", "rk")
+
+  /** Same IVF-PQ stage-1 prefix as ann_rerank; the rerank CTE carries
+    * cospq through and scores the fixed-order weighted sum. */
+  val annRerankMlSql: String = {
+    val tail = annIvfPqTopKSql.indexOf("SELECT q_id, neighbor_id, rk, cospq")
+    annIvfPqTopKSql.substring(0, tail).stripTrailing + ",\n" +
+      """cand AS (SELECT q_id, neighbor_id, cospq FROM ranked WHERE rk <= 20),
+        |wts AS (SELECT
+        |  ('0x'||substr(md5('rw:0'),1,10))::BIGINT / 1099511627776.0 * 2.0 - 1.0 AS w0,
+        |  ('0x'||substr(md5('rw:1'),1,10))::BIGINT / 1099511627776.0 * 2.0 - 1.0 AS w1,
+        |  ('0x'||substr(md5('rw:2'),1,10))::BIGINT / 1099511627776.0 * 2.0 - 1.0 AS w2),
+        |ex AS (
+        |  SELECT c.q_id, c.neighbor_id,
+        |    (w0 * (list_dot_product(q.qv, nb.v) / (sqrt(q.qn2) * sqrt(nb.n2)))
+        |      + w1 * c.cospq)
+        |      + w2 * (q.qn2 / (q.qn2 + nb.n2)) AS mlscore
+        |  FROM cand c JOIN q ON c.q_id = q.q_id
+        |  JOIN n nb ON c.neighbor_id = nb.vec_id CROSS JOIN wts),
+        |rr AS (
+        |  SELECT q_id, neighbor_id, mlscore,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY mlscore DESC, neighbor_id) AS rk
+        |  FROM ex)
+        |SELECT q_id, neighbor_id, rk, mlscore FROM rr WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin
+  }
+
   /** Incremental IVF index maintenance — the steady-state production
     * loop beside dd_incr_near/q_curation_incr: a NEW BATCH of vectors is
     * assigned to the EXISTING trained quantizer (no retrain — the
@@ -1358,6 +1439,7 @@ object Similarity {
     "ann_recall_eval" -> (annRecallEval _),
     "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_rerank" -> (annRerank _),
+    "ann_rerank_ml" -> (annRerankMl _),
     "ann_rp" -> (annRp _),
     "ann_kmeans" -> (annKmeans _),
     "ann_int8_topk" -> (annInt8TopK _),
@@ -1375,6 +1457,7 @@ object Similarity {
     "ann_recall_eval" -> annRecallEvalSql,
     "ann_ivfpq_topk" -> annIvfPqTopKSql,
     "ann_rerank" -> annRerankSql,
+    "ann_rerank_ml" -> annRerankMlSql,
     "ann_rp" -> annRpSql,
     "ann_kmeans" -> annKmeansSql,
     "ann_int8_topk" -> annInt8TopKSql,

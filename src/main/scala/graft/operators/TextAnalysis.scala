@@ -239,7 +239,9 @@ object TextAnalysis {
     * fingerprint (md5-derived so the oracle matches; hot paths with no
     * oracle requirement would use xxhash64, also codegen'd). */
   def fingerprint(docs: DataFrame): DataFrame = {
-    val norm = regexp_replace(col("text"), "\\s+", " ")
+    // explicit whitespace class, not \s: Java's \s includes \x0B,
+    // RE2/DuckDB's does not — the engines must fold identically
+    val norm = regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+", " ")
     docs.select(
       col("doc_id"),
       md5(norm).as("fp"),
@@ -250,8 +252,10 @@ object TextAnalysis {
     fingerprint(Tables.documents(spark, dir)).orderBy("doc_id")
 
   val txFingerprintSql: String =
-    """SELECT doc_id, md5(regexp_replace(text, '\s+', ' ', 'g')) AS fp,
-      |  ('0x'||substr(md5(regexp_replace(text, '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp60
+    """SELECT doc_id,
+      |  md5(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fp,
+      |  ('0x'||substr(md5(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')),
+      |    1, 15))::BIGINT AS fp60
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Corpus novelty per document: the fraction of a doc's word-3-gram
@@ -309,13 +313,14 @@ object TextAnalysis {
     val masked = Seq(
       ("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
       ("""\b(?:\d{1,3}\.){3}\d{1,3}\b""", "<IP>"),
-      ("""\+?\d+(?:[\s().-]+\d+){2,}""", "<PHONE>"),
+      // explicit whitespace class, not \s (Java-vs-RE2 \x0B divergence)
+      ("""\+?\d+(?:[ \t\n\x0B\f\r().-]+\d+){2,}""", "<PHONE>"),
       ("""\b\d{6,}\b""", "<NUM>"))
       .foldLeft(col(textCol)) { case (c, (pat, repl)) =>
         regexp_replace(c, pat, repl)
       }
     docs.withColumn(textCol,
-      trim(regexp_replace(masked, """\s+""", " ")))
+      trim(regexp_replace(masked, """[ \t\n\x0B\f\r]+""", " ")))
   }
 
   /** tx_pii: driver-checked PII scrub. The corpus carries no real PII,
@@ -356,9 +361,9 @@ object TextAnalysis {
       |          regexp_replace(t,
       |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       |          '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-      |        '\+?\d+(?:[\s().-]+\d+){2,}', '<PHONE>', 'g'),
+      |        '\+?\d+(?:[ \t\n\x0B\f\r().-]+\d+){2,}', '<PHONE>', 'g'),
       |      '\b\d{6,}\b', '<NUM>', 'g'),
-      |    '\s+', ' ', 'g')) AS scrubbed
+      |    '[ \t\n\x0B\f\r]+', ' ', 'g')) AS scrubbed
       |FROM pii ORDER BY doc_id""".stripMargin
 
   /** Corpus-level term frequencies: explode tokens, aggregate, top-k.
@@ -2795,27 +2800,27 @@ object TextAnalysis {
         StructField("lm_keep", BooleanType, nullable = true))),
       () => lmScoreEager(docs, minCount))
 
-  /** The eager body of [[lmScore]]: runs the train job and collects the
-    * (pruned) model AT CALL TIME. Callers wanting laziness go through
-    * [[lmScore]]; this stays public for specs that pin the serve
-    * semantics directly. */
-  def lmScoreEager(docs: DataFrame, minCount: Long = 1): DataFrame = {
-    // TRAIN: the BigramKeyPairs kernel emits (k1, k12) XXH64 key pairs
-    // straight off the text bytes (no string materialization; keys
-    // spec-pinned bit-equal to xxhash64(w1)/xxhash64(w1||' '||w2) of the
-    // string formulation) into a map-combined vocab-sized count
-    // aggregate. c1 = Σ_w2 c2 — the unigram table FOLDS OUT of the
-    // bigram table, so the train half is scanned once.
-    // FUSED train-count kernel (the fluency/dd_overlap shape): the
-    // per-occurrence work drops from a generic two-long-key UnsafeRow
-    // hash-agg probe to one multiply-shift probe of a primitive
-    // (k12, k1) → count table; partition-partial (k12, k1, cnt) rows
-    // flow into an exact sum merge. Hard-bounded (2^21 slots,
-    // drain-and-reset on fill, mid-document resume); counts split
-    // across flush epochs re-sum downstream, so any table size is
-    // correct. Probes match on BOTH keys — a k12 collision between
-    // distinct (k12, k1) pairs stays two entries, exactly as the
-    // groupBy it replaces treated it.
+  /** The TRAIN half's partition-partial (k12, k1, cnt) stream — the
+    * fused count kernel, exposed so [[lmScoreEager]] and the Probe
+    * stage decomposition share one definition.
+    *
+    * The BigramKeyPairs kernel emits (k1, k12) XXH64 key pairs
+    * straight off the text bytes (no string materialization; keys
+    * spec-pinned bit-equal to xxhash64(w1)/xxhash64(w1||' '||w2) of the
+    * string formulation) into a map-combined vocab-sized count
+    * aggregate. c1 = Σ_w2 c2 — the unigram table FOLDS OUT of the
+    * bigram table, so the train half is scanned once.
+    * FUSED train-count kernel (the fluency/dd_overlap shape): the
+    * per-occurrence work drops from a generic two-long-key UnsafeRow
+    * hash-agg probe to one multiply-shift probe of a primitive
+    * (k12, k1) → count table; partition-partial (k12, k1, cnt) rows
+    * flow into an exact sum merge. Hard-bounded (2^21 slots,
+    * drain-and-reset on fill, mid-document resume); counts split
+    * across flush epochs re-sum downstream, so any table size is
+    * correct. Probes match on BOTH keys — a k12 collision between
+    * distinct (k12, k1) pairs stays two entries, exactly as the
+    * groupBy it replaces treated it. */
+  private[graft] def lmTrainPartials(docs: DataFrame): DataFrame = {
     val spark1 = docs.sparkSession
     import spark1.implicits._
     // binary cast, not getString: skips the UTF-16 round-trip per doc
@@ -2908,6 +2913,15 @@ object TextAnalysis {
           }
         }
       }.toDF("k12", "k1", "cnt")
+    trainPart
+  }
+
+  /** The eager body of [[lmScore]]: runs the train job and collects the
+    * (pruned) model AT CALL TIME. Callers wanting laziness go through
+    * [[lmScore]]; this stays public for specs that pin the serve
+    * semantics directly. */
+  def lmScoreEager(docs: DataFrame, minCount: Long = 1): DataFrame = {
+    val trainPart = lmTrainPartials(docs)
     val c2 = trainPart.groupBy(col("k12"), col("k1"))
       .agg(sum(col("cnt")).as("c2"))
     // SERVE: the production LM-filter shape (CCNet ships a compiled LM
@@ -2938,30 +2952,57 @@ object TextAnalysis {
     // aggregated FROM the bigram table, never from a second corpus
     // scan. minCount=1 (the oracle-checked default) collects the exact
     // table in one job with c1 folded out driver-side.
-    val (rows1, rows2) =
-      if (minCount <= 1L) (null, c2.collect())
-      else {
+    // MODEL COLLECT: ONE job and ONE driver pass for either minCount
+    // path. The round-12 stage profile put ~0.5 s of the x100 wall in
+    // this driver constant; two of its parts were avoidable: collect()
+    // deserializes every model row to an external GenericRow (per-field
+    // boxing) — executeCollect() hands back InternalRows with primitive
+    // getLong access — and the minCount>1 path ran TWO jobs (unigram
+    // rollup, then pruned filter); a tagged union folds them into one
+    // job over the persisted count table. The driver only ever holds
+    // vocab-sized + pruned tables when minCount > 1 (the CCNet bound);
+    // the exact path holds the full table by the minCount=1 contract.
+    // Primitive open-addressing tables: the serve loop probes twice per
+    // bigram, and a boxed HashMap key allocation per probe is the
+    // difference between a memory-bandwidth scan and a GC churn scan.
+    def collectRows(df: DataFrame) =
+      df.queryExecution.executedPlan.executeCollect()
+    val (c1m, c2m) =
+      if (minCount <= 1L) {
+        val rows = collectRows(c2)
+        val m2 = new graft.core.LongLongMap(math.max(rows.length, 16))
+        val m1 = new graft.core.LongLongMap(math.max(rows.length, 16))
+        var i = 0
+        while (i < rows.length) {
+          val r = rows(i)
+          val cc = r.getLong(2)
+          m2.put(r.getLong(0), cc)
+          m1.addTo(r.getLong(1), cc) // c1 folds out of the bigram table
+          i += 1
+        }
+        (m1, m2)
+      } else {
         val c2p = c2.persist()
         try {
-          val r1 = c2p.groupBy(col("k1"))
-            .agg(sum(col("c2")).cast(LongType).as("c1")).collect()
-          val r2 = c2p.filter(col("c2") >= minCount)
-            .select(col("k12"), col("k1"), col("c2")).collect()
-          (r1, r2)
+          val rows = collectRows(
+            c2p.groupBy(col("k1"))
+              .agg(sum(col("c2")).cast(LongType).as("c1"))
+              .select(lit(0).as("tag"), col("k1").as("k"), col("c1").as("v"))
+              .unionAll(c2p.filter(col("c2") >= minCount)
+                .select(lit(1).as("tag"), col("k12").as("k"),
+                  col("c2").as("v"))))
+          val m1 = new graft.core.LongLongMap(math.max(rows.length, 16))
+          val m2 = new graft.core.LongLongMap(math.max(rows.length, 16))
+          var i = 0
+          while (i < rows.length) {
+            val r = rows(i)
+            if (r.getInt(0) == 0) m1.put(r.getLong(1), r.getLong(2))
+            else m2.put(r.getLong(1), r.getLong(2))
+            i += 1
+          }
+          (m1, m2)
         } finally { c2p.unpersist() }
       }
-    // primitive open-addressing tables: the serve loop probes twice per
-    // bigram, and a boxed HashMap key allocation per probe is the
-    // difference between a memory-bandwidth scan and a GC churn scan
-    val c2m = new graft.core.LongLongMap(math.max(rows2.length, 16))
-    val c1m = new graft.core.LongLongMap(
-      math.max(if (rows1 != null) rows1.length else rows2.length, 16))
-    rows2.foreach { r =>
-      c2m.put(r.getLong(0), r.getLong(2))
-      if (rows1 == null) c1m.addTo(r.getLong(1), r.getLong(2))
-    }
-    if (rows1 != null)
-      rows1.foreach(r => c1m.put(r.getLong(0), r.getLong(1)))
     val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast((c1m, c2m))
     val outSchema = StructType(Seq(

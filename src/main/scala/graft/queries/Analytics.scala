@@ -1006,7 +1006,11 @@ object Analytics {
     // referential rule reuses (1 row × 1 row cross joins, never data)
     val ordAgg = orders.agg(
       count(lit(1)).as("n_ord"),
-      violWhen(!col("o_orderstatus").isin("O", "F", "P")).as("v_status"),
+      // NULL status is a VIOLATION (matching the oracle's CASE WHEN x
+      // IN (...) THEN 0 ELSE 1): a bare !isin yields NULL for NULL
+      // input, which when(bad, 1) would silently count as a pass
+      violWhen(col("o_orderstatus").isNull ||
+        !col("o_orderstatus").isin("O", "F", "P")).as("v_status"),
       violWhen(col("o_totalprice").isNull || col("o_totalprice") <= 0)
         .as("v_price"))
     val ordRi = orders.select(col("o_custkey"))

@@ -1291,12 +1291,46 @@ object Relational {
     }
   }
 
-  /** q_resample: [[resampleHourly]] uncapped over the events table —
-    * the full-span grid the oracle reproduces analytically. */
+  /** q_resample: [[resampleHourly]] with the PRODUCTION-BOUNDED cap
+    * (maxGapHours = 24) as the hash-checked driver configuration — the
+    * tx_lm_score_pruned pattern: output is bounded by events × 25 at
+    * ANY key span, so one adversarial key with events decades apart
+    * cannot explode the grid the way the uncapped full-span densify
+    * would (~26k rows for a 3-year gap). The oracle replays the cap
+    * analytically with lead()-bounded fill runs. The exact uncapped
+    * form stays oracle-checked as [[qResampleFull]] — fine for corpora
+    * whose spans are structurally bounded. */
   def qResample(spark: SparkSession, dir: String): DataFrame =
-    resampleHourly(Tables.events(spark, dir))
+    resampleHourly(Tables.events(spark, dir), maxGapHours = 24)
 
   val qResampleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+      |  FROM events),
+      |hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour,
+      |    CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS v
+      |  FROM ev GROUP BY 1, 2),
+      |b AS (
+      |  SELECT user_id, hour, v,
+      |    lead(hour) OVER (PARTITION BY user_id ORDER BY hour) AS nxt
+      |  FROM hourly),
+      |g AS (
+      |  SELECT user_id, hour AS h0, v AS v0,
+      |    unnest(generate_series(hour,
+      |      least(coalesce(nxt - INTERVAL 1 HOUR, hour),
+      |            hour + INTERVAL 24 HOUR), INTERVAL 1 HOUR)) AS hour
+      |  FROM b)
+      |SELECT user_id, hour, CASE WHEN hour = h0 THEN v0 END AS v, v0 AS v_ff
+      |FROM g ORDER BY 1, 2""".stripMargin
+
+  /** q_resample_full: the exact uncapped full-span grid (maxGapHours =
+    * 0) — the events table's bounded span keeps it safe here; see the
+    * GRID-SIZE CAVEAT on [[resampleHourly]]. */
+  def qResampleFull(spark: SparkSession, dir: String): DataFrame =
+    resampleHourly(Tables.events(spark, dir))
+
+  val qResampleFullSql: String =
     """WITH ev AS (
       |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
       |  FROM events),
@@ -1643,9 +1677,12 @@ object Relational {
     * when it deviates more than 3σ from the PRIOR (event-time-ordered)
     * running mean of its type, with a 30-event warm-up. Exact integer
     * moments (1e-6-scaled values; Σv and Σv² accumulate in
-    * DECIMAL(38,0) — v² fits a long for |value| < ~9.2e9 at this
-    * scale, the generator's ceiling by orders of magnitude), so the
-    * decision is [[anomalousLaw]] exactly, never a float stddev.
+    * DECIMAL(38,0), and v is cast to decimal BEFORE the v·v multiply —
+    * a LongType v² wraps past |v| ≈ 3.04e9, i.e. |value| ≈ 3037 at the
+    * 1e-6 scale, well inside plausible event values; the decimal
+    * product is exact to |v| ≤ 9.2e18), so the decision is
+    * [[anomalousLaw]] exactly, never a float stddev — and it cannot
+    * drift from the streaming twin's exact BigInt accumulation.
     *
     * Scale shape: running (n, Σv, Σv²) per type over (ts, event_id)
     * order via the two-phase split (the stLateAudit/tokenBudget
@@ -1666,7 +1703,7 @@ object Relational {
     val parts = ev.groupBy(col("event_type").as("_g"), col("_bkt").as("_b"))
       .agg(count(lit(1)).as("_pn"),
         sum(col("_v").cast(dec)).as("_ps"),
-        sum((col("_v") * col("_v")).cast(dec)).as("_ps2"))
+        sum(col("_v").cast(dec) * col("_v").cast(dec)).as("_ps2"))
     val wOff = Window.partitionBy(col("_g")).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = parts.select(col("_g"), col("_b"),
@@ -1685,7 +1722,8 @@ object Relational {
           .cast(dec))
       .withColumn("_rs2",
         (col("_os2") +
-          coalesce(sum((col("_v") * col("_v")).cast(dec)).over(wIn), zero))
+          coalesce(sum(col("_v").cast(dec) * col("_v").cast(dec))
+            .over(wIn), zero))
           .cast(dec))
     val nD = col("_rn").cast(dec)
     val vD = col("_v").cast(dec)
@@ -1716,7 +1754,7 @@ object Relational {
       |  SELECT event_type, v,
       |    count(*) OVER w AS n,
       |    CAST(coalesce(sum(v) OVER w, 0) AS HUGEINT) AS s,
-      |    CAST(coalesce(sum(v*v) OVER w, 0) AS HUGEINT) AS s2
+      |    CAST(coalesce(sum(CAST(v AS HUGEINT)*v) OVER w, 0) AS HUGEINT) AS s2
       |  FROM ev
       |  WINDOW w AS (PARTITION BY event_type ORDER BY tm, event_id
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
@@ -2632,6 +2670,7 @@ object Relational {
     "q_histogram" -> (qHistogram _),
     "q_not_in" -> (qNotIn _),
     "q_resample" -> (qResample _),
+    "q_resample_full" -> (qResampleFull _),
     "q_listagg" -> (qListagg _),
     "q_window_range" -> (qWindowRange _),
     "q_corr" -> (qCorr _),
@@ -2694,6 +2733,7 @@ object Relational {
     "q_histogram" -> qHistogramSql,
     "q_not_in" -> qNotInSql,
     "q_resample" -> qResampleSql,
+    "q_resample_full" -> qResampleFullSql,
     "q_listagg" -> qListaggSql,
     "q_window_range" -> qWindowRangeSql,
     "q_corr" -> qCorrSql,

@@ -2761,6 +2761,79 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sign-bit ANN shares no candidates at all with the float baseline")
   }
 
+  test("rerank_ml with weights (1,0,0) reproduces the exact rerank pointwise") {
+    // the linear reranker degenerates to ann_rerank when only the
+    // exact-cosine feature carries weight: same candidates, same order,
+    // and mlscore == cos on every row
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Similarity.ivfPqRerank(emb, v => v < 10).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    val ml = Similarity.ivfPqRerankMl(emb, v => v < 10,
+        weights = Some((lit(1.0), lit(0.0), lit(0.0)))).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    assert(ml.keySet === exact.keySet)
+    ml.foreach { case (k, (nid, score)) =>
+      assert(exact(k)._1 === nid, s"rank $k: ml picked $nid, exact ${exact(k)._1}")
+      assert(exact(k)._2 === score, s"rank $k: score drift")
+    }
+    // the default md5-weight model actually reorders SOMETHING (the
+    // features aren't collinear on real data) while staying inside the
+    // stage-1 candidate set
+    val dflt = Similarity.ivfPqRerankMl(emb, v => v < 10).collect()
+    assert(dflt.nonEmpty)
+    val cand = Similarity.ivfPqTopK(emb, v => v < 10, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt.forall(r => cand((r.getLong(0), r.getLong(1)))),
+      "ml rerank surfaced a pair outside the stage-1 candidate set")
+  }
+
+  test("SignPack is bit-equal to the HOF sign-pack fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import org.apache.spark.sql.graft.VectorExprs.signPack
+    // the replaced aggregate(transform(sequence(...))) formulation, kept
+    // here as the semantic pin for the native codegen kernel
+    // try_element_at, not element_at: identical for in-range indices
+    // (the production path guarded with size == 64); NULL out of range
+    // so the short-array edge case is expressible under ANSI mode
+    def hof(startBit: Int): Column = expr(
+      s"aggregate(transform(sequence($startBit, ${startBit + 31}), d -> " +
+        s"IF(try_element_at(_v, d + 1) > 0D, shiftleft(1L, d - $startBit), 0L))," +
+        " 0L, (a, x) -> a + x)")
+    // real corpus: every row of the embeddings table, both halves
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("_v"))
+      .filter(size(col("_v")) === 64)
+    val diff = emb.select(
+        signPack(col("_v"), 0).as("n_lo"), signPack(col("_v"), 32).as("n_hi"),
+        hof(0).as("h_lo"), hof(32).as("h_hi"))
+      .filter(col("n_lo") =!= col("h_lo") || col("n_hi") =!= col("h_hi"))
+      .count()
+    assert(diff === 0L, "native SignPack diverges from the HOF fold")
+    // edge cases the corpus can't produce: zeros (0.0 > 0 is FALSE, bit
+    // clear), negative zero, NULL element (IF(NULL) takes else), and a
+    // short array (out-of-range element_at is NULL -> bit clear)
+    val edge = Seq(
+      (1L, Seq[java.lang.Double](0.0, -0.0, null, 1.0) ++
+        Seq.fill[java.lang.Double](60)(-1.0)),
+      (2L, Seq[java.lang.Double](1.0, 1.0, 1.0)) // length 3 < 64
+    ).toDF("vec_id", "_v")
+      .select(col("vec_id"), col("_v").cast(ArrayType(DoubleType)).as("_v"))
+    val got = edge.select(col("vec_id"),
+        signPack(col("_v"), 0).as("n_lo"), signPack(col("_v"), 32).as("n_hi"),
+        hof(0).as("h_lo"), hof(32).as("h_hi"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L)._1 === got(1L)._3 && got(1L)._2 === got(1L)._4)
+    assert(got(2L)._1 === got(2L)._3 && got(2L)._2 === got(2L)._4)
+    assert(got(1L)._1 === 8L)  // only index 3 (1.0) sets a bit
+    assert(got(2L)._1 === 7L)  // three in-range bits, rest clear
+    assert(got(2L)._2 === 0L)  // hi half entirely out of range
+  }
+
   test("kAnonymity histogram counts planted group sizes exactly") {
     import spark.implicits._
     // groups of size 1, 1, 2, 5 over quasi (a, b) with k=3

@@ -126,6 +126,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scoring projection fell out of codegen:\n$ex")
   }
 
+  test("hamming sign-pack projection stays inside whole-stage codegen") {
+    // the 100 TB pitch of ann_hamming_topk is the packing SCAN (64x
+    // compression happens there) — it must be the native SignPack
+    // kernel inside codegen, not the CodegenFallback HOF fold
+    val df = Similarity.hammingTopK(Tables.embeddings(spark, dir),
+      org.apache.spark.sql.functions.col("vec_id") < 3, 2)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    // only the Final Plan carries codegen stars (the Initial Plan
+    // rendering never does, whatever executes)
+    val ex = full.split("== Initial Plan ==")(0)
+    assert(ex.contains("graft_sign_pack"), s"custom expression missing:\n$ex")
+    ex.linesIterator.filter(_.contains("graft_sign_pack")).foreach { l =>
+      assert(l.contains("*("),
+        s"sign-pack projection fell out of codegen:\n$ex")
+    }
+    assert(!full.contains("aggregate(transform"),
+      s"HOF pack survived in the executed plan:\n$full")
+  }
+
   test("exact dedup shuffles hashes, not text") {
     val df = Dedup.exact(Tables.documents(spark, dir))
     df.collect()
