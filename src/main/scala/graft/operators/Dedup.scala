@@ -1444,73 +1444,162 @@ object Dedup {
   /** Variable-length exact-substring dedup — the published ≥50-token
     * maximal-run rule (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better": drop duplicated runs of at least 50
-    * tokens), layered on [[paragraphDedup]]'s block machinery. Where
-    * dd_paragraphs drops every non-first duplicated 8-word block
-    * individually, this merges ADJACENT drop-candidate blocks into
-    * maximal duplicated runs (gaps-and-islands on block position) and
-    * drops a run only when its total word count clears `minRunWords` —
-    * short incidental repeats (a shared sentence fragment) survive,
-    * long lifted passages do not. Run words count the actual block
-    * lengths (the trailing block of a document may be short).
+    * tokens), layered on [[paragraphDedup]]'s block machinery and made
+    * BOUNDARY-EXACT by anchored word-level run extension. Detection is
+    * block-granular as before: non-first occurrences of duplicated
+    * 8-word blocks merge into maximal adjacent runs (gaps-and-islands
+    * on block position). Each run edge is then EXTENDED word-by-word —
+    * the words immediately before/after the run are compared against
+    * the words before/after the SOURCE occurrence (the global-first
+    * copy of the run's first/last block, decoded from its packed
+    * keep_k) — so a duplicated span misaligned with the block grid by
+    * <blockWords words regains its edge words exactly: the ≥50 rule
+    * fires on the true span length, and exactly the span's words drop
+    * (word-granular intervals, merged per doc when extensions touch).
+    * Extension is capped at blockWords-1 per edge — an 8-word match
+    * beyond the edge would mean the adjacent block itself matched and
+    * (barring a first-occurrence tie) joined the run. Spans whose
+    * internal block PHASE differs between the two copies have no equal
+    * blocks to anchor on and stay the guaranteed-coverage detector
+    * dd_winnow's job — the same division of labor as the block version,
+    * but the anchored case is now exact rather than edge-lossy.
     *
-    * Scale shape: identical to paragraphDedup up to the drop decision —
-    * block text dies at the scan, the count stage shuffles (8-byte md5Long,
-    * packed long, word count) per block. The run logic adds one window +
-    * one groupBy, both over DROP-CANDIDATE rows only (duplicated mass,
-    * not corpus mass), partitioned by doc_id with per-partition size
-    * bounded by a document's block count. Corpus text still crosses the
-    * wire exactly once, at the final rebuild join. */
+    * Scale shape: identical to paragraphDedup through the drop
+    * decision — block text dies at the scan; the count stage shuffles
+    * (8-byte md5Long, packed long, word count) per block. The run +
+    * extension logic is DUP-MASS-sized: one window + one groupBy over
+    * candidate rows, then one join of 3-rows-per-run edge refs against
+    * the word arrays of INVOLVED docs only (docs are pre-pruned by a
+    * broadcast semi-join on the dup-touched id set, so untouched docs'
+    * text never enters the extension exchange; the ≤7-word edge slices
+    * are projected out inside the join). The zip_with common-prefix
+    * folds are HOFs but run on dup-mass rows with ≤7-element arrays,
+    * not the corpus scan. Corpus text crosses the wire once at the
+    * final rebuild join, plus once for dup-touched docs' slices. */
   def substrDedup(docs: DataFrame, blockWords: Int = 8,
                   minRunWords: Int = 50): DataFrame = {
+    val bw = blockWords
     val words = split(col("text"), " ")
-    val nb = ceil(size(words).cast(DoubleType) / lit(blockWords.toDouble))
+    val nb = ceil(size(words).cast(DoubleType) / lit(bw.toDouble))
       .cast(LongType)
     val blocksArr = transform(sequence(lit(0L), nb - 1), i =>
-      concat_ws(" ", slice(words, (i * blockWords + 1).cast(IntegerType),
-        lit(blockWords))))
+      concat_ws(" ", slice(words, (i * bw + 1).cast(IntegerType), lit(bw))))
     val slim = docs
       .select(col("doc_id"), size(words).as("n_words"),
         posexplode(blocksArr).as(Seq("pos", "block")))
       // 60-bit md5Long key — see the paragraphDedup note
       .select(col("doc_id"), col("pos"), md5Long(col("block"), 1, 15).as("h"),
         (col("doc_id") * 16777216L + col("pos")).as("k"),
-        least(lit(blockWords), col("n_words") - col("pos") * blockWords)
-          .as("wc"))
+        least(lit(bw), col("n_words") - col("pos") * bw).as("wc"))
     val dups = slim.groupBy(col("h"))
       .agg(min(col("k")).as("keep_k"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .select(col("h"), col("keep_k"))
     // non-first occurrences of duplicated blocks are drop CANDIDATES;
-    // the run threshold decides which actually drop
+    // the (extended) run threshold decides which actually drop
     val cand = slim.join(dups, Seq("h"))
       .filter(col("k") =!= col("keep_k"))
-      .select(col("doc_id"), col("pos"), col("wc"))
+      .select(col("doc_id"), col("pos"), col("wc"), col("keep_k"))
     val wrun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val runs = cand.withColumn("rid",
-      col("pos") - row_number().over(wrun))
-    val runWords = runs.groupBy(col("doc_id"), col("rid"))
-      .agg(sum(col("wc")).as("run_words"))
-    val dropped = runs.join(runWords, Seq("doc_id", "rid"))
-      .filter(col("run_words") >= minRunWords)
-      .select(col("doc_id"), col("rid"), col("pos"), col("wc"))
-    val dropStats = dropped.groupBy(col("doc_id"))
-      .agg(countDistinct(col("rid")).as("n_dropped_runs"),
-        sum(col("wc")).cast(LongType).as("words_dropped"))
-    val keptPos = slim
-      .join(dropped.select(col("doc_id"), col("pos"), lit(1).as("_d")),
-        Seq("doc_id", "pos"), "left")
-      .filter(col("_d").isNull)
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("pos"))).as("kept_pos"),
-        count(lit(1)).as("n_kept"))
-    docs.select(col("doc_id"), nb.as("n_blocks"), blocksArr.as("blocks"))
-      .join(keptPos, Seq("doc_id"))
-      .join(dropStats, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+    val runs = cand.withColumn("rid", col("pos") - row_number().over(wrun))
+    // per run: block span, block word mass, and the SOURCE refs of the
+    // first and last block (packed keep_k decoded to (doc, pos) below)
+    val runAgg = runs.groupBy(col("doc_id"), col("rid")).agg(
+        min(col("pos")).as("p0"), max(col("pos")).as("p1"),
+        sum(col("wc")).as("blk_words"),
+        min(struct(col("pos"), col("keep_k"))).getField("keep_k").as("src_l"),
+        max(struct(col("pos"), col("keep_k"))).getField("keep_k").as("src_r"),
+        max(struct(col("pos"), col("wc"))).getField("wc").as("wc_last"))
+      .select(col("doc_id"), col("rid"), col("blk_words"),
+        (col("p0").cast(LongType) * bw).as("s0"),
+        (col("p1").cast(LongType) * bw + col("wc_last")).as("e0"),
+        // exact bit decode of the packed (doc_id << 24 | pos) key — a
+        // double division would lose bits past 2^53
+        shiftright(col("src_l"), 24).as("sdl"),
+        (col("src_l").bitwiseAND(lit(16777215L)) * bw).as("sw0"),
+        shiftright(col("src_r"), 24).as("sdr"),
+        (col("src_r").bitwiseAND(lit(16777215L)) * bw + col("wc_last"))
+          .as("se0"))
+    // edge refs: 3 rows per run — C fetches the candidate doc's own
+    // edge slices, L/R the left/right source docs' counterparts.
+    // a_pre = word index the ≤(bw-1)-word PRE slice ends before (taken
+    // reversed, so extension is a common-prefix length); a_post = word
+    // index the ≤(bw-1)-word POST slice starts at.
+    val refs = runAgg.select(col("doc_id"), col("rid"), lit("C").as("role"),
+        col("doc_id").as("t"), col("s0").as("a_pre"), col("e0").as("a_post"))
+      .unionAll(runAgg.select(col("doc_id"), col("rid"), lit("L").as("role"),
+        col("sdl").as("t"), col("sw0").as("a_pre"),
+        lit(null).cast(LongType).as("a_post")))
+      .unionAll(runAgg.select(col("doc_id"), col("rid"), lit("R").as("role"),
+        col("sdr").as("t"), lit(null).cast(LongType).as("a_pre"),
+        col("se0").as("a_post")))
+    // dup-touched docs only: broadcast semi-join prune, so the slice
+    // join's exchange never carries untouched documents' words
+    val involved = refs.select(col("t").as("_id")).distinct()
+    val prunedWords = docs.select(col("doc_id").as("_wd"), words.as("_ws"))
+      .join(broadcast(involved), col("_wd") === col("_id"), "left_semi")
+    val maxExt = bw - 1
+    val sliced = refs.join(prunedWords, col("t") === col("_wd"))
+      .select(col("doc_id"), col("rid"), col("role"),
+        when(col("a_pre").isNotNull, reverse(slice(col("_ws"),
+          greatest(lit(1L), col("a_pre") - (maxExt - 1)).cast(IntegerType),
+          least(col("a_pre"), lit(maxExt.toLong)).cast(IntegerType))))
+          .as("pre"),
+        when(col("a_post").isNotNull, slice(col("_ws"),
+          (col("a_post") + 1L).cast(IntegerType), lit(maxExt)))
+          .as("post"))
+    // common-prefix length of two ≤(bw-1)-word slices: first mismatch
+    // position - 1 (zip_with pads the shorter side with NULL, and a
+    // NULL<=>word pair is a mismatch), else the shorter length —
+    // array_position signals absence with 0, not NULL
+    def cpl(x: Column, y: Column): Column = {
+      val p = array_position(zip_with(x, y, (a, b) => !(a <=> b)), true)
+      when(p === 0L, least(size(x), size(y)).cast(LongType)).otherwise(p - 1)
+    }
+    val ext = sliced.groupBy(col("doc_id"), col("rid")).agg(
+        max(when(col("role") === "C", col("pre"))).as("cpre"),
+        max(when(col("role") === "C", col("post"))).as("cpost"),
+        max(when(col("role") === "L", col("pre"))).as("spre"),
+        max(when(col("role") === "R", col("post"))).as("spost"))
+      .select(col("doc_id"), col("rid"),
+        cpl(col("cpre"), col("spre")).as("ext_l"),
+        cpl(col("cpost"), col("spost")).as("ext_r"))
+    // word-granular drop intervals for runs clearing the EXTENDED bar
+    val iv = runAgg.join(ext, Seq("doc_id", "rid"))
+      .filter(col("ext_l") + col("blk_words") + col("ext_r") >= minRunWords)
+      .select(col("doc_id"), (col("s0") - col("ext_l")).as("ws"),
+        (col("e0") + col("ext_r")).as("we"))
+    // merge per-doc intervals (extensions of adjacent runs may touch):
+    // gaps-and-islands on (ws, we)
+    val wIv = Window.partitionBy(col("doc_id")).orderBy(col("ws"), col("we"))
+    val merged = iv
+      .withColumn("_pm",
+        max(col("we")).over(wIv.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_isl", sum(
+          when(col("_pm").isNull || col("ws") > col("_pm"), 1L).otherwise(0L))
+        .over(wIv.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(min(col("ws")).as("ws"), max(col("we")).as("we"))
+    val perDoc = merged.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("ws"), col("we")))).as("ivs"),
+        count(lit(1)).as("n_dropped_runs"),
+        sum(col("we") - col("ws")).as("words_dropped"))
+    // rebuild from KEPT WORD RANGES (the complement of the merged drop
+    // intervals): a transform over the few per-doc ranges with one
+    // slice each — never a per-word explode
+    docs.select(col("doc_id"), words.as("_w"),
+        size(words).cast(LongType).as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
         coalesce(col("n_dropped_runs"), lit(0L)).as("n_dropped_runs"),
         coalesce(col("words_dropped"), lit(0L)).as("words_dropped"),
-        concat_ws(" ", transform(col("kept_pos"), p =>
-          element_at(col("blocks"), (p + 1).cast(IntegerType))))
+        when(col("ivs").isNull, concat_ws(" ", col("_w")))
+          .otherwise(concat_ws(" ", flatten(zip_with(
+            concat(array(lit(0L)), transform(col("ivs"), v => v.getField("we"))),
+            concat(transform(col("ivs"), v => v.getField("ws")),
+              array(col("n_words"))),
+            (a, b) => slice(col("_w"), (a + 1).cast(IntegerType),
+              greatest(b - a, lit(0L)).cast(IntegerType))))))
           .as("clean_text"))
   }
 
@@ -1518,48 +1607,94 @@ object Dedup {
     substrDedup(Tables.documents(spark, dir)).orderBy("doc_id")
 
   /** Oracle replays block segmentation, the first-occurrence drop-
-    * candidate rule, and the gaps-and-islands run merge with the same
-    * packed keys and row_number arithmetic. */
+    * candidate rule, the gaps-and-islands run merge, the anchored
+    * word-level edge extension (correlated min-mismatch subqueries over
+    * ≤7-word windows against the decoded source positions), the
+    * interval merge, and the kept-range rebuild — all with the same
+    * packed keys and arithmetic. */
   val ddSubstrSql: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |                  len(string_split(text, ' ')) AS nw FROM documents),
       |blocks AS (
-      |  SELECT doc_id, nb AS n_blocks, i AS pos,
+      |  SELECT doc_id, i AS pos,
       |    array_to_string(w[(i*8+1):(i*8+8)], ' ') AS block,
       |    least(8, nw - i*8) AS wc
-      |  FROM (SELECT doc_id, w, len(w) AS nw,
-      |               CAST(ceil(len(w) / 8.0) AS BIGINT) AS nb
+      |  FROM (SELECT doc_id, w, nw, CAST(ceil(nw / 8.0) AS BIGINT) AS nb
       |        FROM w), unnest(range(0, nb)) r(i)),
-      |keyed AS (SELECT doc_id, n_blocks, pos, block, wc,
+      |keyed AS (SELECT doc_id, pos, wc,
       |                 ('0x'||substr(md5(block),1,15))::BIGINT AS h,
       |                 doc_id*16777216 + pos AS k FROM blocks),
       |g AS (SELECT h, min(k) AS keep_k, count(*) AS n FROM keyed GROUP BY h),
       |cand AS (
-      |  SELECT doc_id, pos, wc FROM keyed JOIN g USING (h)
+      |  SELECT doc_id, pos, wc, keep_k FROM keyed JOIN g USING (h)
       |  WHERE n > 1 AND k <> keep_k),
       |runs AS (
-      |  SELECT doc_id, pos, wc,
+      |  SELECT doc_id, pos, wc, keep_k,
       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
       |  FROM cand),
-      |ra AS (SELECT doc_id, rid, sum(wc) AS run_words
-      |       FROM runs GROUP BY doc_id, rid),
-      |dropped AS (
-      |  SELECT doc_id, rid, pos, wc FROM runs JOIN ra USING (doc_id, rid)
-      |  WHERE run_words >= 50),
-      |ds AS (SELECT doc_id, count(DISTINCT rid) AS n_dropped_runs,
-      |              CAST(sum(wc) AS BIGINT) AS words_dropped
-      |       FROM dropped GROUP BY doc_id),
-      |kept AS (
-      |  SELECT k.doc_id, k.n_blocks, k.pos, k.block
-      |  FROM keyed k LEFT JOIN dropped d
-      |    ON k.doc_id = d.doc_id AND k.pos = d.pos
-      |  WHERE d.pos IS NULL)
-      |SELECT k.doc_id, any_value(k.n_blocks) AS n_blocks,
-      |  count(*) AS n_kept,
-      |  coalesce(any_value(ds.n_dropped_runs), 0) AS n_dropped_runs,
-      |  coalesce(any_value(ds.words_dropped), 0) AS words_dropped,
-      |  array_to_string(list(k.block ORDER BY k.pos), ' ') AS clean_text
-      |FROM kept k LEFT JOIN ds ON k.doc_id = ds.doc_id
-      |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin
+      |ra AS (SELECT doc_id, rid,
+      |    min(pos) AS p0, max(pos) AS p1, sum(wc) AS blk_words,
+      |    arg_min(keep_k, pos) AS src_l, arg_max(keep_k, pos) AS src_r,
+      |    arg_max(wc, pos) AS wc_last
+      |  FROM runs GROUP BY doc_id, rid),
+      |rb AS (SELECT doc_id, rid, blk_words,
+      |    p0*8 AS s0, p1*8 + wc_last AS e0,
+      |    src_l // 16777216 AS sdl, (src_l % 16777216) * 8 AS sw0,
+      |    src_r // 16777216 AS sdr, (src_r % 16777216) * 8 + wc_last AS se0
+      |  FROM ra),
+      |ext AS (
+      |  SELECT rb.doc_id, rb.rid, rb.blk_words, rb.s0, rb.e0,
+      |    (SELECT coalesce(min(j), least(least(rb.s0, rb.sw0), 7) + 1) - 1
+      |     FROM unnest(range(1, least(least(rb.s0, rb.sw0), 7) + 1)) t(j)
+      |     WHERE cw.w[rb.s0 - j + 1] IS DISTINCT FROM lw.w[rb.sw0 - j + 1])
+      |      AS ext_l,
+      |    (SELECT coalesce(min(j),
+      |        least(least(cw.nw - rb.e0, rw.nw - rb.se0), 7) + 1) - 1
+      |     FROM unnest(range(1,
+      |        least(least(cw.nw - rb.e0, rw.nw - rb.se0), 7) + 1)) t(j)
+      |     WHERE cw.w[rb.e0 + j] IS DISTINCT FROM rw.w[rb.se0 + j])
+      |      AS ext_r
+      |  FROM rb JOIN w cw ON rb.doc_id = cw.doc_id
+      |          JOIN w lw ON rb.sdl = lw.doc_id
+      |          JOIN w rw ON rb.sdr = rw.doc_id),
+      |iv AS (SELECT doc_id, s0 - ext_l AS ws, e0 + ext_r AS we FROM ext
+      |       WHERE ext_l + blk_words + ext_r >= 50),
+      |isl AS (
+      |  SELECT doc_id, ws, we,
+      |    sum(CASE WHEN pm IS NULL OR ws > pm THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY ws, we
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM (SELECT doc_id, ws, we,
+      |          max(we) OVER (PARTITION BY doc_id ORDER BY ws, we
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |        FROM iv)),
+      |mg AS (SELECT doc_id, grp, min(ws) AS ws, max(we) AS we
+      |       FROM isl GROUP BY doc_id, grp),
+      |ds AS (SELECT doc_id, count(*) AS n_dropped_runs,
+      |              CAST(sum(we - ws) AS BIGINT) AS words_dropped
+      |       FROM mg GROUP BY doc_id),
+      |kr AS (
+      |  SELECT doc_id,
+      |    coalesce(lag(we) OVER (PARTITION BY doc_id ORDER BY ws), 0) AS ks,
+      |    ws AS ke
+      |  FROM mg
+      |  UNION ALL
+      |  SELECT mg.doc_id, max(mg.we) AS ks, any_value(w.nw) AS ke
+      |  FROM mg JOIN w USING (doc_id) GROUP BY mg.doc_id),
+      |ct AS (
+      |  SELECT kr.doc_id,
+      |    array_to_string(flatten(list(w.w[kr.ks+1:kr.ke] ORDER BY kr.ks)),
+      |      ' ') AS clean_text
+      |  FROM kr JOIN w USING (doc_id) WHERE kr.ke > kr.ks
+      |  GROUP BY kr.doc_id)
+      |SELECT w.doc_id, CAST(w.nw AS BIGINT) AS n_words,
+      |  coalesce(ds.n_dropped_runs, 0) AS n_dropped_runs,
+      |  coalesce(ds.words_dropped, 0) AS words_dropped,
+      |  CASE WHEN ds.doc_id IS NULL THEN array_to_string(w.w, ' ')
+      |       ELSE coalesce(ct.clean_text, '') END AS clean_text
+      |FROM w LEFT JOIN ds ON w.doc_id = ds.doc_id
+      |       LEFT JOIN ct ON w.doc_id = ct.doc_id
+      |ORDER BY w.doc_id""".stripMargin
 
   /** Cross-snapshot corpus overlap: how much of snapshot A's content
     * recurs in snapshot B — the "what fraction of the new crawl is

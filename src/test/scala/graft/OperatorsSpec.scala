@@ -92,6 +92,45 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!para(2L).contains("p0"), "paragraphDedup should drop the lone block")
   }
 
+  test("substrDedup catches a 52-word span offset 3 words off the block grid") {
+    import spark.implicits._
+    // Lee et al.'s >=50-token rule, boundary-exact: a 52-word span S
+    // sits at word offset 3 in BOTH docs (same block phase — the
+    // anchored case), so only 5 interior 8-word blocks (40 words) are
+    // block-detectable; the pre-extension rule would miss the span
+    // entirely (40 < 50). Word-level edge extension must recover the 5
+    // left + 7 right edge words and drop EXACTLY the 52 span words.
+    val s = (1 to 52).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (100L, "a1 a2 a3 " + s + " " + (4 to 20).map(i => s"a$i").mkString(" ")),
+      (101L, "c1 c2 c3 " + s + " " + (4 to 20).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.substrDedup(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 100 is the first occurrence: untouched
+    assert(out(100L).getAs[Long]("n_dropped_runs") === 0L)
+    assert(out(100L).getAs[Long]("words_dropped") === 0L)
+    assert(out(100L).getAs[String]("clean_text").contains("s1 s2"))
+    // doc 101 loses exactly the 52 span words — not the 40 interior
+    // block words, not the enclosing 56-word block range
+    assert(out(101L).getAs[Long]("n_dropped_runs") === 1L)
+    assert(out(101L).getAs[Long]("words_dropped") === 52L)
+    val clean = out(101L).getAs[String]("clean_text")
+    assert(clean === "c1 c2 c3 " + (4 to 20).map(i => s"c$i").mkString(" "),
+      s"clean_text not span-exact: $clean")
+    // a 48-word span (same 3-word offset) stays: 40 block words + 5 left
+    // + 3 right extension = 48 < 50
+    val s48 = (1 to 48).map(i => s"t$i").mkString(" ")
+    val docs48 = Seq(
+      (200L, "a1 a2 a3 " + s48 + " " + (4 to 20).map(i => s"a$i").mkString(" ")),
+      (201L, "c1 c2 c3 " + s48 + " " + (4 to 20).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out48 = Dedup.substrDedup(docs48).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out48(201L).getAs[Long]("words_dropped") === 0L)
+    assert(out48(201L).getAs[String]("clean_text").contains("t1"))
+  }
+
   test("connected components label chains, triangles and pairs transitively") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 propagation round), triangle
