@@ -2820,100 +2820,99 @@ object TextAnalysis {
     * correct. Probes match on BOTH keys — a k12 collision between
     * distinct (k12, k1) pairs stays two entries, exactly as the
     * groupBy it replaces treated it. */
+  /** Partition-local fused (k12, k1) → count kernel: a hard-bounded
+    * (2^21-slot) open-addressing table over the BigramKeyPairs hash
+    * stream, drained to ONE PACKED [k12, k1, cnt]* long array per fill
+    * epoch (mid-document resume across epochs; counts split across
+    * epochs re-sum downstream, so any table size is correct). Probes
+    * match on BOTH keys — a k12 collision between distinct (k12, k1)
+    * pairs stays two entries, exactly as the groupBy it feeds treats
+    * it. Shared by [[lmTrainPartials]] (the DataFrame form) and the
+    * exact path's streaming driver merge in [[lmScoreEager]]. */
+  private[graft] final class BigramCountKernel(
+      docBytes: Iterator[Array[Byte]])
+      extends scala.collection.AbstractIterator[Array[Long]] {
+    private val bits = 21
+    private val cap = 1 << bits
+    private val mask = cap - 1
+    private val maxUsed = (cap * 3) / 4
+    private val k12s = new Array[Long](cap)
+    private val k1s = new Array[Long](cap)
+    private val cnts = new Array[Long](cap) // 0 = empty slot
+    private var used = 0
+    private var pend: Array[Long] = null
+    private var pendIdx = 0
+
+    private def insert(k1: Long, k12: Long): Unit = {
+      var idx = (((k12 ^ k1) * 0x9E3779B97F4A7C15L) >>> (64 - bits))
+        .toInt & mask
+      while (true) {
+        val c0 = cnts(idx)
+        if (c0 == 0L) {
+          k12s(idx) = k12; k1s(idx) = k1; cnts(idx) = 1L; used += 1
+          return
+        }
+        if (k12s(idx) == k12 && k1s(idx) == k1) {
+          cnts(idx) = c0 + 1; return
+        }
+        idx = (idx + 1) & mask
+      }
+    }
+
+    private def fill(): Unit = {
+      while (used < maxUsed) {
+        if (pend != null) {
+          val hs = pend
+          var i = pendIdx
+          while (i < hs.length && used < maxUsed) {
+            insert(hs(i), hs(i + 1)); i += 2
+          }
+          if (i < hs.length) { pendIdx = i; return }
+          pend = null
+        } else if (docBytes.hasNext) {
+          val hs = org.apache.spark.sql.graft.BigramKeyPairs
+            .keyPairsInterleaved(docBytes.next())
+          if (hs.nonEmpty) { pend = hs; pendIdx = 0 }
+        } else return
+      }
+    }
+
+    override def hasNext: Boolean =
+      used > 0 || pend != null || docBytes.hasNext
+
+    override def next(): Array[Long] = {
+      if (!hasNext) throw new NoSuchElementException
+      fill()
+      val out = new Array[Long](used * 3)
+      var i = 0
+      var o = 0
+      while (i < cap) {
+        if (cnts(i) != 0L) {
+          out(o) = k12s(i); out(o + 1) = k1s(i); out(o + 2) = cnts(i)
+          o += 3
+        }
+        i += 1
+      }
+      java.util.Arrays.fill(cnts, 0L)
+      used = 0
+      out
+    }
+  }
+
   private[graft] def lmTrainPartials(docs: DataFrame): DataFrame = {
     val spark1 = docs.sparkSession
     import spark1.implicits._
     // binary cast, not getString: skips the UTF-16 round-trip per doc
-    val trainPart = docs.filter(col("doc_id") % 2 === 0)
+    docs.filter(col("doc_id") % 2 === 0)
       .select(col("text").cast("binary")).mapPartitions { rows =>
-        new scala.collection.AbstractIterator[(Long, Long, Long)] {
-          private val bits = 21
-          private val cap = 1 << bits
-          private val mask = cap - 1
-          private val maxUsed = (cap * 3) / 4
-          private val k12s = new Array[Long](cap)
-          private val k1s = new Array[Long](cap)
-          private val cnts = new Array[Long](cap) // 0 = empty slot
-          private var used = 0
-          private var draining = false
-          private var drainPos = 0
-          private var haveNext = false
-          private var nk12 = 0L
-          private var nk1 = 0L
-          private var ncnt = 0L
-          private var pend: Array[Long] = null
-          private var pendIdx = 0
-
-          private def insert(k1: Long, k12: Long): Unit = {
-            var idx = (((k12 ^ k1) * 0x9E3779B97F4A7C15L) >>> (64 - bits))
-              .toInt & mask
-            while (true) {
-              val c0 = cnts(idx)
-              if (c0 == 0L) {
-                k12s(idx) = k12; k1s(idx) = k1; cnts(idx) = 1L; used += 1
-                return
-              }
-              if (k12s(idx) == k12 && k1s(idx) == k1) {
-                cnts(idx) = c0 + 1; return
-              }
-              idx = (idx + 1) & mask
-            }
-          }
-
-          private def fill(): Unit = {
-            while (used < maxUsed) {
-              if (pend != null) {
-                val hs = pend
-                var i = pendIdx
-                while (i < hs.length && used < maxUsed) {
-                  insert(hs(i), hs(i + 1)); i += 2
-                }
-                if (i < hs.length) { pendIdx = i; return }
-                pend = null
-              } else if (rows.hasNext) {
-                val r = rows.next()
-                if (!r.isNullAt(0)) {
-                  val hs = org.apache.spark.sql.graft.BigramKeyPairs
-                    .keyPairsInterleaved(r.getAs[Array[Byte]](0))
-                  if (hs.nonEmpty) { pend = hs; pendIdx = 0 }
-                }
-              } else return
-            }
-          }
-
-          private def advance(): Unit = {
-            while (true) {
-              if (draining) {
-                while (drainPos < cap && cnts(drainPos) == 0L) drainPos += 1
-                if (drainPos < cap) {
-                  nk12 = k12s(drainPos); nk1 = k1s(drainPos)
-                  ncnt = cnts(drainPos)
-                  drainPos += 1
-                  haveNext = true
-                  return
-                }
-                if (pend == null && !rows.hasNext) { haveNext = false; return }
-                java.util.Arrays.fill(cnts, 0L)
-                used = 0; draining = false; drainPos = 0
-              } else {
-                fill()
-                draining = true
-              }
-            }
-          }
-
-          override def hasNext: Boolean = {
-            if (!haveNext) advance()
-            haveNext
-          }
-          override def next(): (Long, Long, Long) = {
-            if (!hasNext) throw new NoSuchElementException
-            haveNext = false
-            (nk12, nk1, ncnt)
-          }
+        val bytes = rows.collect {
+          case r if !r.isNullAt(0) => r.getAs[Array[Byte]](0)
+        }
+        new BigramCountKernel(bytes).flatMap { arr =>
+          Iterator.range(0, arr.length, 3)
+            .map(i => (arr(i), arr(i + 1), arr(i + 2)))
         }
       }.toDF("k12", "k1", "cnt")
-    trainPart
   }
 
   /** The eager body of [[lmScore]]: runs the train job and collects the
@@ -2952,16 +2951,28 @@ object TextAnalysis {
     // aggregated FROM the bigram table, never from a second corpus
     // scan. minCount=1 (the oracle-checked default) collects the exact
     // table in one job with c1 folded out driver-side.
-    // MODEL COLLECT: ONE job and ONE driver pass for either minCount
-    // path. The round-12 stage profile put ~0.5 s of the x100 wall in
-    // this driver constant; two of its parts were avoidable: collect()
-    // deserializes every model row to an external GenericRow (per-field
-    // boxing) — executeCollect() hands back InternalRows with primitive
-    // getLong access — and the minCount>1 path ran TWO jobs (unigram
-    // rollup, then pruned filter); a tagged union folds them into one
-    // job over the persisted count table. The driver only ever holds
-    // vocab-sized + pruned tables when minCount > 1 (the CCNet bound);
-    // the exact path holds the full table by the minCount=1 contract.
+    // MODEL COLLECT. The round-12 stage profile put ~0.5 s of the x100
+    // wall in this driver constant (collect the count table, build the
+    // maps, broadcast, schedule two jobs); three parts were avoidable:
+    //
+    // - EXACT path (minCount=1): no combine exchange at all. The fused
+    //   kernel's packed partial arrays stream straight to the driver as
+    //   TASK RESULTS (sc.runJob with a resultHandler that folds each
+    //   arriving array into the growable maps) — the exchange + final
+    //   hash-agg stage and the model-row collect disappear, and the
+    //   driver merge OVERLAPS the train scan (results fold while later
+    //   tasks still run). Partial volume is bounded by min(#partitions
+    //   × distinct, total bigrams) — a constant multiple of the table
+    //   the exact contract already requires the driver to hold. addTo
+    //   (not put) makes cross-partition and cross-epoch partials sum,
+    //   and c1 folds out of the same pass.
+    // - PRUNED path (minCount>1, the 100 TB default): keeps the
+    //   distributed combine (the driver must only ever hold vocab-sized
+    //   + pruned tables — the CCNet bound), but its two jobs (unigram
+    //   rollup, pruned filter) fold into ONE tagged-union job over the
+    //   persisted count table, collected as InternalRows
+    //   (executeCollect — no external GenericRow boxing).
+    //
     // Primitive open-addressing tables: the serve loop probes twice per
     // bigram, and a boxed HashMap key allocation per probe is the
     // difference between a memory-bandwidth scan and a GC churn scan.
@@ -2969,17 +2980,27 @@ object TextAnalysis {
       df.queryExecution.executedPlan.executeCollect()
     val (c1m, c2m) =
       if (minCount <= 1L) {
-        val rows = collectRows(c2)
-        val m2 = new graft.core.LongLongMap(math.max(rows.length, 16))
-        val m1 = new graft.core.LongLongMap(math.max(rows.length, 16))
-        var i = 0
-        while (i < rows.length) {
-          val r = rows(i)
-          val cc = r.getLong(2)
-          m2.put(r.getLong(0), cc)
-          m1.addTo(r.getLong(1), cc) // c1 folds out of the bigram table
-          i += 1
-        }
+        val m1 = new graft.core.LongLongMap(1 << 15, growable = true)
+        val m2 = new graft.core.LongLongMap(1 << 16, growable = true)
+        val trainRdd = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("text").cast("binary"))
+          .queryExecution.toRdd.mapPartitions { rows =>
+            val bytes = rows.collect {
+              case r if !r.isNullAt(0) => r.getBinary(0)
+            }
+            new BigramCountKernel(bytes)
+          }
+        docs.sparkSession.sparkContext.runJob[Array[Long], Array[Array[Long]]](
+          trainRdd,
+          (it: Iterator[Array[Long]]) => it.toArray,
+          (_: Int, res: Array[Array[Long]]) => res.foreach { arr =>
+            var i = 0
+            while (i < arr.length) {
+              m2.addTo(arr(i), arr(i + 2))
+              m1.addTo(arr(i + 1), arr(i + 2)) // c1 folds out of the pass
+              i += 3
+            }
+          })
         (m1, m2)
       } else {
         val c2p = c2.persist()
