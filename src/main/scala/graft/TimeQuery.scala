@@ -17,6 +17,8 @@ object TimeQuery {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       val times = (1 to reps).map { _ =>
+        System.gc() // BenchHeavy's leveling: predecessors' heap debt
+        // and deferred GC must not land inside this rep's window
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
