@@ -139,6 +139,77 @@ object TextAnalysis {
       |       ELSE 'de' END AS lang_pred
       |FROM h ORDER BY doc_id""".stripMargin
 
+  /** tx_fertility: tokenizer-fertility report per predicted language —
+    * pieces/word (THE tokenizer-eval fertility metric: how many subword
+    * pieces the tokenizer spends per whitespace word) and chars/piece,
+    * over exact integer sums, for each language [[langId]] routes. The
+    * table a tokenizer owner reads before committing a vocab to a
+    * multilingual corpus: a language whose fertility is 2x English's
+    * pays 2x the sequence length for the same text — compression
+    * inequity that directly prices training cost per language. Pieces
+    * use [[tokenCounts]]'s BPE-ish regex segmentation (the model-free
+    * proxy; a trained tokenizer swaps in tx_bpe_apply's pieces, nothing
+    * else changes). One corpus scan (hits + counts in one projection),
+    * one languages-sized map-combined aggregate, two final IEEE
+    * divisions on exact longs — hash-stable at any scale. */
+  def fertility(docs: DataFrame): DataFrame = {
+    val hits = stopwords.map { case (lang, words) =>
+      regexp_count(col("text"), lit(wordAlt(words))).as(s"h_$lang")
+    }
+    val Seq(en, es, fr, de) = stopwords.map { case (l, _) => col(s"h_$l") }
+    docs.select(Seq(
+        size(toks).cast(LongType).as("_w"),
+        regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9 ]")).as("_p"),
+        length(col("text")).cast(LongType).as("_c")) ++ hits: _*)
+      .select(
+        when(en + es + fr + de === 0, "und")
+          .when(en >= es && en >= fr && en >= de, "en")
+          .when(es >= fr && es >= de, "es")
+          .when(fr >= de, "fr")
+          .otherwise("de").as("lang_pred"),
+        col("_w"), col("_p"), col("_c"))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_w")).as("n_words"),
+        sum(col("_p")).as("n_pieces"),
+        sum(col("_c")).as("n_chars"))
+      .select(col("lang_pred"), col("n_docs"), col("n_words"),
+        col("n_pieces"), col("n_chars"),
+        (col("n_pieces").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("fertility"),
+        (col("n_chars").cast(DoubleType) / col("n_pieces").cast(DoubleType))
+          .as("chars_per_piece"))
+      .orderBy(col("lang_pred"))
+  }
+
+  def txFertility(spark: SparkSession, dir: String): DataFrame =
+    fertility(Tables.documents(spark, dir))
+
+  val txFertilitySql: String =
+    """WITH h AS (SELECT
+      |  len(string_split(text, ' ')) AS w,
+      |  len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS p,
+      |  length(text) AS c,
+      |  len(regexp_extract_all(text, '\b(and|the|is|of|to|a)\b')) AS h_en,
+      |  len(regexp_extract_all(text, '\b(que|de|el|en|la|y)\b')) AS h_es,
+      |  len(regexp_extract_all(text, '\b(des|les|une|et|le|un)\b')) AS h_fr,
+      |  len(regexp_extract_all(text, '\b(das|der|die|ein|ist|und)\b')) AS h_de
+      |  FROM documents),
+      |t AS (SELECT w, p, c,
+      |  CASE WHEN h_en + h_es + h_fr + h_de = 0 THEN 'und'
+      |       WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+      |       WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+      |       WHEN h_fr >= h_de THEN 'fr'
+      |       ELSE 'de' END AS lang_pred
+      |  FROM h)
+      |SELECT lang_pred, count(*) AS n_docs,
+      |  CAST(sum(w) AS BIGINT) AS n_words,
+      |  CAST(sum(p) AS BIGINT) AS n_pieces,
+      |  CAST(sum(c) AS BIGINT) AS n_chars,
+      |  CAST(sum(p) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS fertility,
+      |  CAST(sum(c) AS DOUBLE) / CAST(sum(p) AS DOUBLE) AS chars_per_piece
+      |FROM t GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+
   /** Language-ID evaluation against the curated `lang` label: per-
     * language support / prediction counts, true positives, and
     * precision / recall / F1 — the quality report a curation team runs
@@ -3501,6 +3572,7 @@ object TextAnalysis {
     "tx_tokens" -> (txTokens _),
     "tx_quality" -> (txQuality _),
     "tx_langid" -> (txLangid _),
+    "tx_fertility" -> (txFertility _),
     "tx_langid_eval" -> (txLangidEval _),
     "tx_pii" -> (txPii _),
     "tx_bigrams" -> (txBigrams _),
@@ -3550,6 +3622,7 @@ object TextAnalysis {
     "tx_tokens" -> txTokensSql,
     "tx_quality" -> txQualitySql,
     "tx_langid" -> txLangidSql,
+    "tx_fertility" -> txFertilitySql,
     "tx_langid_eval" -> txLangidEvalSql,
     "tx_pii" -> txPiiSql,
     "tx_bigrams" -> txBigramsSql,

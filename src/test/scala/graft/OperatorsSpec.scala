@@ -2890,6 +2890,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.map(_._2).sum === rows.count())
   }
 
+  test("fertility rolls up tokenCounts exactly along langId's routing") {
+    val docs = Tables.documents(spark, dir)
+    val f = TextAnalysis.fertility(docs).collect()
+    // predicted languages partition the corpus
+    assert(f.map(_.getLong(1)).sum === docs.count())
+    // per-language word/piece/char sums fold back to corpus totals
+    val tc = TextAnalysis.tokenCounts(docs)
+      .agg(sum(col("n_tokens")), sum(col("n_bpe"))).head
+    assert(f.map(_.getLong(2)).sum === tc.getLong(0))
+    assert(f.map(_.getLong(3)).sum === tc.getLong(1))
+    val chars = docs.agg(sum(length(col("text")))).head.getLong(0)
+    assert(f.map(_.getLong(4)).sum === chars)
+    // the reported ratios are exactly the one-division law on the sums
+    f.foreach { r =>
+      assert(r.getDouble(5) === r.getLong(3).toDouble / r.getLong(2).toDouble)
+      assert(r.getDouble(6) === r.getLong(4).toDouble / r.getLong(3).toDouble)
+    }
+    // routing agrees with langId's per-doc prediction counts
+    val byPred = TextAnalysis.langId(docs).groupBy(col("lang_pred")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    f.foreach(r => assert(byPred(r.getString(0)) === r.getLong(1)))
+  }
+
   test("langIdEval confusion rollup is consistent with langId per-doc output") {
     val docs = Tables.documents(spark, dir)
     val eval = TextAnalysis.langIdEval(docs).collect()
