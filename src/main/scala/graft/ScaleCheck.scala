@@ -64,10 +64,38 @@ object ScaleCheck {
     val docs = spark.read.format("docgen")
       .option("rows", rows).option("partitions", cpus.toInt * 2)
       .option("dupPct", dupPct).option("vocabMul", vocabMul).load()
+    // SPARK_GRAFT_STAGES=1: per-op stage decomposition (the Probe
+    // `stages` listener, for docgen corpora where Probe can't point at
+    // a parquet dir) — attributes a scale-curve bend to its stage
+    val stageLog =
+      new scala.collection.mutable.ArrayBuffer[(Int, String, Long, Int)]()
+    if (sys.env.contains("SPARK_GRAFT_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val i = sc.stageInfo
+            val ms = (for { s <- i.submissionTime; c <- i.completionTime }
+              yield c - s).getOrElse(-1L)
+            stageLog.synchronized {
+              stageLog += ((i.stageId, i.name.take(60), ms, i.numTasks))
+            }
+          }
+        })
     def t(name: String)(f: => Long): Option[(String, Double, Long)] =
       if (!opsFilter(name)) None else {
+        stageLog.synchronized(stageLog.clear())
         val t0 = System.nanoTime()
         val n = f
+        if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+          Thread.sleep(300)
+          stageLog.synchronized {
+            stageLog.sortBy(-_._3).take(14).foreach { case (id, nm, ms, tk) =>
+              System.err.println(f"[stage:$name] $id%5d ${ms}%7d ms tasks=$tk%5d  $nm")
+            }
+          }
+        }
         Some((name, (System.nanoTime() - t0) / 1e9, n))
       }
     val base = Seq(

@@ -1520,6 +1520,14 @@ object Dedup {
         shiftright(col("src_r"), 24).as("sdr"),
         (col("src_r").bitwiseAND(lit(16777215L)) * bw + col("wc_last"))
           .as("se0"))
+      // lazily materialized: runAgg fans out FOUR ways (three edge-ref
+      // union branches + the iv join), and without this each branch
+      // re-executes the whole cand→run window→aggregate pipeline from
+      // the last reusable exchange — measured 100x dup-term blowup at
+      // 2M docs/avg-7 clusters (470 s) vs the materialized plan; rows
+      // are dup-run-sized (9 longs each), the cheapest thing in the
+      // operator to hold
+      .localCheckpoint(false)
     // edge refs: 3 rows per run — C fetches the candidate doc's own
     // edge slices, L/R the left/right source docs' counterparts.
     // a_pre = word index the ≤(bw-1)-word PRE slice ends before (taken
