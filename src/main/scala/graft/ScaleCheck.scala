@@ -10,7 +10,7 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   * work at 100x?", exercised against the DSv2 generator so no test data
   * is needed.
   *
-  * Usage: runMain graft.ScaleCheck [rows] [dupPct] [vocabMul] [ops]
+  * Usage: runMain graft.ScaleCheck [rows] [dupPct] [vocabMul] [ops] [docWords]
   *  - ops: comma-separated op filter (default all), e.g.
   *    `dd_simhash_sigs,dd_simhash_pairs` for the 10M banding rehearsal.
   *  - dupPct > 0 plants corpus-scale duplicate clusters (web-dup-density
@@ -52,6 +52,10 @@ object ScaleCheck {
     val vocabMul = if (args.length > 2) args(2).toInt else 1
     val opsFilter: String => Boolean =
       if (args.length > 3) args(3).split(",").toSet else (_ => true)
+    // arg 5: avg words/doc (0 = the 20-80-word default) — the LONG-
+    // document regime for the span-dedup block machinery, where a
+    // quadratic blocks/doc term would dominate
+    val docWords = if (args.length > 4) args(4).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // spill-aware partition sizing: ~50 shingle-rows per doc means 32
     // partitions stop fitting in memory past ~1M docs. Scale the shuffle
@@ -63,7 +67,8 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.format("docgen")
       .option("rows", rows).option("partitions", cpus.toInt * 2)
-      .option("dupPct", dupPct).option("vocabMul", vocabMul).load()
+      .option("dupPct", dupPct).option("vocabMul", vocabMul)
+      .option("docWords", docWords).load()
     // SPARK_GRAFT_STAGES=1: per-op stage decomposition (the Probe
     // `stages` listener, for docgen corpora where Probe can't point at
     // a parquet dir) — attributes a scale-curve bend to its stage
@@ -552,7 +557,7 @@ object ScaleCheck {
     // wrong op for dense corpora; minhashLsh above is its scale path.
     val qs = results.map { case (k, s, n) => s""""$k":{"sec":$s,"rows":$n}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale_check","rows":$rows,"dup_pct":$dupPct,"vocab_mul":$vocabMul,"ops":$qs}""")
+    println(s"""{"metric":"scale_check","rows":$rows,"dup_pct":$dupPct,"vocab_mul":$vocabMul,"doc_words":$docWords,"ops":$qs}""")
     spark.stop()
   }
 }

@@ -1379,13 +1379,22 @@ object Dedup {
     * by doc_id — see Sources bucketing); PlanSpec asserts no exchange
     * carries a block column and at most one carries text. */
   def paragraphDedup(docs: DataFrame, blockWords: Int = 8): DataFrame = {
-    val words = split(col("text"), " ")
-    val nb = ceil(size(words).cast(DoubleType) / lit(blockWords.toDouble))
+    // Bind the split ONCE as a projected attribute before the HOF: the
+    // block-construction lambda references the word array per element,
+    // and an expression referenced inside a HOF lambda re-evaluates per
+    // element (round-7 corollary) — a raw split() here re-ran once PER
+    // BLOCK, O(n_words·n_blocks) char work per doc. Off the bound
+    // attribute each lambda eval is an array pointer read. (Safe from
+    // CollapseProject re-inlining: split is non-cheap and `_ws` has >1
+    // consumer reference, so the projection barrier survives.)
+    val ws = col("_ws")
+    val nb = ceil(size(ws).cast(DoubleType) / lit(blockWords.toDouble))
       .cast(LongType)
     val blocksArr = transform(sequence(lit(0L), nb - 1), i =>
-      concat_ws(" ", slice(words, (i * blockWords + 1).cast(IntegerType),
+      concat_ws(" ", slice(ws, (i * blockWords + 1).cast(IntegerType),
         lit(blockWords))))
-    val slim = docs
+    val wordsOf = docs.select(col("doc_id"), split(col("text"), " ").as("_ws"))
+    val slim = wordsOf
       .select(col("doc_id"), posexplode(blocksArr).as(Seq("pos", "block")))
       // 60-bit md5Long block key, not the 32-char md5 string: the
       // corpus-wide count stage shuffles one row PER BLOCK, so the key
@@ -1412,7 +1421,7 @@ object Dedup {
     // re-evaluate the whole split+slice construction per kept position
     // (higher-order functions are CodegenFallback — no subexpression
     // reuse), turning the rebuild O(blocks^2) per doc.
-    docs.select(col("doc_id"), nb.as("n_blocks"), blocksArr.as("blocks"))
+    wordsOf.select(col("doc_id"), nb.as("n_blocks"), blocksArr.as("blocks"))
       .join(keptPos, Seq("doc_id"))
       .select(col("doc_id"), col("n_blocks"), col("n_kept"),
         concat_ws(" ", transform(col("kept_pos"), p =>
@@ -1470,22 +1479,51 @@ object Dedup {
     * extension logic is DUP-MASS-sized: one window + one groupBy over
     * candidate rows, then one join of 3-rows-per-run edge refs against
     * the word arrays of INVOLVED docs only (docs are pre-pruned by a
-    * broadcast semi-join on the dup-touched id set, so untouched docs'
-    * text never enters the extension exchange; the ≤7-word edge slices
+    * semi-join on the dup-touched id set — broadcast only under a
+    * counted gate, see [[substrDedupPlan]] — so untouched docs' text
+    * never enters the extension exchange; the ≤7-word edge slices
     * are projected out inside the join). The zip_with common-prefix
     * folds are HOFs but run on dup-mass rows with ≤7-element arrays,
     * not the corpus scan. Corpus text crosses the wire once at the
     * final rebuild join, plus once for dup-touched docs' slices. */
   def substrDedup(docs: DataFrame, blockWords: Int = 8,
-                  minRunWords: Int = 50): DataFrame = {
+                  minRunWords: Int = 50): DataFrame =
+    org.apache.spark.sql.graft.DeferredDF(docs.sparkSession,
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("n_words", LongType),
+        StructField("n_dropped_runs", LongType),
+        StructField("words_dropped", LongType),
+        StructField("clean_text", StringType))),
+      () => substrDedupPlan(docs, blockWords, minRunWords, None))
+
+  /** The gated plan body. The extension stage prunes corpus words to
+    * the dup-TOUCHED doc-id set (`involved`), and whether that semi-join
+    * may be a driver broadcast depends on dup density: at web dup rates
+    * (30-50%) `involved` is CORPUS-scale and a forced hint driver-OOMs
+    * at 100x. So the hint is GATED IN CODE on a counted threshold
+    * (`graft.substr.maxBroadcastInvolved`, default 10M ids ~ 80 MB of
+    * longs), the triangleCount pattern: the count runs off the already-
+    * checkpointed run table, at or under the gate the hint applies,
+    * over it the same plan runs as a shuffled semi-join (AQE may still
+    * pick broadcast from runtime sizes, which cannot driver-OOM the way
+    * a forced hint would). `nInvolvedOverride` pins the decision for
+    * PlanSpec (Some(0) → hinted path, Some(Long.MaxValue) → shuffled);
+    * None counts at build time. */
+  private[graft] def substrDedupPlan(docs: DataFrame, blockWords: Int,
+      minRunWords: Int, nInvolvedOverride: Option[Long]): DataFrame = {
     val bw = blockWords
-    val words = split(col("text"), " ")
-    val nb = ceil(size(words).cast(DoubleType) / lit(bw.toDouble))
+    // split bound ONCE as an attribute before the block HOF — a raw
+    // split() referenced inside the lambda re-evaluates per block
+    // (round-7 corollary); see the paragraphDedup note
+    val ws = col("_ws")
+    val nb = ceil(size(ws).cast(DoubleType) / lit(bw.toDouble))
       .cast(LongType)
     val blocksArr = transform(sequence(lit(0L), nb - 1), i =>
-      concat_ws(" ", slice(words, (i * bw + 1).cast(IntegerType), lit(bw))))
-    val slim = docs
-      .select(col("doc_id"), size(words).as("n_words"),
+      concat_ws(" ", slice(ws, (i * bw + 1).cast(IntegerType), lit(bw))))
+    val wordsOf = docs.select(col("doc_id"), split(col("text"), " ").as("_ws"))
+    val slim = wordsOf
+      .select(col("doc_id"), size(ws).as("n_words"),
         posexplode(blocksArr).as(Seq("pos", "block")))
       // 60-bit md5Long key — see the paragraphDedup note
       .select(col("doc_id"), col("pos"), md5Long(col("block"), 1, 15).as("h"),
@@ -1541,11 +1579,22 @@ object Dedup {
       .unionAll(runAgg.select(col("doc_id"), col("rid"), lit("R").as("role"),
         col("sdr").as("t"), lit(null).cast(LongType).as("a_pre"),
         col("se0").as("a_post")))
-    // dup-touched docs only: broadcast semi-join prune, so the slice
-    // join's exchange never carries untouched documents' words
+    // dup-touched docs only: semi-join prune, so the slice join's
+    // exchange never carries untouched documents' words. Broadcast of
+    // the id set is gated on its counted size — see the Scaladoc.
     val involved = refs.select(col("t").as("_id")).distinct()
-    val prunedWords = docs.select(col("doc_id").as("_wd"), words.as("_ws"))
-      .join(broadcast(involved), col("_wd") === col("_id"), "left_semi")
+    val maxBcastInvolved = docs.sparkSession.conf
+      .getOption("graft.substr.maxBroadcastInvolved")
+      .map(_.toLong).getOrElse(10000000L)
+    // counting `involved` materializes the lazy run-table checkpoint,
+    // which every downstream branch needs anyway; the distinct runs
+    // over 3-rows-per-run edge refs, dup-run-sized
+    val nInvolved = nInvolvedOverride.getOrElse(involved.count())
+    val invGated =
+      if (nInvolved <= maxBcastInvolved) broadcast(involved) else involved
+    val prunedWords = docs
+      .select(col("doc_id").as("_wd"), split(col("text"), " ").as("_ws"))
+      .join(invGated, col("_wd") === col("_id"), "left_semi")
     val maxExt = bw - 1
     val sliced = refs.join(prunedWords, col("t") === col("_wd"))
       .select(col("doc_id"), col("rid"), col("role"),
@@ -1595,8 +1644,8 @@ object Dedup {
     // rebuild from KEPT WORD RANGES (the complement of the merged drop
     // intervals): a transform over the few per-doc ranges with one
     // slice each — never a per-word explode
-    docs.select(col("doc_id"), words.as("_w"),
-        size(words).cast(LongType).as("n_words"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("_w"),
+        size(split(col("text"), " ")).cast(LongType).as("n_words"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
         coalesce(col("n_dropped_runs"), lit(0L)).as("n_dropped_runs"),

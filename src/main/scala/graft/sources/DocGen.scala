@@ -63,9 +63,17 @@ object DocGen {
     * makes every doc pair share shingles, which is the right stress test
     * for LSH banding but unrealistically dense for candidate-count
     * rehearsals; a web corpus has ~1e5+ token types. */
-  def textFor(id: Long, vocabMul: Int): String = {
+  def textFor(id: Long, vocabMul: Int): String = textFor(id, vocabMul, 0)
+
+  /** `docWords > 0` retargets the doc-length distribution to uniform
+    * [docWords/2, 3*docWords/2) — avg `docWords` — for LONG-document
+    * rehearsals (the span-dedup block HOFs are quadratic in blocks/doc
+    * if an expression leaks into the lambda; 20-80-word defaults can't
+    * surface that). 0 keeps the historical 20-80-word distribution. */
+  def textFor(id: Long, vocabMul: Int, docWords: Int): String = {
     val h = mix(id)
-    val n = 20 + (Math.floorMod(h, 60L)).toInt
+    val n = if (docWords > 0) docWords / 2 + Math.floorMod(h, docWords.toLong).toInt
+            else 20 + (Math.floorMod(h, 60L)).toInt
     val sb = new java.lang.StringBuilder(n * 6)
     var j = 0
     while (j < n) {
@@ -104,22 +112,24 @@ class DocGenTable extends Table with SupportsRead {
     new DocGenScanBuilder(options.getLong("rows", 1000L),
       options.getInt("partitions", 4),
       options.getInt("dupPct", 0),
-      options.getInt("vocabMul", 1))
+      options.getInt("vocabMul", 1),
+      options.getInt("docWords", 0))
 }
 
-class DocGenScanBuilder(rows: Long, partitions: Int, dupPct: Int, vocabMul: Int)
+class DocGenScanBuilder(rows: Long, partitions: Int, dupPct: Int,
+    vocabMul: Int, docWords: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = DocGen.fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new DocGenScan(rows, partitions, required, dupPct, vocabMul)
+    new DocGenScan(rows, partitions, required, dupPct, vocabMul, docWords)
 }
 
 case class DocGenPartition(start: Long, end: Long) extends InputPartition
 
 class DocGenScan(rows: Long, partitions: Int, required: StructType,
-                 dupPct: Int, vocabMul: Int)
+                 dupPct: Int, vocabMul: Int, docWords: Int = 0)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -129,10 +139,11 @@ class DocGenScan(rows: Long, partitions: Int, required: StructType,
       .toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocGenReaderFactory(required, dupPct, vocabMul)
+    new DocGenReaderFactory(required, dupPct, vocabMul, docWords)
 }
 
-class DocGenReaderFactory(required: StructType, dupPct: Int, vocabMul: Int)
+class DocGenReaderFactory(required: StructType, dupPct: Int,
+    vocabMul: Int, docWords: Int = 0)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DocGenPartition]
@@ -140,11 +151,13 @@ class DocGenReaderFactory(required: StructType, dupPct: Int, vocabMul: Int)
     val fieldGens: Array[Long => Any] = required.fields.map(_.name match {
       case "doc_id" => (id: Long) => id
       case "text" => (id: Long) =>
-        UTF8String.fromString(DocGen.textFor(DocGen.resolveId(id, dupPct), vocabMul))
+        UTF8String.fromString(
+          DocGen.textFor(DocGen.resolveId(id, dupPct), vocabMul, docWords))
       case "lang" => (id: Long) => UTF8String.fromString(DocGen.langFor(id))
       case "source" => (id: Long) => UTF8String.fromString(DocGen.sourceFor(id))
       case "n_chars" => (id: Long) =>
-        DocGen.textFor(DocGen.resolveId(id, dupPct), vocabMul).length.toLong
+        DocGen.textFor(DocGen.resolveId(id, dupPct), vocabMul, docWords)
+          .length.toLong
       case other => throw new IllegalArgumentException(s"unknown column $other")
     })
     new PartitionReader[InternalRow] {

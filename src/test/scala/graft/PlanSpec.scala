@@ -830,4 +830,42 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(of("orders") <= 4, s"orders scanned ${of("orders")}x")
     assert(of("lineitem") <= 2, s"lineitem scanned ${of("lineitem")}x")
   }
+
+  test("substr dedup: involved-set broadcast gated on counted size, both paths") {
+    val docs = Tables.documents(spark, dir)
+    // UNDER the gate the dup-touched id prune carries a broadcast hint;
+    // the hint shows in the optimized logical join (robust against the
+    // planner also choosing broadcast from size estimates at this sf)
+    val hinted = Dedup.substrDedupPlan(docs, 8, 50, Some(0L))
+      .queryExecution.optimizedPlan.toString
+    assert(hinted.contains("strategy=broadcast"),
+      s"no broadcast hint under the gate:\n$hinted")
+    // OVER the gate the hint is absent — the prune plans as a plain
+    // shuffled semi-join (AQE may still broadcast from RUNTIME sizes,
+    // which cannot driver-OOM the way a forced hint on a corpus-scale
+    // id set would; what must never appear is the forced hint)
+    val over = Dedup.substrDedupPlan(docs, 8, 50, Some(Long.MaxValue))
+    assert(!over.queryExecution.optimizedPlan.toString
+        .contains("strategy=broadcast"),
+      "forced broadcast hint survives over the involved-set gate")
+    over.collect() // the shuffled path must also execute correctly
+  }
+
+  test("span dedup: split() never evaluates inside a block HOF lambda") {
+    // round-7 corollary: an expression referenced inside a HOF lambda
+    // re-evaluates per element — the block-construction lambdas must
+    // read the split as a BOUND attribute (projected once per row), or
+    // long documents pay O(n_words * n_blocks) char work per doc. A
+    // CollapseProject regression would re-inline the split here.
+    for ((name, df) <- Seq(
+        "paragraphDedup" -> Dedup.paragraphDedup(Tables.documents(spark, dir)),
+        "substrDedup" ->
+          Dedup.substrDedupPlan(Tables.documents(spark, dir), 8, 50, Some(0L)))) {
+      val bad = df.queryExecution.optimizedPlan.toString.linesIterator
+        .filter(_.contains("lambdafunction")).filter(_.contains("split("))
+        .toSeq
+      assert(bad.isEmpty,
+        s"$name re-evaluates split per block element:\n${bad.mkString("\n")}")
+    }
+  }
 }
