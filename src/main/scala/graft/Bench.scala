@@ -215,13 +215,20 @@ object Bench {
     // prior value outright; a failed query records nothing.
     if (args.isEmpty) { // partial filtered runs must not shrink the baseline
       val quietStart = la0 >= 0 && la0 < 2.0
-      val baseQs = results.collect {
-        case (k, v, _, true, noisy) =>
-          val p = prior.get(k)
-          k -> (if (noisy) p.getOrElse(v)
-                else if (quietStart)
-                  p.filter(_ > 0).fold(v)(pv => math.min(v, pv * 2))
-                else p.filter(_ > 0).fold(v)(pv => math.min(v, pv)))
+      val baseQs = results.flatMap {
+        case (k, v, _, ok, noisy) if ok =>
+          val p = prior.get(k).filter(_ > 0)
+          // a query with NO positive prior is seeded only by a clean
+          // measurement: quiet start and not noisy-flagged. A loaded or
+          // noisy first sample would seed the guard with a 1.2-2x
+          // inflated reference — exactly what the gate exists to block —
+          // so it stays absent until a quiet run provides one.
+          val nv: Option[Double] =
+            if (noisy) p
+            else if (quietStart) Some(p.fold(v)(pv => math.min(v, pv * 2)))
+            else p.map(pv => math.min(v, pv))
+          nv.map(k -> _)
+        case _ => None
       }
       val baseJson = baseQs.map { case (k, v) => s""""$k":$v""" }
         .mkString("""{"queries":{""", ",", "}}")

@@ -130,7 +130,7 @@ object ScaleCheck {
         }.out.count()
       },
       // the ACTUAL out-of-process python path at corpus scale: one
-      // worker per partition, JSON-lines protocol — must scale linearly
+      // worker per partition, batched JSON-frame protocol — must scale
       // with rows like the in-JVM script path above it
       t("xf_pyscript") {
         val out = org.apache.spark.sql.types.StructType(Seq(

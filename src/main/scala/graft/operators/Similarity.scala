@@ -1051,7 +1051,12 @@ object Similarity {
     * argmin assignment, elementwise residual, max-abs int8 pack, IEEE
     * reconstruction, and the ADC cosine with the identical operation
     * order — hash-matches Spark bit-for-bit. */
-  val annIvfPqTopKSql: String =
+  /** Shared IVF-PQ oracle CTE chain, through `ranked` — a NAMED
+    * constant so the rerank oracles extend it structurally instead of
+    * splicing the rendered SQL at an indexOf anchor (where a reworded
+    * final select returns -1 and substring throws during object init,
+    * killing every Similarity registration). */
+  private val annIvfPqCtes: String =
     """WITH n AS (
       |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
@@ -1109,8 +1114,10 @@ object Similarity {
       |ranked AS (
       |  SELECT q_id, vec_id AS neighbor_id, cospq,
       |    row_number() OVER (PARTITION BY q_id ORDER BY cospq DESC, vec_id) AS rk
-      |  FROM scored)
-      |SELECT q_id, neighbor_id, rk, cospq FROM ranked WHERE rk <= 5
+      |  FROM scored)""".stripMargin
+
+  val annIvfPqTopKSql: String = annIvfPqCtes + "\n" +
+    """SELECT q_id, neighbor_id, rk, cospq FROM ranked WHERE rk <= 5
       |ORDER BY q_id, rk""".stripMargin
 
   /** Random-projection dimensionality reduction + search: project 64-dim
@@ -1230,9 +1237,8 @@ object Similarity {
   /** Stage 1 replays the full IVF-PQ chain (same CTEs as ann_ivfpq_topk)
     * at overfetch depth; stage 2 joins candidates back to the float
     * vectors for the exact-cosine rerank. */
-  val annRerankSql: String = {
-    val tail = annIvfPqTopKSql.indexOf("SELECT q_id, neighbor_id, rk, cospq")
-    annIvfPqTopKSql.substring(0, tail).stripTrailing + ",\n" +
+  val annRerankSql: String =
+    annIvfPqCtes + ",\n" +
       """cand AS (SELECT q_id, neighbor_id FROM ranked WHERE rk <= 20),
         |ex AS (
         |  SELECT c.q_id, c.neighbor_id,
@@ -1245,7 +1251,6 @@ object Similarity {
         |  FROM ex)
         |SELECT q_id, neighbor_id, rk, cos FROM rr WHERE rk <= 5
         |ORDER BY q_id, rk""".stripMargin
-  }
 
   /** Broadcast-weight LINEAR reranker over the overfetch candidates —
     * the learned-reranker serving shape that closes the two-stage
@@ -1305,9 +1310,8 @@ object Similarity {
 
   /** Same IVF-PQ stage-1 prefix as ann_rerank; the rerank CTE carries
     * cospq through and scores the fixed-order weighted sum. */
-  val annRerankMlSql: String = {
-    val tail = annIvfPqTopKSql.indexOf("SELECT q_id, neighbor_id, rk, cospq")
-    annIvfPqTopKSql.substring(0, tail).stripTrailing + ",\n" +
+  val annRerankMlSql: String =
+    annIvfPqCtes + ",\n" +
       """cand AS (SELECT q_id, neighbor_id, cospq FROM ranked WHERE rk <= 20),
         |wts AS (SELECT
         |  ('0x'||substr(md5('rw:0'),1,10))::BIGINT / 1099511627776.0 * 2.0 - 1.0 AS w0,
@@ -1326,7 +1330,6 @@ object Similarity {
         |  FROM ex)
         |SELECT q_id, neighbor_id, rk, mlscore FROM rr WHERE rk <= 5
         |ORDER BY q_id, rk""".stripMargin
-  }
 
   /** Incremental IVF index maintenance — the steady-state production
     * loop beside dd_incr_near/q_curation_incr: a NEW BATCH of vectors is

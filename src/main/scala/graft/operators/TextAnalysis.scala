@@ -2948,8 +2948,14 @@ object TextAnalysis {
       }
     }
 
-    override def hasNext: Boolean =
-      used > 0 || pend != null || docBytes.hasNext
+    // fill before answering so hasNext promises a NON-EMPTY drain epoch:
+    // with bare `docBytes.hasNext` the remaining docs could all yield
+    // zero key pairs and next() would return an empty array element.
+    // The work is the same epoch next() would have done — just moved.
+    override def hasNext: Boolean = {
+      if (used == 0 && pend == null) fill()
+      used > 0 || pend != null
+    }
 
     override def next(): Array[Long] = {
       if (!hasNext) throw new NoSuchElementException

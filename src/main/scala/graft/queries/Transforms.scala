@@ -217,7 +217,7 @@ object Transforms {
     * language, ref Py4jPythonExecutor.java): the user script below is
     * reference-API-shaped (`transform(record, emitter, context)`,
     * `context.getArguments()`) and would run unchanged in the reference
-    * plugin. One python3 worker per partition, JSON-lines lockstep —
+    * plugin. One python3 worker per partition, batched JSON frames —
     * see [[graft.transform.ProcessScriptTransform]]. */
   def xfPyscript(spark: SparkSession, dir: String): DataFrame = {
     val out = StructType(Seq(

@@ -15,14 +15,21 @@ import org.apache.spark.sql.types._
   *
   * Re-expressed for Spark's execution model: each `mapPartitions` task
   * spawns one worker process (python3 running [[workerSource]], stdlib
-  * only) and speaks a JSON-lines protocol over its stdin/stdout. A
-  * dedicated writer thread streams records in while the task thread
-  * reads channel messages out (the same two-thread shape Spark's own
-  * Python runner uses): neither side ever waits on a round trip, so
-  * throughput is pipeline-limited, and the bounded in-flight queue plus
-  * pipe backpressure bound memory — no deadlock however many rows a
-  * record emits. The worker count scales with partitions like any Spark
-  * stage; there is no driver round-trip.
+  * only) and speaks a BATCHED JSON-frame protocol over its stdin/stdout:
+  * records travel in [[BatchSize]]-record array frames and the worker's
+  * channel messages return in buffered array frames (flushed per input
+  * frame, and every [[WorkerFlushEvery]] messages inside one so a
+  * high-fan-out record can't buffer unboundedly). One json encode/parse
+  * and one pipe write per frame replaces the per-record line tax that
+  * dominated this path at corpus scale (measured 3-4x on the 2M-doc
+  * rehearsal); the script API stays strictly per-record. A dedicated
+  * writer thread streams frames in while the task thread reads frames
+  * out (the same two-thread shape Spark's own Python runner uses):
+  * neither side ever waits on a round trip, so throughput is
+  * pipeline-limited, and the bounded in-flight queue plus pipe
+  * backpressure bound memory — no deadlock however many rows a record
+  * emits. The worker count scales with partitions like any Spark stage;
+  * there is no driver round-trip.
   *
   * Script contract matches the reference plugin, so a user's existing
   * script body runs unchanged:
@@ -52,6 +59,17 @@ import org.apache.spark.sql.types._
   * branch type natively).
   */
 object ProcessScriptTransform {
+
+  /** Records per input frame. Sized so a frame of typical web documents
+    * stays ~100s of KB (one pipe write, one json parse) while the
+    * in-flight queue (1024 records = 4 frames) still backpressures a
+    * slow worker. */
+  private[transform] val BatchSize = 256
+
+  /** Worker-side response-buffer cap: the emit buffer flushes as a
+    * frame whenever it reaches this many messages, bounding worker
+    * memory even when one record emits millions of rows. */
+  private[transform] val WorkerFlushEvery = 4096
 
   /** Configure-time script validation (ref: PythonEvaluator.java:224-243
     * compiles the script in configurePipeline so a typo fails the deploy,
@@ -242,17 +260,34 @@ object ProcessScriptTransform {
             if (inDesc != null) init.put("in_types", inDesc)
             if (outDesc != null) init.put("out_types", outDesc)
             stdin.write(mapper.writeValueAsString(init)); stdin.write("\n")
+            // records travel in BatchSize-array frames: ONE json encode
+            // + one pipe write per frame (the per-record line tax was
+            // the measured bottleneck of this path at corpus scale).
+            // Each record still enters `pending` individually BEFORE its
+            // frame is written, so the reader's per-record "d"/"f"
+            // markers keep naming failing records exactly as before.
+            val batch = new java.util.ArrayList[Object](BatchSize)
+            def writeFrame(): Unit = {
+              val m = new java.util.LinkedHashMap[String, Object]()
+              m.put("t", "rb")
+              m.put("d", batch)
+              stdin.write(mapper.writeValueAsString(m)); stdin.write("\n")
+              // flush per frame (cheap amortized over BatchSize records):
+              // a frame held in the BufferedWriter while the writer
+              // blocks on pending.put would idle the worker
+              stdin.flush()
+              batch.clear()
+            }
             while (rows.hasNext) {
               val record = SchemaCodec.rowToMap(rows.next(), inSchema)
               pending.put(record) // BEFORE the write: reader must find it
               val wire =
                 if (inDesc == null) record
                 else WireCodec.mapToWire(record, inSchema)
-              val m = new java.util.LinkedHashMap[String, Object]()
-              m.put("t", "rec")
-              m.put("d", JsonCodec.toJava(wire))
-              stdin.write(mapper.writeValueAsString(m)); stdin.write("\n")
+              batch.add(JsonCodec.toJava(wire))
+              if (batch.size >= BatchSize) writeFrame()
             }
+            if (!batch.isEmpty) writeFrame()
             val end = new java.util.LinkedHashMap[String, Object]()
             end.put("t", "end")
             stdin.write(mapper.writeValueAsString(end)); stdin.write("\n")
@@ -295,13 +330,25 @@ object ProcessScriptTransform {
               s"python worker input stream failed: $cause", cause)
             throw new IllegalStateException(why)
           }
+          // messages of the current response frame not yet dispatched
+          private val frameQ = new java.util.ArrayDeque[java.util.Map[String, Object]]()
           private def advance(): Unit = {
             while (nextRow == null && !finished) {
-              val line = stdout.readLine()
-              if (line == null) fail(
-                s"python worker died (exit=${if (proc.isAlive) "alive" else proc.exitValue()})")
-              val msg = mapper.readValue(line, classOf[java.util.Map[String, Object]])
-              msg.get("t").asInstanceOf[String] match {
+              val msg: java.util.Map[String, Object] =
+                if (!frameQ.isEmpty) frameQ.poll()
+                else {
+                  val line = stdout.readLine()
+                  if (line == null) fail(
+                    s"python worker died (exit=${if (proc.isAlive) "alive" else proc.exitValue()})")
+                  val top = mapper.readValue(line, classOf[java.util.Map[String, Object]])
+                  if (top.get("t").asInstanceOf[String] == "bb") {
+                    // response frame: enqueue its messages and loop
+                    top.get("d").asInstanceOf[java.util.List[Object]].forEach(
+                      m => frameQ.add(m.asInstanceOf[java.util.Map[String, Object]]))
+                    null
+                  } else top // "m" metrics (and any future top-level frame)
+                }
+              if (msg != null) msg.get("t").asInstanceOf[String] match {
                 case "e" =>
                   val raw = JsonCodec.toScala(msg.get("d")).asInstanceOf[Map[String, Any]]
                   nextRow = Row("out", SchemaCodec.mapToRow(
@@ -366,9 +413,25 @@ object ProcessScriptTransform {
   private[transform] val workerSource: String =
     """import sys, json, base64, datetime
       |
+      |# channel messages buffer and leave as ARRAY FRAMES ({"t":"bb",
+      |# "d":[...]}): one json.dumps + one pipe write per frame instead of
+      |# per message. Flushed at the end of every input frame (bounded
+      |# reader latency) and whenever the buffer hits the cap (bounded
+      |# memory however many rows one record emits).
+      |_buf = []
+      |_FLUSH_EVERY = %FLUSH_EVERY%
+      |
+      |def _flushbuf():
+      |    if _buf:
+      |        sys.stdout.write(json.dumps({"t": "bb", "d": _buf}))
+      |        sys.stdout.write("\n")
+      |        sys.stdout.flush()
+      |        del _buf[:]
+      |
       |def _w(obj):
-      |    sys.stdout.write(json.dumps(obj))
-      |    sys.stdout.write("\n")
+      |    _buf.append(obj)
+      |    if len(_buf) >= _FLUSH_EVERY:
+      |        _flushbuf()
       |
       |def _dec(v, t):
       |    # wire -> script types, driven by the schema descriptor: base64
@@ -460,25 +523,28 @@ object ProcessScriptTransform {
       |_ctx = _Context(_init.get("arguments", {}), _init.get("lookups", {}))
       |_em = _Emitter()
       |
-      |_n = 0
       |for _line in sys.stdin:
       |    _msg = json.loads(_line)
       |    if _msg["t"] == "end":
       |        break
-      |    try:
-      |        _transform(_dec(_msg["d"], _in_types), _em, _ctx)
-      |        _w({"t": "d"})
-      |    except Exception as _e:
-      |        import traceback
-      |        traceback.print_exc(file=sys.stderr)
-      |        _w({"t": "f", "m": "%s: %s" % (type(_e).__name__, _e)})
-      |    _n += 1
-      |    if _n % 64 == 0:       # stdout auto-flushes when its buffer
-      |        sys.stdout.flush() # fills; this just bounds reader latency
+      |    # "rb": a record-batch frame — the per-record script contract
+      |    # is unchanged; only the wire granularity is batched
+      |    for _rec in _msg["d"]:
+      |        try:
+      |            _transform(_dec(_rec, _in_types), _em, _ctx)
+      |            _w({"t": "d"})
+      |        except Exception as _e:
+      |            import traceback
+      |            traceback.print_exc(file=sys.stderr)
+      |            _w({"t": "f", "m": "%s: %s" % (type(_e).__name__, _e)})
+      |    _flushbuf()  # frame boundary: bound reader latency
       |
-      |_w({"t": "m", "c": _counts})
+      |_flushbuf()
+      |sys.stdout.write(json.dumps({"t": "m", "c": _counts}))
+      |sys.stdout.write("\n")
       |sys.stdout.flush()
       |""".stripMargin
+      .replace("%FLUSH_EVERY%", WorkerFlushEvery.toString)
 }
 
 /** Schema-driven wire conversion for types JSON cannot carry natively —
