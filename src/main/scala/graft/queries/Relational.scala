@@ -1896,6 +1896,46 @@ object Relational {
       |SELECT purchase_id, user_id, p_ts, click_id, c_ts, value
       |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin
 
+  /** LEFT OUTER purchase attribution — batch twin of
+    * [[graft.streaming.EventStreams.purchaseAttributionOuter]]: every
+    * purchase emits, paired with EACH same-user click in the preceding
+    * 30 minutes, or once with null click columns when no such click
+    * exists (the unmatched rows the inner st_attribution drops — the
+    * first thing an attribution user asks for). Same scale shape as
+    * st_attribution: equi-join on user_id, per-user fan-in bounded by
+    * session click density; the streaming twin emits the null rows
+    * watermark-driven (StreamingSpec). */
+  def stAttributionOut(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"), "left")
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"), col("value"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  val stAttributionOutSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |    user_id, event_type, value
+      |  FROM events),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+      |      FROM ev WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+      |      FROM ev WHERE event_type = 'click')
+      |SELECT purchase_id, p.user_id, p_ts, click_id, c_ts, value
+      |FROM p LEFT JOIN c ON p.user_id = c.user_id
+      |  AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 30 MINUTE
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** Join-key skew diagnostics — the planning input for the salting /
     * AQE-skew-join decisions the other operators make ([[Skew]],
     * q_skew_salted): per-key frequency top-k plus the corpus-level skew
@@ -2632,6 +2672,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_attribution" -> (stAttribution _),
+    "st_attribution_out" -> (stAttributionOut _),
     "q_survivorship" -> (qSurvivorship _),
     "q_hier_rollup" -> (qHierRollup _),
     "q_profile" -> (qProfile _),
@@ -2695,6 +2736,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "st_attribution" -> stAttributionSql,
+    "st_attribution_out" -> stAttributionOutSql,
     "q_survivorship" -> qSurvivorshipSql,
     "q_hier_rollup" -> qHierRollupSql,
     "q_profile" -> qProfileSql,

@@ -263,6 +263,35 @@ object EventStreams {
       .drop("p_user")
   }
 
+  /** Stream-stream LEFT OUTER attribution: every purchase emits —
+    * joined to each same-user click in the preceding `windowSpec`, or
+    * (the rows an attribution user asks about first) ONCE with null
+    * click columns when no such click exists. Spark's watermark-driven
+    * outer semantics: a matched purchase emits in the micro-batch that
+    * pairs it; an UNMATCHED purchase is held in the state store until
+    * the watermark passes purchase_ts + delay (only then can "no click
+    * arrived" be final) and emits its null row in that later batch —
+    * StreamingSpec drives this across micro-batches with a
+    * MemoryStream. State stays bounded exactly as in the inner join:
+    * both sides are watermarked and the join condition bounds
+    * event-time skew, so each side retains a sliding window only. */
+  def purchaseAttributionOuter(clicks: DataFrame, purchases: DataFrame,
+                               watermark: String = "10 seconds",
+                               windowSpec: String = "10 MINUTES"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+        col("user_id") === col("c_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $windowSpec"),
+        "left_outer")
+      .drop("c_user")
+  }
+
   /** Exactly-once restoration over an at-least-once event feed:
     * duplicate event_ids arriving within the watermark are dropped
     * (state per key is evicted once the watermark passes, so state is

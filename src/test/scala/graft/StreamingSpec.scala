@@ -739,4 +739,104 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"round-robin user assignment skewed: $finals")
     } finally q.stop()
   }
+
+  test("left-outer attribution: unmatched purchases emit null rows only after watermark passage") {
+    // Three controlled micro-batches over MemoryStreams. The unmatched
+    // purchase P1 may NOT emit while a matching click could still
+    // arrive; Spark finalizes it only once the (next-batch) watermark
+    // passes its event time, so its null row must appear in batch 3 —
+    // not 1, not 2 — while the matched purchase P2 emits immediately.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = cs.sqlContext
+    import cs.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val out = EventStreams.purchaseAttributionOuter(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("event_id", "user_id", "ts"),
+      watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("pao")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      def rows() = spark.table("pao").collect()
+      def nullRows() = rows().filter(_.isNullAt(3)) // click_id null
+      // batch 1: P1 (user 1) has no click; C1 belongs to another user
+      purchases.addData((100L, 1L, ts("2026-01-01 10:00:00")))
+      clicks.addData((200L, 2L, ts("2026-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(rows().isEmpty,
+        s"nothing is final in batch 1: ${rows().mkString(",")}")
+      // batch 2: a MATCHED pair (user 3). The match emits now; P1
+      // still waits — the global watermark (min over both streams,
+      // 10:04 - 5 min = 9:59) has not passed its 10:00 event time, so
+      // "no click arrived" is not yet provable.
+      clicks.addData((201L, 3L, ts("2026-01-01 10:02:00")))
+      purchases.addData((101L, 3L, ts("2026-01-01 10:04:00")))
+      q.processAllAvailable()
+      assert(rows().exists(r => r.getLong(0) == 101L && r.getLong(3) == 201L),
+        "matched purchase did not emit in its own micro-batch")
+      assert(nullRows().isEmpty,
+        "unmatched purchase emitted BEFORE the watermark passed its event time")
+      // batch 3: BOTH streams advance to 11:00 (the watermark is the
+      // min across streams — a lagging side holds everyone back), so
+      // the watermark moves to 10:55, past P1's 10:00: its null row is
+      // finally provable and must emit. P3 (user 8, no click) becomes
+      // the new pending tail and must NOT emit.
+      clicks.addData((202L, 9L, ts("2026-01-01 11:00:00")))
+      purchases.addData((102L, 8L, ts("2026-01-01 11:00:00")))
+      q.processAllAvailable()
+      val nr = nullRows()
+      assert(nr.length == 1 && nr.head.getLong(0) == 100L,
+        s"expected exactly P1's null row after watermark passage: ${nr.mkString(",")}")
+      assert(nr.head.isNullAt(4), "click_ts not null on the unmatched row")
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "expected >= 3 non-empty micro-batches")
+    } finally q.stop()
+  }
+
+  test("left-outer attribution stream equals its batch twin away from the watermark tail") {
+    // File-source replay: matched rows equal the batch left-join
+    // restricted to matches; null rows equal the batch unmatched set
+    // for purchases the FINAL watermark could finalize (p_ts < max ts
+    // - delay). The tail purchases are the only permitted difference —
+    // a finite replay cannot prove their clicks will never arrive.
+    // default trigger + processAllAvailable (NOT AvailableNow, which
+    // terminates before the trailing no-data batch that applies the
+    // final watermark and flushes the outer state)
+    val src = EventStreams.readEvents(spark, eventsDir)
+    val q = EventStreams.purchaseAttributionOuter(
+        src.filter(col("event_type") === "click"),
+        src.filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName("pao_file")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("pao_file").collect()
+    val ev = Tables.events(spark, dir)
+    val batch = EventStreams.purchaseAttributionOuter(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase")).collect()
+    val gotMatched = got.filter(!_.isNullAt(3)).map(_.toSeq).toSet
+    val batchMatched = batch.filter(!_.isNullAt(3)).map(_.toSeq).toSet
+    assert(gotMatched === batchMatched, "matched rows diverge from batch")
+    // the final watermark is min over BOTH sides' per-source maxima,
+    // minus the 10 s delay; only purchases strictly older are provably
+    // unmatched in a finite replay
+    val maxClick = ev.filter(col("event_type") === "click")
+      .agg(max(col("ts"))).head.getTimestamp(0).getTime
+    val maxPurch = ev.filter(col("event_type") === "purchase")
+      .agg(max(col("ts"))).head.getTimestamp(0).getTime
+    val horizon = math.min(maxClick, maxPurch) - 10000L
+    val gotNull = got.filter(_.isNullAt(3)).map(_.toSeq).toSet
+    val batchNullFinal = batch.filter(r => r.isNullAt(3) &&
+      r.getTimestamp(2).getTime < horizon).map(_.toSeq).toSet
+    assert(batchNullFinal.nonEmpty, "test corpus has no finalizable unmatched purchases")
+    assert(batchNullFinal.subsetOf(gotNull), "a finalizable null row failed to emit")
+    // nothing emits that batch doesn't have
+    val batchNullAll = batch.filter(_.isNullAt(3)).map(_.toSeq).toSet
+    assert(gotNull.subsetOf(batchNullAll), "stream emitted a null row batch disagrees with")
+  }
 }
