@@ -1564,6 +1564,282 @@ object TextAnalysis {
       |UNION ALL SELECT CAST(2 AS INT), pair, cnt FROM t2
       |ORDER BY rank""".stripMargin
 
+  /** Integer bit length: bitlen(n) = length(bin(n)) = floor(log2 n)+1
+    * for n >= 1, and 1 for n = 0 (bin(0) = "0") — the lm_score libm-free
+    * log2 surrogate, shared by the unigram trainer. */
+  private def bitlen(n: Long): Long =
+    if (n <= 0L) 1L else 64L - java.lang.Long.numberOfLeadingZeros(n)
+
+  /** Canonical unigram segmentation of `w` under integer piece costs:
+    * minimize total cost over vocab-only segmentations; among ties take
+    * the lexicographically LARGEST piece-length sequence (leftmost-
+    * longest), produced here by a suffix DP + greedy left-to-right walk
+    * and replayed by the oracle's exhaustive path enumeration. O(L ·
+    * maxLen) per word. Total by construction: the trainer keeps every
+    * single character in the vocabulary. */
+  private[graft] def unigramSegment(w: String,
+      cost: scala.collection.Map[String, Long], maxLen: Int): List[String] = {
+    val L = w.length
+    if (L == 0) return Nil
+    val INF = Long.MaxValue / 4
+    val dp = new Array[Long](L + 1)
+    java.util.Arrays.fill(dp, INF); dp(L) = 0L
+    var i = L - 1
+    while (i >= 0) {
+      val maxl = math.min(maxLen, L - i)
+      var l = 1
+      while (l <= maxl) {
+        if (dp(i + l) < INF) {
+          val c = cost.getOrElse(w.substring(i, i + l), -1L)
+          if (c >= 0L && c + dp(i + l) < dp(i)) dp(i) = c + dp(i + l)
+        }
+        l += 1
+      }
+      i -= 1
+    }
+    require(dp(0) < INF, s"unigram segmentation infeasible for '$w'")
+    val out = List.newBuilder[String]
+    var p = 0
+    while (p < L) {
+      var pick = 1
+      val maxl = math.min(maxLen, L - p)
+      var l = 1
+      while (l <= maxl) {
+        val c = cost.getOrElse(w.substring(p, p + l), -1L)
+        if (c >= 0L && dp(p + l) < INF && c + dp(p + l) == dp(p)) pick = l
+        l += 1
+      }
+      out += w.substring(p, p + pick); p += pick
+    }
+    out.result()
+  }
+
+  /** Piece costs from a count table: -log2 p ≈ bitlen(total) -
+    * bitlen(cnt) + 1 — integer end to end (the lm_score rule), so both
+    * engines agree bit-for-bit and the +1 makes every piece cost
+    * positive (ties break toward FEWER pieces before the leftmost-
+    * longest rule applies). */
+  private def unigramCosts(vocab: Map[String, Long]): Map[String, Long] = {
+    val t = bitlen(vocab.valuesIterator.sum)
+    vocab.map { case (p, c) => p -> (t - bitlen(c) + 1L) }
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer TRAINING — the OTHER
+    * published tokenizer trainer (Kudo 2018's unigram language model),
+    * complementing [[bpeTrain]]: seed a substring vocabulary from the
+    * word-frequency table, run hard-EM (Viterbi) iterations — each
+    * re-estimates piece counts from every word's best segmentation
+    * under the current costs — prune to the target vocabulary (single
+    * characters always kept, so segmentation stays total; multi-char
+    * pieces kept by count, the published cheap approximation of the
+    * likelihood-loss prune), and emit the final (rank, piece, cnt)
+    * table from one last counting pass over the pruned vocabulary.
+    *
+    * Cross-engine determinism: costs are the integer bitlen -log2
+    * surrogate (no libm), and the canonical segmentation among
+    * equal-cost paths is the lexicographically largest length sequence
+    * — [[unigramSegment]]'s greedy suffix-DP walk here, exhaustive
+    * path enumeration ordered by (cost, lens DESC) in the oracle.
+    *
+    * Scale shape: the CORPUS is scanned exactly once (the word-
+    * frequency build — the bpeTrain economics); every EM pass maps the
+    * VOCAB-SIZED word table with the piece-cost map broadcast and
+    * re-aggregates map-combined vocab-sized counts. Driver collections
+    * are piece tables bounded by seedMulti + alphabet (the lm_score
+    * Heaps-law model-bound argument). Construction runs ZERO jobs
+    * (DeferredDF); the train loop happens at first action. */
+  def unigramTrain(docs: DataFrame, seedMulti: Int = 64, keepMulti: Int = 24,
+                   maxPieceLen: Int = 4, emIters: Int = 2): DataFrame =
+    org.apache.spark.sql.graft.DeferredDF(docs.sparkSession,
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("piece", StringType, nullable = true),
+        StructField("cnt", LongType, nullable = true))),
+      () => unigramTrainEager(docs, seedMulti, keepMulti, maxPieceLen, emIters))
+
+  private[graft] def unigramTrainEager(docs: DataFrame, seedMulti: Int,
+      keepMulti: Int, maxPieceLen: Int, emIters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .select(col("word").as("_1"), col("f").as("_2")).as[(String, Long)]
+      .localCheckpoint(false) // every pass below re-reads this table
+    // seed: all substrings of length 1..maxPieceLen weighted by word
+    // frequency x occurrence multiplicity; ALL single chars + top
+    // seedMulti multi-char pieces (count desc, piece asc)
+    val cands = wf.flatMap { case (w, f) =>
+        for {
+          i <- 0 until w.length
+          l <- 1 to math.min(maxPieceLen, w.length - i)
+        } yield (w.substring(i, i + l), f)
+      }
+      .groupBy(col("_1")).agg(sum(col("_2")).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val charPieces = cands.filter(_._1.length == 1).toMap
+    var vocab: Map[String, Long] = charPieces ++
+      cands.filter(_._1.length > 1)
+        .sortBy { case (p, c) => (-c, p) }.take(seedMulti)
+    // one distributed E-step: segment every word under `costs`, count
+    // pieces weighted by word frequency (vocab-sized, map-combined)
+    def countPass(costs: Map[String, Long]): Map[String, Long] = {
+      val bc = spark.sparkContext.broadcast(costs)
+      wf.flatMap { case (w, f) =>
+          unigramSegment(w, bc.value, maxPieceLen).map(p => (p, f))
+        }
+        .groupBy(col("_1")).agg(sum(col("_2")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    for (_ <- 1 to emIters) {
+      val counts = countPass(unigramCosts(vocab))
+      // pieces used by some best path keep their new counts; single
+      // chars survive unconditionally (cnt 0 when unused) so every
+      // word stays segmentable; unused multi-char pieces drop out
+      vocab = counts ++ charPieces.keysIterator
+        .filterNot(counts.contains).map(_ -> 0L)
+    }
+    // prune: all single chars + top keepMulti multi-char by count
+    val pruned = vocab.filter(p => charPieces.contains(p._1)) ++
+      vocab.toSeq.filter(p => !charPieces.contains(p._1))
+        .sortBy { case (p, c) => (-c, p) }.take(keepMulti)
+    // final counting pass over the pruned vocabulary IS the artifact
+    val bc = spark.sparkContext.broadcast(unigramCosts(pruned))
+    val fin = wf.flatMap { case (w, f) =>
+        unigramSegment(w, bc.value, maxPieceLen).map(p => (p, f))
+      }
+      .groupBy(col("_1").as("piece")).agg(sum(col("_2")).as("cnt"))
+    val wRank = Window.orderBy(col("cnt").desc, col("piece"))
+    fin.select(row_number().over(wRank).as("rank"), col("piece"), col("cnt"))
+  }
+
+  def txUnigram(spark: SparkSession, dir: String): DataFrame =
+    unigramTrain(Tables.documents(spark, dir)).orderBy(col("rank"))
+
+  /** Per-doc unigram token counts under a trained piece-cost map — the
+    * serve half (the lmScore broadcast-model shape: one corpus scan,
+    * zero joins), feeding token-budget metering on unigram tokens. */
+  def unigramTokenCounts(docs: DataFrame, vocab: Map[String, Long],
+                         maxPieceLen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(unigramCosts(vocab))
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val words = if (text == null) Array.empty[String] else text.split(" ")
+        var n = 0L
+        words.foreach { w =>
+          if (w.nonEmpty) n += unigramSegment(w, bc.value, maxPieceLen).length
+        }
+        (id, n)
+      }
+      .select(col("_1").as("doc_id"), col("_2").as("n_unigram_tokens"))
+  }
+
+
+  /** Replays the full train loop CTE-by-CTE (the bpe_train/
+    * ann_kmeans pattern): seed -> two hard-EM passes -> prune -> final
+    * count. Each E-step ENUMERATES every vocab-only segmentation per
+    * word (recursive CTE; feasible because oracle-scale words are
+    * <= 8 chars -> <= 108 compositions) and picks the canonical one by
+    * (cost ASC, length-sequence lexicographically DESC) -- exactly the
+    * segmentation the suffix-DP greedy walk produces. bitlen is
+    * length(bin(n)) in both engines; no floating point anywhere. */
+  val txUnigramSql: String =
+    """WITH RECURSIVE
+      |wf AS (
+      |  SELECT word, count(*) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> '' GROUP BY word),
+      |cand AS (
+      |  SELECT substr(word, CAST(i AS BIGINT), CAST(l AS BIGINT)) AS piece,
+      |         CAST(sum(f) AS BIGINT) AS cnt
+      |  FROM wf, unnest(range(1, length(word) + 1)) r(i),
+      |       unnest(range(1, 5)) s(l)
+      |  WHERE i + l - 1 <= length(word)
+      |  GROUP BY 1),
+      |chars0 AS (SELECT piece, cnt FROM cand WHERE length(piece) = 1),
+      |multi0 AS (SELECT piece, cnt FROM cand WHERE length(piece) > 1
+      |           ORDER BY cnt DESC, piece LIMIT 64),
+      |v0 AS (SELECT * FROM chars0 UNION ALL SELECT * FROM multi0),
+      |c0 AS (SELECT piece,
+      |         length(bin(CAST((SELECT sum(cnt) FROM v0) AS BIGINT)))
+      |           - length(bin(cnt)) + 1 AS cost FROM v0),
+      |p1 AS (
+      |  SELECT word, f, 0 AS i, CAST(0 AS BIGINT) AS cost,
+      |         CAST([] AS BIGINT[]) AS lens, CAST([] AS VARCHAR[]) AS pcs
+      |  FROM wf
+      |  UNION ALL
+      |  SELECT p.word, p.f, p.i + length(v.piece), p.cost + v.cost,
+      |         list_append(p.lens, CAST(length(v.piece) AS BIGINT)),
+      |         list_append(p.pcs, v.piece)
+      |  FROM p1 p JOIN c0 v
+      |    ON v.piece = substr(p.word, CAST(p.i + 1 AS BIGINT), CAST(length(v.piece) AS BIGINT))
+      |  WHERE p.i < length(p.word)),
+      |seg1 AS (
+      |  SELECT word, f, pcs FROM (
+      |    SELECT word, f, pcs, row_number() OVER (PARTITION BY word
+      |      ORDER BY cost ASC, lens DESC) AS rn
+      |    FROM p1 WHERE i = length(word)) t WHERE rn = 1),
+      |m1 AS (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
+      |       FROM (SELECT f, unnest(pcs) AS piece FROM seg1) GROUP BY piece),
+      |v1 AS (SELECT piece, cnt FROM m1 UNION ALL
+      |       SELECT piece, CAST(0 AS BIGINT) FROM chars0
+      |       WHERE piece NOT IN (SELECT piece FROM m1)),
+      |c1 AS (SELECT piece,
+      |         length(bin(CAST((SELECT sum(cnt) FROM v1) AS BIGINT)))
+      |           - length(bin(cnt)) + 1 AS cost FROM v1),
+      |p2 AS (
+      |  SELECT word, f, 0 AS i, CAST(0 AS BIGINT) AS cost,
+      |         CAST([] AS BIGINT[]) AS lens, CAST([] AS VARCHAR[]) AS pcs
+      |  FROM wf
+      |  UNION ALL
+      |  SELECT p.word, p.f, p.i + length(v.piece), p.cost + v.cost,
+      |         list_append(p.lens, CAST(length(v.piece) AS BIGINT)),
+      |         list_append(p.pcs, v.piece)
+      |  FROM p2 p JOIN c1 v
+      |    ON v.piece = substr(p.word, CAST(p.i + 1 AS BIGINT), CAST(length(v.piece) AS BIGINT))
+      |  WHERE p.i < length(p.word)),
+      |seg2 AS (
+      |  SELECT word, f, pcs FROM (
+      |    SELECT word, f, pcs, row_number() OVER (PARTITION BY word
+      |      ORDER BY cost ASC, lens DESC) AS rn
+      |    FROM p2 WHERE i = length(word)) t WHERE rn = 1),
+      |m2 AS (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
+      |       FROM (SELECT f, unnest(pcs) AS piece FROM seg2) GROUP BY piece),
+      |v2 AS (SELECT piece, cnt FROM m2 UNION ALL
+      |       SELECT piece, CAST(0 AS BIGINT) FROM chars0
+      |       WHERE piece NOT IN (SELECT piece FROM m2)),
+      |vp AS (SELECT piece, cnt FROM v2 WHERE length(piece) = 1
+      |       UNION ALL
+      |       SELECT piece, cnt FROM (
+      |         SELECT piece, cnt FROM v2 WHERE length(piece) > 1
+      |         ORDER BY cnt DESC, piece LIMIT 24) t),
+      |cf AS (SELECT piece,
+      |         length(bin(CAST((SELECT sum(cnt) FROM vp) AS BIGINT)))
+      |           - length(bin(cnt)) + 1 AS cost FROM vp),
+      |p3 AS (
+      |  SELECT word, f, 0 AS i, CAST(0 AS BIGINT) AS cost,
+      |         CAST([] AS BIGINT[]) AS lens, CAST([] AS VARCHAR[]) AS pcs
+      |  FROM wf
+      |  UNION ALL
+      |  SELECT p.word, p.f, p.i + length(v.piece), p.cost + v.cost,
+      |         list_append(p.lens, CAST(length(v.piece) AS BIGINT)),
+      |         list_append(p.pcs, v.piece)
+      |  FROM p3 p JOIN cf v
+      |    ON v.piece = substr(p.word, CAST(p.i + 1 AS BIGINT), CAST(length(v.piece) AS BIGINT))
+      |  WHERE p.i < length(p.word)),
+      |seg3 AS (
+      |  SELECT word, f, pcs FROM (
+      |    SELECT word, f, pcs, row_number() OVER (PARTITION BY word
+      |      ORDER BY cost ASC, lens DESC) AS rn
+      |    FROM p3 WHERE i = length(word)) t WHERE rn = 1),
+      |mf AS (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
+      |       FROM (SELECT f, unnest(pcs) AS piece FROM seg3) GROUP BY piece)
+      |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INTEGER) AS rank,
+      |       piece, cnt
+      |FROM mf ORDER BY rank""".stripMargin
+
   /** BPE merge APPLICATION — closes the tokenizer loop [[bpeTrain]]
     * opens: take the trained rank-ordered merge list and tokenize the
     * corpus with it, so token budgets and packing meter the tokens a
@@ -3563,6 +3839,7 @@ object TextAnalysis {
     "tx_readability" -> (txReadability _),
     "tx_html_strip" -> (txHtmlStrip _),
     "tx_bpe_train" -> (txBpeTrain _),
+    "tx_unigram" -> (txUnigram _),
     "tx_bpe_apply" -> (txBpeApply _),
     "tx_chunks" -> (txChunks _),
     "tx_filter_funnel" -> (txFilterFunnel _),
@@ -3613,6 +3890,7 @@ object TextAnalysis {
     "tx_readability" -> txReadabilitySql,
     "tx_html_strip" -> txHtmlStripSql,
     "tx_bpe_train" -> txBpeTrainSql,
+    "tx_unigram" -> txUnigramSql,
     "tx_bpe_apply" -> txBpeApplySql,
     "tx_chunks" -> txChunksSql,
     "tx_filter_funnel" -> txFilterFunnelSql,

@@ -441,6 +441,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === b, "vocab-metered budget selection not deterministic")
   }
 
+  test("unigram training meters the token budget (EM pieces compose end to end)") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, dir)
+    // train on the corpus, then serve the trained pieces back over it
+    val trained = TextAnalysis.unigramTrain(docs).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(trained.nonEmpty)
+    assert(trained.keys.exists(_.length > 1), "no multi-char pieces trained")
+    val counted = TextAnalysis.unigramTokenCounts(docs, trained)
+    // every word is >= 1 piece and every piece covers >= 1 char, so the
+    // unigram count sits between the word count and non-space chars
+    val joined = docs.select(col("doc_id"), col("lang"),
+        size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("n_words"),
+        length(regexp_replace(col("text"), " ", ""))
+          .cast("long").as("n_chars_ns"))
+      .join(counted, "doc_id")
+    assert(joined.filter(col("n_unigram_tokens") < col("n_words")).count() === 0,
+      "unigram token count below word count")
+    assert(joined.filter(col("n_unigram_tokens") > col("n_chars_ns")).count() === 0,
+      "unigram token count above char count")
+    // the budget meter consumes unigram counts directly: per-stratum
+    // sums within budget, and a budget increase only adds documents
+    def sel(b: Long) = Sampling.tokenBudget(joined, col("lang"),
+      col("doc_id"), col("n_unigram_tokens"), b)
+    val sums = sel(20000L).groupBy("lang").agg(sum("n_unigram_tokens").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums.nonEmpty)
+    sums.foreach { case (l, s) => assert(s <= 20000L, s"$l over budget: $s") }
+    val small = sel(10000L).select("doc_id").collect().map(_.getLong(0)).toSet
+    val large = sel(30000L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large), "budget increase must only add documents")
+  }
+
   test("token-budget selection: per-stratum sums within budget, budget increases are supersets") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, dir)
