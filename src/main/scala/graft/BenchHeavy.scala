@@ -31,7 +31,18 @@ object BenchHeavy {
   val heavyX10: Seq[String] = Seq(
     "q_unpivot",
     "dd_simhash", "dd_ngram_jaccard", "dd_threshold_hist",
-    "dd_cluster", "dd_priority")
+    "dd_cluster", "dd_priority",
+    // round-14: the #2 wall query joins the tier it belongs to — block
+    // dup machinery whose dup mass tracks corpus mass on this vocab
+    "dd_substr")
+  /** q_triangles gets its OWN x10 graph tier: the standard lineitem
+    * replica offsets l_orderkey only, which leaves the DISTINCT
+    * co-purchase edge set (and so the wedge work, the query's actual
+    * cost) UNCHANGED — a 10x scan feeding the same graph. This tier
+    * offsets l_partkey too (by r*10^8, keeping ids under the
+    * counter's 2^31 packed-key contract), making the graph 10 disjoint
+    * copies — wedge mass scales linearly, the honest scale-up. */
+  val heavyX10Graph: Seq[String] = Seq("q_triangles")
   /** Linear text/hash aggregations at 100x: at 10x (50k docs, ~2.7M
     * bigrams) these are still scheduler-floor-bound in Spark while DuckDB
     * finishes in tens of ms — the ratio measures the floor, not the
@@ -89,7 +100,7 @@ object BenchHeavy {
     * best-of-2 on the same data both engines read); the DuckDB side runs
     * per-query against a fresh-view connection and has no analogous
     * position penalty. */
-  val heavy: Seq[String] = heavyX600 ++ heavyX10 ++ heavyX100
+  val heavy: Seq[String] = heavyX600 ++ heavyX10 ++ heavyX10Graph ++ heavyX100
 
   private def loadavg: Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
@@ -100,7 +111,8 @@ object BenchHeavy {
     * by Probe to rebuild a tier's data without running the suite). */
   def buildReplicas(spark: org.apache.spark.sql.SparkSession,
                     srcDir: String, dir: String, nReps: Int,
-                    tables: Set[String] = Set("documents", "lineitem")): Unit = {
+                    tables: Set[String] = Set("documents", "lineitem"),
+                    offsetPartkey: Boolean = false): Unit = {
       // per-table markers: tiers acquired lineitem at different times, so
       // an existing docs replica must not block the lineitem build
       // (legacy "_done" marker counts as the docs marker)
@@ -142,9 +154,16 @@ object BenchHeavy {
       once("lineitem") {
         val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
           .repartition(64)
-        li.select(col("*"), rep)
+        val keyed = li.select(col("*"), rep)
           .withColumn("l_orderkey",
             col("l_orderkey") + col("rep").cast("long") * lit(1000000000L))
+        // graph tier: disjoint part-id spaces per replica (r*10^8 keeps
+        // ids < 2^31 for the triangle counter's packed-key contract)
+        val parted = if (offsetPartkey)
+          keyed.withColumn("l_partkey",
+            col("l_partkey") + col("rep").cast("long") * lit(100000000L))
+          else keyed
+        parted
           .drop("rep")
           .repartition(64) // scatter replicas — see the documents note
           .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
@@ -161,14 +180,17 @@ object BenchHeavy {
     spark.sparkContext.setLogLevel("WARN")
 
     val x10 = s"$outDir/x10"
+    val x10g = s"$outDir/x10g"
     val x100 = s"$outDir/x100"
     val x600 = s"$outDir/x600"
     buildReplicas(spark, srcDir, x10, reps)
+    buildReplicas(spark, srcDir, x10g, reps, Set("lineitem"),
+      offsetPartkey = true)
     buildReplicas(spark, srcDir, x100, reps * 10)
     buildReplicas(spark, srcDir, x600, reps * 60, Set("lineitem"))
     val dirFor: Map[String, String] =
-      (heavyX10.map(_ -> x10) ++ heavyX100.map(_ -> x100) ++
-        heavyX600.map(_ -> x600)).toMap
+      (heavyX10.map(_ -> x10) ++ heavyX10Graph.map(_ -> x10g) ++
+        heavyX100.map(_ -> x100) ++ heavyX600.map(_ -> x600)).toMap
 
     def runOnce(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -185,9 +207,14 @@ object BenchHeavy {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // optional arg 2: comma-separated query filter — re-measure a
+    // changed subset in a quiet window without re-running the suite
+    // (merged per the load-gated min-merge methodology)
+    val only: String => Boolean =
+      if (args.length > 1) args(1).split(",").toSet else (_ => true)
     val la0 = loadavg
     runOnce("q1_agg") // warm-up
-    val results = heavy.map { name =>
+    val results = heavy.filter(only).map { name =>
       // level the field between queries: without this, each query's
       // measurement starts with the predecessors' heap debt and pays
       // their deferred GC inside its own timing (measured 0.3-0.5 s on
@@ -215,14 +242,18 @@ object BenchHeavy {
     // per-tier replication factors: a single flat "reps" misattributed
     // the x100 queries' per-row cost by 10x in the committed artifact
     val replication =
-      s"""{"x10":$reps,"x100":${reps * 10},"x600":${reps * 60}}"""
+      s"""{"x10":$reps,"x10g":$reps,"x100":${reps * 10},"x600":${reps * 60}}"""
     val line =
       s"""{"metric":"heavy_total","value":$total,"unit":"sec","replication":$replication,"queries":$qs,"failed":$failed,"loadavg":[$la0,$loadavg],"src":"$srcDir","data":"$outDir","data_for":$dirs,"oracle_sql":$sqls}"""
     println(line)
     // resolve against the repo root, not cwd — a cwd-relative artifact
-    // stale-merges into bench_heavy.json when sbt runs from elsewhere
+    // stale-merges into bench_heavy.json when sbt runs from elsewhere.
+    // A FILTERED run must not clobber the full-suite artifact.
+    val artifact =
+      if (args.length > 1) "bench_heavy_spark_partial.json"
+      else "bench_heavy_spark.json"
     java.nio.file.Files.write(
-      graft.core.Util.repoRoot.resolve("bench_heavy_spark.json"),
+      graft.core.Util.repoRoot.resolve(artifact),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }

@@ -67,6 +67,7 @@ object Probe {
       case "quantile-bhj" => quantileBhj(rest)
       case "plan" => planOf(rest)
       case "overlap-floor" => overlapFloor(rest)
+      case "tfidf-floor" => tfidfFloor(rest)
       case other =>
         System.err.println(s"unknown probe variant: $other (see scaladoc)")
         sys.exit(2)
@@ -313,6 +314,36 @@ object Probe {
         .agg(count(lit(1)).as("n"))))
     timed("floor", "d_full", 3)(
       noop(SparkEntry.queries("dd_overlap")(spark, dir)))
+    spark.stop()
+  }
+
+  /** tx_tfidf cost decomposition: bare text scan → +termCounts kernel →
+    * +df vocab exchange → +broadcast join → full query (window top-k).
+    * Step deltas attribute the wall to scan / parse kernel / df
+    * aggregate / join / rank. */
+  private def tfidfFloor(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_heavy/x100")
+    val spark = session(32)
+    import org.apache.spark.sql.graft.VectorExprs
+    val docs = graft.core.Tables.documents(spark, dir)
+    val tf = docs.select(col("doc_id"),
+        explode(VectorExprs.termCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+      .withColumn("th", xxhash64(col("term")))
+    val dfTab = docs.select(explode(
+        VectorExprs.distinctTermHashes(col("text"))).as("th"))
+      .groupBy(col("th")).agg(count(lit(1)).as("df"))
+    timed("tfloor", "a_scan", 3)(
+      noop(docs.select(sum(length(col("text"))).as("s"))))
+    timed("tfloor", "b_tf_kernel", 3)(
+      noop(tf.agg(sum(col("tf")).as("s"))))
+    timed("tfloor", "c_df_agg", 3)(
+      noop(dfTab.agg(count(lit(1)).as("n"), sum(col("df")).as("s"))))
+    timed("tfloor", "d_join", 3)(
+      noop(tf.join(broadcast(dfTab), Seq("th"))
+        .agg(sum(col("tf") * col("df")).as("s"))))
+    timed("tfloor", "e_full", 3)(
+      noop(SparkEntry.queries("tx_tfidf")(spark, dir)))
     spark.stop()
   }
 

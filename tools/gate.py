@@ -1,15 +1,27 @@
 #!/usr/bin/env python3
 """Driver-shaped correctness GATE artifact over a check.py-style compare.
 
-Usage: python3 tools/gate.py <sfDir> <verifyOutDir> <artifact.json>
+Usage:
+  python3 tools/gate.py <sfDir> <verifyOutDir> <artifact.json> \
+      [--pin <sfDir2> <verifyOutDir2> <q1,q2,...>] [--only <q1,q2,...>]
 
 Same compare as tools/check.py (schema / row count / exact values on
 name-sorted columns and sorted rows), but emits the driver's
 CORRECTNESS-style JSON artifact — per-query {err, hash_match, rows,
-rows_match, schema_match} plus n_pass/n_fail — so higher-SF gates
+rows_match, schema_match, sf} plus n_pass/n_fail — so higher-SF gates
 (CORRECTNESS_SF03.json, CORRECTNESS_SF10.json) are reproducible from
-one committed tool instead of an ad-hoc transcript. DUCKDB_THREADS
-caps the oracle side (pair-heavy oracles at 10x want a bound).
+one committed tool instead of an ad-hoc transcript.
+
+--pin routes the listed queries to a SECOND (sfDir, verifyOutDir)
+pair: the max-SF gate verifies every linear-oracle query at the
+primary SF and pins the pair-machinery queries (whose DuckDB oracles
+are superlinear — e.g. dd_ngram_jaccard's uncapped pair join hit 84 GB
+RSS at sf1.0 while the Spark side finished the whole surface) at
+their max ORACLE-feasible SF. Each query's record carries the sf
+directory it was verified against, so the artifact is explicit about
+per-query coverage. DUCKDB_THREADS caps the oracle side;
+DUCKDB_MEMLIMIT (e.g. "48GB") turns an oracle blow-up into a
+per-query err instead of an OOM-killed gate.
 """
 import json
 import os
@@ -21,24 +33,52 @@ import pandas as pd
 from check import TABLES, norm
 
 
-def main():
-    sf_dir, out_dir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
+def connect(sf_dir):
     con = duckdb.connect()
     threads = os.environ.get("DUCKDB_THREADS")
     if threads:
         con.execute(f"SET threads TO {int(threads)}")
+    memlimit = os.environ.get("DUCKDB_MEMLIMIT")
+    if memlimit:
+        con.execute(f"SET memory_limit = '{memlimit}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def main():
+    args = sys.argv[1:]
+    pin_sf = pin_out = None
+    pinned = set()
+    if "--pin" in args:
+        i = args.index("--pin")
+        pin_sf, pin_out = args[i + 1], args[i + 2]
+        pinned = set(args[i + 3].split(","))
+        args = args[:i] + args[i + 4:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sf_dir, out_dir, artifact = args[0], args[1], args[2]
+    con = connect(sf_dir)
+    con_pin = connect(pin_sf) if pin_sf else None
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     queries = {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        if only is not None and name not in only:
+            continue
+        use_pin = name in pinned
+        q_sf, q_out, q_con = (
+            (pin_sf, pin_out, con_pin) if use_pin else (sf_dir, out_dir, con))
         rec = {"err": None, "hash_match": False, "rows": 0,
-               "rows_match": False, "schema_match": False}
+               "rows_match": False, "schema_match": False,
+               "sf": os.path.basename(q_sf.rstrip("/"))}
         try:
-            got = pd.read_parquet(f"{out_dir}/{name}")
-            exp = con.execute(sql).df()
+            got = pd.read_parquet(f"{q_out}/{name}")
+            exp = q_con.execute(sql).df()
             g, e = norm(got), norm(exp)
             rec["rows"] = len(g)
             rec["schema_match"] = list(g.columns) == list(e.columns)
@@ -50,7 +90,8 @@ def main():
         ok = rec["err"] is None and rec["hash_match"]
         n_pass += ok
         n_fail += not ok
-        print(("PASS" if ok else "FAIL"), name, rec["rows"], flush=True)
+        print(("PASS" if ok else "FAIL"), name, rec["rows"], rec["sf"],
+              flush=True)
         queries[name] = rec
     out = {"n_fail": n_fail, "n_pass": n_pass, "queries": queries}
     with open(artifact, "w") as f:
