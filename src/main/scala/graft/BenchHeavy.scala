@@ -224,7 +224,16 @@ object BenchHeavy {
       System.gc()
       val (t1, ok1) = runOnce(name)
       val (t2, ok2) = runOnce(name)
-      (name, math.min(t1, t2), ok1 && ok2)
+      // short queries get a third rep (SYMMETRIC with the DuckDB side —
+      // tools/bench_heavy.py mirrors the same rule): a sub-10 s query's
+      // best-of-2 still carries C2-compilation tax in both reps when its
+      // kernels first run here, and the steady-state number is the one
+      // that predicts a deployment (where a plan runs for hours, not
+      // seconds). Long queries skip it — JIT is noise at that scale and
+      // a third 40 s q_triangles rep buys nothing.
+      val (t3, ok3) =
+        if (math.min(t1, t2) < 10.0) runOnce(name) else (Double.MaxValue, true)
+      (name, math.min(math.min(t1, t2), t3), ok1 && ok2 && ok3)
     }
     val qs = results.map { case (k, v, ok) => s""""$k":${if (ok) v else -1}""" }
       .mkString("{", ",", "}")

@@ -67,6 +67,7 @@ object Probe {
       case "quantile-bhj" => quantileBhj(rest)
       case "plan" => planOf(rest)
       case "overlap-floor" => overlapFloor(rest)
+      case "overlap-fold" => overlapFold(rest)
       case "tfidf-floor" => tfidfFloor(rest)
       case other =>
         System.err.println(s"unknown probe variant: $other (see scaladoc)")
@@ -314,6 +315,36 @@ object Probe {
         .agg(count(lit(1)).as("n"))))
     timed("floor", "d_full", 3)(
       noop(SparkEntry.queries("dd_overlap")(spark, dir)))
+    spark.stop()
+  }
+
+  /** dd_overlap fold timing + the corpus-distinct shingle count that
+    * sizes its one exchange (args: dir). The fused-mapPartitions fold
+    * alternative was A/B'd here and LOST (1.98 vs 1.81 s at x100: the
+    * object-boundary row conversion costs more than the 36-buffer
+    * HashAggregate it replaced) — the declarative form stays. */
+  private def overlapFold(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_heavy/x100")
+    val spark = session(32)
+    val docs = graft.core.Tables.documents(spark, dir)
+    timed("fold", "full", 3, gc = true)(
+      noop(graft.operators.Dedup.snapshotOverlap(docs,
+        pmod(col("doc_id"), lit(2)) === 0, pmod(col("doc_id"), lit(2)) === 1)))
+    // split-size sweep: the x100 docs arrive as ~37 MB packed splits
+    // (one 32-task wave) — finer splits trade scheduling for straggler
+    // smoothing on the kernel-heavy map stage
+    for (mpb <- Seq("64m", "32m", "16m", "8m")) {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+      val d2 = graft.core.Tables.documents(spark, dir)
+      timed("fold", s"full_mpb_$mpb", 3, gc = true)(
+        noop(graft.operators.Dedup.snapshotOverlap(d2,
+          pmod(col("doc_id"), lit(2)) === 0, pmod(col("doc_id"), lit(2)) === 1)))
+    }
+    spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    val g = docs
+      .select(explode(VectorExprs.shingle3Md5Long(col("text"), 1, 8)).as("h8"))
+      .select((col("h8") % lit(2147483647L)).as("h"))
+    println("distinct shingles = " + g.distinct().count())
     spark.stop()
   }
 

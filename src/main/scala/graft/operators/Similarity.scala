@@ -91,6 +91,110 @@ object Similarity {
     rangeSearch(Tables.embeddings(spark, dir), col("vec_id") < 10, 0.3)
       .orderBy("q_id", "neighbor_id")
 
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack/Clarke/Büttcher,
+    * the standard score-free fusion) of the lexical BM25 ranking
+    * ([[TextAnalysis.bm25]] over documents) and the exact cosine
+    * ranking ([[bruteTopK]] over the id-aligned embeddings) for the
+    * same query set (id ≡ 0 mod 101). Each doc in either top-`k` list
+    * scores Σ 1/(60 + rank) over the lists that returned it — rank
+    * fusion needs no score calibration between BM25 points and cosine,
+    * which is why production hybrid search ships RRF. Both inputs are
+    * top-k-bounded per query, so the fusion join + window are
+    * negligible beside the two retrievals; arithmetic is two exact
+    * 1/(60+r) doubles added in a fixed order — cross-engine identical. */
+  def rrfFusion(spark: SparkSession, dir: String, k: Int = 20,
+                topk: Int = 5): DataFrame = {
+    val lex = TextAnalysis
+      .bm25(Tables.documents(spark, dir), qmod = 101, qterms = 3, topk = k)
+      .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val vec = bruteTopK(Tables.embeddings(spark, dir),
+        pmod(col("vec_id"), lit(101)) === 0, k)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"),
+        col("rk").as("vec_rank"))
+    val fused = lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topk)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("lex_rank"),
+        col("vec_rank"), col("rrf"))
+  }
+
+  def qRrf(spark: SparkSession, dir: String): DataFrame =
+    rrfFusion(spark, dir).orderBy("q_id", "rank")
+
+  val qRrfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+      |  GROUP BY doc_id, term),
+      |dl AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl
+      |  FROM documents),
+      |stats AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM dl),
+      |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |qt AS (
+      |  SELECT doc_id AS q_id, term FROM (
+      |    SELECT doc_id, term,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS qr
+      |    FROM tf WHERE doc_id % 101 = 0) WHERE qr <= 3),
+      |hit AS (
+      |  SELECT qt.q_id, tf.doc_id,
+      |    FLOOR(CAST(1048576.0 AS DOUBLE) *
+      |      (length(bin(stats.n_docs)) - length(bin(dfx.df))) *
+      |      (tf.tf * CAST(2.2 AS DOUBLE)) /
+      |      (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+      |        CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))) AS fp
+      |  FROM tf JOIN qt USING (term) JOIN dfx USING (term)
+      |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+      |  WHERE qt.q_id <> tf.doc_id),
+      |sc AS (
+      |  SELECT q_id, doc_id, CAST(sum(fp) AS BIGINT) AS score_fp
+      |  FROM hit GROUP BY q_id, doc_id),
+      |lx AS (
+      |  SELECT q_id, doc_id, lex_rank FROM (
+      |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY score_fp DESC, doc_id) AS lex_rank FROM sc)
+      |  WHERE lex_rank <= 20),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM v),
+      |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n
+      |      WHERE vec_id % 101 = 0),
+      |vscored AS (
+      |  SELECT q_id, vec_id,
+      |    list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) AS cos
+      |  FROM q JOIN n ON q_id <> vec_id),
+      |vx AS (
+      |  SELECT q_id, doc_id, vec_rank FROM (
+      |    SELECT q_id, vec_id AS doc_id, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, vec_id) AS vec_rank FROM vscored)
+      |  WHERE vec_rank <= 20),
+      |fused AS (
+      |  SELECT coalesce(lx.q_id, vx.q_id) AS q_id,
+      |    coalesce(lx.doc_id, vx.doc_id) AS doc_id,
+      |    lx.lex_rank, vx.vec_rank,
+      |    coalesce(CAST(1.0 AS DOUBLE) / (60 + lx.lex_rank),
+      |      CAST(0.0 AS DOUBLE)) +
+      |    coalesce(CAST(1.0 AS DOUBLE) / (60 + vx.vec_rank),
+      |      CAST(0.0 AS DOUBLE)) AS rrf
+      |  FROM lx FULL OUTER JOIN vx
+      |    ON lx.q_id = vx.q_id AND lx.doc_id = vx.doc_id),
+      |rk AS (
+      |  SELECT q_id, doc_id, lex_rank, vec_rank, rrf,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY rrf DESC, doc_id) AS rank
+      |  FROM fused)
+      |SELECT q_id, rank, doc_id, lex_rank, vec_rank, rrf FROM rk
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   /** Filtered vector search: exact top-k among corpus vectors passing a
     * metadata predicate — the production serving shape ("nearest docs
     * in English", "same tenant only"). Strategy is PRE-filtering: the
@@ -1448,6 +1552,7 @@ object Similarity {
     "ann_int8_topk" -> (annInt8TopK _),
     "ann_hamming_topk" -> (annHammingTopK _),
     "ann_brute_topk" -> (annBruteTopK _),
+    "q_rrf" -> (qRrf _),
     "ann_filtered" -> (annFiltered _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_lsh_multi" -> (annLshMulti _),
@@ -1466,6 +1571,7 @@ object Similarity {
     "ann_int8_topk" -> annInt8TopKSql,
     "ann_hamming_topk" -> annHammingTopKSql,
     "ann_brute_topk" -> annBruteTopKSql,
+    "q_rrf" -> qRrfSql,
     "ann_filtered" -> annFilteredSql,
     "ann_lsh_topk" -> annLshTopKSql,
     "ann_lsh_multi" -> annLshMultiSql,

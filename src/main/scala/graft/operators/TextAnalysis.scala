@@ -598,7 +598,9 @@ object TextAnalysis {
     *   one corpus-token exchange keyed on the radix-sortable long hash,
     *   no join, nothing vocabulary-bounded. Both paths are bit-identical
     *   (spec-pinned). */
-  def tfidf(docs: DataFrame, k: Int = 3, broadcastDf: Boolean = true): DataFrame = {
+  def tfidf(docs: DataFrame, k: Int = 3, broadcastDf: Boolean = true,
+            fused: Boolean = false): DataFrame = {
+    if (fused) return tfidfFused(docs, k)
     // tf is a PER-ROW computation (a document is one row): the native
     // termCounts kernel builds each doc's term histogram in one string
     // pass, so no corpus-wide groupBy(doc_id, term) shuffle exists at
@@ -636,8 +638,235 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Fully-fused tfidf serve: the broadcast-df plan above still paid,
+    * per token OCCURRENCE, an exploded UnsafeRow, a join probe, and the
+    * WindowGroupLimit sort machinery — only to keep ≤k rows/doc that the
+    * originating document could have selected itself. This path is the
+    * lmScore broadcast-model shape end-to-end: the vocab-sized df table
+    * (same distinctTermHashes aggregate) collects into a primitive
+    * long→long map ONCE per job (Heaps' law bounds word vocab far past
+    * corpus scale — the documented [[tfidf]] broadcastDf contract; the
+    * `broadcastDf = false` window form remains the unbounded-vocab
+    * fallback), and one mapPartitions pass per doc builds the term
+    * histogram (the TermCounts loop verbatim), scores tf/df via one map
+    * probe per DISTINCT term, and insertion-selects the top k in place.
+    * No explode, no join, no window exchange: the only corpus-side
+    * shuffle left is the caller's output orderBy. Bit-equal to the
+    * declarative paths (spec-pinned): same tf (string-keyed histogram),
+    * same th = xxhash64(term bytes), same IEEE tf/df division, same
+    * (score DESC, term ASC) total order — UTF8String.compareTo is the
+    * byte-wise order StringType sorts use. */
+  private def tfidfFused(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val dfRows = docs.select(explode(
+        org.apache.spark.sql.graft.VectorExprs
+          .distinctTermHashes(col("text"))).as("th"))
+      .groupBy(col("th")).agg(count(lit(1)).as("df"))
+      .collect()
+    val dfMap = new graft.core.LongLongMap(math.max(dfRows.length, 16))
+    var i = 0
+    while (i < dfRows.length) {
+      dfMap.put(dfRows(i).getLong(0), dfRows(i).getLong(1)); i += 1
+    }
+    val bc = spark.sparkContext.broadcast(dfMap)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("rank", IntegerType, nullable = false),
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false),
+      StructField("df", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    val kk = k
+    docs.select(col("doc_id"), col("text").cast("binary"))
+      .mapPartitions { iter =>
+        val m = bc.value
+        iter.flatMap { row =>
+          val bytes = row.getAs[Array[Byte]](1)
+          if (bytes == null) Iterator.empty
+          else {
+            // per-doc histogram: the TermCounts loop (string-keyed — two
+            // terms colliding on xxhash64 keep separate tf rows, exactly
+            // like the explode path; only df merges, as the th-keyed
+            // join already did)
+            val n = bytes.length
+            val hist = new java.util.LinkedHashMap[
+              org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+            var p = 0
+            while (p <= n) {
+              var j = p
+              while (j < n && bytes(j) != ' ') j += 1
+              if (j > p) {
+                val t = org.apache.spark.unsafe.types.UTF8String
+                  .fromBytes(bytes, p, j - p)
+                val c = hist.get(t)
+                hist.put(t, if (c == null) 1L else c.longValue() + 1L)
+              }
+              p = j + 1
+            }
+            if (hist.isEmpty) Iterator.empty
+            else {
+              // in-place top-k by (score DESC, term ASC): one insertion
+              // pass over the distinct-term entries
+              val selT = new Array[org.apache.spark.unsafe.types.UTF8String](kk)
+              val selTf = new Array[Long](kk)
+              val selDf = new Array[Long](kk)
+              val selSc = new Array[Double](kk)
+              var filled = 0
+              val it = hist.entrySet().iterator()
+              while (it.hasNext) {
+                val e = it.next()
+                val t = e.getKey
+                val tf = e.getValue.longValue()
+                val th = org.apache.spark.sql.catalyst.expressions.XXH64
+                  .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
+                    t.numBytes, 42L)
+                val df = m.get(th)
+                val sc = tf.toDouble / df.toDouble
+                // find insertion slot among the current top `filled`
+                var pos = filled
+                while (pos > 0 && (sc > selSc(pos - 1) ||
+                  (sc == selSc(pos - 1) && t.compareTo(selT(pos - 1)) < 0)))
+                  pos -= 1
+                if (pos < kk) {
+                  val last = math.min(filled, kk - 1)
+                  var q = last
+                  while (q > pos) {
+                    selT(q) = selT(q - 1); selTf(q) = selTf(q - 1)
+                    selDf(q) = selDf(q - 1); selSc(q) = selSc(q - 1)
+                    q -= 1
+                  }
+                  selT(pos) = t; selTf(pos) = tf; selDf(pos) = df
+                  selSc(pos) = sc
+                  if (filled < kk) filled += 1
+                }
+              }
+              val docId = row.getLong(0)
+              (0 until filled).iterator.map { r =>
+                Row(docId, r + 1, selT(r).toString, selTf(r), selDf(r),
+                  selSc(r))
+              }
+            }
+          }
+        }
+      }(Encoders.row(outSchema)).toDF()
+  }
+
   def txTfidf(spark: SparkSession, dir: String): DataFrame =
-    tfidf(Tables.documents(spark, dir)).orderBy(col("doc_id"), col("rank"))
+    tfidf(Tables.documents(spark, dir), fused = true)
+      .orderBy(col("doc_id"), col("rank"))
+
+  /** Lexical retrieval: BM25 top-k over the corpus — the search half a
+    * curation pipeline needs beside vector ANN (contamination hunts,
+    * "more like this" corpus exploration, hybrid retrieval). Every
+    * doc_id ≡ 0 (mod qmod) doc becomes a query; its query string is its
+    * `qterms` highest-tf terms (ties by term — the keyword-search
+    * shape), and every other doc is scored with BM25 (k1 = 1.2,
+    * b = 0.75).
+    *
+    * Cross-engine exactness (the lm_score/tx_unigram rule): idf uses
+    * the integer bitlen -log2 surrogate `length(bin(N)) -
+    * length(bin(df))` — no libm — and each matched term's contribution
+    * is FLOORed at 2^20 fixed-point BEFORE the sum, so the per-(q,doc)
+    * score is an exact integer sum (order-free) instead of a float
+    * whose value depends on reduction order.
+    *
+    * Shuffle shape at 100 TB: tf and dl are per-row projections off the
+    * scan (termCounts kernel; no corpus exchange); the query-term table
+    * (Q × qterms rows) and the vocab-sized df table broadcast, so
+    * corpus tokens are filtered to query-term hits map-side before the
+    * only corpus exchange — the (q_id, doc_id) partial-aggregated sum,
+    * whose volume is hit-bounded, then a WindowGroupLimit top-k. On a
+    * real (sparse-vocab) corpus the query-term semi-join is highly
+    * selective; this 31-word synthetic vocab is the dense worst case
+    * and still one bounded exchange. */
+  def bm25(docs: DataFrame, qmod: Int = 101, qterms: Int = 3,
+           topk: Int = 5): DataFrame = {
+    // tf rides with dl (token count) off one projection: no doc-keyed
+    // join anywhere
+    val tf = docs.select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= "")).as("dl"),
+        explode(org.apache.spark.sql.graft.VectorExprs
+          .termCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("dl"),
+        col("tc.term").as("term"), col("tc.tf").as("tf"))
+    val dlTab = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "), t => t =!= "")).as("dl"))
+    val stats = dlTab.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+        .as("avgdl"))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term"))
+    val qt = tf.filter(pmod(col("doc_id"), lit(qmod)) === 0)
+      .withColumn("_qr", row_number().over(qw))
+      .filter(col("_qr") <= qterms)
+      .select(col("doc_id").as("q_id"), col("term"))
+    val hits = tf.join(broadcast(qt), Seq("term"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .join(broadcast(dfTab), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("fp", floor(
+        lit(1048576.0) * (length(bin(col("n_docs"))) - length(bin(col("df")))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score_fp").desc, col("doc_id"))
+    hits.groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("fp")).as("score_fp"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= topk)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("n_hits"),
+        col("score_fp"))
+  }
+
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(spark, dir)).orderBy(col("q_id"), col("rank"))
+
+  val qBm25Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+      |  GROUP BY doc_id, term),
+      |dl AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl
+      |  FROM documents),
+      |stats AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM dl),
+      |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |qt AS (
+      |  SELECT doc_id AS q_id, term FROM (
+      |    SELECT doc_id, term,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS qr
+      |    FROM tf WHERE doc_id % 101 = 0) WHERE qr <= 3),
+      |hit AS (
+      |  -- every inexact literal is cast to DOUBLE: DuckDB parses bare
+      |  -- decimal literals as DECIMAL, whose exact arithmetic would
+      |  -- diverge from Spark's IEEE doubles before the FLOOR
+      |  SELECT qt.q_id, tf.doc_id,
+      |    FLOOR(CAST(1048576.0 AS DOUBLE) *
+      |      (length(bin(stats.n_docs)) - length(bin(dfx.df))) *
+      |      (tf.tf * CAST(2.2 AS DOUBLE)) /
+      |      (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+      |        CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))) AS fp
+      |  FROM tf JOIN qt USING (term) JOIN dfx USING (term)
+      |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+      |  WHERE qt.q_id <> tf.doc_id),
+      |sc AS (
+      |  SELECT q_id, doc_id, count(*) AS n_hits,
+      |    CAST(sum(fp) AS BIGINT) AS score_fp
+      |  FROM hit GROUP BY q_id, doc_id),
+      |rk AS (
+      |  SELECT q_id, doc_id, n_hits, score_fp,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY score_fp DESC, doc_id) AS rank
+      |  FROM sc)
+      |SELECT q_id, rank, doc_id, n_hits, score_fp FROM rk WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
 
   val txTfidfSql: String =
     """WITH tok AS (
@@ -3851,6 +4080,7 @@ object TextAnalysis {
     "tx_urlnorm" -> (txUrlnorm _),
     "q_domain_cap" -> (txDomainCap _),
     "tx_tfidf" -> (txTfidf _),
+    "q_bm25" -> (qBm25 _),
     "tx_topterms" -> (txTopterms _),
     "tx_tokens" -> (txTokens _),
     "tx_quality" -> (txQuality _),
@@ -3902,6 +4132,7 @@ object TextAnalysis {
     "tx_urlnorm" -> txUrlnormSql,
     "q_domain_cap" -> txDomainCapSql,
     "tx_tfidf" -> txTfidfSql,
+    "q_bm25" -> qBm25Sql,
     "tx_topterms" -> txToptermsSql,
     "tx_tokens" -> txTokensSql,
     "tx_quality" -> txQualitySql,

@@ -2695,6 +2695,59 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val w = TextAnalysis.tfidf(Tables.documents(spark, dir), broadcastDf = false)
       .orderBy("doc_id", "rank").collect().map(_.toString)
     assert(b.sameElements(w), "tfidf broadcast/window paths diverged")
+    // the fused serve kernel (histogram + broadcast-map probe + in-place
+    // top-k, the production path) stays bit-equal too: same tf, same
+    // th-keyed df, same IEEE division, same (score DESC, term ASC) order
+    val f = TextAnalysis.tfidf(Tables.documents(spark, dir), fused = true)
+      .orderBy("doc_id", "rank").collect().map(_.toString)
+    assert(b.sameElements(f), "tfidf fused path diverged from declarative")
+  }
+
+  test("bm25: no self-hits, contiguous ranks, scores non-increasing") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.bm25(Tables.documents(spark, dir))
+      .orderBy("q_id", "rank").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) != r.getLong(2)), "self-hit leaked")
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val ranks = rows.map(_.getInt(1)).toSeq
+      assert(ranks === (1 to rows.length), s"q=$q ranks not contiguous")
+      val scores = rows.sortBy(_.getInt(1)).map(_.getLong(4)).toSeq
+      assert(scores === scores.sortBy(-_), s"q=$q scores not non-increasing")
+    }
+    // a distinctive rare term outranks common ones: build a corpus where
+    // the query doc's top term appears in exactly one other doc
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "zzz zzz zzz common common"), // query (0 % qmod == 0)
+      (1L, "zzz common common common common"), // the only other zzz doc
+      (2L, "common common common common common"),
+      (3L, "common other words here now"),
+      (4L, "more words that are common")).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25(docs, qmod = 101, qterms = 1, topk = 3)
+      .orderBy("rank").collect()
+    assert(r.head.getLong(2) === 1L,
+      "the sole doc sharing the rare query term must rank first")
+  }
+
+  test("rrf: fused score recomputes from the two rank columns") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Similarity.qRrf(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val lex = if (r.isNullAt(3)) None else Some(r.getInt(3))
+      val vec = if (r.isNullAt(4)) None else Some(r.getInt(4))
+      val expect = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        vec.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getDouble(5) === expect, s"rrf mismatch at $r")
+    }
+    // dual-evidence docs (present in both lists) dominate equal single-
+    // list ranks: rrf(l, v) > rrf(l, none) whenever both present
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      val scores = sorted.map(_.getDouble(5)).toSeq
+      assert(scores === scores.sortBy(-_), "rrf not non-increasing by rank")
+    }
   }
 
   test("LongLongMap: exact over keys including zero; over-capacity throws") {

@@ -33,7 +33,12 @@ def main():
                     f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{d}/{t}.parquet/*.parquet')")
         best = None
-        for _ in range(2):  # best-of-2, like the Spark side
+        reps_done = 0
+        # SYMMETRIC rep rule with BenchHeavy.scala: best-of-2, plus a
+        # third rep for sub-10 s queries (steady-state number; on the
+        # Spark side the third rep sheds C2-compilation tax, here it is
+        # usually a no-op — symmetry keeps the contract honest)
+        while reps_done < 2 or (reps_done < 3 and best < 10.0):
             t0 = time.monotonic()
             # arrow materialization: every output column computed and
             # realized (the Spark side's noop-sink contract) without
@@ -41,6 +46,7 @@ def main():
             con.execute(sql).fetch_arrow_table()
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
+            reps_done += 1
         duck[name] = round(best, 3)
         print(f"  {name}: duckdb {best:.2f}s vs spark {spark['queries'][name]:.2f}s",
               flush=True)
