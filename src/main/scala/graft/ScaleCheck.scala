@@ -370,6 +370,16 @@ object ScaleCheck {
       // once on the bigram key (map-side combined count + join) — the
       // tfidf cost shape; must stay linear in corpus bigrams
       t("tx_fluency")(TextAnalysis.fluency(docs).count()),
+      // fused tfidf serve: the driver collect is the vocab-sized df
+      // table (Heaps-bounded), then ONE mapPartitions pass — wall must
+      // stay linear in corpus tokens and the collect must stay vocab-
+      // sized (docgen vocab is fixed, so this rehearses the corpus-scan
+      // half; the unbounded-vocab fallback path is broadcastDf=false)
+      t("tx_tfidf_fused")(TextAnalysis.tfidf(docs, fused = true).count()),
+      // BM25 retrieval at corpus scale: query set grows with the corpus
+      // (id mod), hits are filtered map-side by the broadcast query
+      // terms before the one (q,doc) exchange — cost tracks hit mass
+      t("q_bm25")(TextAnalysis.bm25(docs, qmod = 100000).count()),
       // paragraph-block dedup at corpus scale: count/decision/position
       // stages shuffle (md5, packed long) rows only; the one text
       // exchange is the rebuild join. Sum of rebuilt length (not count)
