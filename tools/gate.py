@@ -61,11 +61,23 @@ def main():
         i = args.index("--only")
         only = set(args[i + 1].split(","))
         args = args[:i] + args[i + 2:]
+    # --merge-base <artifact>: seed records from a prior gate run; the
+    # queries compared in THIS run overwrite their seeded records. The
+    # two-phase max-SF flow stays one reproducible tool: phase 1 runs
+    # the full surface at the max SF (oracle blow-ups become per-query
+    # errs under DUCKDB_MEMLIMIT), phase 2 re-runs just those queries
+    # --pin'ned at their max oracle-feasible SF with --merge-base
+    # pointing at phase 1's artifact.
+    merge_base = {}
+    if "--merge-base" in args:
+        i = args.index("--merge-base")
+        merge_base = json.load(open(args[i + 1]))["queries"]
+        args = args[:i] + args[i + 2:]
     sf_dir, out_dir, artifact = args[0], args[1], args[2]
     con = connect(sf_dir)
     con_pin = connect(pin_sf) if pin_sf else None
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    queries = {}
+    queries = dict(merge_base)
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         if only is not None and name not in only:
@@ -93,6 +105,10 @@ def main():
         print(("PASS" if ok else "FAIL"), name, rec["rows"], rec["sf"],
               flush=True)
         queries[name] = rec
+    # recount over the merged map so --merge-base seeds are included
+    n_pass = sum(1 for r in queries.values()
+                 if r["err"] is None and r["hash_match"])
+    n_fail = len(queries) - n_pass
     out = {"n_fail": n_fail, "n_pass": n_pass, "queries": queries}
     with open(artifact, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
