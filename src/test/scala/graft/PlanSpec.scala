@@ -83,6 +83,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"tfidf broadcastDf=false fallback lost its window-count df:\n$pf")
   }
 
+  test("bm25: query-term and df joins broadcast; no corpus-keyed join") {
+    // the corpus token stream must be filtered map-side by the
+    // broadcast (Q x qterms) query-term table and scored against the
+    // broadcast vocab-sized df table — a sort-merge join on either
+    // would put every token row through an exchange before the
+    // hit-bounded (q_id, doc_id) aggregate
+    val p = plan(graft.operators.TextAnalysis.bm25(Tables.documents(spark, dir)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bm25 lost its broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"bm25 grew a sort-merge join on the corpus side:\n$p")
+  }
+
   test("q1: scan reads only the columns the query needs") {
     val p = plan(Relational.q1Agg(spark, dir))
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
