@@ -150,6 +150,9 @@ object Bench {
         if (ok3) best = math.min(best, t3)
         noisy = best > cap.get && best > 0.5
       }
+      // fused-serve broadcasts from this query's reps release their
+      // executor blocks here instead of accumulating across the suite
+      graft.operators.TextAnalysis.releaseFusedBroadcasts()
       (name, best, shuffle, ok, noisy)
     }
     // driver contract: "queries" maps name -> seconds (scalar). A failed

@@ -93,24 +93,53 @@ object Similarity {
 
   /** Hybrid retrieval: reciprocal-rank fusion (Cormack/Clarke/Büttcher,
     * the standard score-free fusion) of the lexical BM25 ranking
-    * ([[TextAnalysis.bm25]] over documents) and the exact cosine
-    * ranking ([[bruteTopK]] over the id-aligned embeddings) for the
-    * same query set (id ≡ 0 mod 101). Each doc in either top-`k` list
-    * scores Σ 1/(60 + rank) over the lists that returned it — rank
-    * fusion needs no score calibration between BM25 points and cosine,
-    * which is why production hybrid search ships RRF. Both inputs are
-    * top-k-bounded per query, so the fusion join + window are
-    * negligible beside the two retrievals; arithmetic is two exact
-    * 1/(60+r) doubles added in a fixed order — cross-engine identical. */
+    * ([[TextAnalysis.bm25]] over documents) and the cosine ranking over
+    * the id-aligned embeddings for the same query set (id ≡ 0 mod 101).
+    * Each doc in either top-`k` list scores Σ 1/(60 + rank) over the
+    * lists that returned it — rank fusion needs no score calibration
+    * between BM25 points and cosine, which is why production hybrid
+    * search ships RRF. Both inputs are top-k-bounded per query, so the
+    * fusion join + window are negligible beside the two retrievals;
+    * arithmetic is two exact 1/(60+r) doubles added in a fixed order —
+    * cross-engine identical.
+    *
+    * The vector leg routes through the PRODUCTION retriever by default
+    * ([[lshMultiTopKGatedPlan]] — multi-table multi-probe LSH with
+    * counted broadcast gates): the query set here is corpus-derived
+    * (|Q| ∝ N/101), so a brute-force leg would be O(N²/101) dot
+    * products — corpus-quadratic — while LSH candidates are
+    * bucket-collision-bounded. The md5-plane construction is
+    * deterministic, so the DuckDB oracle rebuilds the identical
+    * candidate sets and the fused output stays hash-exact.
+    * `vectorLeg = "brute"` keeps the exact leg for truth-side use
+    * (OperatorsSpec measures the fused top-k recall against it). Both
+    * legs gate their query-side broadcasts on counted thresholds;
+    * construction runs zero jobs (DeferredDF — the gate counts run at
+    * first action). */
   def rrfFusion(spark: SparkSession, dir: String, k: Int = 20,
-                topk: Int = 5): DataFrame = {
+                topk: Int = 5, vectorLeg: String = "lsh"): DataFrame =
+    org.apache.spark.sql.graft.DeferredDF(spark,
+      StructType(Seq(
+        StructField("q_id", LongType, nullable = true),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("doc_id", LongType, nullable = true),
+        StructField("lex_rank", IntegerType, nullable = true),
+        StructField("vec_rank", IntegerType, nullable = true),
+        StructField("rrf", DoubleType, nullable = true))),
+      () => rrfFusionPlan(spark, dir, k, topk, vectorLeg))
+
+  private[graft] def rrfFusionPlan(spark: SparkSession, dir: String,
+      k: Int, topk: Int, vectorLeg: String): DataFrame = {
     val lex = TextAnalysis
       .bm25(Tables.documents(spark, dir), qmod = 101, qterms = 3, topk = k)
       .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
-    val vec = bruteTopK(Tables.embeddings(spark, dir),
-        pmod(col("vec_id"), lit(101)) === 0, k)
-      .select(col("q_id"), col("neighbor_id").as("doc_id"),
-        col("rk").as("vec_rank"))
+    val isQ = pmod(col("vec_id"), lit(101)) === 0
+    val emb = Tables.embeddings(spark, dir)
+    val vecTopK =
+      if (vectorLeg == "brute") bruteTopK(emb, isQ, k)
+      else lshMultiTopKGatedPlan(emb, isQ, k)
+    val vec = vecTopK.select(col("q_id"),
+      col("neighbor_id").as("doc_id"), col("rk").as("vec_rank"))
     val fused = lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
@@ -166,16 +195,31 @@ object Similarity {
       |  WHERE lex_rank <= 20),
       |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM v),
+      |planesm AS (
+      |  SELECT p,
+      |    [CASE WHEN ('0x'||substr(md5(p::VARCHAR||','||d::VARCHAR),1,2))::INT % 2 = 0
+      |          THEN 1.0 ELSE -1.0 END for d in range(0, 64)] AS pw
+      |  FROM range(200, 344) t(p)),
+      |sbm AS (
+      |  SELECT vec_id, any_value(v) AS v, any_value(n2) AS n2,
+      |    (p - 200) // 12 AS t,
+      |    sum(CASE WHEN list_dot_product(v, pw) > 0
+      |             THEN 1 << ((p - 200) % 12) ELSE 0 END) AS bk
+      |  FROM n CROSS JOIN planesm GROUP BY vec_id, (p - 200) // 12),
+      |qbm AS (SELECT vec_id AS q_id, t, bk FROM sbm WHERE vec_id % 101 = 0),
       |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n
       |      WHERE vec_id % 101 = 0),
-      |vscored AS (
-      |  SELECT q_id, vec_id,
-      |    list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) AS cos
-      |  FROM q JOIN n ON q_id <> vec_id),
+      |candm AS (
+      |  SELECT DISTINCT qbm.q_id, sbm.vec_id
+      |  FROM qbm JOIN sbm ON qbm.t = sbm.t AND bit_count(xor(qbm.bk, sbm.bk)) <= 3
+      |  WHERE qbm.q_id <> sbm.vec_id),
       |vx AS (
       |  SELECT q_id, doc_id, vec_rank FROM (
-      |    SELECT q_id, vec_id AS doc_id, row_number() OVER (PARTITION BY q_id
-      |      ORDER BY cos DESC, vec_id) AS vec_rank FROM vscored)
+      |    SELECT c.q_id, c.vec_id AS doc_id,
+      |      row_number() OVER (PARTITION BY c.q_id ORDER BY
+      |        list_dot_product(q.qv, nb.v) / (sqrt(q.qn2) * sqrt(nb.n2)) DESC,
+      |        c.vec_id) AS vec_rank
+      |    FROM candm c JOIN q ON c.q_id = q.q_id JOIN n nb ON c.vec_id = nb.vec_id)
       |  WHERE vec_rank <= 20),
       |fused AS (
       |  SELECT coalesce(lx.q_id, vx.q_id) AS q_id,
@@ -431,7 +475,32 @@ object Similarity {
     * avg ≥ 0.9 at every SF, measured by [[annRecallEval]]. */
   def lshMultiTopK(emb: DataFrame, isQuery: Column, k: Int = 10,
                    nTables: Int = 12, nPlanes: Int = 12, maxHam: Int = 3,
-                   dim: Int = 64, planeBase: Int = 200): DataFrame = {
+                   dim: Int = 64, planeBase: Int = 200): DataFrame =
+    lshMultiTopKImpl(emb, isQuery, k, nTables, nPlanes, maxHam, dim,
+      planeBase, gated = false, nQueriesOverride = None)
+
+  /** [[lshMultiTopK]] with the two query-side broadcasts GATED on the
+    * COUNTED query-set size (the substrDedup involved-set pattern): the
+    * probe table is nQ·nTables·|masks| slim rows and the query-vector
+    * table nQ rows, so when the caller's query set derives from the
+    * corpus (|Q| ∝ N — [[rrfFusion]]'s mod-sampled queries) a forced
+    * broadcast would scale with the corpus and OOM the driver. Under
+    * `graft.ann.maxBroadcastProbes` (default 10M probe rows) both sides
+    * carry the hint exactly as [[lshMultiTopK]]; over it the candidate
+    * join plans as a shuffled (t, bucket) equi-join — both sides
+    * co-partition on the bucket key, the scale-correct fallback. The
+    * query set is counted once off a lazy checkpoint, which the probe
+    * and scoring branches then reuse. */
+  private[graft] def lshMultiTopKGatedPlan(emb: DataFrame, isQuery: Column,
+      k: Int = 10, nTables: Int = 12, nPlanes: Int = 12, maxHam: Int = 3,
+      dim: Int = 64, planeBase: Int = 200,
+      nQueriesOverride: Option[Long] = None): DataFrame =
+    lshMultiTopKImpl(emb, isQuery, k, nTables, nPlanes, maxHam, dim,
+      planeBase, gated = true, nQueriesOverride = nQueriesOverride)
+
+  private def lshMultiTopKImpl(emb: DataFrame, isQuery: Column, k: Int,
+      nTables: Int, nPlanes: Int, maxHam: Int, dim: Int, planeBase: Int,
+      gated: Boolean, nQueriesOverride: Option[Long]): DataFrame = {
     // The signature projection is compute-heavy (nTables·nPlanes = 144
     // plane dots per vector), so its parallelism must not be capped by
     // the SCAN's split count — a single ~30 MB parquet file arrives as
@@ -455,19 +524,33 @@ object Similarity {
         .lshBuckets(v, planesFlat, nTables, nPlanes)
     val corpus = all.select(col("vec_id"), col("v"), col("n2"),
       posexplode(tableBuckets(col("v")))).toDF("vec_id", "v", "n2", "t", "bucket")
-    val qs = all.filter(isQuery).select(col("vec_id").as("q_id"),
+    val qs0 = all.filter(isQuery).select(col("vec_id").as("q_id"),
       col("v").as("qv"), col("n2").as("qn2"))
+    // gated mode counts the query set, so checkpoint it lazily: the
+    // count materializes Q rows once and the probe + scoring branches
+    // reuse them instead of replaying the corpus scan twice
+    val qs = if (gated) qs0.localCheckpoint(false) else qs0
     val masks = probeMasks(nPlanes, maxHam)
     val probes = qs.select(col("q_id"), posexplode(tableBuckets(col("qv"))))
       .toDF("q_id", "t", "qb")
       .select(col("q_id"), col("t"),
         explode(array(masks.map(m => col("qb").bitwiseXOR(lit(m))): _*))
           .as("bucket"))
+    val underGate = !gated || {
+      val maxProbes = emb.sparkSession.conf
+        .getOption("graft.ann.maxBroadcastProbes")
+        .map(_.toLong).getOrElse(10000000L)
+      val nQ = nQueriesOverride.getOrElse(qs.count())
+      // divide, don't multiply: nQ * nTables * |masks| could overflow
+      nQ <= maxProbes / (nTables.toLong * masks.size)
+    }
+    val probesGated = if (underGate) broadcast(probes) else probes
+    val qsGated = if (underGate) broadcast(qs) else qs
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    broadcast(probes).join(corpus, Seq("t", "bucket"))
+    probesGated.join(corpus, Seq("t", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
-      .join(broadcast(qs), Seq("q_id"))
+      .join(qsGated, Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
       .groupBy(col("q_id"), col("vec_id"))

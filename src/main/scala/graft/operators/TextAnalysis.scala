@@ -655,8 +655,40 @@ object TextAnalysis {
     * declarative paths (spec-pinned): same tf (string-keyed histogram),
     * same th = xxhash64(term bytes), same IEEE tf/df division, same
     * (score DESC, term ASC) total order — UTF8String.compareTo is the
-    * byte-wise order StringType sorts use. */
-  private def tfidfFused(docs: DataFrame, k: Int): DataFrame = {
+    * byte-wise order StringType sorts use.
+    *
+    * Lifecycle: construction runs ZERO jobs (DeferredDF — the df
+    * collect + broadcast happen at first action, like every other lazy
+    * operator), and every broadcast created here is registered so
+    * [[releaseFusedBroadcasts]] can unpersist executor copies between
+    * bench reps instead of accumulating them for the SparkContext's
+    * life. */
+  private val tfidfFusedSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("rank", IntegerType, nullable = false),
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false),
+    StructField("df", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+
+  /** Broadcasts created by fused-serve executions. unpersist (NOT
+    * destroy): executors drop their blocks, the driver copy remains, so
+    * an already-built plan can still re-execute — TorrentBroadcast
+    * re-ships blocks lazily on the next read. */
+  private val fusedBroadcasts =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.broadcast.Broadcast[_]]()
+
+  def releaseFusedBroadcasts(): Unit = {
+    var b = fusedBroadcasts.poll()
+    while (b != null) { b.unpersist(false); b = fusedBroadcasts.poll() }
+  }
+
+  private def tfidfFused(docs: DataFrame, k: Int): DataFrame =
+    org.apache.spark.sql.graft.DeferredDF(docs.sparkSession,
+      tfidfFusedSchema, () => tfidfFusedPlan(docs, k))
+
+  private def tfidfFusedPlan(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     val dfRows = docs.select(explode(
         org.apache.spark.sql.graft.VectorExprs
@@ -669,13 +701,8 @@ object TextAnalysis {
       dfMap.put(dfRows(i).getLong(0), dfRows(i).getLong(1)); i += 1
     }
     val bc = spark.sparkContext.broadcast(dfMap)
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("rank", IntegerType, nullable = false),
-      StructField("term", StringType, nullable = false),
-      StructField("tf", LongType, nullable = false),
-      StructField("df", LongType, nullable = false),
-      StructField("score", DoubleType, nullable = false)))
+    fusedBroadcasts.add(bc)
+    val outSchema = tfidfFusedSchema
     val kk = k
     docs.select(col("doc_id"), col("text").cast("binary"))
       .mapPartitions { iter =>
@@ -771,16 +798,70 @@ object TextAnalysis {
     * whose value depends on reduction order.
     *
     * Shuffle shape at 100 TB: tf and dl are per-row projections off the
-    * scan (termCounts kernel; no corpus exchange); the query-term table
-    * (Q × qterms rows) and the vocab-sized df table broadcast, so
-    * corpus tokens are filtered to query-term hits map-side before the
-    * only corpus exchange — the (q_id, doc_id) partial-aggregated sum,
-    * whose volume is hit-bounded, then a WindowGroupLimit top-k. On a
-    * real (sparse-vocab) corpus the query-term semi-join is highly
-    * selective; this 31-word synthetic vocab is the dense worst case
-    * and still one bounded exchange. */
+    * scan (termCounts kernel; no corpus exchange); corpus tokens are
+    * filtered to query-term hits map-side before the only corpus
+    * exchange — the (q_id, doc_id) partial-aggregated sum, whose volume
+    * is hit-bounded, then a WindowGroupLimit top-k. On a real
+    * (sparse-vocab) corpus the query-term semi-join is highly
+    * selective; the 31-word synthetic vocab is the dense worst case and
+    * still one bounded exchange.
+    *
+    * Broadcast safety: the query-term table and the vocab-sized df
+    * table broadcast ONLY under counted thresholds
+    * (`graft.bm25.maxBroadcastQueryTerms` /
+    * `graft.bm25.maxBroadcastVocab`, both default 10M rows — the
+    * [[graft.operators.Dedup.substrDedup]] involved-set pattern); over
+    * a gate the join plans as a plain shuffled equi-join, so a
+    * corpus-proportional derived query set or an unbounded (shingle/
+    * URL-keyed) vocabulary degrades to extra exchanges instead of a
+    * driver OOM. The gate counts run at first ACTION (the DataFrame is
+    * a [[org.apache.spark.sql.graft.DeferredDF]]), never at plan time.
+    *
+    * `queries`: an EXTERNAL (q_id: Long, term: String) table — the
+    * production serving/contamination shape, where the caller brings a
+    * fixed-size query set and |Q| is caller-bounded instead of growing
+    * with the corpus via `qmod` sampling. With `queries` supplied the
+    * qmod derivation (and its self-hit exclusion, which is meaningless
+    * for external query ids) is skipped. */
   def bm25(docs: DataFrame, qmod: Int = 101, qterms: Int = 3,
-           topk: Int = 5): DataFrame = {
+           topk: Int = 5, queries: Option[DataFrame] = None): DataFrame =
+    org.apache.spark.sql.graft.DeferredDF(docs.sparkSession,
+      StructType(Seq(
+        StructField("q_id", LongType, nullable = true),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("doc_id", LongType, nullable = true),
+        StructField("n_hits", LongType, nullable = false),
+        StructField("score_fp", LongType, nullable = true))),
+      () => bm25Plan(docs, qmod, qterms, topk, queries, None, None))
+
+  /** The qmod-derived query-term table (q_id, term): each doc_id ≡ 0
+    * (mod qmod) contributes its `qterms` highest-tf terms (ties by
+    * term). Exposed so a caller can derive a FIXED query set from a
+    * bounded corpus slice once and feed it back through
+    * `bm25(queries = ...)` — the caller-bounded production shape whose
+    * hit mass grows linearly with the corpus instead of with N²/qmod. */
+  def bm25QueryTerms(docs: DataFrame, qmod: Int = 101,
+                     qterms: Int = 3): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.VectorExprs
+          .termCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term"))
+    tf.filter(pmod(col("doc_id"), lit(qmod)) === 0)
+      .withColumn("_qr", row_number().over(qw))
+      .filter(col("_qr") <= qterms)
+      .select(col("doc_id").as("q_id"), col("term"))
+  }
+
+  private[graft] def bm25Plan(docs: DataFrame, qmod: Int, qterms: Int,
+      topk: Int, queries: Option[DataFrame],
+      nQtOverride: Option[Long], nDfOverride: Option[Long]): DataFrame = {
+    val conf = docs.sparkSession.conf
+    val maxQt = conf.getOption("graft.bm25.maxBroadcastQueryTerms")
+      .map(_.toLong).getOrElse(10000000L)
+    val maxDf = conf.getOption("graft.bm25.maxBroadcastVocab")
+      .map(_.toLong).getOrElse(10000000L)
     // tf rides with dl (token count) off one projection: no doc-keyed
     // join anywhere
     val tf = docs.select(col("doc_id"),
@@ -794,16 +875,24 @@ object TextAnalysis {
     val stats = dlTab.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
         .as("avgdl"))
+    // both gated tables are lazily checkpointed: the gate count
+    // materializes them, so the hit join reuses the materialized rows
+    // instead of replaying the corpus scan (df) / scan+window (qt)
     val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term"))
-    val qt = tf.filter(pmod(col("doc_id"), lit(qmod)) === 0)
-      .withColumn("_qr", row_number().over(qw))
-      .filter(col("_qr") <= qterms)
-      .select(col("doc_id").as("q_id"), col("term"))
-    val hits = tf.join(broadcast(qt), Seq("term"))
-      .filter(col("q_id") =!= col("doc_id"))
-      .join(broadcast(dfTab), Seq("term"))
+      .localCheckpoint(false)
+    val external = queries.isDefined
+    val qt = queries.map(_.select(col("q_id").cast(LongType).as("q_id"),
+        col("term").cast(StringType).as("term")))
+      .getOrElse(bm25QueryTerms(docs, qmod, qterms))
+      .localCheckpoint(false)
+    val nQt = nQtOverride.getOrElse(qt.count())
+    val nDf = nDfOverride.getOrElse(dfTab.count())
+    val qtGated = if (nQt <= maxQt) broadcast(qt) else qt
+    val dfGated = if (nDf <= maxDf) broadcast(dfTab) else dfTab
+    val matched = tf.join(qtGated, Seq("term"))
+    val hits = (if (external) matched
+                else matched.filter(col("q_id") =!= col("doc_id")))
+      .join(dfGated, Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("fp", floor(
         lit(1048576.0) * (length(bin(col("n_docs"))) - length(bin(col("df")))) *
@@ -1895,21 +1984,8 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("f"))
       .select(col("word").as("_1"), col("f").as("_2")).as[(String, Long)]
       .localCheckpoint(false) // every pass below re-reads this table
-    // seed: all substrings of length 1..maxPieceLen weighted by word
-    // frequency x occurrence multiplicity; ALL single chars + top
-    // seedMulti multi-char pieces (count desc, piece asc)
-    val cands = wf.flatMap { case (w, f) =>
-        for {
-          i <- 0 until w.length
-          l <- 1 to math.min(maxPieceLen, w.length - i)
-        } yield (w.substring(i, i + l), f)
-      }
-      .groupBy(col("_1")).agg(sum(col("_2")).as("cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val charPieces = cands.filter(_._1.length == 1).toMap
-    var vocab: Map[String, Long] = charPieces ++
-      cands.filter(_._1.length > 1)
-        .sortBy { case (p, c) => (-c, p) }.take(seedMulti)
+    val (charPieces, topMulti) = unigramSeed(wf.toDF(), seedMulti, maxPieceLen)
+    var vocab: Map[String, Long] = charPieces ++ topMulti
     // one distributed E-step: segment every word under `costs`, count
     // pieces weighted by word frequency (vocab-sized, map-combined)
     def countPass(costs: Map[String, Long]): Map[String, Long] = {
@@ -1940,6 +2016,38 @@ object TextAnalysis {
       .groupBy(col("_1").as("piece")).agg(sum(col("_2")).as("cnt"))
     val wRank = Window.orderBy(col("cnt").desc, col("piece"))
     fin.select(row_number().over(wRank).as("rank"), col("piece"), col("cnt"))
+  }
+
+  /** Seed-candidate selection for [[unigramTrain]], with the driver pull
+    * BOUNDED: the full distinct ≤maxPieceLen-substring table (up to
+    * |Σ|^maxPieceLen entries — unbounded on CJK-class scripts) never
+    * collects. The single-character alphabet (≤ |Σ| rows) and the top
+    * `seedMulti` multi-char pieces (count DESC, piece ASC — a
+    * distributed TakeOrdered via orderBy+limit, the tx_topterms pattern)
+    * are selected on executors, and only those ≤ |Σ| + seedMulti rows
+    * reach the driver. The selection key and tie-break are identical to
+    * the previous collect-then-sort, so the trained vocabulary is
+    * unchanged. */
+  private[graft] def unigramSeed(wf: DataFrame, seedMulti: Int,
+      maxPieceLen: Int): (Map[String, Long], Seq[(String, Long)]) = {
+    val spark = wf.sparkSession
+    import spark.implicits._
+    val cand = wf.as[(String, Long)].flatMap { case (w, f) =>
+        for {
+          i <- 0 until w.length
+          l <- 1 to math.min(maxPieceLen, w.length - i)
+        } yield (w.substring(i, i + l), f)
+      }
+      .groupBy(col("_1")).agg(sum(col("_2")).as("cnt"))
+      // the seed table fans out two ways (alphabet + top-multi);
+      // without this both selections replay the substring explosion
+      .localCheckpoint(false)
+    val chars = cand.filter(length(col("_1")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val multi = cand.filter(length(col("_1")) > 1)
+      .orderBy(col("cnt").desc, col("_1").asc).limit(seedMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    (chars, multi)
   }
 
   def txUnigram(spark: SparkSession, dir: String): DataFrame =

@@ -2750,6 +2750,84 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rrf: lsh-legged fusion recalls the brute-legged fused top-5") {
+    // the production vector leg (multi-probe LSH + exact rerank) must
+    // fuse to nearly the same top-5 the exact brute leg fuses to —
+    // the truth-side check the verdict keeps brute force for
+    def sets(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val lsh = sets(graft.operators.Similarity.rrfFusion(spark, dir).collect())
+    val brute = sets(graft.operators.Similarity
+      .rrfFusion(spark, dir, vectorLeg = "brute").collect())
+    assert(brute.nonEmpty)
+    val recalls = brute.map { case (q, t) =>
+      lsh.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.8, s"fused top-5 avg recall $avg < 0.8 vs brute-legged fusion")
+  }
+
+  test("bm25: external caller-bounded query table, no qmod coupling") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "alpha alpha delta"),
+      (3L, "beta gamma gamma gamma"),
+      (4L, "delta delta epsilon")).toDF("doc_id", "text")
+    val queries = Seq((100L, "beta"), (100L, "gamma"), (200L, "delta"))
+      .toDF("q_id", "term")
+    val out = TextAnalysis.bm25(docs, topk = 3, queries = Some(queries))
+      .orderBy("q_id", "rank").collect()
+    // every result q_id comes from the external table, never the corpus
+    assert(out.map(_.getLong(0)).toSet === Set(100L, 200L))
+    val q100 = out.filter(_.getLong(0) == 100L).map(_.getLong(2)).toSet
+    assert(q100 === Set(1L, 3L), s"q100 hit docs $q100")
+    assert(out.filter(_.getLong(0) == 200L).map(_.getLong(2)).toSet
+      === Set(2L, 4L))
+    // external ids never self-exclude: a q_id colliding with a doc_id
+    // that matches the query term still returns that doc
+    val self = TextAnalysis.bm25(docs, topk = 3,
+        queries = Some(Seq((2L, "delta")).toDF("q_id", "term")))
+      .collect()
+    assert(self.map(_.getLong(2)).toSet === Set(2L, 4L),
+      "external query id 2 wrongly self-excluded doc 2")
+  }
+
+  test("unigram seed: driver pull bounded by alphabet + seedMulti on wide charsets") {
+    import spark.implicits._
+    // wide-charset corpus: 40 distinct CJK-range chars in shifting
+    // 4-char words — distinct ≤4-char substrings far exceed seedMulti,
+    // the regime where collecting the full candidate table is unbounded
+    val chars = (0 until 40).map(i => (0x4E00 + i).toChar)
+    val words = (0 until 200).map { i =>
+      new String(Array(chars(i % 40), chars((i * 7 + 1) % 40),
+        chars((i * 13 + 2) % 40), chars((i * 23 + 3) % 40)))
+    }
+    val wf = words.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+      .toSeq.toDF("_1", "_2")
+    val seedMulti = 16
+    val (alpha, multi) = TextAnalysis.unigramSeed(wf, seedMulti, 4)
+    // reference selection: the naive full-collect-then-sort
+    val all = scala.collection.mutable.Map[String, Long]()
+    words.foreach { w =>
+      for (i <- 0 until w.length; l <- 1 to math.min(4, w.length - i)) {
+        val p = w.substring(i, i + l)
+        all(p) = all.getOrElse(p, 0L) + 1L
+      }
+    }
+    val nMultiCand = all.count(_._1.length > 1)
+    assert(nMultiCand > 4 * seedMulti,
+      s"corpus too narrow to exercise the bound ($nMultiCand candidates)")
+    // the driver pull is ≤ |Σ| + seedMulti rows
+    assert(alpha.size <= 40 && alpha.nonEmpty)
+    assert(multi.size === seedMulti)
+    // and selects exactly what the unbounded reference selects
+    assert(alpha === all.filter(_._1.length == 1).toMap)
+    val expectMulti = all.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }.take(seedMulti)
+    assert(multi === expectMulti)
+  }
+
   test("LongLongMap: exact over keys including zero; over-capacity throws") {
     val m = new graft.core.LongLongMap(100)
     val rnd = new scala.util.Random(3)

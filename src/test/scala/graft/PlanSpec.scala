@@ -88,12 +88,56 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // broadcast (Q x qterms) query-term table and scored against the
     // broadcast vocab-sized df table — a sort-merge join on either
     // would put every token row through an exchange before the
-    // hit-bounded (q_id, doc_id) aggregate
-    val p = plan(graft.operators.TextAnalysis.bm25(Tables.documents(spark, dir)))
+    // hit-bounded (q_id, doc_id) aggregate. (bm25() itself is a
+    // DeferredDF; the plan variant with forced-under overrides exposes
+    // the inner shape without running the gate counts.)
+    val p = plan(graft.operators.TextAnalysis.bm25Plan(
+      Tables.documents(spark, dir), 101, 3, 5, None, Some(0L), Some(0L)))
     assert(p.contains("BroadcastHashJoin"),
       s"bm25 lost its broadcast joins:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"bm25 grew a sort-merge join on the corpus side:\n$p")
+  }
+
+  test("bm25: query-term and vocab broadcasts gated on counted size, both paths") {
+    // UNDER the gates the qt and df joins carry broadcast hints; OVER
+    // them only the 1-row stats crossJoin keeps its hint — the forced
+    // hint on a corpus-proportional query set (|Q| = 3N/qmod) or an
+    // unbounded vocabulary must disappear so the join degrades to a
+    // shuffle instead of a driver OOM (AQE may still broadcast from
+    // RUNTIME sizes, which is safe)
+    val docs = Tables.documents(spark, dir)
+    def hints(p: String): Int =
+      "strategy=broadcast".r.findAllIn(p).length
+    val under = graft.operators.TextAnalysis
+      .bm25Plan(docs, 101, 3, 5, None, Some(0L), Some(0L))
+      .queryExecution.optimizedPlan.toString
+    assert(hints(under) >= 3, s"qt/df/stats hints missing under the gate:\n$under")
+    val over = graft.operators.TextAnalysis.bm25Plan(docs, 101, 3, 5, None,
+      Some(Long.MaxValue), Some(Long.MaxValue))
+    val overP = over.queryExecution.optimizedPlan.toString
+    assert(hints(overP) == 1,
+      s"forced qt/df broadcast hints survive over the gate:\n$overP")
+    over.collect() // the shuffled path must also execute correctly
+  }
+
+  test("rrf vector leg: probe/query broadcasts gated on counted size, both paths") {
+    val emb = Tables.embeddings(spark, dir)
+    val isQ = org.apache.spark.sql.functions
+      .pmod(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.lit(101)) === 0
+    def hints(p: String): Int =
+      "strategy=broadcast".r.findAllIn(p).length
+    val under = Similarity.lshMultiTopKGatedPlan(emb, isQ, k = 20,
+        nQueriesOverride = Some(0L))
+      .queryExecution.optimizedPlan.toString
+    assert(hints(under) >= 2, s"probe/query hints missing under the gate:\n$under")
+    val over = Similarity.lshMultiTopKGatedPlan(emb, isQ, k = 20,
+      nQueriesOverride = Some(Long.MaxValue))
+    val overP = over.queryExecution.optimizedPlan.toString
+    assert(hints(overP) == 0,
+      s"forced probe/query broadcast hints survive over the gate:\n$overP")
+    over.collect() // the shuffled candidate join must also execute
   }
 
   test("q1: scan reads only the columns the query needs") {

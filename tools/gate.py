@@ -41,6 +41,13 @@ def connect(sf_dir):
     memlimit = os.environ.get("DUCKDB_MEMLIMIT")
     if memlimit:
         con.execute(f"SET memory_limit = '{memlimit}'")
+    # DUCKDB_TEMPDIR: with a memory_limit set, larger-than-memory
+    # operators (the pair-join oracles that pinned 8 queries at sf0.5)
+    # spill here instead of erroring/OOMing — the max-SF push lever
+    tmpdir = os.environ.get("DUCKDB_TEMPDIR")
+    if tmpdir:
+        con.execute(f"SET temp_directory = '{tmpdir}'")
+        con.execute("SET preserve_insertion_order = false")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -77,7 +84,10 @@ def main():
     con = connect(sf_dir)
     con_pin = connect(pin_sf) if pin_sf else None
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    queries = dict(merge_base)
+    # seed only keys still present in the CURRENT surface: a removed or
+    # renamed query must not keep its stale PASS record and inflate
+    # n_pass in the merged artifact
+    queries = {k: v for k, v in merge_base.items() if k in oracles}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         if only is not None and name not in only:
