@@ -30,6 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // also part of spark-submit's injected defaults: lets netty (the
+  // Arrow Java allocator) use Unsafe direct allocation instead of
+  // ByteBuffer.allocateDirect, whose Bits.reserveMemory serializes and
+  // triggers helper GCs under concurrent allocation churn
+  "-Dio.netty.tryReflectionSetAccessible=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // extra JVM flags for perf experiments (e.g. "-XX:+UseParallelGC"),
   // space-separated

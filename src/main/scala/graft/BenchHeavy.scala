@@ -34,7 +34,25 @@ object BenchHeavy {
     "dd_cluster", "dd_priority",
     // round-14: the #2 wall query joins the tier it belongs to — block
     // dup machinery whose dup mass tracks corpus mass on this vocab
-    "dd_substr")
+    "dd_substr",
+    // round-15: two of the three r14 additions join this tier for
+    // engine-vs-engine ratios at work-dominated scale. Replicas share
+    // no tokens, so q_bm25's per-replica hit mass (dense on this vocab)
+    // scales linearly with replicas; q_rrf reads documents AND the new
+    // embeddings replicas (vec_id offset like doc_id so the fusion join
+    // stays id-aligned, vectors golden-ratio-decorrelated so LSH
+    // candidate mass scales ~linearly instead of x(reps^2) from
+    // identical cross-replica buckets)
+    "q_bm25", "q_rrf")
+  /** tx_unigram gets its OWN x10 tier with CHAR-ROTATION replicas: the
+    * standard tier's `r<r>x` token prefix lengthens every word by 3
+    * chars, and BOTH the trainer's seed space and (fatally) the
+    * oracle's per-word segmentation enumeration grow exponentially in
+    * word length — a prefixed x10 would grade a composition blow-up,
+    * not a 10x corpus. Rotating each replica's alphabet instead keeps
+    * every word length unchanged while still growing the distinct-word
+    * vocabulary ~10x — the honest scale-up for a vocabulary trainer. */
+  val heavyX10U: Seq[String] = Seq("tx_unigram")
   /** q_triangles gets its OWN x10 graph tier: the standard lineitem
     * replica offsets l_orderkey only, which leaves the DISTINCT
     * co-purchase edge set (and so the wedge work, the query's actual
@@ -100,7 +118,8 @@ object BenchHeavy {
     * best-of-2 on the same data both engines read); the DuckDB side runs
     * per-query against a fresh-view connection and has no analogous
     * position penalty. */
-  val heavy: Seq[String] = heavyX600 ++ heavyX10 ++ heavyX10Graph ++ heavyX100
+  val heavy: Seq[String] =
+    heavyX600 ++ heavyX10 ++ heavyX10Graph ++ heavyX10U ++ heavyX100
 
   private def loadavg: Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
@@ -112,7 +131,8 @@ object BenchHeavy {
   def buildReplicas(spark: org.apache.spark.sql.SparkSession,
                     srcDir: String, dir: String, nReps: Int,
                     tables: Set[String] = Set("documents", "lineitem"),
-                    offsetPartkey: Boolean = false): Unit = {
+                    offsetPartkey: Boolean = false,
+                    rotateTokens: Boolean = false): Unit = {
       // per-table markers: tiers acquired lineitem at different times, so
       // an existing docs replica must not block the lineitem build
       // (legacy "_done" marker counts as the docs marker)
@@ -135,12 +155,29 @@ object BenchHeavy {
       once("documents") {
         val docs = spark.read.parquet(s"$srcDir/documents.parquet")
           .repartition(64)
+        // replica-disjoint text, two shapes: token PREFIX (default —
+        // also disjoins shingle/ngram hashes) or alphabet ROTATION
+        // (word lengths unchanged — the tokenizer-trainer tier, where
+        // per-word costs grow exponentially in length). Rotation shifts
+        // by r*7 mod 36 (all distinct for r<10); replica 0 verbatim.
+        val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+        def rot(r: Int): String = {
+          val s = (r * 7) % alpha.length
+          alpha.substring(s) + alpha.substring(0, s)
+        }
+        val replicaText =
+          if (!rotateTokens)
+            when(col("rep") === 0, col("text"))
+              .otherwise(regexp_replace(col("text"), lit("(^| )"),
+                concat(lit("$1r"), col("rep").cast("string"), lit("x"))))
+          else (1 until nReps).foldLeft(
+            when(col("rep") === 0, col("text"))) { (acc, r) =>
+              acc.when(col("rep") === r, translate(col("text"), alpha, rot(r)))
+            }
         docs.select(col("*"), rep)
           .withColumn("doc_id",
             col("doc_id") + col("rep").cast("long") * lit(1000000000L))
-          .withColumn("text", when(col("rep") === 0, col("text"))
-            .otherwise(regexp_replace(col("text"), lit("(^| )"),
-              concat(lit("$1r"), col("rep").cast("string"), lit("x")))))
+          .withColumn("text", replicaText)
           .drop("rep")
           // post-explode round-robin scatter: without it each file holds
           // nReps ADJACENT copies of every source row, and the resulting
@@ -150,6 +187,25 @@ object BenchHeavy {
           // run-length decoding, not the engines)
           .repartition(64)
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
+      once("embeddings") {
+        val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+          .repartition(8)
+        emb.select(col("*"), rep)
+          .withColumn("vec_id",
+            col("vec_id") + col("rep").cast("long") * lit(1000000000L))
+          // decorrelate replicas (replica 0 stays verbatim): identical
+          // vectors would put every replica in the same LSH buckets,
+          // growing candidate mass x(reps^2); a per-replica golden-ratio
+          // shift mod 1 keeps values in [0,1) and makes cross-replica
+          // collisions ~random, the honest linear scale-up
+          .withColumn("embedding", transform(col("embedding"), x =>
+            when(col("rep") === 0, x.cast("double")).otherwise(
+              (x.cast("double") +
+                col("rep").cast("double") * lit(0.6180339887498949)) % 1.0)))
+          .drop("rep")
+          .repartition(8)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       }
       once("lineitem") {
         val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
@@ -181,15 +237,20 @@ object BenchHeavy {
 
     val x10 = s"$outDir/x10"
     val x10g = s"$outDir/x10g"
+    val x10u = s"$outDir/x10u"
     val x100 = s"$outDir/x100"
     val x600 = s"$outDir/x600"
-    buildReplicas(spark, srcDir, x10, reps)
+    buildReplicas(spark, srcDir, x10, reps,
+      Set("documents", "lineitem", "embeddings"))
     buildReplicas(spark, srcDir, x10g, reps, Set("lineitem"),
       offsetPartkey = true)
+    buildReplicas(spark, srcDir, x10u, reps, Set("documents"),
+      rotateTokens = true)
     buildReplicas(spark, srcDir, x100, reps * 10)
     buildReplicas(spark, srcDir, x600, reps * 60, Set("lineitem"))
     val dirFor: Map[String, String] =
       (heavyX10.map(_ -> x10) ++ heavyX10Graph.map(_ -> x10g) ++
+        heavyX10U.map(_ -> x10u) ++
         heavyX100.map(_ -> x100) ++ heavyX600.map(_ -> x600)).toMap
 
     def runOnce(name: String): (Double, Boolean) = {
@@ -254,7 +315,7 @@ object BenchHeavy {
     // per-tier replication factors: a single flat "reps" misattributed
     // the x100 queries' per-row cost by 10x in the committed artifact
     val replication =
-      s"""{"x10":$reps,"x10g":$reps,"x100":${reps * 10},"x600":${reps * 60}}"""
+      s"""{"x10":$reps,"x10g":$reps,"x10u":$reps,"x100":${reps * 10},"x600":${reps * 60}}"""
     val line =
       s"""{"metric":"heavy_total","value":$total,"unit":"sec","replication":$replication,"queries":$qs,"failed":$failed,"loadavg":[$la0,$loadavg],"src":"$srcDir","data":"$outDir","data_for":$dirs,"oracle_sql":$sqls}"""
     println(line)

@@ -141,8 +141,24 @@ object ScaleCheck {
         graft.transform.ProcessScriptTransform.python(
           docs.select(col("doc_id"), col("text")), out,
           "def transform(record, emitter, context):\n" +
+            "    emitter.emit({'doc_id': record['doc_id'], 'n': len(record['text'])})\n").out.count()
+      },
+      // the same transform FORCED onto the JSON-frame protocol: the
+      // arrow-vs-json A/B that prices the wire codec (arrow is
+      // negotiated by default whenever pyarrow imports in the worker;
+      // this entry is the fallback's cost, the pair's ratio the
+      // protocol win)
+      t("xf_pyscript_json") {
+        val out = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.IntegerType)))
+        graft.transform.ProcessScriptTransform.python(
+          docs.select(col("doc_id"), col("text")), out,
+          "def transform(record, emitter, context):\n" +
             "    emitter.emit({'doc_id': record['doc_id'], 'n': len(record['text'])})\n",
-          parallelism = cpus.toInt).out.count()
+          arrow = false).out.count()
       },
       // the schema-driven BINARY/timestamp wire codec on that path:
       // base64 + ISO-8601 conversion per record both directions

@@ -1938,10 +1938,32 @@ object Dedup {
           b.select(col("doc_id"), col("text")).withColumn("_side", lit(1))),
       inA = col("_side") === 0, inB = col("_side") === 1)
 
-  def ddOverlap(spark: SparkSession, dir: String): DataFrame =
-    snapshotOverlap(Tables.documents(spark, dir),
+  /** dd_overlap reads its scan with a PER-OPERATOR split size (default
+    * 8m, `graft.overlap.splitBytes` to override), scoped through a
+    * child session sharing the SparkContext so no global default moves.
+    * Why: the operator is one map-heavy kernel pass; at local[32] a
+    * replicated corpus arrives as exactly cores-many splits (one wave),
+    * so a straggling split idles 31 threads — the PLANS split-size
+    * sweep measured 1.74 s at 8m vs 1.99 s at the 128m default on the
+    * x100 tier. Scale-neutral: a cluster input already has thousands of
+    * splits and finer ones only subdivide row groups the same way; the
+    * downstream shuffle shape (one vocab-sized map-combined exchange)
+    * is unchanged. */
+  def ddOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val splitBytes = spark.conf.getOption("graft.overlap.splitBytes")
+      .getOrElse("8m")
+    val s2 = spark.newSession()
+    // child sessions inherit builder-time confs; copy the load-bearing
+    // runtime ones too in case the hosting session was tuned post-build
+    Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled", "spark.sql.session.timeZone",
+        "spark.sql.legacy.parquet.nanosAsLong")
+      .foreach(k => spark.conf.getOption(k).foreach(s2.conf.set(k, _)))
+    s2.conf.set("spark.sql.files.maxPartitionBytes", splitBytes)
+    snapshotOverlap(Tables.documents(s2, dir),
       inA = pmod(col("doc_id"), lit(2)) === 0,
       inB = pmod(col("doc_id"), lit(2)) === 1)
+  }
 
   val ddOverlapSql: String = {
     val k = 16

@@ -71,6 +71,15 @@ object ProcessScriptTransform {
     * memory even when one record emits millions of rows. */
   private[transform] val WorkerFlushEvery = 4096
 
+  /** Records per ARROW frame. Arrow's per-frame overhead (IPC schema +
+    * stream setup + one pyarrow to_pylist/from_pylist call pair) is
+    * ~fixed per frame, so arrow frames run 16x larger than JSON frames
+    * — the pandas-UDF batch shape — putting that overhead at a fraction
+    * of a µs/record. Measured at 2M docs: 256-row arrow frames LOST to
+    * the JSON protocol (4.5 vs 2.5 s — framing overhead dominated);
+    * 4096-row frames is where the no-json-encode win shows. */
+  private[transform] val ArrowBatchSize = 4096
+
   /** Configure-time script validation (ref: PythonEvaluator.java:224-243
     * compiles the script in configurePipeline so a typo fails the deploy,
     * not a 1000-executor job): compile-check the source and verify the
@@ -192,7 +201,8 @@ object ProcessScriptTransform {
              onError: ScriptTransform.ErrorPolicy = ScriptTransform.FailFast,
              pythonExec: String = "python3",
              parallelism: Int = 0,
-             env: Map[String, String] = Map.empty): TransformResult = {
+             env: Map[String, String] = Map.empty,
+             arrow: Boolean = true): TransformResult = {
     validate(script, pythonExec, env) // fail at configure time, not per task
     // torrent-broadcast once per executor (like the Scala path's
     // ScriptContext), not serialized into every task closure; no
@@ -220,6 +230,11 @@ object ProcessScriptTransform {
     // schema actually carries binary/datetime somewhere
     val inDesc = WireCodec.descriptor(inSchema)
     val outDesc = WireCodec.descriptor(outSchema)
+    // Arrow eligibility is decided here (flat scalar schemas only) and
+    // OFFERED in init; whether it is USED depends on the worker's
+    // negotiated answer (pyarrow importable) per partition
+    val offerArrow = arrow && ArrowPipe.supported(inSchema) &&
+      ArrowPipe.supported(outSchema)
 
     val tagged = in.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
@@ -237,61 +252,139 @@ object ProcessScriptTransform {
         }, "graft-pyscript-stderr")
         drain.setDaemon(true)
         drain.start()
-        val stdin = new BufferedWriter(new OutputStreamWriter(
-          proc.getOutputStream, StandardCharsets.UTF_8))
-        val stdout = new BufferedReader(new InputStreamReader(
-          proc.getInputStream, StandardCharsets.UTF_8))
+        val rawOut = proc.getOutputStream
+        val rawIn = proc.getInputStream
+
+        // init is written by the TASK thread (both modes) so arrow-mode
+        // negotiation can read the worker's one-line answer before any
+        // record framing begins
+        val init = new java.util.LinkedHashMap[String, Object]()
+        init.put("script", script)
+        init.put("arguments", JsonCodec.toJava(arguments))
+        init.put("lookups", JsonCodec.toJava(
+          if (bcLookups == null) Map.empty[String, Map[String, Any]]
+          else bcLookups.value))
+        if (inDesc != null) init.put("in_types", inDesc)
+        if (outDesc != null) init.put("out_types", outDesc)
+        if (offerArrow) {
+          init.put("arrow", java.lang.Integer.valueOf(1))
+          val oa = new java.util.ArrayList[Object]()
+          outSchema.fields.foreach { f =>
+            val e = new java.util.ArrayList[Object]()
+            e.add(f.name); e.add(ArrowPipe.kind(f.dataType).get)
+            oa.add(e)
+          }
+          init.put("out_arrow", oa)
+        }
+        rawOut.write((mapper.writeValueAsString(init) + "\n")
+          .getBytes(StandardCharsets.UTF_8))
+        rawOut.flush()
+        // negotiation: the worker answers {"t":"proto","arrow":bool} on
+        // ONE text line iff arrow was offered. Read it byte-wise —
+        // nothing may buffer past the '\n', the framed binary protocol
+        // starts right after it when accepted.
+        val arrowMode = offerArrow && {
+          val sb = new java.lang.StringBuilder()
+          var b = rawIn.read()
+          while (b != -1 && b != '\n') { sb.append(b.toChar); b = rawIn.read() }
+          if (b == -1) false
+          else {
+            val m = mapper.readValue(sb.toString,
+              classOf[java.util.Map[String, Object]])
+            "proto" == m.get("t") &&
+              java.lang.Boolean.TRUE.equals(m.get("arrow"))
+          }
+        }
+        // legacy text-protocol streams (unused in arrow mode)
+        val stdin = if (arrowMode) null else new BufferedWriter(
+          new OutputStreamWriter(rawOut, StandardCharsets.UTF_8))
+        val stdout = if (arrowMode) null else new BufferedReader(
+          new InputStreamReader(rawIn, StandardCharsets.UTF_8))
 
         // records the writer has sent whose completion marker ("d"/"f")
         // the reader has not yet seen — bounded, so a slow worker
-        // backpressures the writer instead of buffering the partition
+        // backpressures the writer instead of buffering the partition.
+        // Text mode tracks individual record maps; arrow mode tracks
+        // whole Row BATCHES (one queue op per frame instead of per
+        // record, and no per-record Map materialization — the reader
+        // walks a cursor and converts a Row to a map only when a record
+        // actually fails).
         val pending = new java.util.concurrent.LinkedBlockingQueue[Map[String, Any]](1024)
+        val pendingBatches =
+          new java.util.concurrent.LinkedBlockingQueue[java.util.ArrayList[Row]](4)
         val writerError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
         val tc = TaskContext.get()
         val writer = new Thread(() => {
           try {
             if (tc != null) org.apache.spark.graft.TaskContextBridge.set(tc)
-            val init = new java.util.LinkedHashMap[String, Object]()
-            init.put("script", script)
-            init.put("arguments", JsonCodec.toJava(arguments))
-            init.put("lookups", JsonCodec.toJava(
-              if (bcLookups == null) Map.empty[String, Map[String, Any]]
-              else bcLookups.value))
-            if (inDesc != null) init.put("in_types", inDesc)
-            if (outDesc != null) init.put("out_types", outDesc)
-            stdin.write(mapper.writeValueAsString(init)); stdin.write("\n")
-            // records travel in BatchSize-array frames: ONE json encode
-            // + one pipe write per frame (the per-record line tax was
-            // the measured bottleneck of this path at corpus scale).
-            // Each record still enters `pending` individually BEFORE its
-            // frame is written, so the reader's per-record "d"/"f"
-            // markers keep naming failing records exactly as before.
-            val batch = new java.util.ArrayList[Object](BatchSize)
-            def writeFrame(): Unit = {
-              val m = new java.util.LinkedHashMap[String, Object]()
-              m.put("t", "rb")
-              m.put("d", batch)
-              stdin.write(mapper.writeValueAsString(m)); stdin.write("\n")
-              // flush per frame (cheap amortized over BatchSize records):
-              // a frame held in the BufferedWriter while the writer
-              // blocks on pending.put would idle the worker
+            if (arrowMode) {
+              // Arrow framing: one IPC-stream payload per BatchSize
+              // records — no per-record (or per-frame) json encode at
+              // all. `pending` still gains each record BEFORE its frame
+              // is written, so "f"/"dn" markers name records exactly as
+              // in the text protocol.
+              val allocator = new org.apache.arrow.memory.RootAllocator()
+              val root = org.apache.arrow.vector.VectorSchemaRoot.create(
+                ArrowPipe.schemaFor(inSchema), allocator)
+              try {
+                var batch = new java.util.ArrayList[Row](ArrowBatchSize)
+                def writeBatchFrame(): Unit = {
+                  // the reader takes OWNERSHIP of the batch list (its
+                  // pending cursor walks it), so a fresh list replaces
+                  // it instead of clear(); the 4-batch queue bound is
+                  // the in-flight backpressure
+                  pendingBatches.put(batch) // BEFORE the write
+                  val payload = ArrowPipe.writeBatchRows(batch, inSchema, root)
+                  ArrowPipe.writeFrame(rawOut, 'A'.toByte, payload)
+                  rawOut.flush()
+                  batch = new java.util.ArrayList[Row](ArrowBatchSize)
+                }
+                while (rows.hasNext) {
+                  batch.add(rows.next())
+                  if (batch.size >= ArrowBatchSize) writeBatchFrame()
+                }
+                if (!batch.isEmpty) writeBatchFrame()
+                ArrowPipe.writeFrame(rawOut, 'J'.toByte,
+                  "{\"t\":\"end\"}".getBytes(StandardCharsets.UTF_8))
+                rawOut.flush()
+              } finally {
+                try { root.close(); allocator.close() }
+                catch { case _: Throwable => () }
+              }
+            } else {
+              // records travel in BatchSize-array frames: ONE json encode
+              // + one pipe write per frame (the per-record line tax was
+              // the measured bottleneck of this path at corpus scale).
+              // Each record still enters `pending` individually BEFORE its
+              // frame is written, so the reader's per-record "d"/"f"
+              // markers keep naming failing records exactly as before.
+              val batch = new java.util.ArrayList[Object](BatchSize)
+              def writeFrame(): Unit = {
+                val m = new java.util.LinkedHashMap[String, Object]()
+                m.put("t", "rb")
+                m.put("d", batch)
+                stdin.write(mapper.writeValueAsString(m)); stdin.write("\n")
+                // flush per frame (cheap amortized over BatchSize records):
+                // a frame held in the BufferedWriter while the writer
+                // blocks on pending.put would idle the worker
+                stdin.flush()
+                batch.clear()
+              }
+              while (rows.hasNext) {
+                val record = SchemaCodec.rowToMap(rows.next(), inSchema)
+                pending.put(record) // BEFORE the write: reader must find it
+                val wire =
+                  if (inDesc == null) record
+                  else WireCodec.mapToWire(record, inSchema)
+                batch.add(JsonCodec.toJava(wire))
+                if (batch.size >= BatchSize) writeFrame()
+              }
+              if (!batch.isEmpty) writeFrame()
+              val end = new java.util.LinkedHashMap[String, Object]()
+              end.put("t", "end")
+              stdin.write(mapper.writeValueAsString(end)); stdin.write("\n")
               stdin.flush()
-              batch.clear()
             }
-            while (rows.hasNext) {
-              val record = SchemaCodec.rowToMap(rows.next(), inSchema)
-              pending.put(record) // BEFORE the write: reader must find it
-              val wire =
-                if (inDesc == null) record
-                else WireCodec.mapToWire(record, inSchema)
-              batch.add(JsonCodec.toJava(wire))
-              if (batch.size >= BatchSize) writeFrame()
-            }
-            if (!batch.isEmpty) writeFrame()
-            val end = new java.util.LinkedHashMap[String, Object]()
-            end.put("t", "end")
-            stdin.write(mapper.writeValueAsString(end)); stdin.write("\n")
-            stdin.flush()
           } catch {
             case t: Throwable =>
               writerError.set(t)
@@ -330,25 +423,77 @@ object ProcessScriptTransform {
               s"python worker input stream failed: $cause", cause)
             throw new IllegalStateException(why)
           }
+          // decoded output rows of the current arrow frame (arrow mode)
+          private val rowQ = new java.util.ArrayDeque[Array[Any]]()
+          // reader-side allocator for incoming IPC payloads (arrow mode)
+          private lazy val readAllocator = {
+            val a = new org.apache.arrow.memory.RootAllocator()
+            Option(tc).foreach(_.addTaskCompletionListener[Unit] { _ =>
+              try a.close() catch { case _: Throwable => () }
+            })
+            a
+          }
+          // arrow-mode pending cursor over the writer's Row batches:
+          // advance n positions, return the LAST row touched (null only
+          // on a protocol violation — markers never outrun frames)
+          private var curBatch: java.util.ArrayList[Row] = null
+          private var curIdx = 0
+          private def pendingAdvance(n0: Int): Row = {
+            var last: Row = null
+            var n = n0
+            while (n > 0) {
+              if (curBatch == null || curIdx >= curBatch.size()) {
+                curBatch = pendingBatches.poll(); curIdx = 0
+                if (curBatch == null) return null
+              }
+              last = curBatch.get(curIdx); curIdx += 1; n -= 1
+            }
+            last
+          }
           // messages of the current response frame not yet dispatched
           private val frameQ = new java.util.ArrayDeque[java.util.Map[String, Object]]()
+          /** Refill rowQ/frameQ from the next top-level frame (arrow
+            * mode) or line (text mode); top-level non-"bb" messages
+            * enqueue as singletons. */
+          private def readTop(): Unit = {
+            if (arrowMode) {
+              val fr = ArrowPipe.readFrame(rawIn)
+              if (fr == null) fail(
+                s"python worker died (exit=${if (proc.isAlive) "alive" else proc.exitValue()})")
+              if (fr._1 == 'A'.toByte) {
+                val rows = ArrowPipe.readBatch(fr._2, outSchema, readAllocator)
+                var i = 0
+                while (i < rows.size()) { rowQ.add(rows.get(i)); i += 1 }
+              } else {
+                val top = mapper.readValue(fr._2,
+                  classOf[java.util.Map[String, Object]])
+                if (top.get("t").asInstanceOf[String] == "bb")
+                  top.get("d").asInstanceOf[java.util.List[Object]].forEach(
+                    m => frameQ.add(m.asInstanceOf[java.util.Map[String, Object]]))
+                else frameQ.add(top)
+              }
+            } else {
+              val line = stdout.readLine()
+              if (line == null) fail(
+                s"python worker died (exit=${if (proc.isAlive) "alive" else proc.exitValue()})")
+              val top = mapper.readValue(line, classOf[java.util.Map[String, Object]])
+              if (top.get("t").asInstanceOf[String] == "bb")
+                top.get("d").asInstanceOf[java.util.List[Object]].forEach(
+                  m => frameQ.add(m.asInstanceOf[java.util.Map[String, Object]]))
+              else frameQ.add(top) // "m" metrics (and any future top-level frame)
+            }
+          }
           private def advance(): Unit = {
             while (nextRow == null && !finished) {
-              val msg: java.util.Map[String, Object] =
-                if (!frameQ.isEmpty) frameQ.poll()
-                else {
-                  val line = stdout.readLine()
-                  if (line == null) fail(
-                    s"python worker died (exit=${if (proc.isAlive) "alive" else proc.exitValue()})")
-                  val top = mapper.readValue(line, classOf[java.util.Map[String, Object]])
-                  if (top.get("t").asInstanceOf[String] == "bb") {
-                    // response frame: enqueue its messages and loop
-                    top.get("d").asInstanceOf[java.util.List[Object]].forEach(
-                      m => frameQ.add(m.asInstanceOf[java.util.Map[String, Object]]))
-                    null
-                  } else top // "m" metrics (and any future top-level frame)
-                }
-              if (msg != null) msg.get("t").asInstanceOf[String] match {
+              if (!rowQ.isEmpty) {
+                nextRow = Row("out",
+                  new org.apache.spark.sql.catalyst.expressions.GenericRow(
+                    rowQ.poll()), null, null)
+              } else if (frameQ.isEmpty) {
+                readTop()
+              } else {
+                val msg = frameQ.poll()
+                msg.get("t").asInstanceOf[String] match {
                 case "e" =>
                   val raw = JsonCodec.toScala(msg.get("d")).asInstanceOf[Map[String, Any]]
                   nextRow = Row("out", SchemaCodec.mapToRow(
@@ -368,10 +513,22 @@ object ProcessScriptTransform {
                   nextRow = Row("alert", null, null,
                     JsonCodec.toScala(msg.get("d")).asInstanceOf[Map[String, Any]]
                       .map { case (k, v) => k -> String.valueOf(v) })
-                case "d" => pending.poll()
+                case "d" =>
+                  if (arrowMode) pendingAdvance(1) else pending.poll()
+                case "dn" =>
+                  // run-length done marker (arrow mode): n consecutive
+                  // successes advance pending in one message
+                  val n = msg.get("n").asInstanceOf[Number].intValue()
+                  if (arrowMode) pendingAdvance(n)
+                  else { var i = n; while (i > 0) { pending.poll(); i -= 1 } }
                 case "f" =>
                   // "f" REPLACES the "d" done-marker for the failing record
-                  val bad = pending.poll()
+                  // (map conversion only here — the hot path never pays it)
+                  val bad =
+                    if (arrowMode) {
+                      val r = pendingAdvance(1)
+                      if (r == null) null else SchemaCodec.rowToMap(r, inSchema)
+                    } else pending.poll()
                   val err = String.valueOf(msg.get("m"))
                   onError match {
                     case ScriptTransform.FailFast =>
@@ -390,6 +547,7 @@ object ProcessScriptTransform {
                   proc.waitFor()
                   finished = true
                 case other => fail(s"unknown worker message '$other'")
+                }
               }
             }
           }
@@ -514,7 +672,10 @@ object ProcessScriptTransform {
       |        d = self.lookups.get(dataset)
       |        return None if d is None else d.get(str(key))
       |
-      |_init = json.loads(sys.stdin.readline())
+      |# read init from the BYTE layer: the text wrapper may buffer past
+      |# the newline, and in arrow mode the bytes after it are binary
+      |# frames that must stay readable from sys.stdin.buffer
+      |_init = json.loads(sys.stdin.buffer.readline())
       |_in_types = _init.get("in_types")
       |_out_types = _init.get("out_types")
       |_ns = {}
@@ -522,6 +683,106 @@ object ProcessScriptTransform {
       |_transform = _ns["transform"]
       |_ctx = _Context(_init.get("arguments", {}), _init.get("lookups", {}))
       |_em = _Emitter()
+      |
+      |# Arrow negotiation: when the engine OFFERS arrow (flat scalar
+      |# schema), answer with one json line; accepted -> both directions
+      |# switch to framed binary (1 type byte 'J'/'A' + 4-byte big-endian
+      |# length + payload) and record payloads travel as Arrow IPC
+      |# streams — no per-record json encode/parse on either side. The
+      |# script contract is unchanged: pyarrow's to_pylist hands the
+      |# transform real int/float/str/bytes/datetime values (no base64).
+      |if _init.get("arrow"):
+      |    _arrow = False
+      |    try:
+      |        import pyarrow as _pa
+      |        _arrow = True
+      |    except Exception:
+      |        _arrow = False
+      |    sys.stdout.write(json.dumps({"t": "proto", "arrow": _arrow}))
+      |    sys.stdout.write("\n")
+      |    sys.stdout.flush()
+      |    if _arrow:
+      |        _counts["proto.arrow"] = 1  # observability: negotiated mode
+      |        _KIND = {"bool": _pa.bool_(), "i8": _pa.int8(),
+      |                 "i16": _pa.int16(), "i32": _pa.int32(),
+      |                 "i64": _pa.int64(), "f32": _pa.float32(),
+      |                 "f64": _pa.float64(), "str": _pa.string(),
+      |                 "bin": _pa.binary(),
+      |                 "ts": _pa.timestamp("us", tz="UTC"),
+      |                 "ntz": _pa.timestamp("us"), "date": _pa.date32()}
+      |        _out_pa = _pa.schema(
+      |            [(n, _KIND[k]) for n, k in _init["out_arrow"]])
+      |        _ebuf = []      # emitted records awaiting batch conversion
+      |        _drun = [0]     # run length of consecutive "d" markers
+      |        _bin_in = sys.stdin.buffer
+      |        _bin_out = sys.stdout.buffer
+      |        def _write_frame(t, payload):
+      |            _bin_out.write(t)
+      |            _bin_out.write(len(payload).to_bytes(4, "big"))
+      |            _bin_out.write(payload)
+      |        def _ctl(msg):
+      |            # order-sensitive control messages materialize the
+      |            # pending "d" run first, so "f"/"dn" sequence still
+      |            # names records positionally
+      |            if _drun[0]:
+      |                _buf.append({"t": "dn", "n": _drun[0]}); _drun[0] = 0
+      |            _buf.append(msg)
+      |        def _flush_arrow():
+      |            if _ebuf:
+      |                try:
+      |                    _b = _pa.RecordBatch.from_pylist(_ebuf, schema=_out_pa)
+      |                    _sink = _pa.BufferOutputStream()
+      |                    _wr = _pa.ipc.new_stream(_sink, _out_pa)
+      |                    _wr.write_batch(_b); _wr.close()
+      |                    _write_frame(b"A", _sink.getvalue().to_pybytes())
+      |                except Exception:
+      |                    # fallback: unconvertible emits degrade to json
+      |                    # messages (schema-driven _enc), never diverge
+      |                    for _r in _ebuf:
+      |                        _ctl({"t": "e", "d": _enc(_r, _out_types)})
+      |            del _ebuf[:]
+      |            if _drun[0]:
+      |                _buf.append({"t": "dn", "n": _drun[0]}); _drun[0] = 0
+      |            if _buf:
+      |                _write_frame(b"J", json.dumps(
+      |                    {"t": "bb", "d": _buf}).encode("utf-8"))
+      |                del _buf[:]
+      |            _bin_out.flush()
+      |        class _AEmitter(object):
+      |            def emit(self, record):
+      |                _ebuf.append(record)
+      |                if len(_ebuf) >= _FLUSH_EVERY:
+      |                    _flush_arrow()
+      |            def emitError(self, err):
+      |                if _in_types is not None and isinstance(err, dict) \
+      |                        and isinstance(err.get("invalidRecord"), dict):
+      |                    err = dict(err)
+      |                    err["invalidRecord"] = _enc(err["invalidRecord"], _in_types)
+      |                _ctl({"t": "r", "d": err})
+      |            def emitAlert(self, payload): _ctl({"t": "a", "d": payload})
+      |        _em = _AEmitter()
+      |        while True:
+      |            _h = _bin_in.read(5)
+      |            if len(_h) < 5:
+      |                break
+      |            _payload = _bin_in.read(int.from_bytes(_h[1:5], "big"))
+      |            if _h[0:1] == b"J":
+      |                if json.loads(_payload).get("t") == "end":
+      |                    break
+      |                continue
+      |            for _rec in _pa.ipc.open_stream(_payload).read_all().to_pylist():
+      |                try:
+      |                    _transform(_rec, _em, _ctx)
+      |                    _drun[0] += 1
+      |                except Exception as _e:
+      |                    import traceback
+      |                    traceback.print_exc(file=sys.stderr)
+      |                    _ctl({"t": "f", "m": "%s: %s" % (type(_e).__name__, _e)})
+      |            _flush_arrow()  # frame boundary: bound reader latency
+      |        _flush_arrow()
+      |        _write_frame(b"J", json.dumps({"t": "m", "c": _counts}).encode("utf-8"))
+      |        _bin_out.flush()
+      |        sys.exit(0)
       |
       |for _line in sys.stdin:
       |    _msg = json.loads(_line)

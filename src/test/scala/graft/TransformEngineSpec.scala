@@ -420,6 +420,67 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r3.getAs[Timestamp]("ts") === Timestamp.valueOf("1969-12-31 23:59:59.5"))
   }
 
+  test("python arrow tier: negotiated on, bit-equal to the JSON protocol") {
+    import java.sql.{Date, Timestamp}
+    // flat scalar schema with every arrow-eligible wire family: the
+    // arrow offer must be accepted (pyarrow present here — proven by
+    // the worker's proto.arrow metric) and the results must match the
+    // JSON-frame protocol exactly, channels included
+    val in = Seq(
+      (1L, "keep", 1.5f, Array[Byte](9, 8), Timestamp.valueOf("2026-01-02 03:04:05.000001"),
+        Date.valueOf("2026-01-02")),
+      (2L, "bad", 2.5f, Array[Byte](7), Timestamp.valueOf("1969-12-31 23:59:59.5"),
+        Date.valueOf("1969-12-31")),
+      (3L, "keep", -3.5f, Array.empty[Byte], Timestamp.valueOf("2026-08-17 00:00:00"),
+        Date.valueOf("2026-08-17"))
+    ).toDF("id", "status", "f", "payload", "ts", "day").repartition(2)
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("f2", DoubleType),
+      StructField("echo", BinaryType),
+      StructField("ts", TimestampType),
+      StructField("day", DateType),
+      StructField("tag", StringType)))
+    val script =
+      """def transform(record, emitter, context):
+        |    context.getMetrics().count("seen")
+        |    if record["status"] == "bad":
+        |        emitter.emitError({"errorCode": 3, "errorMsg": "bad",
+        |                           "invalidRecord": record})
+        |        emitter.emitAlert({"id": str(record["id"])})
+        |    else:
+        |        emitter.emit({"id": record["id"], "f2": record["f"] * 2.0,
+        |                      "echo": record["payload"] + record["payload"],
+        |                      "ts": record["ts"], "day": record["day"],
+        |                      "tag": "x%d" % record["id"]})
+        |""".stripMargin
+    val m = Metrics(spark, "seen", "proto.arrow")
+    val arrow = ProcessScriptTransform.python(in, out, script,
+      metrics = m, onError = ScriptTransform.RouteToErrors(3)).cached()
+    val json = ProcessScriptTransform.python(in, out, script,
+      onError = ScriptTransform.RouteToErrors(3), arrow = false).cached()
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case v => v
+      }).toSet
+    assert(key(arrow.out.collect()) === key(json.out.collect()))
+    assert(key(arrow.errors.collect()) === key(json.errors.collect()))
+    assert(arrow.alerts.count() === json.alerts.count())
+    assert(m.value("seen") === 3)
+    // proves the arrow protocol actually engaged (workers counted it)
+    assert(m.value("proto.arrow") >= 1,
+      "arrow offer was not accepted by any worker")
+    // and the values themselves are right (not merely path-consistent)
+    val r1 = arrow.out.orderBy("id").collect()(0)
+    assert(r1.getAs[Double]("f2") === 3.0)
+    assert(r1.getAs[Array[Byte]]("echo").toSeq === Seq[Byte](9, 8, 9, 8))
+    assert(r1.getAs[Timestamp]("ts") ===
+      Timestamp.valueOf("2026-01-02 03:04:05.000001"))
+    assert(r1.getAs[Date]("day") === Date.valueOf("2026-01-02"))
+    assert(r1.getAs[String]("tag") === "x1")
+  }
+
   test("python scripts may emit pre-encoded wire values (base64 str / ISO str)") {
     import java.sql.Timestamp
     // the worker's _enc passes strings through untouched, so a script

@@ -12,7 +12,7 @@ import time
 
 import duckdb
 
-TABLES = ["documents", "lineitem"]
+TABLES = ["documents", "lineitem", "embeddings"]
 
 
 def main():
