@@ -863,36 +863,48 @@ object TextAnalysis {
     val maxDf = conf.getOption("graft.bm25.maxBroadcastVocab")
       .map(_.toLong).getOrElse(10000000L)
     // tf rides with dl (token count) off one projection: no doc-keyed
-    // join anywhere
+    // join anywhere. th = xxhash64(term) keys the df join (the tfidf
+    // trick): the df pass then never materializes term strings — its
+    // map-combined partial carries 8-byte longs — and a 64-bit hash
+    // collision merging two terms' df counts is negligible at any
+    // realistic vocabulary.
     val tf = docs.select(col("doc_id"),
         size(filter(split(col("text"), " "), t => t =!= "")).as("dl"),
         explode(org.apache.spark.sql.graft.VectorExprs
           .termCounts(col("text"))).as("tc"))
       .select(col("doc_id"), col("dl"),
         col("tc.term").as("term"), col("tc.tf").as("tf"))
+      .withColumn("th", xxhash64(col("term")))
     val dlTab = docs.select(col("doc_id"),
       size(filter(split(col("text"), " "), t => t =!= "")).as("dl"))
     val stats = dlTab.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
         .as("avgdl"))
-    // both gated tables are lazily checkpointed: the gate count
-    // materializes them, so the hit join reuses the materialized rows
-    // instead of replaying the corpus scan (df) / scan+window (qt)
-    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // the df gate count materializes the lazy checkpoint, so the hit
+    // join reuses the vocab-sized rows instead of replaying the scan
+    val dfTab = docs.select(explode(org.apache.spark.sql.graft.VectorExprs
+        .distinctTermHashes(col("text"))).as("th"))
+      .groupBy(col("th")).agg(count(lit(1)).as("df"))
       .localCheckpoint(false)
     val external = queries.isDefined
     val qt = queries.map(_.select(col("q_id").cast(LongType).as("q_id"),
         col("term").cast(StringType).as("term")))
       .getOrElse(bm25QueryTerms(docs, qmod, qterms))
       .localCheckpoint(false)
-    val nQt = nQtOverride.getOrElse(qt.count())
+    // derived queries need NO count job: |qt| ≤ ceil(N/qmod)·qterms and
+    // N is a parquet metadata count — only an external query table is
+    // counted (caller-bounded, usually small)
+    val nQt = nQtOverride.getOrElse {
+      if (external) qt.count()
+      else (docs.count() / qmod + 1L) * qterms
+    }
     val nDf = nDfOverride.getOrElse(dfTab.count())
     val qtGated = if (nQt <= maxQt) broadcast(qt) else qt
     val dfGated = if (nDf <= maxDf) broadcast(dfTab) else dfTab
     val matched = tf.join(qtGated, Seq("term"))
     val hits = (if (external) matched
                 else matched.filter(col("q_id") =!= col("doc_id")))
-      .join(dfGated, Seq("term"))
+      .join(dfGated, Seq("th"))
       .crossJoin(broadcast(stats))
       .withColumn("fp", floor(
         lit(1048576.0) * (length(bin(col("n_docs"))) - length(bin(col("df")))) *
@@ -911,6 +923,63 @@ object TextAnalysis {
 
   def qBm25(spark: SparkSession, dir: String): DataFrame =
     bm25(Tables.documents(spark, dir)).orderBy(col("q_id"), col("rank"))
+
+  /** The caller-bounded production shape as a first-class query: the
+    * query-term table derives ONCE from a fixed doc_id slice
+    * (doc_id < 2020 — constant however large the corpus grows), then
+    * feeds bm25's external `queries` overload. |Q| stays fixed as N
+    * scales, so hit mass — and the one corpus exchange — grows
+    * linearly with corpus tokens instead of N²/qmod. External query
+    * ids never self-exclude (the id space belongs to the caller), so
+    * a query doc that matches its own terms ranks itself — the oracle
+    * replicates exactly that. */
+  def qBm25Fixed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val qt = bm25QueryTerms(docs.filter(col("doc_id") < 2020L),
+      qmod = 101, qterms = 3)
+    bm25(docs, topk = 5, queries = Some(qt)).orderBy(col("q_id"), col("rank"))
+  }
+
+  val qBm25FixedSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+      |  GROUP BY doc_id, term),
+      |dl AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl
+      |  FROM documents),
+      |stats AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM dl),
+      |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |qt AS (
+      |  SELECT doc_id AS q_id, term FROM (
+      |    SELECT doc_id, term,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS qr
+      |    FROM tf WHERE doc_id < 2020 AND doc_id % 101 = 0) WHERE qr <= 3),
+      |hit AS (
+      |  SELECT qt.q_id, tf.doc_id,
+      |    FLOOR(CAST(1048576.0 AS DOUBLE) *
+      |      (length(bin(stats.n_docs)) - length(bin(dfx.df))) *
+      |      (tf.tf * CAST(2.2 AS DOUBLE)) /
+      |      (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+      |        CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))) AS fp
+      |  FROM tf JOIN qt USING (term) JOIN dfx USING (term)
+      |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+      |sc AS (
+      |  SELECT q_id, doc_id, count(*) AS n_hits,
+      |    CAST(sum(fp) AS BIGINT) AS score_fp
+      |  FROM hit GROUP BY q_id, doc_id),
+      |rk AS (
+      |  SELECT q_id, doc_id, n_hits, score_fp,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY score_fp DESC, doc_id) AS rank
+      |  FROM sc)
+      |SELECT q_id, rank, doc_id, n_hits, score_fp FROM rk WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
 
   val qBm25Sql: String =
     """WITH tok AS (
@@ -4189,6 +4258,7 @@ object TextAnalysis {
     "q_domain_cap" -> (txDomainCap _),
     "tx_tfidf" -> (txTfidf _),
     "q_bm25" -> (qBm25 _),
+    "q_bm25_fixed" -> (qBm25Fixed _),
     "tx_topterms" -> (txTopterms _),
     "tx_tokens" -> (txTokens _),
     "tx_quality" -> (txQuality _),
@@ -4241,6 +4311,7 @@ object TextAnalysis {
     "q_domain_cap" -> txDomainCapSql,
     "tx_tfidf" -> txTfidfSql,
     "q_bm25" -> qBm25Sql,
+    "q_bm25_fixed" -> qBm25FixedSql,
     "tx_topterms" -> txToptermsSql,
     "tx_tokens" -> txTokensSql,
     "tx_quality" -> txQualitySql,

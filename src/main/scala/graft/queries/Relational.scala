@@ -1922,6 +1922,45 @@ object Relational {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** Batch twin of [[graft.streaming.EventStreams.purchaseAttributionFull]]:
+    * the two-sided funnel audit in one FULL OUTER join — purchases with
+    * their attributing clicks, purchases with none (null click side),
+    * AND clicks that never converted (null purchase side — the half a
+    * left-outer audit misses). Same 30-minute attribution window as
+    * st_attribution_out; user_id coalesces from whichever side exists. */
+  def stAttributionFull(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"), "full")
+      .select(col("purchase_id"),
+        coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("p_ts"), col("click_id"), col("c_ts"), col("value"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  val stAttributionFullSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |    user_id, event_type, value
+      |  FROM events),
+      |p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts, value
+      |      FROM ev WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+      |      FROM ev WHERE event_type = 'click')
+      |SELECT purchase_id, coalesce(p_user, c_user) AS user_id, p_ts,
+      |  click_id, c_ts, value
+      |FROM p FULL JOIN c ON p_user = c_user
+      |  AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 30 MINUTE
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   val stAttributionOutSql: String =
     """WITH ev AS (
       |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
@@ -2673,6 +2712,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_attribution" -> (stAttribution _),
     "st_attribution_out" -> (stAttributionOut _),
+    "st_attribution_full" -> (stAttributionFull _),
     "q_survivorship" -> (qSurvivorship _),
     "q_hier_rollup" -> (qHierRollup _),
     "q_profile" -> (qProfile _),
@@ -2737,6 +2777,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "st_attribution" -> stAttributionSql,
     "st_attribution_out" -> stAttributionOutSql,
+    "st_attribution_full" -> stAttributionFullSql,
     "q_survivorship" -> qSurvivorshipSql,
     "q_hier_rollup" -> qHierRollupSql,
     "q_profile" -> qProfileSql,

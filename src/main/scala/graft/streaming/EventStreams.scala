@@ -292,6 +292,39 @@ object EventStreams {
       .drop("c_user")
   }
 
+  /** Stream-stream FULL OUTER attribution — the two-sided funnel
+    * audit: every purchase emits (with its clicks, or once with null
+    * click columns), AND every click that never converted emits once
+    * with null purchase columns — the other half
+    * [[purchaseAttributionOuter]] cannot express. Watermark-driven on
+    * BOTH sides: a matched pair emits in the micro-batch that pairs
+    * it; an unmatched purchase emits its null-click row once the
+    * watermark passes purchase_ts + delay; an unmatched click is held
+    * until the watermark passes click_ts + `windowSpec` + delay (only
+    * then can "no purchase followed within the window" be final) and
+    * emits its null-purchase row in that later batch — StreamingSpec
+    * drives both emissions across micro-batches. State stays bounded
+    * exactly as in the inner join: the range condition bounds
+    * event-time skew, so each side retains a sliding window only. */
+  def purchaseAttributionFull(clicks: DataFrame, purchases: DataFrame,
+                              watermark: String = "10 seconds",
+                              windowSpec: String = "10 MINUTES"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+        col("p_user") === col("c_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $windowSpec"),
+        "full_outer")
+      .select(col("purchase_id"),
+        coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Exactly-once restoration over an at-least-once event feed:
     * duplicate event_ids arriving within the watermark are dropped
     * (state per key is evicted once the watermark passes, so state is

@@ -839,4 +839,109 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batchNullAll = batch.filter(_.isNullAt(3)).map(_.toSeq).toSet
     assert(gotNull.subsetOf(batchNullAll), "stream emitted a null row batch disagrees with")
   }
+
+  test("full-outer attribution: both null sides emit on their own watermark horizons") {
+    // The two-sided funnel audit. Eviction horizons are ASYMMETRIC: an
+    // unmatched purchase is final once the watermark passes p_ts (no
+    // future click can satisfy click_ts <= p_ts), but an unmatched
+    // CLICK is final only once the watermark passes click_ts + the
+    // 10-minute attribution window (a purchase could still arrive
+    // anywhere inside it). Four controlled micro-batches prove both
+    // horizons: P1's null-click row lands in batch 3 (wm 10:07 >
+    // 10:00) while C1 still waits; C1's null-purchase row lands only
+    // in batch 4 (wm 10:55 > 10:10).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = cs.sqlContext
+    import cs.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val out = EventStreams.purchaseAttributionFull(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("event_id", "user_id", "ts"),
+      watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("paf")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      def rows() = spark.table("paf").collect()
+      def nullClick() = rows().filter(_.isNullAt(3))  // purchase, no click
+      def nullPurchase() = rows().filter(_.isNullAt(0)) // click, no purchase
+      // batch 1: P1 (user 1) never gets a click; C1 (user 2) never
+      // gets a purchase
+      purchases.addData((100L, 1L, ts("2026-01-01 10:00:00")))
+      clicks.addData((300L, 2L, ts("2026-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(rows().isEmpty, s"nothing is final in batch 1: ${rows().mkString(",")}")
+      // batch 2: a matched pair (user 3) emits immediately; neither
+      // null side is provable yet (wm = 9:57)
+      clicks.addData((301L, 3L, ts("2026-01-01 10:02:00")))
+      purchases.addData((101L, 3L, ts("2026-01-01 10:04:00")))
+      q.processAllAvailable()
+      assert(rows().exists(r => !r.isNullAt(0) && !r.isNullAt(3) &&
+        r.getLong(0) == 101L && r.getLong(3) == 301L),
+        "matched pair did not emit in its own micro-batch")
+      assert(nullClick().isEmpty && nullPurchase().isEmpty,
+        "a null row emitted before its watermark horizon")
+      // batch 3: both streams advance to 10:12 -> wm 10:07. P1 (10:00)
+      // is past its horizon and emits; C1 needs wm > 10:10 and waits.
+      clicks.addData((302L, 9L, ts("2026-01-01 10:12:00")))
+      purchases.addData((102L, 8L, ts("2026-01-01 10:12:00")))
+      q.processAllAvailable()
+      assert(nullClick().exists(_.getLong(0) == 100L),
+        "unmatched purchase did not emit after the watermark passed p_ts")
+      assert(nullPurchase().isEmpty,
+        "unmatched click emitted BEFORE the watermark passed click_ts + window")
+      // batch 4: advance to 11:00 -> wm 10:55 > 10:10: C1's
+      // null-purchase row is finally provable
+      clicks.addData((303L, 9L, ts("2026-01-01 11:00:00")))
+      purchases.addData((103L, 8L, ts("2026-01-01 11:00:00")))
+      q.processAllAvailable()
+      val np = nullPurchase()
+      assert(np.exists(r => r.getLong(3) == 300L),
+        s"expected C1's null-purchase row after its horizon: ${np.mkString(",")}")
+      val c1 = np.filter(_.getLong(3) == 300L).head
+      assert(c1.isNullAt(2), "purchase_ts not null on the unmatched click row")
+      assert(c1.getLong(1) == 2L, "user_id must coalesce from the click side")
+    } finally q.stop()
+  }
+
+  test("full-outer attribution stream equals its batch twin away from the watermark tail") {
+    val src = EventStreams.readEvents(spark, eventsDir)
+    val q = EventStreams.purchaseAttributionFull(
+        src.filter(col("event_type") === "click"),
+        src.filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName("paf_file")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("paf_file").collect()
+    val ev = Tables.events(spark, dir)
+    val batch = EventStreams.purchaseAttributionFull(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase")).collect()
+    def matched(rs: Array[org.apache.spark.sql.Row]) =
+      rs.filter(r => !r.isNullAt(0) && !r.isNullAt(3)).map(_.toSeq).toSet
+    assert(matched(got) === matched(batch), "matched rows diverge from batch")
+    val maxClick = ev.filter(col("event_type") === "click")
+      .agg(max(col("ts"))).head.getTimestamp(0).getTime
+    val maxPurch = ev.filter(col("event_type") === "purchase")
+      .agg(max(col("ts"))).head.getTimestamp(0).getTime
+    val horizon = math.min(maxClick, maxPurch) - 10000L
+    // purchase-side nulls: final when wm passed p_ts
+    val gotNullC = got.filter(_.isNullAt(3)).map(_.toSeq).toSet
+    val batchNullCFinal = batch.filter(r => r.isNullAt(3) &&
+      r.getTimestamp(2).getTime < horizon).map(_.toSeq).toSet
+    assert(batchNullCFinal.nonEmpty, "corpus has no finalizable unmatched purchases")
+    assert(batchNullCFinal.subsetOf(gotNullC), "a finalizable null-click row failed to emit")
+    assert(gotNullC.subsetOf(batch.filter(_.isNullAt(3)).map(_.toSeq).toSet))
+    // click-side nulls: final when wm passed click_ts + the 10-min window
+    val gotNullP = got.filter(_.isNullAt(0)).map(_.toSeq).toSet
+    val batchNullPFinal = batch.filter(r => r.isNullAt(0) &&
+      r.getTimestamp(4).getTime + 600000L < horizon).map(_.toSeq).toSet
+    assert(batchNullPFinal.nonEmpty, "corpus has no finalizable unconverted clicks")
+    assert(batchNullPFinal.subsetOf(gotNullP), "a finalizable null-purchase row failed to emit")
+    assert(gotNullP.subsetOf(batch.filter(_.isNullAt(0)).map(_.toSeq).toSet))
+  }
 }
