@@ -3389,7 +3389,12 @@ object TextAnalysis {
       .filter(col("doc_id") === col("_keep")).drop("_keep")
     val slim = docs.select(col("doc_id"), md5(col("text")).as("h"),
       length(col("text")).cast("long").as("n_chars"), col("lang"))
-    val hist = keepMin(slim)
+    // hist fans out three ways (the batch anti-join, the merge union,
+    // and the historical budget pass) — without a checkpoint the
+    // scan+md5+keep-min pipeline re-executes per reference (32 parquet
+    // scans in the r15 before-plan). Slim rows only; text never
+    // materializes.
+    val hist = keepMin(slim).localCheckpoint(false)
     // the arriving batch: docs with id%10==2 re-keyed; id%20==2 keeps its
     // text verbatim (a content-dup of the snapshot), the rest append a
     // unique suffix (new content)
@@ -3404,8 +3409,10 @@ object TextAnalysis {
       Sampling.tokenBudget(df, col("lang"), col("doc_id"),
           col("n_chars"), charBudget)
         .select(col("doc_id"), col("lang"), col("n_chars"))
-    val selM = budget(merged)
-    val selH = budget(hist)
+    // each selection table is read twice (export+retract / mark+retract):
+    // checkpoint both so the two-pass budget prefix sum runs once each
+    val selM = budget(merged).localCheckpoint(false)
+    val selH = budget(hist).localCheckpoint(false)
     val exported = Sampling.shuffleExport(selM, col("doc_id"), nShards)
     val marked = exported
       .join(selH.select(col("doc_id").as("_pid")),

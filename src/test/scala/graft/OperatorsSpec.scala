@@ -3099,4 +3099,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(r.getDouble(6) === 2.0 * tp / (nPred + nLabel).toDouble)
     }
   }
+
+  test("runningTotal checkpoint conf path is bit-equal to the recompute default") {
+    // graft.runningTotal.checkpoint=true is the deployment-scale setting
+    // (materialize the aggregate-sized input once instead of recomputing
+    // the upstream per fan-out branch); the local default recomputes.
+    // Both must produce identical rows — q_rfm exercises three NESTED
+    // rank passes, the deepest fan-out of the machinery.
+    import graft.queries.Analytics
+    def rows() = Analytics.qRfm(spark, dir).collect().toSeq
+    val plain = rows()
+    spark.conf.set("graft.runningTotal.checkpoint", "true")
+    try assert(rows() === plain)
+    finally spark.conf.unset("graft.runningTotal.checkpoint")
+  }
 }
