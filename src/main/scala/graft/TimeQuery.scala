@@ -5,16 +5,32 @@ package graft
   * re-running the whole BenchHeavy suite. Same noop-sink contract as
   * BenchHeavy so numbers are comparable.
   *
-  * Usage: runMain graft.TimeQuery <dir> <reps> <name> [<name> ...]
+  * Usage: runMain graft.TimeQuery <dir> <reps> [-c key=value ...] <name> [<name> ...]
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val reps = args(1).toInt
-    val names = args.drop(2)
+    // -c key=value pairs become session confs BEFORE the queries plan —
+    // the A/B lever for per-operator conf gates (splitBytes, checkpoint)
+    val (confArgs, names) = {
+      val rest = args.drop(2)
+      val confs = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val qs = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < rest.length) {
+        if (rest(i) == "-c" && i + 1 < rest.length) {
+          val Array(k, v) = rest(i + 1).split("=", 2)
+          confs += (k -> v); i += 2
+        } else { qs += rest(i); i += 1 }
+      }
+      (confs.toSeq, qs.toSeq)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.core.GraftSession.builder(s"local[$cpus]", 32).getOrCreate()
+    val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    confArgs.foreach { case (k, v) => spark.conf.set(k, v) }
     names.foreach { name =>
       val times = (1 to reps).map { _ =>
         System.gc() // BenchHeavy's leveling: predecessors' heap debt

@@ -887,10 +887,14 @@ object TextAnalysis {
       .groupBy(col("th")).agg(count(lit(1)).as("df"))
       .localCheckpoint(false)
     val external = queries.isDefined
-    val qt = queries.map(_.select(col("q_id").cast(LongType).as("q_id"),
+    val qt0 = queries.map(_.select(col("q_id").cast(LongType).as("q_id"),
         col("term").cast(StringType).as("term")))
       .getOrElse(bm25QueryTerms(docs, qmod, qterms))
-      .localCheckpoint(false)
+    // checkpoint ONLY the external path (it is read twice: gate count +
+    // join); the derived path is referenced exactly once, so its
+    // checkpoint was a pure extra job + materialization barrier
+    // (r15 A/B: part of a ~1.2 s q_bm25 regression at sf0.1)
+    val qt = if (external) qt0.localCheckpoint(false) else qt0
     // derived queries need NO count job: |qt| ≤ ceil(N/qmod)·qterms and
     // N is a parquet metadata count — only an external query table is
     // counted (caller-bounded, usually small)
@@ -3982,8 +3986,15 @@ object TextAnalysis {
     * sorted or shuffled past the counting stage. */
   def collocations(docs: DataFrame, k: Int = 20, minPair: Long = 3): DataFrame = {
     val w = split(col("text"), " ")
+    // uni fans out THREE ways (n1 + both broadcast-join sides) and its
+    // upstream is a full corpus tokenization — without a checkpoint the
+    // tokenize+explode+aggregate pipeline executes three times (10-scan
+    // r15 before-plan). The checkpoint is vocab-sized (Heaps-bounded):
+    // cheap to hold, corpus-expensive to recompute — the inverse of the
+    // withRunningTotal case where recompute won the A/B.
     val uni = docs.select(explode(w).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("u"))
+      .localCheckpoint(false)
     val n1 = uni.agg(sum(col("u")).cast(LongType).as("n1"))
     val bi = docs.select(explode(arrays_zip(w, slice(w, lit(2), size(w)))).as("z"))
       .filter(col("z.1").isNotNull)

@@ -687,8 +687,15 @@ object Analytics {
     val li = Tables.lineitem(spark, dir)
     val cost = li.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
-    val minc = cost.groupBy(col("l_partkey")).agg(min(col("cost")).as("_mc"))
-    cost.join(minc, Seq("l_partkey")).filter(col("cost") === col("_mc"))
+    // r15: the separate per-part min aggregate joined back referenced
+    // `cost` twice, re-running the lineitem scan + (pk, sk) aggregate
+    // (two Scan+HashAggregate subtrees in the before-plan). A window
+    // min over the SAME exact doubles is value-identical, runs off one
+    // scan, and replaces the agg+join-back with one pk-keyed exchange:
+    // 2 scans + 3 exchanges -> 1 scan + 2 exchanges (guide §2.4).
+    val wp = Window.partitionBy(col("l_partkey"))
+    cost.withColumn("_mc", min(col("cost")).over(wp))
+      .filter(col("cost") === col("_mc"))
       .join(Tables.part(spark, dir).filter(col("p_size") <= 5),
         col("l_partkey") === col("p_partkey"))
       .join(Tables.supplier(spark, dir),
@@ -725,9 +732,15 @@ object Analytics {
     val brand = li
       .join(Tables.part(spark, dir).filter(col("p_brand") === "Brand#12"),
         col("l_partkey") === col("p_partkey"))
-    val avgq = brand.groupBy(col("l_partkey").as("_pk"))
-      .agg(sum(qs.cast(DecSum)).as("_sq"), count(lit(1)).as("_n"))
-    brand.join(avgq, col("l_partkey") === col("_pk"))
+    // r15: the per-part aggregate joined back referenced `brand` twice,
+    // re-running the lineitem scan + part join (two subtrees in the
+    // before-plan). Window sums over the same exact longs are
+    // value-identical off one scan: 2 scans + agg + join-back ->
+    // 1 scan + one pk-keyed window exchange (guide §2.4).
+    val wp = Window.partitionBy(col("l_partkey"))
+    brand
+      .withColumn("_sq", sum(qs.cast(DecSum)).over(wp))
+      .withColumn("_n", count(lit(1)).over(wp))
       .filter(qs.cast(DecSum) * lit(2).cast(DecSum) *
         col("_n").cast(DecSum) < col("_sq"))
       .agg(count(lit(1)).as("n_lines"),
@@ -764,11 +777,22 @@ object Analytics {
     val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
     val late = col("l_shipdate") >
       (col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    // r15: the two countDistincts + max in ONE aggregate made Catalyst
+    // Expand every joined row 3-fold before the exchange (before-plan
+    // node (9): Expand ×3 feeding Exchange (11) — the whole corpus
+    // shuffle tripled). Two-level aggregation is value-identical and
+    // shuffles each (order, supplier) pair once, un-expanded: level 1
+    // collapses lines to distinct pairs with an any-late flag
+    // (map-combined), level 2 counts pairs (= distinct suppliers by
+    // construction), sums flags (= distinct late suppliers), and takes
+    // the max flagged key (guide §2.3: aggregate before you shuffle).
     val per = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(late, lit(1)).otherwise(lit(0))).as("_anylate"))
       .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("_nsupp"),
-        countDistinct(when(late, col("l_suppkey"))).as("_nlate"),
-        max(when(late, col("l_suppkey"))).as("_late_supp"))
+      .agg(count(lit(1)).as("_nsupp"),
+        sum(col("_anylate")).as("_nlate"),
+        max(when(col("_anylate") === 1, col("l_suppkey"))).as("_late_supp"))
       .filter(col("_nsupp") >= 2 && col("_nlate") === 1)
     // key-level aggregate FIRST (shrinks to supplier cardinality before
     // the dim join), then a NAME-level re-aggregate: Q21 reports by
