@@ -1938,20 +1938,27 @@ object Dedup {
           b.select(col("doc_id"), col("text")).withColumn("_side", lit(1))),
       inA = col("_side") === 0, inB = col("_side") === 1)
 
-  /** dd_overlap reads its scan with a PER-OPERATOR split size (default
-    * 8m, `graft.overlap.splitBytes` to override), scoped through a
-    * child session sharing the SparkContext so no global default moves.
-    * Why: the operator is one map-heavy kernel pass; at local[32] a
-    * replicated corpus arrives as exactly cores-many splits (one wave),
-    * so a straggling split idles 31 threads — the PLANS split-size
-    * sweep measured 1.74 s at 8m vs 1.99 s at the 128m default on the
-    * x100 tier. Scale-neutral: a cluster input already has thousands of
-    * splits and finer ones only subdivide row groups the same way; the
-    * downstream shuffle shape (one vocab-sized map-combined exchange)
-    * is unchanged. */
+  /** dd_overlap can read its scan with a PER-OPERATOR split size
+    * (`graft.overlap.splitBytes`), scoped through a child session
+    * sharing the SparkContext so no global default moves. Rationale:
+    * the operator is one map-heavy kernel pass; at local[32] a
+    * replicated corpus arrives as ~cores-many splits (one wave), so a
+    * straggling split idles 31 threads — the r14 PLANS sweep measured
+    * 1.74 s at 8m vs 1.99 s at the 128m default on that host's x100
+    * tier. The r15 re-measure could NOT reproduce the win on this
+    * host (paired solo A/B 3.99 s at 8m vs 4.22 s at 128m — inside the
+    * noise band; suite-context 2.79-2.82 s either way), so per the r14
+    * verdict's own criterion ("a documented waiver ... if the option
+    * moves nothing on a quiet host") the DEFAULT stays at the session
+    * split size and the knob remains for deployments whose wave math
+    * differs. The operator's over-2x heavy ratio is the adjudicated
+    * kernel floor: the mandated-md5 occurrence-hash kernel alone is
+    * ~92% of DuckDB's whole in-process query (r14 Probe overlap-floor
+    * decomposition), and the remainder is the distribution exchange. */
   def ddOverlap(spark: SparkSession, dir: String): DataFrame = {
     val splitBytes = spark.conf.getOption("graft.overlap.splitBytes")
-      .getOrElse("8m")
+      .getOrElse(spark.conf.get("spark.sql.files.maxPartitionBytes",
+        "128m"))
     val s2 = spark.newSession()
     // child sessions inherit builder-time confs; copy the load-bearing
     // runtime ones too in case the hosting session was tuned post-build

@@ -868,10 +868,18 @@ object TextAnalysis {
     // map-combined partial carries 8-byte longs — and a 64-bit hash
     // collision merging two terms' df counts is negligible at any
     // realistic vocabulary.
+    // dl = Σ tf over the SAME termCounts array (the kernel's split-on-' '
+    // semantics equal split+filter≠'', so the sum IS the filtered token
+    // count) — the previous separate size(filter(split(text))) tokenized
+    // every doc a SECOND time inside the hot tf projection. The counts
+    // array is a named alias referenced twice (aggregate + explode), so
+    // CollapseProject keeps the kernel evaluated once per row.
     val tf = docs.select(col("doc_id"),
-        size(filter(split(col("text"), " "), t => t =!= "")).as("dl"),
-        explode(org.apache.spark.sql.graft.VectorExprs
-          .termCounts(col("text"))).as("tc"))
+        org.apache.spark.sql.graft.VectorExprs.termCounts(col("text"))
+          .as("_tc"))
+      .select(col("doc_id"),
+        expr("aggregate(_tc, 0L, (a, x) -> a + x.tf)").as("dl"),
+        explode(col("_tc")).as("tc"))
       .select(col("doc_id"), col("dl"),
         col("tc.term").as("term"), col("tc.tf").as("tf"))
       .withColumn("th", xxhash64(col("term")))
