@@ -133,6 +133,10 @@ object Bench {
     val names = if (args.isEmpty) names0
       else names0.filter(n => args.exists(n.contains))
     val results = names.map { name =>
+      // per-query load sample (additions-only, r15 verdict): lets a
+      // downstream comparison mechanically discount rows measured under
+      // external contention instead of relying on the 3x noisy flag
+      val qla = loadavg
       val (t1, _, ok1) = runOnce(name)
       val (t2, shuffle, ok2) = runOnce(name)
       var best = math.min(t1, t2)
@@ -153,22 +157,26 @@ object Bench {
       // fused-serve broadcasts from this query's reps release their
       // executor blocks here instead of accumulating across the suite
       graft.operators.TextAnalysis.releaseFusedBroadcasts()
-      (name, best, shuffle, ok, noisy)
+      (name, best, shuffle, ok, noisy, qla)
     }
     // driver contract: "queries" maps name -> seconds (scalar). A failed
     // query reports -1 (unmistakable in any downstream comparison) and is
     // excluded from the total; names also land in "failed".
-    val qs = results.map { case (k, v, _, ok, _) => s""""$k":${if (ok) v else -1}""" }
+    val qs = results.map { case (k, v, _, ok, _, _) => s""""$k":${if (ok) v else -1}""" }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, _, s, _, _) => s""""$k":${s / 1048576}""" }
+    val sh = results.map { case (k, _, s, _, _, _) => s""""$k":${s / 1048576}""" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false, _) => s""""$k"""" }
+    val failed = results.collect { case (k, _, _, false, _, _) => s""""$k"""" }
       .mkString("[", ",", "]")
-    val noisyNames = results.collect { case (k, _, _, _, true) => s""""$k"""" }
+    val noisyNames = results.collect { case (k, _, _, _, true, _) => s""""$k"""" }
       .mkString("[", ",", "]")
+    // per-query loadavg at measurement start (full artifact only — the
+    // compact headline keeps its byte budget for the slow-query map)
+    val loads = results.map { case (k, _, _, _, _, la) =>
+      s""""$k":${math.rint(la * 100) / 100}""" }.mkString("{", ",", "}")
     val total = results.filter(_._4).map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$failed,"noisy":$noisyNames,"loadavg":[$la0,$loadavg],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"load":$loads,"failed":$failed,"noisy":$noisyNames,"loadavg":[$la0,$loadavg],"sf":"$sfDir"}"""
     // persist the FULL line first — the authoritative per-query artifact.
     // Full runs only: a substring-filtered iteration run must not clobber
     // the committed clean artifact with a partial map (the round-6 stale-
@@ -198,7 +206,7 @@ object Bench {
     val compactQs = new scala.collection.mutable.ArrayBuffer[String]
     var used = 0
     var full = false
-    okSorted.foreach { case (k, v, _, _, _) =>
+    okSorted.foreach { case (k, v, _, _, _, _) =>
       val ent = s""""$k":${math.rint(v * 1000) / 1000}"""
       if (!full && used + ent.length + 1 <= lineBudget) {
         compactQs += ent; used += ent.length + 1
@@ -219,7 +227,7 @@ object Bench {
     if (args.isEmpty) { // partial filtered runs must not shrink the baseline
       val quietStart = la0 >= 0 && la0 < 2.0
       val baseQs = results.flatMap {
-        case (k, v, _, ok, noisy) if ok =>
+        case (k, v, _, ok, noisy, _) if ok =>
           val p = prior.get(k).filter(_ > 0)
           // a query with NO positive prior is seeded only by a clean
           // measurement: quiet start and not noisy-flagged. A loaded or

@@ -26,8 +26,24 @@ object PlanDump {
       val text =
         try {
           val df = SparkEntry.queries(name)(spark, sfDir)
-          df.queryExecution.explainString(
+          val outer = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
+          // Deferred-wrapped queries (bm25, rrf, lmScore-class): the
+          // outer plan is one opaque MemoBuilder leaf — build the inner
+          // serving frame(s) and dump their real plans too (r15 ADVICE)
+          val inner =
+            try org.apache.spark.sql.graft.DeferredDF.innerFrames(df)
+              .zipWithIndex.map { case (in, i) =>
+                s"\n== deferred inner plan ${i + 1} ==\n" +
+                  in.queryExecution.explainString(
+                    org.apache.spark.sql.execution.FormattedMode)
+              }.mkString
+            catch {
+              case e: Throwable =>
+                s"\n== deferred inner plan build FAILED: " +
+                  s"${e.getClass.getName}: ${e.getMessage} =="
+            }
+          outer + inner
         } catch {
           case e: Throwable =>
             s"PLAN FAILED: ${e.getClass.getName}: ${e.getMessage}"

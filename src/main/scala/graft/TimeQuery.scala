@@ -19,9 +19,13 @@ object TimeQuery {
       val qs = scala.collection.mutable.ArrayBuffer[String]()
       var i = 0
       while (i < rest.length) {
-        if (rest(i) == "-c" && i + 1 < rest.length) {
-          val Array(k, v) = rest(i + 1).split("=", 2)
-          confs += (k -> v); i += 2
+        if (rest(i) == "-c") {
+          if (i + 1 >= rest.length) sys.error("trailing -c without key=value")
+          rest(i + 1).split("=", 2) match {
+            case Array(k, v) => confs += (k -> v)
+            case _ => sys.error(s"bad -c arg (want key=value): ${rest(i + 1)}")
+          }
+          i += 2
         } else { qs += rest(i); i += 1 }
       }
       (confs.toSeq, qs.toSeq)

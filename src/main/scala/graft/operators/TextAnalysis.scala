@@ -872,8 +872,9 @@ object TextAnalysis {
     // semantics equal split+filter≠'', so the sum IS the filtered token
     // count) — the previous separate size(filter(split(text))) tokenized
     // every doc a SECOND time inside the hot tf projection. The counts
-    // array is a named alias referenced twice (aggregate + explode), so
-    // CollapseProject keeps the kernel evaluated once per row.
+    // array is a named alias referenced twice (aggregate + explode);
+    // CollapseProject DECLINES to collapse a non-cheap alias used more
+    // than once, which is what preserves the single per-row evaluation.
     val tf = docs.select(col("doc_id"),
         org.apache.spark.sql.graft.VectorExprs.termCounts(col("text"))
           .as("_tc"))
@@ -911,6 +912,19 @@ object TextAnalysis {
       else (docs.count() / qmod + 1L) * qterms
     }
     val nDf = nDfOverride.getOrElse(dfTab.count())
+    // fused serve (the tfidfFused pattern): under BOTH counted gates —
+    // exactly when the query-term and df tables are broadcast-safe —
+    // the hit pass runs as one mapPartitions kernel over the corpus
+    // scan that probes the broadcast qt/df maps per DISTINCT doc term
+    // and emits fully-aggregated (q_id, doc_id, n_hits, score_fp) rows.
+    // No token explode, no join exchanges, no (q_id, doc_id) groupBy
+    // exchange: the only corpus-side shuffle left is the top-k window.
+    // Over either gate the shuffled-join plan below remains the
+    // unbounded fallback (spec-pinned bit-equal).
+    val fuse = conf.getOption("graft.bm25.fusedServe")
+      .map(_.toBoolean).getOrElse(true)
+    if (fuse && nQt <= maxQt && nDf <= maxDf)
+      return bm25FusedServe(docs, external, topk, qt, dfTab, stats)
     val qtGated = if (nQt <= maxQt) broadcast(qt) else qt
     val dfGated = if (nDf <= maxDf) broadcast(dfTab) else dfTab
     val matched = tf.join(qtGated, Seq("term"))
@@ -927,6 +941,155 @@ object TextAnalysis {
       .partitionBy(col("q_id")).orderBy(col("score_fp").desc, col("doc_id"))
     hits.groupBy(col("q_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_hits"), sum(col("fp")).as("score_fp"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= topk)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("n_hits"),
+        col("score_fp"))
+  }
+
+  /** The fused BM25 hit pass (see [[bm25Plan]]): one corpus scan whose
+    * per-doc kernel (a) builds the term histogram with the TermCounts
+    * byte loop (verbatim the [[tfidfFused]] loop — same split-on-' '
+    * semantics, dl = Σ tf), (b) probes the broadcast term→q_ids map and
+    * th→df map once per DISTINCT term, (c) computes each matched term's
+    * fp with the identical Catalyst double-expression order
+    * (((1048576.0 · idf) · (tf · 2.2)) / (tf + 1.2 · (0.25 + 0.75 ·
+    * dl / avgdl)), floor → long — bit-equal by IEEE associativity), and
+    * (d) accumulates (n_hits, score_fp) per query locally — integer
+    * sums, order-free — emitting final (q_id, doc_id, n_hits, score_fp)
+    * rows. Only the top-k window shuffles.
+    *
+    * Exactness notes: the qt map is keyed on the term STRING (UTF8String
+    * bytes) like the term equi-join, duplicates retained so an external
+    * query table with repeated (q_id, term) rows scores identically; df
+    * probes by th = xxhash64(term, seed 42) like the th-keyed join; idf
+    * bitlen via numberOfLeadingZeros ≡ length(bin(x)) for x ≥ 1; the
+    * derived path's self-hit exclusion (q_id ≠ doc_id) applies in the
+    * kernel. */
+  private def bm25FusedServe(docs: DataFrame, external: Boolean,
+      topk: Int, qt: DataFrame, dfTab: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    // driver-side model build: all three inputs are gate-bounded
+    val qtRows = qt.collect()
+    val qtMap = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, java.util.ArrayList[java.lang.Long]](
+      math.max(qtRows.length * 2, 16))
+    var i = 0
+    while (i < qtRows.length) {
+      val r = qtRows(i)
+      val term = r.getAs[String](1)
+      if (term != null) { // a null term never matches the equi-join
+        val k = org.apache.spark.unsafe.types.UTF8String.fromString(term)
+        var l = qtMap.get(k)
+        if (l == null) { l = new java.util.ArrayList[java.lang.Long](4); qtMap.put(k, l) }
+        l.add(if (r.isNullAt(0)) null
+              else java.lang.Long.valueOf(r.getLong(0)))
+      }
+      i += 1
+    }
+    val dfRows = dfTab.collect()
+    val dfMap = new graft.core.LongLongMap(math.max(dfRows.length, 16))
+    i = 0
+    while (i < dfRows.length) {
+      dfMap.put(dfRows(i).getLong(0), dfRows(i).getLong(1)); i += 1
+    }
+    val st = stats.first()
+    val nDocs = st.getLong(0)
+    val avgdl = st.getDouble(1)
+    val bcQt = spark.sparkContext.broadcast(qtMap)
+    val bcDf = spark.sparkContext.broadcast(dfMap)
+    fusedBroadcasts.add(bcQt)
+    fusedBroadcasts.add(bcDf)
+    val pairSchema = StructType(Seq(
+      StructField("q_id", LongType, nullable = true),
+      StructField("doc_id", LongType, nullable = true),
+      StructField("n_hits", LongType, nullable = false),
+      StructField("score_fp", LongType, nullable = true)))
+    val nDocsBits = 64 - java.lang.Long.numberOfLeadingZeros(nDocs)
+    val ext = external
+    val pairs = docs.select(col("doc_id"), col("text").cast("binary"))
+      .mapPartitions { iter =>
+        val qm = bcQt.value
+        val dm = bcDf.value
+        iter.flatMap { row =>
+          val bytes = row.getAs[Array[Byte]](1)
+          if (bytes == null) Iterator.empty
+          else {
+            // per-doc histogram: the TermCounts loop (string-keyed)
+            val n = bytes.length
+            val hist = new java.util.LinkedHashMap[
+              org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+            var p = 0
+            while (p <= n) {
+              var j = p
+              while (j < n && bytes(j) != ' ') j += 1
+              if (j > p) {
+                val t = org.apache.spark.unsafe.types.UTF8String
+                  .fromBytes(bytes, p, j - p)
+                val c = hist.get(t)
+                hist.put(t, if (c == null) 1L else c.longValue() + 1L)
+              }
+              p = j + 1
+            }
+            if (hist.isEmpty) Iterator.empty
+            else {
+              // dl = Σ tf over the SAME histogram (≡ the aggregate over
+              // termCounts in the projection path)
+              var dl = 0L
+              val dlIt = hist.values().iterator()
+              while (dlIt.hasNext) dl += dlIt.next().longValue()
+              val docId = row.getLong(0)
+              // per-query accumulators for THIS doc
+              val acc = new java.util.LinkedHashMap[java.lang.Long, Array[Long]]()
+              val it = hist.entrySet().iterator()
+              while (it.hasNext) {
+                val e = it.next()
+                val qs = qm.get(e.getKey)
+                if (qs != null) {
+                  val t = e.getKey
+                  val tf = e.getValue.longValue()
+                  val th = org.apache.spark.sql.catalyst.expressions.XXH64
+                    .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
+                      t.numBytes, 42L)
+                  val df = dm.get(th)
+                  val idf = (nDocsBits -
+                    (64 - java.lang.Long.numberOfLeadingZeros(df))).toDouble
+                  val fp = math.floor(1048576.0 * idf * (tf * 2.2) /
+                    (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))).toLong
+                  var qi = 0
+                  while (qi < qs.size()) {
+                    val q = qs.get(qi)
+                    // derived queries never rank their own doc
+                    if (ext || q == null || q.longValue() != docId) {
+                      var a = acc.get(q)
+                      if (a == null) { a = new Array[Long](2); acc.put(q, a) }
+                      a(0) += 1L
+                      a(1) += fp
+                    }
+                    qi += 1
+                  }
+                }
+              }
+              if (acc.isEmpty) Iterator.empty
+              else {
+                val out = new Array[Row](acc.size())
+                var oi = 0
+                val ai = acc.entrySet().iterator()
+                while (ai.hasNext) {
+                  val e = ai.next()
+                  out(oi) = Row(e.getKey, docId, e.getValue()(0), e.getValue()(1))
+                  oi += 1
+                }
+                out.iterator
+              }
+            }
+          }
+        }
+      }(Encoders.row(pairSchema)).toDF()
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score_fp").desc, col("doc_id"))
+    pairs
       .withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= topk)
       .select(col("q_id"), col("rank"), col("doc_id"), col("n_hits"),

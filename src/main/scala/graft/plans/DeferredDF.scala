@@ -65,6 +65,19 @@ object DeferredDF {
     }
   }
 
+  /** Plan-evidence support (PlanDump): build and return the memoized
+    * inner DataFrame of every Deferred node under `df`'s analyzed plan,
+    * recursively — so before/after dumps show the REAL serving plan
+    * instead of one opaque `DeferredPlan ... MemoBuilder` leaf. Calling
+    * this RUNS each thunk's driver-side build jobs (gate counts, model
+    * collects); it is a tooling path, never part of query execution. */
+  def innerFrames(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.DataFrame] = {
+    val built = df.asInstanceOf[Dataset[_]].queryExecution.analyzed
+      .collect { case DeferredPlan(_, b) => b.get }
+    built.flatMap(inner => inner +: innerFrames(inner))
+  }
+
   /** Idempotently registers the planning strategy on `spark` and returns
     * the deferred frame. Zero Spark jobs run until an action does. */
   def apply(spark: org.apache.spark.sql.SparkSession, schema: StructType,

@@ -80,6 +80,43 @@ object ProcessScriptTransform {
     * 4096-row frames is where the no-json-encode win shows. */
   private[transform] val ArrowBatchSize = 4096
 
+  /** Arrow negotiation is gated per PARTITION on input volume: the
+    * worker's `import pyarrow` is a ~0.25 s (multi-second under
+    * contention) fixed cost per worker process, while the protocol's
+    * win over JSON frames is throughput-bound (~7 µs/record/worker
+    * marginal) — so a partition must carry roughly tens of thousands of
+    * records before the import amortizes. The task peeks the partition
+    * iterator, buffering rows until EITHER threshold clears (→ offer
+    * arrow; buffered rows replay first) or the input ends (→ JSON
+    * protocol, no pyarrow import anywhere). Defaults sit near the
+    * measured per-worker break-even (~30-60k narrow records); at
+    * deployment scale every partition clears them and the peek cost is
+    * one batch's worth of buffering. Conf knobs (read at call time):
+    * `graft.pyscript.arrowMinRows` (≤0 = always offer, the pre-gate
+    * behavior) and `graft.pyscript.arrowMinBytes` (string/binary
+    * payload bytes trigger — wide rows amortize the import sooner
+    * because JSON's per-record cost scales with payload bytes). */
+  private[transform] val ArrowMinRowsDefault = 65536
+  private[transform] val ArrowMinBytesDefault = 32L * 1024 * 1024
+
+  /** Cheap per-row payload estimate for the arrowMinBytes trigger —
+    * arrow-eligible schemas are flat scalars, so variable width lives
+    * only in string/binary cells (primitives count a flat word). */
+  private def approxRowBytes(r: Row, n: Int): Long = {
+    var b = 0L
+    var i = 0
+    while (i < n) {
+      r.get(i) match {
+        case null => ()
+        case s: String => b += s.length
+        case a: Array[Byte] => b += a.length
+        case _ => b += 8
+      }
+      i += 1
+    }
+    b
+  }
+
   /** Configure-time script validation (ref: PythonEvaluator.java:224-243
     * compiles the script in configurePipeline so a typo fails the deploy,
     * not a 1000-executor job): compile-check the source and verify the
@@ -231,14 +268,47 @@ object ProcessScriptTransform {
     val inDesc = WireCodec.descriptor(inSchema)
     val outDesc = WireCodec.descriptor(outSchema)
     // Arrow eligibility is decided here (flat scalar schemas only) and
-    // OFFERED in init; whether it is USED depends on the worker's
-    // negotiated answer (pyarrow importable) per partition
-    val offerArrow = arrow && ArrowPipe.supported(inSchema) &&
+    // OFFERED in init; whether it is USED depends on (a) the partition
+    // clearing the size gate below and (b) the worker's negotiated
+    // answer (pyarrow importable) per partition
+    val offerArrowStatic = arrow && ArrowPipe.supported(inSchema) &&
       ArrowPipe.supported(outSchema)
+    val sessConf = df.sparkSession.conf
+    val arrowMinRows = sessConf.getOption("graft.pyscript.arrowMinRows")
+      .map(_.toInt).getOrElse(ArrowMinRowsDefault)
+    val arrowMinBytes = sessConf.getOption("graft.pyscript.arrowMinBytes")
+      .map(_.toLong).getOrElse(ArrowMinBytesDefault)
 
-    val tagged = in.mapPartitions { rows =>
-      if (!rows.hasNext) Iterator.empty
+    val tagged = in.mapPartitions { rows0 =>
+      if (!rows0.hasNext) Iterator.empty
       else {
+        // partition-size gate (see ArrowMinRowsDefault): peek-buffer the
+        // head of the partition; a partition that ends before either
+        // threshold speaks the JSON protocol and never pays the worker's
+        // pyarrow import. Buffered rows replay ahead of the live
+        // iterator, so record order and content are unchanged.
+        var offerArrow = offerArrowStatic
+        var rows: Iterator[Row] = rows0
+        if (offerArrowStatic && arrowMinRows > 0) {
+          val nf = inFields.length
+          val buf = new java.util.ArrayList[Row](
+            math.min(arrowMinRows, ArrowBatchSize))
+          var bytes = 0L
+          while (rows0.hasNext && buf.size < arrowMinRows &&
+              bytes < arrowMinBytes) {
+            val r = rows0.next()
+            buf.add(r)
+            bytes += approxRowBytes(r, nf)
+          }
+          offerArrow = buf.size >= arrowMinRows || bytes >= arrowMinBytes
+          rows = new Iterator[Row] {
+            private var i = 0
+            override def hasNext: Boolean = i < buf.size || rows0.hasNext
+            override def next(): Row =
+              if (i < buf.size) { val r = buf.get(i); i += 1; r }
+              else rows0.next()
+          }
+        }
         val mapper = new ObjectMapper()
         val pb = new ProcessBuilder(pythonExec, "-c", worker)
         env.foreach { case (k, v) => pb.environment().put(k, v) }

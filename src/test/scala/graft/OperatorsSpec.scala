@@ -2793,6 +2793,45 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "external query id 2 wrongly self-excluded doc 2")
   }
 
+  test("bm25 fused serve: bit-equal to the declarative join fallback, both paths") {
+    import spark.implicits._
+    // fused kernel (default, under both gates) vs fusedServe=false
+    // declarative plan vs over-the-gate shuffled-join plan: same term
+    // histogram, same th-keyed df probe, same IEEE fp expression order,
+    // same integer sums — all three must agree to the bit on the real
+    // corpus (derived queries) and on an external table with duplicate
+    // (q_id, term) rows (multiplicity must score twice, like the join)
+    val corpus = Tables.documents(spark, dir)
+    def run(): Array[String] = TextAnalysis.bm25(corpus)
+      .orderBy("q_id", "rank").collect().map(_.toString)
+    val fused = run()
+    spark.conf.set("graft.bm25.fusedServe", "false")
+    val declarative = try run() finally spark.conf.unset("graft.bm25.fusedServe")
+    assert(fused.sameElements(declarative),
+      "bm25 fused serve diverged from the declarative fallback")
+    spark.conf.set("graft.bm25.maxBroadcastQueryTerms", "0")
+    val shuffled = try run()
+      finally spark.conf.unset("graft.bm25.maxBroadcastQueryTerms")
+    assert(fused.sameElements(shuffled),
+      "bm25 fused serve diverged from the over-the-gate shuffled plan")
+    // external path with a duplicated (q_id, term) row
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "alpha alpha delta"),
+      (3L, "beta gamma gamma gamma"),
+      (4L, "delta delta epsilon")).toDF("doc_id", "text")
+    val dupQ = Seq((9L, "beta"), (9L, "beta"), (9L, "gamma"))
+      .toDF("q_id", "term")
+    def runExt(): Array[String] =
+      TextAnalysis.bm25(docs, topk = 4, queries = Some(dupQ))
+        .orderBy("q_id", "rank").collect().map(_.toString)
+    val extFused = runExt()
+    spark.conf.set("graft.bm25.fusedServe", "false")
+    val extDecl = try runExt() finally spark.conf.unset("graft.bm25.fusedServe")
+    assert(extFused.sameElements(extDecl),
+      "bm25 fused serve diverged on duplicate external query terms")
+  }
+
   test("unigram seed: driver pull bounded by alphabet + seedMulti on wide charsets") {
     import spark.implicits._
     // wide-charset corpus: 40 distinct CJK-range chars in shifting

@@ -83,16 +83,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"tfidf broadcastDf=false fallback lost its window-count df:\n$pf")
   }
 
-  test("bm25: query-term and df joins broadcast; no corpus-keyed join") {
-    // the corpus token stream must be filtered map-side by the
+  test("bm25 fused serve: no joins, no explode — one corpus pass + the top-k window") {
+    // under both counted gates the hit pass is the fused mapPartitions
+    // kernel probing broadcast qt/df maps: the corpus never explodes
+    // into token rows and never crosses a join or (q,doc) groupBy
+    // exchange — the only Exchange left is the top-k window's
+    val p = plan(graft.operators.TextAnalysis.bm25Plan(
+      Tables.documents(spark, dir), 101, 3, 5, None, Some(0L), Some(0L)))
+    assert(!p.contains("Join"), s"bm25 fused serve grew a join:\n$p")
+    assert(!p.contains("Generate"), s"bm25 fused serve still explodes tokens:\n$p")
+    // formatted plans print each operator twice (tree + details); count
+    // tree occurrences ("Exchange (n)") only
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).length == 1,
+      s"bm25 fused serve should shuffle only the top-k window:\n$p")
+  }
+
+  test("bm25 fallback: query-term and df joins broadcast; no corpus-keyed join") {
+    // with the fused serve disabled, the declarative fallback must keep
+    // its shape: the corpus token stream filtered map-side by the
     // broadcast (Q x qterms) query-term table and scored against the
     // broadcast vocab-sized df table — a sort-merge join on either
     // would put every token row through an exchange before the
     // hit-bounded (q_id, doc_id) aggregate. (bm25() itself is a
     // DeferredDF; the plan variant with forced-under overrides exposes
     // the inner shape without running the gate counts.)
-    val p = plan(graft.operators.TextAnalysis.bm25Plan(
-      Tables.documents(spark, dir), 101, 3, 5, None, Some(0L), Some(0L)))
+    spark.conf.set("graft.bm25.fusedServe", "false")
+    val p = try plan(graft.operators.TextAnalysis.bm25Plan(
+        Tables.documents(spark, dir), 101, 3, 5, None, Some(0L), Some(0L)))
+      finally spark.conf.unset("graft.bm25.fusedServe")
     assert(p.contains("BroadcastHashJoin"),
       s"bm25 lost its broadcast joins:\n$p")
     assert(!p.contains("SortMergeJoin"),
@@ -109,9 +127,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = Tables.documents(spark, dir)
     def hints(p: String): Int =
       "strategy=broadcast".r.findAllIn(p).length
-    val under = graft.operators.TextAnalysis
-      .bm25Plan(docs, 101, 3, 5, None, Some(0L), Some(0L))
-      .queryExecution.optimizedPlan.toString
+    // the under-the-gate DECLARATIVE shape is the fusedServe=false
+    // fallback (under both gates the default plan is the fused kernel,
+    // asserted in its own spec above)
+    spark.conf.set("graft.bm25.fusedServe", "false")
+    val under = try graft.operators.TextAnalysis
+        .bm25Plan(docs, 101, 3, 5, None, Some(0L), Some(0L))
+        .queryExecution.optimizedPlan.toString
+      finally spark.conf.unset("graft.bm25.fusedServe")
     assert(hints(under) >= 3, s"qt/df/stats hints missing under the gate:\n$under")
     val over = graft.operators.TextAnalysis.bm25Plan(docs, 101, 3, 5, None,
       Some(Long.MaxValue), Some(Long.MaxValue))

@@ -455,8 +455,12 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         |                      "tag": "x%d" % record["id"]})
         |""".stripMargin
     val m = Metrics(spark, "seen", "proto.arrow")
-    val arrow = ProcessScriptTransform.python(in, out, script,
-      metrics = m, onError = ScriptTransform.RouteToErrors(3)).cached()
+    // the partition-size gate would route a 3-row input to JSON; pin the
+    // threshold to 1 row so this spec exercises the arrow protocol itself
+    spark.conf.set("graft.pyscript.arrowMinRows", "1")
+    val arrow = try ProcessScriptTransform.python(in, out, script,
+        metrics = m, onError = ScriptTransform.RouteToErrors(3)).cached()
+      finally spark.conf.unset("graft.pyscript.arrowMinRows")
     val json = ProcessScriptTransform.python(in, out, script,
       onError = ScriptTransform.RouteToErrors(3), arrow = false).cached()
     def key(rs: Array[org.apache.spark.sql.Row]) =
@@ -479,6 +483,48 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Timestamp.valueOf("2026-01-02 03:04:05.000001"))
     assert(r1.getAs[Date]("day") === Date.valueOf("2026-01-02"))
     assert(r1.getAs[String]("tag") === "x1")
+  }
+
+  test("python arrow gate: small partitions speak JSON, big ones arrow, same rows") {
+    // the per-partition size gate (graft.pyscript.arrowMinRows/.arrowMinBytes):
+    // a partition that ends before the threshold never offers arrow — no
+    // pyarrow import for tiny inputs — while a partition past it does, and
+    // the peek-buffer replay keeps the output identical either way
+    val out = StructType(Seq(
+      StructField("id", LongType), StructField("n", IntegerType)))
+    val script =
+      """def transform(record, emitter, context):
+        |    emitter.emit({"id": record["id"], "n": len(record["s"])})
+        |""".stripMargin
+    val small = spark.range(0, 50, 1, 2).toDF("id")
+      .withColumn("s", concat(lit("v"), col("id")))
+    val mSmall = Metrics(spark, "proto.arrow")
+    val gotSmall = ProcessScriptTransform.python(small, out, script,
+      metrics = mSmall).out.collect()
+    assert(gotSmall.length === 50)
+    assert(mSmall.value("proto.arrow") === 0,
+      "a 25-row partition must not negotiate arrow under the default gate")
+    // rows threshold cleared mid-partition: arrow engages, rows identical
+    spark.conf.set("graft.pyscript.arrowMinRows", "10")
+    val mBig = Metrics(spark, "proto.arrow")
+    val gotBig = try ProcessScriptTransform.python(small, out, script,
+        metrics = mBig).out.collect()
+      finally spark.conf.unset("graft.pyscript.arrowMinRows")
+    assert(mBig.value("proto.arrow") >= 1,
+      "a partition past the rows threshold must negotiate arrow")
+    def key(rs: Array[org.apache.spark.sql.Row]) = rs.map(_.toSeq).toSet
+    assert(key(gotBig) === key(gotSmall))
+    // bytes trigger: wide payloads clear the gate before the row count
+    spark.conf.set("graft.pyscript.arrowMinBytes", "1024")
+    val mBytes = Metrics(spark, "proto.arrow")
+    val wide = spark.range(0, 50, 1, 2).toDF("id")
+      .withColumn("s", concat(lit("w" * 200), col("id")))
+    val gotBytes = try ProcessScriptTransform.python(wide, out, script,
+        metrics = mBytes).out.collect()
+      finally spark.conf.unset("graft.pyscript.arrowMinBytes")
+    assert(mBytes.value("proto.arrow") >= 1,
+      "a partition past the bytes threshold must negotiate arrow")
+    assert(gotBytes.length === 50)
   }
 
   test("python scripts may emit pre-encoded wire values (base64 str / ISO str)") {
