@@ -65,6 +65,14 @@ object ScaleCheck {
     val spark = graft.core.GraftSession.builder(s"local[$cpus]", shufflePartitions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k=v": session confs for rehearsal A/Bs (the
+    // TimeQuery -c lever, env-shaped because ScaleCheck args are positional)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
+        case _ => ()
+      }
+    })
     val docs = spark.read.format("docgen")
       .option("rows", rows).option("partitions", cpus.toInt * 2)
       .option("dupPct", dupPct).option("vocabMul", vocabMul)

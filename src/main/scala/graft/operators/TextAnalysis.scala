@@ -911,7 +911,6 @@ object TextAnalysis {
       if (external) qt.count()
       else (docs.count() / qmod + 1L) * qterms
     }
-    val nDf = nDfOverride.getOrElse(dfTab.count())
     // fused serve (the tfidfFused pattern): under BOTH counted gates —
     // exactly when the query-term and df tables are broadcast-safe —
     // the hit pass runs as one mapPartitions kernel over the corpus
@@ -923,8 +922,23 @@ object TextAnalysis {
     // unbounded fallback (spec-pinned bit-equal).
     val fuse = conf.getOption("graft.bm25.fusedServe")
       .map(_.toBoolean).getOrElse(true)
+    // overlap the fused build's independent driver jobs with the df
+    // gate-count scan (§2.6): qt is under its OWN counted gate here, so
+    // its collect is memory-safe regardless of the df gate's outcome;
+    // if the df gate then fails, the two jobs were wasted work on the
+    // rare unbounded-vocab fallback path
+    var qtPre: scala.concurrent.Future[Array[org.apache.spark.sql.Row]] = null
+    var stPre: scala.concurrent.Future[org.apache.spark.sql.Row] = null
+    if (fuse && nQt <= maxQt && nDfOverride.isEmpty) {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      qtPre = scala.concurrent.Future(qt.collect())
+      stPre = scala.concurrent.Future(stats.first())
+    }
+    val nDf = nDfOverride.getOrElse(dfTab.count())
     if (fuse && nQt <= maxQt && nDf <= maxDf)
-      return bm25FusedServe(docs, external, topk, qt, dfTab, stats)
+      return bm25FusedServe(docs, external, topk, qt, dfTab, stats,
+        Option(qtPre), Option(stPre))
     val qtGated = if (nQt <= maxQt) broadcast(qt) else qt
     val dfGated = if (nDf <= maxDf) broadcast(dfTab) else dfTab
     val matched = tf.join(qtGated, Seq("term"))
@@ -967,11 +981,23 @@ object TextAnalysis {
     * derived path's self-hit exclusion (q_id ≠ doc_id) applies in the
     * kernel. */
   private def bm25FusedServe(docs: DataFrame, external: Boolean,
-      topk: Int, qt: DataFrame, dfTab: DataFrame,
-      stats: DataFrame): DataFrame = {
+      topk: Int, qt: DataFrame, dfTab: DataFrame, stats: DataFrame,
+      qtPre: Option[scala.concurrent.Future[Array[Row]]] = None,
+      stPre: Option[scala.concurrent.Future[Row]] = None): DataFrame = {
     val spark = docs.sparkSession
-    // driver-side model build: all three inputs are gate-bounded
-    val qtRows = qt.collect()
+    // driver-side model build: all three inputs are gate-bounded and
+    // INDEPENDENT — run their jobs concurrently (guide §2.6) so the
+    // fused path's pre-pass is one barrier, not three serial jobs (the
+    // declarative plan built them as parallel broadcast subtrees);
+    // qt/stats may already be in flight, overlapped with the gate count
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val qtF = qtPre.getOrElse(Future(qt.collect()))
+    val dfF = Future(dfTab.collect())
+    val stF = stPre.getOrElse(Future(stats.first()))
+    val qtRows = Await.result(qtF, Duration.Inf)
     val qtMap = new java.util.HashMap[
       org.apache.spark.unsafe.types.UTF8String, java.util.ArrayList[java.lang.Long]](
       math.max(qtRows.length * 2, 16))
@@ -988,13 +1014,13 @@ object TextAnalysis {
       }
       i += 1
     }
-    val dfRows = dfTab.collect()
+    val dfRows = Await.result(dfF, Duration.Inf)
     val dfMap = new graft.core.LongLongMap(math.max(dfRows.length, 16))
     i = 0
     while (i < dfRows.length) {
       dfMap.put(dfRows(i).getLong(0), dfRows(i).getLong(1)); i += 1
     }
-    val st = stats.first()
+    val st = Await.result(stF, Duration.Inf)
     val nDocs = st.getLong(0)
     val avgdl = st.getDouble(1)
     val bcQt = spark.sparkContext.broadcast(qtMap)

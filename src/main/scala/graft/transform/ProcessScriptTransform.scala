@@ -80,22 +80,32 @@ object ProcessScriptTransform {
     * 4096-row frames is where the no-json-encode win shows. */
   private[transform] val ArrowBatchSize = 4096
 
-  /** Arrow negotiation is gated per PARTITION on input volume: the
-    * worker's `import pyarrow` is a ~0.25 s (multi-second under
-    * contention) fixed cost per worker process, while the protocol's
-    * win over JSON frames is throughput-bound (~7 µs/record/worker
-    * marginal) — so a partition must carry roughly tens of thousands of
-    * records before the import amortizes. The task peeks the partition
-    * iterator, buffering rows until EITHER threshold clears (→ offer
-    * arrow; buffered rows replay first) or the input ends (→ JSON
-    * protocol, no pyarrow import anywhere). Defaults sit near the
-    * measured per-worker break-even (~30-60k narrow records); at
-    * deployment scale every partition clears them and the peek cost is
-    * one batch's worth of buffering. Conf knobs (read at call time):
-    * `graft.pyscript.arrowMinRows` (≤0 = always offer, the pre-gate
-    * behavior) and `graft.pyscript.arrowMinBytes` (string/binary
-    * payload bytes trigger — wide rows amortize the import sooner
-    * because JSON's per-record cost scales with payload bytes). */
+  /** Arrow negotiation is gated per PARTITION on input volume AND on
+    * schema shape, from paired ScaleCheck measurements on this class of
+    * host (r16, docgen corpus, 64 workers / 32 cores):
+    *
+    *  - CODEC-HEAVY schemas (binary/timestamp/date on either side —
+    *    [[WireCodec]] descriptor non-null): JSON pays base64 + ISO-8601
+    *    per cell in both directions, and arrow wins clearly at scale
+    *    (xf_pybytes-shape, 8M rows: arrow 13.2 s vs JSON 20.5 s). The
+    *    worker's `import pyarrow` is still a ~0.25 s (multi-second under
+    *    contention) fixed cost per worker, so tiny partitions must stay
+    *    on JSON: the task peeks the partition, buffering rows until
+    *    either threshold clears (→ offer arrow; buffered rows replay
+    *    first) or the input ends (→ JSON, no pyarrow import anywhere).
+    *    `graft.pyscript.arrowMinRows` (default 65536; ≤0 = always
+    *    offer) and `graft.pyscript.arrowMinBytes` (default 32m).
+    *
+    *  - PLAIN schemas (str/num only — JSON-native both ways): measured
+    *    marginal rates are EQUAL within noise (8→16M rows: arrow
+    *    ~2.7M rec/s vs JSON ~2.2-2.8M rec/s aggregate) while arrow
+    *    carries +2-5 s of fixed cost (imports + conversion setup), so
+    *    JSON dominates at every tested scale up to 250k rows/partition
+    *    — the earlier "3x at scale" reading did not reproduce under
+    *    paired A/B. Default: do not offer arrow (no peek, no import);
+    *    `graft.pyscript.arrowPlainMinRows` > 0 re-enables the same
+    *    peek gate at that row count for deployments whose profile
+    *    differs. */
   private[transform] val ArrowMinRowsDefault = 65536
   private[transform] val ArrowMinBytesDefault = 32L * 1024 * 1024
 
@@ -271,13 +281,20 @@ object ProcessScriptTransform {
     // OFFERED in init; whether it is USED depends on (a) the partition
     // clearing the size gate below and (b) the worker's negotiated
     // answer (pyarrow importable) per partition
-    val offerArrowStatic = arrow && ArrowPipe.supported(inSchema) &&
-      ArrowPipe.supported(outSchema)
     val sessConf = df.sparkSession.conf
-    val arrowMinRows = sessConf.getOption("graft.pyscript.arrowMinRows")
-      .map(_.toInt).getOrElse(ArrowMinRowsDefault)
+    // schema-shape split (see ArrowMinRowsDefault): arrow's measured win
+    // is the wire codec it removes — plain str/num schemas stay on JSON
+    // unless a deployment opts in
+    val codecHeavy = inDesc != null || outDesc != null
+    val arrowMinRows =
+      if (codecHeavy) sessConf.getOption("graft.pyscript.arrowMinRows")
+        .map(_.toInt).getOrElse(ArrowMinRowsDefault)
+      else sessConf.getOption("graft.pyscript.arrowPlainMinRows")
+        .map(_.toInt).getOrElse(Int.MaxValue)
     val arrowMinBytes = sessConf.getOption("graft.pyscript.arrowMinBytes")
       .map(_.toLong).getOrElse(ArrowMinBytesDefault)
+    val offerArrowStatic = arrow && arrowMinRows != Int.MaxValue &&
+      ArrowPipe.supported(inSchema) && ArrowPipe.supported(outSchema)
 
     val tagged = in.mapPartitions { rows0 =>
       if (!rows0.hasNext) Iterator.empty

@@ -503,28 +503,47 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       metrics = mSmall).out.collect()
     assert(gotSmall.length === 50)
     assert(mSmall.value("proto.arrow") === 0,
-      "a 25-row partition must not negotiate arrow under the default gate")
-    // rows threshold cleared mid-partition: arrow engages, rows identical
-    spark.conf.set("graft.pyscript.arrowMinRows", "10")
+      "a plain-schema input must not negotiate arrow by default")
+    // plain schemas opt in via arrowPlainMinRows; rows threshold cleared
+    // mid-partition: arrow engages, rows identical
+    spark.conf.set("graft.pyscript.arrowPlainMinRows", "10")
     val mBig = Metrics(spark, "proto.arrow")
     val gotBig = try ProcessScriptTransform.python(small, out, script,
         metrics = mBig).out.collect()
-      finally spark.conf.unset("graft.pyscript.arrowMinRows")
+      finally spark.conf.unset("graft.pyscript.arrowPlainMinRows")
     assert(mBig.value("proto.arrow") >= 1,
       "a partition past the rows threshold must negotiate arrow")
     def key(rs: Array[org.apache.spark.sql.Row]) = rs.map(_.toSeq).toSet
     assert(key(gotBig) === key(gotSmall))
     // bytes trigger: wide payloads clear the gate before the row count
+    spark.conf.set("graft.pyscript.arrowPlainMinRows", "10000")
     spark.conf.set("graft.pyscript.arrowMinBytes", "1024")
     val mBytes = Metrics(spark, "proto.arrow")
     val wide = spark.range(0, 50, 1, 2).toDF("id")
       .withColumn("s", concat(lit("w" * 200), col("id")))
     val gotBytes = try ProcessScriptTransform.python(wide, out, script,
         metrics = mBytes).out.collect()
-      finally spark.conf.unset("graft.pyscript.arrowMinBytes")
+      finally {
+        spark.conf.unset("graft.pyscript.arrowMinBytes")
+        spark.conf.unset("graft.pyscript.arrowPlainMinRows")
+      }
     assert(mBytes.value("proto.arrow") >= 1,
       "a partition past the bytes threshold must negotiate arrow")
     assert(gotBytes.length === 50)
+    // codec-heavy small input (binary out): still JSON under the default
+    // 65536-row gate — the r16 break-even, not a blanket arrow-on
+    val outB = StructType(Seq(
+      StructField("id", LongType), StructField("b", BinaryType)))
+    val scriptB =
+      """def transform(record, emitter, context):
+        |    emitter.emit({"id": record["id"], "b": record["s"].encode()})
+        |""".stripMargin
+    val mCodec = Metrics(spark, "proto.arrow")
+    val gotCodec = ProcessScriptTransform.python(small, outB, scriptB,
+      metrics = mCodec).out.collect()
+    assert(gotCodec.length === 50)
+    assert(mCodec.value("proto.arrow") === 0,
+      "a 25-row codec-heavy partition must stay on JSON under the default gate")
   }
 
   test("python scripts may emit pre-encoded wire values (base64 str / ISO str)") {
