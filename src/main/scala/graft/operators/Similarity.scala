@@ -330,7 +330,18 @@ object Similarity {
   def annRecallEval(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val isQ = col("vec_id") < 10
-    val truth = bruteTopK(emb, isQ, k = 10)
+    // the exact ground truth feeds BOTH method evaluations, and Spark
+    // re-executes shared subtrees per reference — without this lazy
+    // checkpoint the brute-force corpus pass (the expensive leg, O(|Q|·N)
+    // dot products) runs twice. Its result is |Q|·k rows (~100), so the
+    // materialization is bounded at any corpus size (guide §3.3 — the
+    // r15 no-action note rejected a CORPUS-sized checkpoint; this is the
+    // bounded side).
+    val truth0 = bruteTopK(emb, isQ, k = 10)
+    val truth =
+      if (spark.conf.getOption("graft.recallEval.checkpoint")
+            .forall(_.toBoolean)) truth0.localCheckpoint(false)
+      else truth0
     recallEval(lshTopK(emb, isQ, k = 10), truth)
       .withColumn("method", lit("lsh1"))
       .unionByName(

@@ -3585,6 +3585,14 @@ object TextAnalysis {
                     charBudget: Long = 20000L, nShards: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
+    // r15 landed these checkpoints on a plan argument (32 scans -> 4)
+    // but could not prove the wall win under that round's host load;
+    // conf-gated so both paths stay measurable (the runningTotal
+    // pattern), default set by this round's quiet paired A/B
+    val ckpt = spark.conf.getOption("graft.curationIncr.checkpoint")
+      .map(_.toBoolean).getOrElse(true)
+    def cp(df: DataFrame): DataFrame =
+      if (ckpt) df.localCheckpoint(false) else df
     def keepMin(df: DataFrame): DataFrame = df
       .withColumn("_keep", min(col("doc_id")).over(Window.partitionBy(col("h"))))
       .filter(col("doc_id") === col("_keep")).drop("_keep")
@@ -3595,7 +3603,7 @@ object TextAnalysis {
     // scan+md5+keep-min pipeline re-executes per reference (32 parquet
     // scans in the r15 before-plan). Slim rows only; text never
     // materializes.
-    val hist = keepMin(slim).localCheckpoint(false)
+    val hist = cp(keepMin(slim))
     // the arriving batch: docs with id%10==2 re-keyed; id%20==2 keeps its
     // text verbatim (a content-dup of the snapshot), the rest append a
     // unique suffix (new content)
@@ -3612,8 +3620,8 @@ object TextAnalysis {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     // each selection table is read twice (export+retract / mark+retract):
     // checkpoint both so the two-pass budget prefix sum runs once each
-    val selM = budget(merged).localCheckpoint(false)
-    val selH = budget(hist).localCheckpoint(false)
+    val selM = cp(budget(merged))
+    val selH = cp(budget(hist))
     val exported = Sampling.shuffleExport(selM, col("doc_id"), nShards)
     val marked = exported
       .join(selH.select(col("doc_id").as("_pid")),

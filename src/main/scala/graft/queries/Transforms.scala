@@ -105,7 +105,8 @@ object Transforms {
       StructField("o_orderkey", LongType),
       StructField("scaled", DoubleType)))
     ScriptTransform(Tables.orders(spark, dir), out,
-        arguments = Map("multiplier" -> "5")) { (r, em, ctx) =>
+        arguments = Map("multiplier" -> "5"),
+        parallelism = spark.sparkContext.defaultParallelism) { (r, em, ctx) =>
       val m = ctx.arguments("multiplier").toInt
       em.emit(Map("o_orderkey" -> r("o_orderkey"),
                   "scaled" -> r("o_totalprice").asInstanceOf[Double] * m))
@@ -130,7 +131,8 @@ object Transforms {
       StructField("custkey", LongType),
       StructField("arr_sum", DoubleType),
       StructField("p", DoubleType)))
-    ScriptTransform(nested, out) { (r, em, _) =>
+    ScriptTransform(nested, out,
+        parallelism = spark.sparkContext.defaultParallelism) { (r, em, _) =>
       val info = r("info").asInstanceOf[Map[String, Any]]
       val arr = r("arr").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double])
       val m = r("m").asInstanceOf[Map[String, Any]]
@@ -165,7 +167,8 @@ object Transforms {
       StructField("l_orderkey", LongType),
       StructField("l_linenumber", IntegerType),
       SchemaCodec.enumField("status", Seq("RETURN", "PENDING", "SHIPPED"))))
-    ScriptTransform(in, out) { (r, em, _) =>
+    ScriptTransform(in, out,
+        parallelism = spark.sparkContext.defaultParallelism) { (r, em, _) =>
       val status: Any = r("rflag") match {
         case "R" => 0        // ordinal form: coerced to "RETURN"
         case "A" => "SHIPPED" // symbol form: validated pass-through
@@ -193,7 +196,8 @@ object Transforms {
       StructField("l_linenumber", IntegerType),
       StructField("charge", DoubleType)))
     val metrics = Metrics(spark, "processed", "emitted")
-    ScriptTransform(Tables.lineitem(spark, dir), out, metrics = metrics) {
+    ScriptTransform(Tables.lineitem(spark, dir), out, metrics = metrics,
+        parallelism = spark.sparkContext.defaultParallelism) {
       (r, em, ctx) =>
         ctx.metrics.count("processed")
         if (r("l_returnflag") != "R") {
@@ -406,7 +410,8 @@ object Transforms {
     * .ScriptLogger]]) on the alert path. */
   def xfAlerts(spark: SparkSession, dir: String): DataFrame = {
     val out = StructType(Seq(StructField("o_orderkey", LongType)))
-    val res = ScriptTransform(Tables.orders(spark, dir), out) { (r, em, ctx) =>
+    val res = ScriptTransform(Tables.orders(spark, dir), out,
+        parallelism = spark.sparkContext.defaultParallelism) { (r, em, ctx) =>
       val price = r("o_totalprice").asInstanceOf[Double]
       if (price > 400000.0) {
         ctx.logger.warn(s"high-value order ${r("o_orderkey")}")
@@ -439,7 +444,8 @@ object Transforms {
       StructField("c_custkey", LongType),
       StructField("nation_name", StringType)))
     ScriptTransform(Tables.customer(spark, dir), out,
-        lookups = Map("nations" -> nations)) { (r, em, ctx) =>
+        lookups = Map("nations" -> nations),
+        parallelism = spark.sparkContext.defaultParallelism) { (r, em, ctx) =>
       em.emit(Map(
         "c_custkey" -> r("c_custkey"),
         "nation_name" -> ctx.lookup("nations", r("c_nationkey"))))

@@ -117,13 +117,28 @@ object ScriptTransform {
     * with full context instead of poisoning a 100 TB job. */
   final case class RouteToErrors(errorCode: Int = 500) extends ErrorPolicy
 
+  /** @param parallelism floor on the script stage's task count: when > 0
+    *   and the input plans FEWER partitions, repartition up to it — a
+    *   narrow parquet scan at small scale yields 1-3 splits (row-group
+    *   bounded), which serializes the per-record closure work on a
+    *   32-core host (measured: xf_script's 1.24 s script stage ran 3
+    *   tasks). Floor semantics keep it scale-safe: at deployment scale
+    *   the scan already has more partitions than cores and this is a
+    *   no-op — the interpreter-cost-dominates-input-shuffle argument is
+    *   the [[ProcessScriptTransform.python]] precedent. */
   def apply(df: DataFrame, outSchema: StructType,
             arguments: Map[String, String] = Map.empty,
             metrics: Metrics = Metrics.none,
             lookups: Map[String, Map[String, Any]] = Map.empty,
-            onError: ErrorPolicy = FailFast)
+            onError: ErrorPolicy = FailFast,
+            parallelism: Int = 0)
            (fn: (Map[String, Any], Emitter, ScriptContext) => Unit): TransformResult = {
-    val inSchema = df.schema
+    val in0 = df
+    val df1 =
+      if (parallelism > 0 && in0.rdd.getNumPartitions < parallelism)
+        in0.repartition(parallelism)
+      else in0
+    val inSchema = df1.schema
     val errSchema = StructType(
       StructField("errorCode", IntegerType) ::
       StructField("errorMsg", StringType) :: inSchema.fields.toList)
@@ -139,41 +154,97 @@ object ScriptTransform {
     // lazy per-row view: decoding happens only for the fields the user
     // closure actually reads (measured ~25% on wide-input transforms)
     val rowMapper = new SchemaCodec.RowMapper(inSchema)
-    val tagged = df.mapPartitions { rows =>
-      rows.flatMap { row =>
-        val buf = new ListBuffer[Row]
-        val record = rowMapper(row)
-        val emitter = new Emitter {
-          def emit(r: Map[String, Any]): Unit =
-            buf += Row("out", SchemaCodec.mapToRow(r, outSchema), null, null)
-          def emitError(code: Int, msg: String, bad: Map[String, Any]): Unit = {
-            val values = new Array[Any](inFields.length + 2)
-            values(0) = code
-            values(1) = msg
-            var i = 0
-            while (i < inFields.length) {
-              values(i + 2) = SchemaCodec.encode(
-                bad.getOrElse(inFields(i).name, null), inFields(i).dataType)
-              i += 1
-            }
-            buf += Row("err", null,
-              new org.apache.spark.sql.catalyst.expressions.GenericRow(values), null)
-          }
-          def emitAlert(payload: Map[String, String]): Unit =
-            buf += Row("alert", null, null, payload)
-        }
-        try fn(record, emitter, ctx)
-        catch {
-          case e: Exception => onError match {
-            case FailFast => throw e
-            case RouteToErrors(code) =>
-              emitter.emitError(code, s"${e.getClass.getSimpleName}: ${e.getMessage}", record)
-          }
-        }
-        buf.result()
-      }
-    }(Encoders.row(taggedSchema))
 
-    TransformResult(tagged.toDF(), outSchema, errSchema)
+    // one record's worth of script execution: identical on both paths
+    // below — the paths differ ONLY in how the input Row is produced and
+    // how the emitted tagged Rows leave the task
+    def runRecord(row: Row, buf: ListBuffer[Row]): Unit = {
+      val record = rowMapper(row)
+      val emitter = new Emitter {
+        def emit(r: Map[String, Any]): Unit =
+          buf += Row("out", SchemaCodec.mapToRow(r, outSchema), null, null)
+        def emitError(code: Int, msg: String, bad: Map[String, Any]): Unit = {
+          val values = new Array[Any](inFields.length + 2)
+          values(0) = code
+          values(1) = msg
+          var i = 0
+          while (i < inFields.length) {
+            values(i + 2) = SchemaCodec.encode(
+              bad.getOrElse(inFields(i).name, null), inFields(i).dataType)
+            i += 1
+          }
+          buf += Row("err", null,
+            new org.apache.spark.sql.catalyst.expressions.GenericRow(values), null)
+        }
+        def emitAlert(payload: Map[String, String]): Unit =
+          buf += Row("alert", null, null, payload)
+      }
+      try fn(record, emitter, ctx)
+      catch {
+        case e: Exception => onError match {
+          case FailFast => throw e
+          case RouteToErrors(code) =>
+            emitter.emitError(code, s"${e.getClass.getSimpleName}: ${e.getMessage}", record)
+        }
+      }
+    }
+
+    // InternalRow fast path (default; graft.script.internalRow=false is
+    // the dual-path pin): the Dataset mapPartitions boundary DESERIALIZES
+    // EVERY input column to an external Row before the closure sees it —
+    // an opaque closure defeats column pruning, so a script reading 5 of
+    // 16 lineitem columns paid 16 conversions per row. Here the task
+    // reads the compiled plan's InternalRows directly through a lazy Row
+    // view (per-field CatalystTypeConverters on ACCESS — the same
+    // external values the encoder produced, converter-for-converter),
+    // and emitted tagged rows convert once to catalyst on the way out
+    // instead of through the encoder. The record view is valid for the
+    // duration of the transform call, same as the reference contract —
+    // the underlying (reused) UnsafeRow advances when the call returns.
+    val internal = df.sparkSession.conf
+      .getOption("graft.script.internalRow").forall(_.toBoolean)
+    val tagged: DataFrame =
+      if (internal) {
+        val inDts = inFields.map(_.dataType)
+        val taggedS = taggedSchema
+        val rdd = df1.queryExecution.toRdd.mapPartitions { irs =>
+          val convs = inDts.map(
+            org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .createToScalaConverter)
+          val toCat = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(taggedS)
+          val view = new Object {
+            // one reusable lazy view per task — the script contract scopes
+            // a record to its transform call
+            var ir: org.apache.spark.sql.catalyst.InternalRow = null
+            val row: Row = new Row {
+              override def length: Int = inDts.length
+              override def get(i: Int): Any =
+                if (ir.isNullAt(i)) null else convs(i)(ir.get(i, inDts(i)))
+              override def isNullAt(i: Int): Boolean = ir.isNullAt(i)
+              override def copy(): Row = Row.fromSeq((0 until length).map(get))
+            }
+          }
+          irs.flatMap { ir0 =>
+            view.ir = ir0
+            val buf = new ListBuffer[Row]
+            runRecord(view.row, buf)
+            buf.result().map(r =>
+              toCat(r).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+          }
+        }
+        org.apache.spark.sql.graft.InternalRowDF(
+          df1.sparkSession, taggedSchema, rdd)
+      } else {
+        df1.mapPartitions { rows =>
+          rows.flatMap { row =>
+            val buf = new ListBuffer[Row]
+            runRecord(row, buf)
+            buf.result()
+          }
+        }(Encoders.row(taggedSchema)).toDF()
+      }
+
+    TransformResult(tagged, outSchema, errSchema)
   }
 }

@@ -485,6 +485,67 @@ class TransformEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.getAs[String]("tag") === "x1")
   }
 
+  test("script InternalRow fast path: bit-equal to the Row-encoder path, all channels") {
+    import java.sql.{Date, Timestamp}
+    // the r15-deferred direct-InternalRow emitter, pinned against the
+    // encoder path on a schema exercising every codec family: scalars,
+    // string, binary, timestamp/date, nested struct/array/map, union,
+    // enum — plus the error and alert channels under RouteToErrors
+    val in = Seq(
+      (1L, "ok", 2.5, Array[Byte](1, 2), Timestamp.valueOf("2026-01-02 03:04:05.000001"),
+        Date.valueOf("2026-01-02"), Seq(1.0, 2.0), Map("k" -> 3.0)),
+      (2L, "bad", -1.0, Array.empty[Byte], Timestamp.valueOf("1969-12-31 23:59:59.5"),
+        Date.valueOf("1969-12-31"), Seq.empty[Double], Map.empty[String, Double]),
+      (3L, "ok", 0.5, Array[Byte](9), Timestamp.valueOf("2026-08-17 00:00:00"),
+        Date.valueOf("2026-08-17"), Seq(7.0), Map("k" -> 1.0, "j" -> 2.0))
+    ).toDF("id", "status", "x", "payload", "ts", "day", "arr", "m")
+      .withColumn("info", struct(col("id").as("a"), col("x").as("b")))
+      .repartition(2)
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("x2", DoubleType),
+      StructField("echo", BinaryType),
+      StructField("ts", TimestampType),
+      StructField("day", DateType),
+      StructField("arr_sum", DoubleType),
+      StructField("mk", DoubleType),
+      StructField("a", LongType),
+      SchemaCodec.enumField("flag", Seq("LOW", "HIGH")),
+      SchemaCodec.unionField("u", Seq(LongType, StringType))))
+    def run(): (Array[String], Array[String], Array[String]) = {
+      val res = ScriptTransform(in, out,
+          onError = ScriptTransform.RouteToErrors(9)) { (r, em, ctx) =>
+        if (r("status") == "bad")
+          throw new IllegalArgumentException("bad status")
+        val info = r("info").asInstanceOf[Map[String, Any]]
+        if (r("id").asInstanceOf[Long] == 3L)
+          em.emitAlert(Map("why" -> "id3"))
+        em.emit(Map(
+          "id" -> r("id"),
+          "x2" -> r("x").asInstanceOf[Double] * 2,
+          "echo" -> r("payload"),
+          "ts" -> r("ts"), "day" -> r("day"),
+          "arr_sum" -> r("arr").asInstanceOf[Seq[Double]].sum,
+          "mk" -> r("m").asInstanceOf[Map[String, Any]].getOrElse("k", -1.0),
+          "a" -> info("a"),
+          "flag" -> (if (r("x").asInstanceOf[Double] > 1) "HIGH" else 0),
+          "u" -> (if (r("id").asInstanceOf[Long] == 1L) "one" else 2L)))
+      }.cached()
+      def key(rs: Array[org.apache.spark.sql.Row]) = rs.map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case v => v
+      }.toString).sorted
+      (key(res.out.collect()), key(res.errors.collect()), key(res.alerts.collect()))
+    }
+    val fast = run()
+    spark.conf.set("graft.script.internalRow", "false")
+    val slow = try run() finally spark.conf.unset("graft.script.internalRow")
+    assert(fast._1.sameElements(slow._1), "out channel diverged")
+    assert(fast._2.sameElements(slow._2), "error channel diverged")
+    assert(fast._3.sameElements(slow._3), "alert channel diverged")
+    assert(fast._1.length === 2 && fast._2.length === 1 && fast._3.length === 1)
+  }
+
   test("python arrow gate: small partitions speak JSON, big ones arrow, same rows") {
     // the per-partition size gate (graft.pyscript.arrowMinRows/.arrowMinBytes):
     // a partition that ends before the threshold never offers arrow — no
