@@ -136,6 +136,29 @@ object Dedup {
       |  (SELECT md5(text) FROM documents WHERE doc_id < 200)
       |ORDER BY doc_id""".stripMargin
 
+  /** Parallelism floor for the per-row text-kernel passes (md5 shingle
+    * hashing, minhash signatures): when the input plans FEWER partitions
+    * than the cluster's cores, repartition up so the kernel stage uses
+    * them — a row-group-bounded local scan otherwise serializes multi-
+    * second kernel work on one task (r16 probes: dd_threshold_hist's
+    * shingle pass 1.86 s on 1 task at local[32]). The kernel cost
+    * dominates the slim (doc_id, text) input shuffle at any scale, and
+    * at deployment scale the scan already has more partitions than
+    * cores, making this a no-op — the ScriptTransform/python()
+    * parallelism-floor argument. `graft.kernelFloor=false` disables.
+    * Applied ONLY where the alternating A/B won: the ngramJaccard
+    * shingle pass (on 2.44-3.00 s vs off 3.21-4.05 s). The same floor
+    * on contamination/bandKeysKernel LOST ~30% (cheaper kernels — the
+    * exchange cost exceeded the parallelization gain) and was
+    * reverted. */
+  private def kernelFloor(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val on = spark.conf.getOption("graft.kernelFloor").forall(_.toBoolean)
+    if (on && docs.rdd.getNumPartitions < target) docs.repartition(target)
+    else docs
+  }
+
   /** Tall (doc_id, shingle) with distinct word-3-gram shingles.
     *
     * Built entirely from native expressions — `arrays_zip` of the token
@@ -836,7 +859,7 @@ object Dedup {
     // sizes aggregate (another corpus-keyed exchange) into a projection
     // too. Docs with <3 words produce a NULL shingle array (kernel
     // contract) and are filtered exactly as they had no tall rows before.
-    val hs = docs.select(col("doc_id"),
+    val hs = kernelFloor(docs).select(col("doc_id"),
         array_distinct(org.apache.spark.sql.graft.VectorExprs
           .shingle3Md5Long(col("text"), 1, 15)).as("_hs"))
       .filter(col("_hs").isNotNull)
@@ -1955,18 +1978,32 @@ object Dedup {
     * kernel floor: the mandated-md5 occurrence-hash kernel alone is
     * ~92% of DuckDB's whole in-process query (r14 Probe overlap-floor
     * decomposition), and the remainder is the distribution exchange. */
+  /** Child sessions scoped to a non-default split size, cached per
+    * (parent, splitBytes): a newSession per invocation accumulated in
+    * the context's session registry under repeated bench reps /
+    * streaming reuse (r15 audit note). Sessions live for the parent
+    * context's life; the map is bounded by distinct splitBytes values. */
+  private val overlapSessions =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SparkSession]
+
   def ddOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val parentSplit =
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
     val splitBytes = spark.conf.getOption("graft.overlap.splitBytes")
-      .getOrElse(spark.conf.get("spark.sql.files.maxPartitionBytes",
-        "128m"))
-    val s2 = spark.newSession()
-    // child sessions inherit builder-time confs; copy the load-bearing
-    // runtime ones too in case the hosting session was tuned post-build
-    Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
-        "spark.sql.adaptive.skewJoin.enabled", "spark.sql.session.timeZone",
-        "spark.sql.legacy.parquet.nanosAsLong")
-      .foreach(k => spark.conf.getOption(k).foreach(s2.conf.set(k, _)))
-    s2.conf.set("spark.sql.files.maxPartitionBytes", splitBytes)
+      .getOrElse(parentSplit)
+    val s2 =
+      if (splitBytes == parentSplit) spark // default: no child session at all
+      else overlapSessions.computeIfAbsent((spark, splitBytes), _ => {
+        val s = spark.newSession()
+        // child sessions inherit builder-time confs; copy the load-bearing
+        // runtime ones too in case the hosting session was tuned post-build
+        Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled", "spark.sql.session.timeZone",
+            "spark.sql.legacy.parquet.nanosAsLong")
+          .foreach(k => spark.conf.getOption(k).foreach(s.conf.set(k, _)))
+        s.conf.set("spark.sql.files.maxPartitionBytes", splitBytes)
+        s
+      })
     snapshotOverlap(Tables.documents(s2, dir),
       inA = pmod(col("doc_id"), lit(2)) === 0,
       inB = pmod(col("doc_id"), lit(2)) === 1)

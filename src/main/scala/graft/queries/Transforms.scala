@@ -105,8 +105,7 @@ object Transforms {
       StructField("o_orderkey", LongType),
       StructField("scaled", DoubleType)))
     ScriptTransform(Tables.orders(spark, dir), out,
-        arguments = Map("multiplier" -> "5"),
-        parallelism = spark.sparkContext.defaultParallelism) { (r, em, ctx) =>
+        arguments = Map("multiplier" -> "5")) { (r, em, ctx) =>
       val m = ctx.arguments("multiplier").toInt
       em.emit(Map("o_orderkey" -> r("o_orderkey"),
                   "scaled" -> r("o_totalprice").asInstanceOf[Double] * m))
@@ -410,8 +409,7 @@ object Transforms {
     * .ScriptLogger]]) on the alert path. */
   def xfAlerts(spark: SparkSession, dir: String): DataFrame = {
     val out = StructType(Seq(StructField("o_orderkey", LongType)))
-    val res = ScriptTransform(Tables.orders(spark, dir), out,
-        parallelism = spark.sparkContext.defaultParallelism) { (r, em, ctx) =>
+    val res = ScriptTransform(Tables.orders(spark, dir), out) { (r, em, ctx) =>
       val price = r("o_totalprice").asInstanceOf[Double]
       if (price > 400000.0) {
         ctx.logger.warn(s"high-value order ${r("o_orderkey")}")
@@ -444,8 +442,7 @@ object Transforms {
       StructField("c_custkey", LongType),
       StructField("nation_name", StringType)))
     ScriptTransform(Tables.customer(spark, dir), out,
-        lookups = Map("nations" -> nations),
-        parallelism = spark.sparkContext.defaultParallelism) { (r, em, ctx) =>
+        lookups = Map("nations" -> nations)) { (r, em, ctx) =>
       em.emit(Map(
         "c_custkey" -> r("c_custkey"),
         "nation_name" -> ctx.lookup("nations", r("c_nationkey"))))
